@@ -1,0 +1,34 @@
+"""Ray-Data-native schema + constraint validation engine.
+
+A from-scratch re-expression of the validation semantics of the reference
+repo (maxwjiill/etl-data-validation-kio — a Postgres/SQL ETL-validation
+harness) as an idiomatic Ray Data engine: every check is a vectorized
+Arrow batch transform inside ``Dataset.map_batches``, stateful stages are
+actor pools, wide checks (uniqueness) are hash-partitioned groupbys, and
+small dimension sides are broadcast via ``ray.put``.
+
+Primary input table (see FIXTURES.md F1):
+    doc_id: string, tokens: list<int32>, n_tok: int32, source: string
+
+Reference semantics reproduced (citations are /root/reference paths):
+  - declarative check specs        -> core.specs          (src/app2/etl_validation/specs.py:6-14)
+  - verdict / severity model       -> core.verdicts       (src/app2/validators/models.py:1-7)
+  - schema / completeness /
+    consistency / uniqueness /
+    referential suites             -> stages.rule_engine  (src/app2/validators/*)
+  - baseline snapshot drift        -> stages.drift        (src/app2/experiments/report.py:546-706)
+  - batch status / resume          -> state.checkpoint    (src/app2/db/batch.py:5-78)
+"""
+
+__version__ = "0.1.0"
+
+from .core.specs import RuleSpec, default_rules
+from .core.verdicts import CheckResult, gate_status
+
+__all__ = [
+    "RuleSpec",
+    "default_rules",
+    "CheckResult",
+    "gate_status",
+    "__version__",
+]

@@ -1,0 +1,594 @@
+"""End-to-end validation pipeline orchestration.
+
+The Ray-Data re-expression of the reference's run lifecycle
+(/root/reference/scripts/run_manual_experiments.py:539-662 and the
+suite runner /root/reference/src/app2/validators/runner.py:109-228):
+
+  read_parquet(pending partition files, pruned columns)
+    -> map_batches(RuleEngine, concurrency=N)     # all narrow rules, 1 pass
+    -> write_parquet(raw/, partition_cols=['kind'])  # violations + partials
+  read_parquet(columns=[doc_id, partition])
+    -> groupby(doc_id) dup scan                   # the wide rule
+  merge partials -> verdicts / metrics / drift -> manifests + summary
+
+Resume: input is one Parquet file per partition; partitions whose
+manifest is already SUCCESS are pruned from the read (the file is never
+opened again) — the file-level analog of the reference's
+``only_unprocessed`` discovery filter (discovery.py:203-223). Work is
+chunked into shards of ``shard_size`` partitions, each committed
+atomically, bounding recomputation after a crash.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import pickle
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+from ..core.specs import RuleSpec, default_rules
+from ..core.verdicts import CheckResult, gate_status, partition_verdict
+from ..sketches import CountingHist, FixedHistogram, HyperLogLog, TDigest
+from ..stages.drift import load_baseline_snapshot, score_drift, build_baseline_snapshot
+from ..stages.rule_engine import RuleEngine
+from ..stages.uniqueness import duplicate_id_counts, duplicate_violations
+from ..state.checkpoint import RunState
+
+VIOLATION_COLS = ["rule_id", "doc_id", "partition", "reason"]
+
+
+@dataclass
+class RunResult:
+    out_dir: str
+    verdicts: list[CheckResult]
+    metrics: dict[str, Any]
+    partitions: list[str]
+    duration_s: float
+    run_verdict: str = "PASS"
+    drift: dict[str, Any] = field(default_factory=dict)
+
+    def violations(self) -> pa.Table:
+        """All violation rows, sorted by (rule_id, doc_id, reason) for
+        deterministic comparison regardless of block order
+        (SURVEY.md §7.4 'exactness under distribution')."""
+        return load_violations(self.out_dir)
+
+
+def load_violations(out_dir: str) -> pa.Table:
+    owners = RunState(out_dir).shard_owners()
+    tables = []
+    for d in sorted(
+        glob.glob(os.path.join(out_dir, "raw", "**", "kind=violation"), recursive=True)
+    ):
+        shard = _shard_of(out_dir, d)
+        t = pads.dataset(d).to_table(columns=VIOLATION_COLS)
+        if owners:
+            # keep only rows of partitions this shard OWNS (a crashed
+            # attempt may have left the same partition's rows in an
+            # older shard dir)
+            mine = [p for p, s in owners.items() if s == shard]
+            t = t.filter(pc.is_in(t["partition"], value_set=pa.array(mine, pa.string())))
+        tables.append(t)
+    for extra in ("unique_violations", "schema_violations"):
+        d = os.path.join(out_dir, extra)
+        if os.path.isdir(d) and glob.glob(os.path.join(d, "*.parquet")):
+            tables.append(pads.dataset(d).to_table(columns=VIOLATION_COLS))
+    if not tables:
+        return pa.table({c: pa.array([], pa.string()) for c in VIOLATION_COLS})
+    t = pa.concat_tables(tables).combine_chunks()
+    order = pc.sort_indices(
+        t,
+        sort_keys=[("rule_id", "ascending"), ("doc_id", "ascending"), ("reason", "ascending")],
+        null_placement="at_start",
+    )
+    return t.take(order)
+
+
+def _merge_stats(a: dict, b: dict) -> dict:
+    """Merge two column_stats partial states (mergeable-summary pattern)."""
+    out = dict(a)
+    out["rows_total"] = a.get("rows_total", 0) + b.get("rows_total", 0)
+    out["rows_failed"] = a.get("rows_failed", 0) + b.get("rows_failed", 0)
+    if "null_counts" in a or "null_counts" in b:
+        nc = dict(a.get("null_counts", {}))
+        for k, v in b.get("null_counts", {}).items():
+            nc[k] = nc.get(k, 0) + v
+        out["null_counts"] = nc
+    if "schema_errors" in a or "schema_errors" in b:
+        out["schema_errors"] = sorted(
+            set(a.get("schema_errors", [])) | set(b.get("schema_errors", []))
+        )
+    for key, cls in (
+        ("n_tok_hist", CountingHist),
+        ("n_tok_fixed", FixedHistogram),
+        ("doc_id_hll", HyperLogLog),
+        ("n_tok_tdigest", TDigest),
+    ):
+        if key in a and key in b:
+            out[key] = cls.from_state(a[key]).merge(cls.from_state(b[key])).to_state()
+        elif key in b:
+            out[key] = b[key]
+    if "token_hists" in a or "token_hists" in b:
+        th = dict(a.get("token_hists", {}))
+        for src, st in b.get("token_hists", {}).items():
+            if src in th:
+                th[src] = (
+                    FixedHistogram.from_state(th[src])
+                    .merge(FixedHistogram.from_state(st))
+                    .to_state()
+                )
+            else:
+                th[src] = st
+        out["token_hists"] = th
+    return out
+
+
+def _stats_metrics(state: dict) -> dict[str, Any]:
+    """Human/JSON-facing metrics from a merged stats state."""
+    m: dict[str, Any] = {"rows_total": state.get("rows_total", 0)}
+    if "null_counts" in state:
+        rt = max(1, m["rows_total"])
+        m["null_rates"] = {k: v / rt for k, v in state["null_counts"].items()}
+    if "n_tok_hist" in state:
+        h = CountingHist.from_state(state["n_tok_hist"])
+        m["n_tok"] = {
+            "min": h.min(),
+            "max": h.max(),
+            "sum": h.sum(),
+            "mean": (h.sum() / h.n) if h.n else None,
+            "p50": h.quantile(0.5),
+            "p95": h.quantile(0.95),
+            "p99": h.quantile(0.99),
+        }
+    if "n_tok_tdigest" in state:
+        td = TDigest.from_state(state["n_tok_tdigest"])
+        m["n_tok_tdigest"] = {
+            "p50": td.quantile(0.5),
+            "p95": td.quantile(0.95),
+            "p99": td.quantile(0.99),
+        }
+    if "doc_id_hll" in state:
+        m["doc_id_cardinality_est"] = HyperLogLog.from_state(state["doc_id_hll"]).estimate()
+    return m
+
+
+class ValidationPipeline:
+    def __init__(
+        self,
+        rules: dict[str, RuleSpec] | None = None,
+        *,
+        allowed_sources: list[str] | None = None,
+        baseline_snapshot_dir: str | None = None,
+        partition_col: str = "partition",
+        id_col: str = "doc_id",
+        token_col: str = "tokens",
+        len_col: str = "n_tok",
+        source_col: str = "source",
+        concurrency: int | None = None,
+        batch_size: int | None = None,
+        shard_size: int = 64,
+    ):
+        self.rules = rules or default_rules(allowed_sources=allowed_sources)
+        if allowed_sources is not None and "source_ref" in self.rules:
+            p = dict(self.rules["source_ref"].params)
+            p["allowed_sources"] = allowed_sources
+            from dataclasses import replace
+
+            self.rules = {**self.rules, "source_ref": replace(self.rules["source_ref"], params=p)}
+        self.baseline_snapshot_dir = baseline_snapshot_dir
+        self.partition_col = partition_col
+        self.id_col = id_col
+        self.token_col = token_col
+        self.len_col = len_col
+        self.source_col = source_col
+        self.concurrency = concurrency
+        self.batch_size = batch_size
+        self.shard_size = shard_size
+
+    # ------------------------------------------------------------ helpers
+
+    def _columns(self) -> list[str]:
+        return [self.id_col, self.token_col, self.len_col, self.source_col, self.partition_col]
+
+    def _concurrency(self) -> int:
+        if self.concurrency:
+            return self.concurrency
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        # leave headroom for the read/write stages so the actor pool
+        # doesn't starve them (ray_guide: pool that reserves every CPU
+        # serializes the pipeline)
+        return max(2, cpus - 2)
+
+    def _engine_kwargs(self, allowed_ref) -> dict:
+        return dict(
+            rules=self.rules,
+            partition_col=self.partition_col,
+            id_col=self.id_col,
+            token_col=self.token_col,
+            len_col=self.len_col,
+            source_col=self.source_col,
+            allowed_sources=allowed_ref,
+        )
+
+    def _allowed_ref(self):
+        import ray
+
+        spec = self.rules.get("source_ref")
+        allowed = spec.params.get("allowed_sources") if spec else None
+        return ray.put(allowed) if allowed is not None else None
+
+    def _narrow_checks(self, part: str, rules_states: dict[str, dict]) -> list[CheckResult]:
+        """CheckResults for the single-pass rules of one partition."""
+        checks = []
+        for rule_id, spec in self.rules.items():
+            if not spec.enabled or rule_id in ("doc_id_unique", "drift_ks_psi"):
+                continue
+            st = rules_states.get(rule_id)
+            if st is None:
+                continue
+            checks.append(
+                CheckResult(
+                    part, rule_id,
+                    gate_status(spec.severity, st.get("rows_failed", 0)),
+                    st.get("rows_failed", 0), st.get("rows_total", 0),
+                    spec.severity,
+                    metrics=_stats_metrics(st) if rule_id == "column_stats" else None,
+                )
+            )
+        return checks
+
+    # ------------------------------------------------------------ snapshot
+
+    def build_snapshot(self, input_path: str, snapshot_dir: str) -> str:
+        """Run the stats pass over (unmutated) input and persist the
+        drift baseline (reference analog: run.py:490-501)."""
+        import ray.data as rd
+
+        files = discover_partition_files(input_path)
+        ds = rd.read_parquet(sorted(files.values()), columns=self._columns())
+        stats_rules = {
+            k: v for k, v in self.rules.items() if k in ("column_stats",)
+        } or {"column_stats": default_rules()["column_stats"]}
+        mapped = ds.map_batches(
+            RuleEngine,
+            fn_constructor_kwargs=dict(
+                rules=stats_rules,
+                partition_col=self.partition_col,
+                id_col=self.id_col,
+                token_col=self.token_col,
+                len_col=self.len_col,
+                source_col=self.source_col,
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=self._concurrency(),
+            batch_size=self.batch_size,
+        )
+        partials: dict[str, dict] = {}
+        for b in mapped.iter_batches(batch_format="pyarrow", batch_size=4096):
+            t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+            t = t.filter(pc.equal(t["kind"], "partial"))
+            for part, payload in zip(
+                t["partition"].to_pylist(), t["payload"].to_pylist()
+            ):
+                st = pickle.loads(payload)
+                partials[part] = _merge_stats(partials[part], st) if part in partials else st
+        glob_state: dict = {}
+        for st in partials.values():
+            glob_state = _merge_stats(glob_state, st) if glob_state else st
+        partials["__global__"] = glob_state
+        return build_baseline_snapshot(
+            partials, snapshot_dir, meta={"input": input_path}
+        )
+
+    # ------------------------------------------------------------ run
+
+    def run(self, input_path: str, out_dir: str, *, resume: bool = True) -> RunResult:
+        import ray.data as rd
+
+        t0 = time.time()
+        os.makedirs(out_dir, exist_ok=True)
+        state = RunState(out_dir)
+        files = discover_partition_files(input_path)
+        all_parts = sorted(files)
+        done = state.completed() if resume else set()
+        pending = [p for p in all_parts if p not in done]
+
+        allowed_ref = self._allowed_ref()
+
+        for i in range(0, len(pending), self.shard_size):
+            shard = pending[i : i + self.shard_size]
+            for p in shard:
+                state.claim(p)
+            # shard dir is keyed by its first partition: deterministic
+            # across resumed runs (pending is sorted, grouping is
+            # stable), so a crashed shard is rebuilt under the same
+            # name while committed shards keep theirs
+            shard_dir = os.path.join(out_dir, "raw", f"shard-{shard[0]}")
+            if os.path.isdir(shard_dir):
+                import shutil
+
+                shutil.rmtree(shard_dir)  # leftovers of a crashed attempt
+            try:
+                # files may disagree on schema (a column dropped upstream
+                # is itself a finding): group by footer schema, read each
+                # group with the columns it actually has — the engine's
+                # schema rule reports the gap
+                for j, (cols, group_files) in enumerate(
+                    _schema_groups([files[p] for p in shard], self._columns())
+                ):
+                    ds = rd.read_parquet(group_files, columns=cols)
+                    mapped = ds.map_batches(
+                        RuleEngine,
+                        fn_constructor_kwargs=self._engine_kwargs(allowed_ref),
+                        batch_format="pyarrow",
+                        zero_copy_batch=True,
+                        concurrency=self._concurrency(),
+                        batch_size=self.batch_size,
+                    )
+                    mapped.write_parquet(
+                        os.path.join(shard_dir, f"g{j}"), partition_cols=["kind"]
+                    )
+                # commit this shard: per-partition manifests with the
+                # narrow-rule checks (run-scope checks appended later)
+                merged = _reduce_partials(shard_dir)
+                for p in shard:
+                    checks = self._narrow_checks(p, merged.get(p, {}))
+                    state.finish(
+                        p,
+                        verdict=partition_verdict(checks),
+                        rows_total=max(
+                            (c.rows_total for c in checks), default=0
+                        ),
+                        checks=[c.to_dict() for c in checks],
+                        shard=os.path.basename(shard_dir),
+                    )
+            except Exception as e:  # noqa: BLE001 — manifest records the failure
+                for p in shard:
+                    state.fail(p, repr(e))
+                raise
+
+        # all partitions' merged stats (this run + prior resumed runs):
+        # re-read the tiny kind=partial outputs of every committed shard,
+        # keeping each partition's state only from its OWNING shard
+        owners = state.shard_owners()
+        shard_stats: dict[str, dict[str, dict]] = {}
+        for d in sorted(glob.glob(os.path.join(out_dir, "raw", "shard-*"))):
+            shard_name = os.path.basename(d)
+            for part, rules_states in _reduce_partials(d).items():
+                if owners.get(part, shard_name) != shard_name:
+                    continue
+                shard_stats[part] = rules_states
+
+        # ---- schema-level violations: one row per (partition, issue)
+        schema_rows = []
+        for part in sorted(shard_stats):
+            for msg in shard_stats[part].get("schema_types", {}).get("schema_errors", []):
+                schema_rows.append(("schema_types", None, part, msg))
+        sv_dir = os.path.join(out_dir, "schema_violations")
+        if os.path.isdir(sv_dir):
+            import shutil
+
+            shutil.rmtree(sv_dir)
+        if schema_rows:
+            os.makedirs(sv_dir, exist_ok=True)
+            import pyarrow.parquet as pq
+
+            pq.write_table(
+                pa.table(
+                    {
+                        c: pa.array([r[i] for r in schema_rows], pa.string())
+                        for i, c in enumerate(VIOLATION_COLS)
+                    }
+                ),
+                os.path.join(sv_dir, "part-0.parquet"),
+            )
+
+        # ---- wide rule: global doc_id uniqueness over ALL partitions
+        dup_violation_counts: dict[str, int] = {}
+        if "doc_id_unique" in self.rules and self.rules["doc_id_unique"].enabled:
+            import pyarrow.parquet as pq
+
+            key_files = sorted(
+                f
+                for f in files.values()
+                if self.id_col in pq.read_schema(f).names
+            )
+            key_cols = [self.id_col, self.partition_col]
+            keys = rd.read_parquet(key_files, columns=key_cols)
+            dup_table = duplicate_id_counts(keys, self.id_col)
+            uniq_dir = os.path.join(out_dir, "unique_violations")
+            if os.path.isdir(uniq_dir):
+                import shutil
+
+                shutil.rmtree(uniq_dir)  # run-scope check is recomputed whole
+            if dup_table.num_rows:
+                keys = rd.read_parquet(key_files, columns=key_cols)
+                vio = duplicate_violations(
+                    keys, dup_table, self.id_col, self.partition_col
+                )
+                vio.write_parquet(uniq_dir)
+                vt = pads.dataset(uniq_dir).to_table(columns=["partition"])
+                vals, counts = np.unique(
+                    np.asarray(vt["partition"].to_pylist()), return_counts=True
+                )
+                dup_violation_counts = {str(v): int(c) for v, c in zip(vals, counts)}
+            else:
+                os.makedirs(uniq_dir, exist_ok=True)
+
+        # ---- drift scoring
+        drift_scores: dict[str, Any] = {}
+        drift_spec = self.rules.get("drift_ks_psi")
+        if drift_spec and drift_spec.enabled and self.baseline_snapshot_dir:
+            baseline = load_baseline_snapshot(self.baseline_snapshot_dir)
+            cur = {
+                part: rules.get("column_stats", {})
+                for part, rules in shard_stats.items()
+                if rules.get("column_stats")
+            }
+            if cur:
+                g: dict = {}
+                for st in cur.values():
+                    g = _merge_stats(g, st) if g else st
+                cur = {**cur, "__global__": g}
+                drift_scores = score_drift(
+                    cur,
+                    baseline,
+                    psi_threshold=float(drift_spec.params.get("psi_threshold", 0.2)),
+                    ks_threshold=float(drift_spec.params.get("ks_threshold", 0.15)),
+                )
+
+        # ---- verdicts per partition
+        verdicts: list[CheckResult] = []
+        metrics: dict[str, Any] = {"partitions": {}}
+        processed = [p for p in all_parts if p in shard_stats]
+        for part in processed:
+            rules_states = shard_stats[part]
+            checks: list[CheckResult] = []
+            rows_total = 0
+            for rule_id, spec in self.rules.items():
+                if not spec.enabled:
+                    continue
+                if rule_id == "doc_id_unique":
+                    rf = dup_violation_counts.get(part, 0)
+                    st = rules_states.get("column_stats", {})
+                    checks.append(
+                        CheckResult(
+                            part, rule_id, gate_status(spec.severity, rf), rf,
+                            st.get("rows_total", 0), spec.severity,
+                        )
+                    )
+                    continue
+                if rule_id == "drift_ks_psi":
+                    if part in drift_scores:
+                        sc = drift_scores[part]
+                        rf = 1 if sc["drifted"] else 0
+                        checks.append(
+                            CheckResult(
+                                part, rule_id, gate_status(spec.severity, rf), rf,
+                                rules_states.get("column_stats", {}).get("rows_total", 0),
+                                spec.severity,
+                                metrics={
+                                    "ks_n_tok": sc["ks_n_tok"],
+                                    "psi_tokens": sc["psi_tokens"],
+                                },
+                            )
+                        )
+                    continue
+                st = rules_states.get(rule_id)
+                if st is None:
+                    continue
+                rows_total = max(rows_total, st.get("rows_total", 0))
+                checks.append(
+                    CheckResult(
+                        part, rule_id,
+                        gate_status(spec.severity, st.get("rows_failed", 0)),
+                        st.get("rows_failed", 0), st.get("rows_total", 0),
+                        spec.severity,
+                        metrics=_stats_metrics(st) if rule_id == "column_stats" else None,
+                    )
+                )
+            verdict = partition_verdict(checks)
+            state.finish(
+                part,
+                verdict=verdict,
+                rows_total=rows_total,
+                checks=[c.to_dict() for c in checks],
+            )
+            verdicts.extend(checks)
+            if "column_stats" in rules_states:
+                metrics["partitions"][part] = _stats_metrics(rules_states["column_stats"])
+
+        # global metrics
+        g: dict = {}
+        for part in processed:
+            st = shard_stats[part].get("column_stats")
+            if st:
+                g = _merge_stats(g, st) if g else st
+        if g:
+            metrics["global"] = _stats_metrics(g)
+
+        run_verdict = partition_verdict(verdicts) if verdicts else "PASS"
+        result = RunResult(
+            out_dir=out_dir,
+            verdicts=verdicts,
+            metrics=metrics,
+            partitions=processed,
+            duration_s=time.time() - t0,
+            run_verdict=run_verdict,
+            drift=drift_scores,
+        )
+        summary = {
+            "run_verdict": run_verdict,
+            "partitions": processed,
+            "duration_s": result.duration_s,
+            "checks": [c.to_dict() for c in verdicts],
+            "metrics_global": metrics.get("global"),
+        }
+        tmp = os.path.join(out_dir, "summary.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(summary, f, indent=2, default=str)
+        os.replace(tmp, os.path.join(out_dir, "summary.json"))
+        with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+            json.dump(metrics, f, indent=2, default=str)
+        return result
+
+
+def discover_partition_files(input_path: str) -> dict[str, str]:
+    """Map partition name -> parquet file. Input layout: one file per
+    partition (FIXTURES.md F1), or a single parquet file (one logical
+    partition named after the file stem)."""
+    if os.path.isfile(input_path):
+        name = os.path.splitext(os.path.basename(input_path))[0]
+        return {name: input_path}
+    out = {}
+    for f in sorted(glob.glob(os.path.join(input_path, "*.parquet"))):
+        out[os.path.splitext(os.path.basename(f))[0]] = f
+    if not out:
+        raise FileNotFoundError(f"no .parquet files under {input_path}")
+    return out
+
+
+def _shard_of(out_dir: str, nested_path: str) -> str:
+    """raw shard dir name containing ``nested_path``."""
+    rel = os.path.relpath(nested_path, os.path.join(out_dir, "raw"))
+    return rel.split(os.sep)[0]
+
+
+def _schema_groups(paths: list[str], want: list[str]):
+    """Group parquet files by (footer column ∩ wanted) signature so each
+    group can be read with a consistent column list."""
+    import pyarrow.parquet as pq
+
+    groups: dict[tuple, list[str]] = {}
+    for p in paths:
+        names = set(pq.read_schema(p).names)
+        cols = tuple(c for c in want if c in names)
+        groups.setdefault(cols, []).append(p)
+    return [(list(cols), files) for cols, files in sorted(groups.items())]
+
+
+def _reduce_partials(shard_dir: str) -> dict[str, dict[str, dict]]:
+    """Read back the (tiny) partial rows of one shard and merge states
+    per (partition, rule)."""
+    out: dict[str, dict[str, dict]] = {}
+    pdirs = sorted(glob.glob(os.path.join(shard_dir, "**", "kind=partial"), recursive=True))
+    for pdir in pdirs:
+        t = pads.dataset(pdir).to_table(columns=["rule_id", "partition", "payload"])
+        for rule_id, part, payload in zip(
+            t["rule_id"].to_pylist(), t["partition"].to_pylist(), t["payload"].to_pylist()
+        ):
+            st = pickle.loads(payload)
+            slot = out.setdefault(part, {})
+            slot[rule_id] = _merge_stats(slot[rule_id], st) if rule_id in slot else st
+    return out

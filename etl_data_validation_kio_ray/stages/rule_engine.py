@@ -1,0 +1,389 @@
+"""The single-pass rule engine — an actor-pool ``map_batches`` stage.
+
+Re-expresses the reference's per-suite validators
+(/root/reference/src/app2/validators/{stg,dds}/*_suite/*.py) and the
+declarative StageChecks (/root/reference/src/app2/etl_validation/specs.py:20-333)
+as ONE vectorized pass over zero-copy Arrow batches. Like the
+reference's module-level compiled ``Draft7Validator`` singletons
+(schema_suite/matches_schema.py:56), all rule compilation — expected
+schema, allowed-source set, baseline drift snapshot — happens once per
+actor in ``__init__`` (broadcast via ``ray.put`` ObjectRefs), never per
+batch.
+
+Output is a union table so ONE scan of the input produces both
+violation rows and mergeable stat partials (at 100 TB a second scan is
+the thing to avoid):
+
+    kind:      'violation' | 'partial'
+    rule_id:   string
+    partition: string
+    doc_id:    string  (null for partials)
+    reason:    string  (null for partials)
+    payload:   binary  (pickled partial state; null for violations)
+
+Wide rules (doc_id uniqueness) cannot be computed in a narrow pass —
+see stages/uniqueness.py; drift partials are produced here and scored
+against the baseline in stages/drift.py.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..core.specs import RuleSpec
+from ..sketches import CountingHist, FixedHistogram, HyperLogLog, TDigest
+from ..sketches.hll import hash64
+
+UNION_SCHEMA = pa.schema(
+    [
+        ("kind", pa.string()),
+        ("rule_id", pa.string()),
+        ("partition", pa.string()),
+        ("doc_id", pa.string()),
+        ("reason", pa.string()),
+        ("payload", pa.binary()),
+    ]
+)
+
+# drift histogram shapes (FIXTURES.md F3)
+NTOK_BINS = 64
+TOKEN_BINS = 256
+
+
+def _empty_like(n: int) -> dict[str, list]:
+    return {k.name: [] for k in UNION_SCHEMA}
+
+
+class RuleEngine:
+    """Callable class for ``map_batches(RuleEngine, concurrency=N,
+    batch_format='pyarrow', fn_constructor_kwargs=...)``."""
+
+    def __init__(
+        self,
+        rules: dict[str, RuleSpec],
+        *,
+        partition_col: str | None = "partition",
+        id_col: str = "doc_id",
+        token_col: str = "tokens",
+        len_col: str = "n_tok",
+        source_col: str = "source",
+        allowed_sources: Any = None,  # list | ObjectRef | None
+        max_len: int = 8192,
+        vocab_size: int = 50257,
+    ):
+        import ray
+
+        self.rules = {r.rule_id: r for r in rules.values() if r.enabled}
+        self.partition_col = partition_col
+        self.id_col = id_col
+        self.token_col = token_col
+        self.len_col = len_col
+        self.source_col = source_col
+
+        inv = self.rules.get("row_invariants")
+        self.min_len = int(inv.params.get("min_len", 1)) if inv else 1
+        self.max_len = int(inv.params.get("max_len", max_len)) if inv else max_len
+        self.vocab_size = int(inv.params.get("vocab_size", vocab_size)) if inv else vocab_size
+
+        # broadcast small side: resolve ObjectRef once per actor
+        ref = self.rules.get("source_ref")
+        allowed = allowed_sources
+        if allowed is None and ref is not None:
+            allowed = ref.params.get("allowed_sources")
+        if allowed is not None and isinstance(allowed, ray.ObjectRef):
+            allowed = ray.get(allowed)
+        self.allowed_sources = (
+            pa.array(sorted(set(allowed)), pa.string()) if allowed is not None else None
+        )
+
+        self.expected_schema = pa.schema(
+            [
+                (self.id_col, pa.string()),
+                (self.token_col, pa.list_(pa.int32())),
+                (self.len_col, pa.int32()),
+                (self.source_col, pa.string()),
+            ]
+        )
+
+    # ------------------------------------------------------------------ util
+
+    def _emit_violation(self, out, rule_id, partition, doc_ids, reasons):
+        n = len(doc_ids)
+        out["kind"].extend(["violation"] * n)
+        out["rule_id"].extend([rule_id] * n)
+        out["partition"].extend([partition] * n)
+        out["doc_id"].extend(doc_ids)
+        out["reason"].extend(reasons)
+        out["payload"].extend([None] * n)
+
+    def _emit_partial(self, out, rule_id, partition, state: dict):
+        out["kind"].append("partial")
+        out["rule_id"].append(rule_id)
+        out["partition"].append(partition)
+        out["doc_id"].append(None)
+        out["reason"].append(None)
+        out["payload"].append(pickle.dumps(state, protocol=pickle.HIGHEST_PROTOCOL))
+
+    # ------------------------------------------------------------------ main
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = _empty_like(0)
+        if self.partition_col and self.partition_col in batch.column_names:
+            parts = pc.unique(batch[self.partition_col])
+            if len(parts) == 1:
+                self._process(batch, str(parts[0].as_py()), out)
+            else:
+                for pval in sorted(p.as_py() for p in parts):
+                    mask = pc.equal(batch[self.partition_col], pa.scalar(pval))
+                    self._process(batch.filter(mask), str(pval), out)
+        else:
+            self._process(batch, "all", out)
+        return pa.table(
+            {k.name: pa.array(out[k.name], k.type) for k in UNION_SCHEMA},
+            schema=UNION_SCHEMA,
+        )
+
+    def _process(self, sub: pa.Table, partition: str, out) -> None:
+        nrows = sub.num_rows
+        cols = set(sub.column_names)
+
+        ids = None
+        if self.id_col in cols:
+            ids_arr = sub[self.id_col].combine_chunks()
+            ids = ids_arr.to_pylist()
+
+        def id_at(i: int) -> str | None:
+            return ids[i] if ids is not None else None
+
+        # tokens: flatten once, reused by invariants + stats
+        tokens = lens_np = flat_np = row_of_flat = None
+        if self.token_col in cols:
+            tokens = sub[self.token_col].combine_chunks()
+            lens = pc.list_value_length(tokens)
+            lens_np = (
+                pc.fill_null(lens, -1).to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            flat_np = (
+                pc.list_flatten(tokens).to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            row_of_flat = np.repeat(
+                np.arange(nrows), np.where(lens_np < 0, 0, lens_np)
+            )
+
+        n_tok_np = None
+        if self.len_col in cols:
+            n_tok = sub[self.len_col].combine_chunks()
+            n_tok_np = (
+                pc.fill_null(n_tok, -1).to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+
+        if "schema_types" in self.rules:
+            self._rule_schema(sub, partition, out, id_at, nrows)
+        if "completeness_nulls" in self.rules:
+            self._rule_completeness(sub, partition, out, nrows)
+        if "row_invariants" in self.rules and tokens is not None:
+            self._rule_invariants(
+                partition, out, id_at, nrows, lens_np, n_tok_np, flat_np, row_of_flat
+            )
+        if "source_ref" in self.rules and self.allowed_sources is not None and self.source_col in cols:
+            self._rule_source_ref(sub, partition, out, id_at)
+        if "column_stats" in self.rules or "drift_ks_psi" in self.rules:
+            self._rule_stats(sub, partition, out, nrows, lens_np, n_tok_np, flat_np)
+
+    # ------------------------------------------------------------- kernels
+
+    def _rule_schema(self, sub, partition, out, id_at, nrows):
+        """Arrow-schema + required-field checks — analog of the Draft-7
+        suites (schema_suite/matches_schema.py:59-88: required keys,
+        types, minItems)."""
+        rows_failed = 0
+        # schema-level issues are emitted as PARTIAL state (one violation
+        # row per partition at reduce time, not one per batch — exactness
+        # under any batching, SURVEY.md §7.4)
+        schema_errors: list[str] = []
+        for f in self.expected_schema:
+            if f.name not in sub.column_names:
+                schema_errors.append(f"column '{f.name}' missing")
+                rows_failed += nrows
+                continue
+            actual = sub.schema.field(f.name).type
+            if actual != f.type and not (
+                pa.types.is_large_list(actual) and f.type == pa.list_(pa.int32())
+                and actual.value_type == pa.int32()
+            ):
+                schema_errors.append(
+                    f"column '{f.name}' type {actual} != expected {f.type}"
+                )
+                rows_failed += nrows
+        # required (non-null) id + tokens
+        for col in (self.id_col, self.token_col):
+            if col not in sub.column_names:
+                continue
+            arr = sub[col]
+            if arr.null_count:
+                bad = np.flatnonzero(
+                    pc.is_null(arr).combine_chunks().to_numpy(zero_copy_only=False)
+                )
+                self._emit_violation(
+                    out, "schema_types", partition,
+                    [id_at(int(i)) for i in bad],
+                    [f"{col} is null"] * len(bad),
+                )
+                rows_failed += len(bad)
+        self._emit_partial(
+            out, "schema_types", partition,
+            {
+                "rows_total": nrows,
+                "rows_failed": rows_failed,
+                "schema_errors": sorted(set(schema_errors)),
+            },
+        )
+
+    def _rule_completeness(self, sub, partition, out, nrows):
+        """Null-rate per column + empty-partition detection — analog of
+        completeness_suite/matches_completeness.py:7-32 (list non-empty,
+        declared count vs actual)."""
+        null_counts = {c: int(sub[c].null_count) for c in sub.column_names}
+        any_null = np.zeros(nrows, dtype=bool)
+        for c in sub.column_names:
+            if null_counts[c]:
+                any_null |= pc.is_null(sub[c]).combine_chunks().to_numpy(
+                    zero_copy_only=False
+                )
+        self._emit_partial(
+            out, "completeness_nulls", partition,
+            {
+                "rows_total": nrows,
+                "rows_failed": int(any_null.sum()),
+                "null_counts": null_counts,
+            },
+        )
+
+    def _rule_invariants(
+        self, partition, out, id_at, nrows, lens_np, n_tok_np, flat_np, row_of_flat
+    ):
+        """Row-level predicates — analog of the consistency suites
+        (consistency_suite/matches_consistency.py:18-50) and the
+        out-of-range matchday check (etl_validation/specs.py:72-109).
+
+        Three sub-conditions, one violation row per failed condition
+        (mirrors one StageCheck per predicate in specs.py):
+          len_mismatch : n_tok != len(tokens)
+          len_range    : n_tok outside [min_len, max_len]
+          vocab_range  : any token outside [0, vocab_size)
+        """
+        rows_failed = 0
+        if n_tok_np is not None:
+            valid = (lens_np >= 0) & (n_tok_np >= 0)  # nulls handled by schema rule
+            mism = np.flatnonzero(valid & (n_tok_np != lens_np))
+            self._emit_violation(
+                out, "row_invariants", partition,
+                [id_at(int(i)) for i in mism],
+                [
+                    f"n_tok={n_tok_np[i]} != len(tokens)={lens_np[i]}"
+                    for i in mism
+                ],
+            )
+            rows_failed += len(mism)
+
+            rng = np.flatnonzero(
+                (n_tok_np >= 0)
+                & ((n_tok_np < self.min_len) | (n_tok_np > self.max_len))
+            )
+            self._emit_violation(
+                out, "row_invariants", partition,
+                [id_at(int(i)) for i in rng],
+                [
+                    f"n_tok={n_tok_np[i]} out of range [{self.min_len},{self.max_len}]"
+                    for i in rng
+                ],
+            )
+            rows_failed += len(rng)
+
+        if flat_np is not None and len(flat_np):
+            bad_tok = (flat_np < 0) | (flat_np >= self.vocab_size)
+            if bad_tok.any():
+                per_row = np.bincount(row_of_flat[bad_tok], minlength=nrows)
+                bad_rows = np.flatnonzero(per_row)
+                self._emit_violation(
+                    out, "row_invariants", partition,
+                    [id_at(int(i)) for i in bad_rows],
+                    [
+                        f"{per_row[i]} tokens out of vocab range [0,{self.vocab_size})"
+                        for i in bad_rows
+                    ],
+                )
+                rows_failed += len(bad_rows)
+
+        self._emit_partial(
+            out, "row_invariants", partition,
+            {"rows_total": nrows, "rows_failed": rows_failed},
+        )
+
+    def _rule_source_ref(self, sub, partition, out, id_at):
+        """Broadcast hash semi-join probe against the allowed-sources
+        dimension — analog of the FK NOT EXISTS anti-joins
+        (dds/referential_suite/fact_match_fk.py:16-62): the small dim
+        side is broadcast once per actor; violations are rows whose
+        ``source`` has no match."""
+        src = sub[self.source_col].combine_chunks()
+        ok = pc.is_in(src, value_set=self.allowed_sources)
+        bad_mask = pc.fill_null(pc.invert(ok), True)
+        bad = np.flatnonzero(bad_mask.to_numpy(zero_copy_only=False))
+        if len(bad):
+            vals = src.take(pa.array(bad)).to_pylist()
+            self._emit_violation(
+                out, "source_ref", partition,
+                [id_at(int(i)) for i in bad],
+                [f"source '{v}' not in allowed_sources" for v in vals],
+            )
+        self._emit_partial(
+            out, "source_ref", partition,
+            {"rows_total": sub.num_rows, "rows_failed": int(len(bad))},
+        )
+
+    def _rule_stats(self, sub, partition, out, nrows, lens_np, n_tok_np, flat_np):
+        """Mergeable per-batch stat partials — replaces the reference's
+        exact count_sql scalars + mart aggregates (specs.py:421-426,
+        mart_views.sql:62-95) with the sketch partials the north star
+        requires: count/null-rate, min/max, exact counting-hist
+        quantiles + t-digest, HLL doc_id cardinality, and the drift
+        histograms (n_tok 64 bins, per-source token values 256 bins)."""
+        state: dict[str, Any] = {"rows_total": nrows, "rows_failed": 0}
+        if n_tok_np is not None:
+            valid = n_tok_np[n_tok_np >= 0]
+            ch = CountingHist(1, self.max_len).update(
+                np.clip(valid, 1, self.max_len)
+            )
+            td = TDigest().update(valid.astype(np.float64))
+            nh = FixedHistogram(1, self.max_len + 1, NTOK_BINS).update(valid)
+            state["n_tok_hist"] = ch.to_state()
+            state["n_tok_tdigest"] = td.to_state()
+            state["n_tok_fixed"] = nh.to_state()
+        if self.id_col in sub.column_names:
+            arr = sub[self.id_col].combine_chunks()
+            vals = arr.drop_null().to_numpy(zero_copy_only=False)
+            hll = HyperLogLog().update_hashed(hash64(vals))
+            state["doc_id_hll"] = hll.to_state()
+        if flat_np is not None and self.source_col in sub.column_names and lens_np is not None:
+            srcs = sub[self.source_col].combine_chunks().to_pylist()
+            token_hists: dict[str, dict] = {}
+            # segment the flat token array by source: rows of one source
+            # are gathered via repeat of per-row source index
+            src_arr = np.asarray([s if s is not None else "" for s in srcs], dtype=object)
+            uniq = sorted(set(src_arr.tolist()))
+            row_src = np.repeat(
+                np.arange(nrows), np.where(lens_np < 0, 0, lens_np)
+            )
+            flat_src = src_arr[row_src]
+            for s in uniq:
+                h = FixedHistogram(0, self.vocab_size, TOKEN_BINS)
+                h.update(flat_np[flat_src == s])
+                token_hists[s] = h.to_state()
+            state["token_hists"] = token_hists
+        self._emit_partial(out, "column_stats", partition, state)

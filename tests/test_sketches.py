@@ -1,0 +1,87 @@
+"""Sketch unit tests — determinism, mergeability, accuracy."""
+
+import numpy as np
+import pytest
+
+from etl_data_validation_kio_ray.sketches import (
+    CountingHist,
+    FixedHistogram,
+    HyperLogLog,
+    TDigest,
+)
+from etl_data_validation_kio_ray.sketches.hist import ks_stat, psi
+
+
+def test_counting_hist_exact_quantiles_match_duckdb():
+    import duckdb
+
+    rng = np.random.default_rng(0)
+    vals = np.clip(rng.lognormal(5, 1, 10_000).round(), 1, 8192).astype(np.int64)
+    h = CountingHist(1, 8192).update(vals)
+    con = duckdb.connect()
+    con.register("t", __import__("pandas").DataFrame({"x": vals}))
+    for q in (0.1, 0.25, 0.5, 0.9, 0.95, 0.99):
+        want = con.execute(f"SELECT quantile_disc(x, {q}) FROM t").fetchone()[0]
+        assert h.quantile(q) == want, q
+    assert h.min() == vals.min() and h.max() == vals.max()
+    assert h.sum() == vals.sum()
+
+
+def test_counting_hist_merge_equals_bulk():
+    rng = np.random.default_rng(1)
+    a, b = rng.integers(1, 100, 500), rng.integers(1, 100, 700)
+    m = CountingHist(1, 8192).update(a).merge(CountingHist(1, 8192).update(b))
+    bulk = CountingHist(1, 8192).update(np.concatenate([a, b]))
+    assert np.array_equal(m.counts, bulk.counts)
+
+
+def test_hll_accuracy_and_merge_order_independence():
+    rng = np.random.default_rng(2)
+    vals = np.array([f"id-{i}" for i in range(50_000)], dtype=object)
+    parts = np.array_split(vals, 7)
+    h1 = HyperLogLog()
+    for p in parts:
+        h1.update(p)
+    h2 = HyperLogLog()
+    for p in reversed(parts):
+        h2.update(p)
+    assert np.array_equal(h1.registers, h2.registers)  # order-independent
+    est = h1.estimate()
+    assert abs(est - 50_000) / 50_000 < 0.03  # ~1.04/sqrt(2^14) ≈ 0.8% expected
+
+
+def test_tdigest_quantiles():
+    rng = np.random.default_rng(3)
+    vals = rng.normal(100, 15, 100_000)
+    td = TDigest()
+    for chunk in np.array_split(vals, 13):
+        td.update(chunk)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        want = np.quantile(vals, q)
+        got = td.quantile(q)
+        assert abs(got - want) < 0.02 * max(1.0, abs(want)) + 0.5, (q, got, want)
+    # merge of sub-digests stays accurate
+    halves = np.array_split(vals, 2)
+    merged = TDigest().update(halves[0]).merge(TDigest().update(halves[1]))
+    assert abs(merged.quantile(0.5) - np.median(vals)) < 1.0
+
+
+def test_fixed_histogram_psi_ks():
+    rng = np.random.default_rng(4)
+    base = FixedHistogram(0, 100, 20).update(rng.normal(50, 10, 10_000))
+    same = FixedHistogram(0, 100, 20).update(rng.normal(50, 10, 10_000))
+    shifted = FixedHistogram(0, 100, 20).update(rng.normal(70, 10, 10_000))
+    assert psi(base, same) < 0.05
+    assert psi(base, shifted) > 0.5
+    assert ks_stat(base, same) < 0.05
+    assert ks_stat(base, shifted) > 0.3
+
+
+def test_serialization_roundtrip():
+    rng = np.random.default_rng(5)
+    h = CountingHist(1, 100).update(rng.integers(1, 100, 100))
+    assert np.array_equal(CountingHist.from_state(h.to_state()).counts, h.counts)
+    hll = HyperLogLog().update(np.array(["a", "b"], dtype=object))
+    assert np.array_equal(HyperLogLog.from_state(hll.to_state()).registers, hll.registers)
+    td = TDigest().update(rng.normal(0, 1, 100))
+    assert TDigest.from_state(td.to_state()).quantile(0.5) == td.quantile(0.5)
