@@ -1,0 +1,13 @@
+from .hashing import stable_hash64, polynomial_fingerprint, minhash_signatures, simhash64
+from .text import text_features, lang_id_batch, tokenize_ws, FINGERPRINT_SQL
+
+__all__ = [
+    "stable_hash64",
+    "polynomial_fingerprint",
+    "minhash_signatures",
+    "simhash64",
+    "text_features",
+    "lang_id_batch",
+    "tokenize_ws",
+    "FINGERPRINT_SQL",
+]

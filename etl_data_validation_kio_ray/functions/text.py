@@ -1,0 +1,143 @@
+"""Text-analysis batch functions: quality scoring, language ID, token
+counting, document fingerprinting.
+
+These extend the engine beyond the reference's validation checks into
+the training-data-pipeline operations the north star lists. All are
+vectorized per-batch map functions (Arrow/numpy kernels; the only
+bounded Python loops are over languages / n-gram positions, never
+rows).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .hashing import polynomial_fingerprint, stable_hash64
+
+STOPWORDS = {
+    "en": {"the", "and", "of", "a", "to", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "nicht"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "de", "que", "pour"},
+    "es": {"el", "la", "los", "las", "y", "es", "un", "una", "de", "que"},
+}
+
+# BPE-ish pretokenizer: words, numbers, punctuation runs (public GPT-2
+# pattern simplified to stdlib `re`)
+BPE_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]+")
+
+# DuckDB mirror of the tokens-column fingerprint (functions/hashing.py
+# polynomial_fingerprint): kept adjacent so they evolve together.
+FINGERPRINT_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), tokens), "
+    "(a, b) -> (a*31 + b) % 1000000007)"
+)
+
+
+def _flat_words(text: pa.Array):
+    words = pc.split_pattern(text, " ")
+    flat = pc.list_flatten(words)
+    offsets = np.asarray(words.offsets, dtype=np.int64)
+    return words, flat, offsets
+
+
+def tokenize_ws(text: pa.Array) -> pa.ListArray:
+    """Whitespace tokenization (list<string>)."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    return pc.split_pattern(text, " ")
+
+
+def text_features(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append quality-scoring columns: n_chars, n_words, mean_word_len,
+    stopword_ratio (en), punct_ratio, digit_ratio, token_count_bpe."""
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n = len(text)
+    n_chars = pc.utf8_length(text)
+    words, flat, offsets = _flat_words(text)
+    lens = np.diff(offsets)
+    n_words = lens.astype(np.int64)
+
+    wl = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.float64)
+    sums = np.zeros(n, dtype=np.float64)
+    nz = lens > 0
+    if nz.any() and len(wl):
+        sums[nz] = np.add.reduceat(wl, offsets[:-1][nz])
+    mean_word_len = np.divide(sums, n_words, out=np.zeros(n), where=n_words > 0)
+
+    stop = pa.array(sorted(STOPWORDS["en"]), pa.string())
+    is_stop = pc.is_in(pc.utf8_lower(flat), value_set=stop)
+    stop_np = is_stop.to_numpy(zero_copy_only=False).astype(np.float64)
+    stop_sums = np.zeros(n, dtype=np.float64)
+    if nz.any() and len(stop_np):
+        stop_sums[nz] = np.add.reduceat(stop_np, offsets[:-1][nz])
+    stopword_ratio = np.divide(stop_sums, n_words, out=np.zeros(n), where=n_words > 0)
+
+    nc = n_chars.to_numpy(zero_copy_only=False).astype(np.float64)
+    punct = pc.count_substring_regex(text, r"[^\w\s]").to_numpy(zero_copy_only=False)
+    digit = pc.count_substring_regex(text, r"\d").to_numpy(zero_copy_only=False)
+    punct_ratio = np.divide(punct, nc, out=np.zeros(n), where=nc > 0)
+    digit_ratio = np.divide(digit, nc, out=np.zeros(n), where=nc > 0)
+
+    # BPE-ish token count (regex findall per row via pandas str engine)
+    import pandas as pd
+
+    token_count_bpe = (
+        pd.Series(text.to_pandas()).str.count(BPE_RE).fillna(0).astype(np.int64).values
+    )
+
+    return (
+        batch.append_column("n_chars_f", pc.cast(n_chars, pa.int64()))
+        .append_column("n_words", pa.array(n_words))
+        .append_column("mean_word_len", pa.array(mean_word_len))
+        .append_column("stopword_ratio", pa.array(stopword_ratio))
+        .append_column("punct_ratio", pa.array(punct_ratio))
+        .append_column("digit_ratio", pa.array(digit_ratio))
+        .append_column("token_count_bpe", pa.array(token_count_bpe))
+    )
+
+
+def lang_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Heuristic language ID: CJK codepoint share -> zh; else the
+    stopword set with the most hits (ties -> en). Appends ``lang_pred``."""
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n = len(text)
+    words, flat, offsets = _flat_words(text)
+    lens = np.diff(offsets)
+    nz = lens > 0
+    low = pc.utf8_lower(flat)
+
+    scores = np.zeros((n, len(STOPWORDS)), dtype=np.float64)
+    langs = list(STOPWORDS)
+    for i, lang in enumerate(langs):  # 4 languages, vectorized inner
+        sw = pa.array(sorted(STOPWORDS[lang]), pa.string())
+        hit = pc.is_in(low, value_set=sw).to_numpy(zero_copy_only=False).astype(np.float64)
+        if nz.any() and len(hit):
+            scores[nz, i] = np.add.reduceat(hit, offsets[:-1][nz])
+
+    cjk = pc.count_substring_regex(text, r"[一-鿿]").to_numpy(
+        zero_copy_only=False
+    )
+    best = np.asarray(langs, dtype=object)[scores.argmax(axis=1)]
+    best[scores.max(axis=1) == 0] = "en"
+    best[cjk > 0] = "zh"
+    return batch.append_column("lang_pred", pa.array(best.tolist(), pa.string()))
+
+
+def fingerprint_tokens(batch: pa.Table, token_col: str = "tokens") -> pa.Table:
+    """Append ``fingerprint``: rolling polynomial hash of the token list
+    (SQL mirror: FINGERPRINT_SQL)."""
+    tokens = batch[token_col]
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    flat = pc.list_flatten(tokens).to_numpy(zero_copy_only=False)
+    offsets = np.asarray(tokens.offsets, dtype=np.int64)
+    fp = polynomial_fingerprint(flat, offsets)
+    return batch.append_column("fingerprint", pa.array(fp, pa.int64()))

@@ -1,0 +1,170 @@
+"""Relational operator shapes from the reference, Ray-Data-first.
+
+Covers SURVEY.md §2.4/2.5/2.6/2.7: broadcast anti/semi joins (the FK
+checks), grouped aggregates with per-batch partial pre-aggregation
+(the count_sql scalars / mart views), duplicate-group detection,
+top-k, distinct, and an event-time tumbling-window aggregate (the
+engine's streaming-shaped addition; ordering assumption: none needed —
+tumbling windows are a pure groupby on the bucketed timestamp).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def broadcast_anti_join(left_ds, right_keys, left_key: str):
+    """Rows of ``left_ds`` whose ``left_key`` has NO match in the small
+    ``right_keys`` iterable — the reference's NOT EXISTS FK shape
+    (/root/reference/src/app2/validators/dds/referential_suite/
+    fact_match_fk.py:16-62) as a broadcast probe: the key set ships via
+    the object store once per task, the big side never shuffles."""
+    import ray
+
+    ref = ray.put(pa.array(sorted(set(right_keys))))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        col = batch[left_key]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        hit = pc.is_in(col, value_set=keys)
+        return batch.filter(pc.fill_null(pc.invert(hit), True))
+
+    return left_ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def broadcast_semi_join(left_ds, right_keys, left_key: str):
+    """Rows of ``left_ds`` WITH a match — same broadcast shape."""
+    import ray
+
+    ref = ray.put(pa.array(sorted(set(right_keys))))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        col = batch[left_key]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return batch.filter(pc.fill_null(pc.is_in(col, value_set=keys), False))
+
+    return left_ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_agg(
+    ds,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+):
+    """Grouped aggregate with per-batch PARTIAL pre-aggregation: each
+    batch collapses to one row per key (pandas groupby in the map), the
+    global shuffle then moves only partials (ray_guide "Aggregation at
+    scale"). ``aggs``: out_name -> (col, fn) with fn in
+    sum|count|min|max|mean. Returns a pandas DataFrame sorted by keys.
+
+    Reference analogs: mart KPI aggregates
+    (/root/reference/sql/initdb/mart_views.sql:62-95) and the
+    round-robin UNION-ALL sums
+    (/root/reference/src/app2/validators/dds/rules_suite/season_round_robin.py:20-64).
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    mean_cols = {o: c for o, (c, f) in aggs.items() if f == "mean"}
+    plan: dict[str, tuple[str, str]] = {}
+    for out, (col, fn) in aggs.items():
+        if fn == "mean":
+            plan[f"__sum_{out}"] = (col, "sum")
+            plan[f"__cnt_{out}"] = (col, "count")
+        else:
+            plan[out] = (col, fn)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False)
+        cols = {}
+        for out, (col, fn) in plan.items():
+            s = g[col]
+            cols[out] = {
+                "sum": s.sum(),
+                "count": s.count(),
+                "min": s.min(),
+                "max": s.max(),
+            }[fn]
+        return pd.DataFrame(cols).reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    ray_aggs = []
+    for out, (col, fn) in plan.items():
+        cls = {"sum": Sum, "count": Sum, "min": Min, "max": Max}[fn]
+        ray_aggs.append(cls(out, alias_name=out))
+    final = partials.groupby(keys).aggregate(*ray_aggs).to_pandas()
+    for out, col in mean_cols.items():
+        final[out] = final[f"__sum_{out}"] / final[f"__cnt_{out}"]
+        final = final.drop(columns=[f"__sum_{out}", f"__cnt_{out}"])
+    return final.sort_values(keys).reset_index(drop=True)
+
+
+def duplicate_groups(ds, key: str):
+    """GROUP BY key HAVING COUNT(*) > 1 -> (key, dup_count) DataFrame
+    (the reference's duplicate detection,
+    /root/reference/src/app2/etl_validation/specs.py:110-143)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby([key], sort=False).size().rename("n").reset_index()
+
+    from ray.data.aggregate import Sum
+
+    counted = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(key)
+        .aggregate(Sum("n", alias_name="dup_count"))
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["dup_count"], 1))
+
+    out = counted.map_batches(keep, batch_format="pyarrow").to_pandas()
+    return out.sort_values(key).reset_index(drop=True)
+
+
+def top_k(ds, keys: list[str], k: int, *, descending=True):
+    """Deterministic top-k: sort by keys (desc) then take k."""
+    return ds.sort(keys, descending=descending).limit(k)
+
+
+def distinct_values(ds, col: str) -> list:
+    """Distinct values of one column (shuffle on that column only)."""
+    return sorted(ds.unique(col))
+
+
+def tumbling_window_agg(
+    ds,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    window: str = "1h",
+):
+    """Event-time tumbling window counts/sums per key. No watermarks:
+    this is a batch engine; the window is a pure derived groupby key
+    (floor(ts / window)), so ordering/lateness cannot change results."""
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["window_start"] = df[ts_col].dt.floor(window)
+        g = df.groupby([key_col, "window_start"], sort=False)
+        out = g[value_col].agg(["count", "sum"]).reset_index()
+        return out.rename(columns={"count": "n", "sum": "value_sum"})
+
+    from ray.data.aggregate import Sum
+
+    final = (
+        ds.map_batches(bucket, batch_format="pandas")
+        .groupby([key_col, "window_start"])
+        .aggregate(Sum("n", alias_name="n_events"), Sum("value_sum", alias_name="value_sum"))
+        .to_pandas()
+    )
+    return final.sort_values([key_col, "window_start"]).reset_index(drop=True)

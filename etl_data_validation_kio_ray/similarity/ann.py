@@ -1,0 +1,161 @@
+"""Similarity search over an embedding column.
+
+- ``brute_force_topk``: exact cosine top-k. The query matrix is
+  broadcast ONCE (``ray.put``), each batch computes a numpy matmul and
+  keeps its local top-k (argpartition); the driver merges the tiny
+  per-batch partials. One streaming pass, no shuffle.
+- ``ivf_topk``: the scale path — coarse k-means centroids (seeded
+  sample, trained on the driver), vectors assigned to cells; queries
+  probe only the nearest ``n_probe`` cells. Same partial-top-k merge.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+from ..functions.vectors import batch_vectors as _vectors
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(n, 1e-12)
+
+
+class _TopKScorer:
+    """Actor-pool stage: resolves the broadcast query matrix once."""
+
+    def __init__(self, queries_ref, vec_col: str, id_col: str, k: int):
+        import ray
+
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.q = _normalize(np.asarray(q, dtype=np.float32))  # (nq, dim)
+        self.vec_col, self.id_col, self.k = vec_col, id_col, k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        v = _normalize(_vectors(batch, self.vec_col))  # (n, dim)
+        sims = self.q @ v.T  # (nq, n)
+        ids = np.asarray(batch[self.id_col].to_pylist())
+        k = min(self.k, sims.shape[1])
+        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]  # local top-k per query
+        nq = sims.shape[0]
+        qi = np.repeat(np.arange(nq), k)
+        vi = part.ravel()
+        return pa.table(
+            {
+                "query_id": pa.array(qi, pa.int64()),
+                self.id_col: pa.array(ids[vi].tolist()),
+                "score": pa.array(sims[qi, vi].astype(np.float64)),
+            }
+        )
+
+
+def brute_force_topk(
+    ds, queries: np.ndarray, *, vec_col="embedding", id_col="vec_id", k=10, concurrency=4
+) -> pd.DataFrame:
+    """Exact cosine top-k: (query_id, id, score, rank), deterministic
+    tie-break by (score desc, id asc)."""
+    import ray
+
+    qref = ray.put(np.asarray(queries, dtype=np.float32))
+    partials = ds.map_batches(
+        _TopKScorer,
+        fn_constructor_kwargs=dict(queries_ref=qref, vec_col=vec_col, id_col=id_col, k=k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    ).to_pandas()
+    return _merge_topk(partials, id_col, k)
+
+
+def _merge_topk(partials: pd.DataFrame, id_col: str, k: int) -> pd.DataFrame:
+    out = []
+    for qid, g in partials.groupby("query_id"):
+        g = g.sort_values(["score", id_col], ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1))
+        out.append(g)
+    return (
+        pd.concat(out, ignore_index=True)[["query_id", id_col, "score", "rank"]]
+        if out
+        else pd.DataFrame({"query_id": [], id_col: [], "score": [], "rank": []})
+    )
+
+
+def ivf_topk(
+    ds,
+    queries: np.ndarray,
+    *,
+    vec_col="embedding",
+    id_col="vec_id",
+    k=10,
+    n_cells=16,
+    n_probe=4,
+    train_sample=2048,
+    seed=13,
+    iters=10,
+    concurrency=4,
+) -> pd.DataFrame:
+    """IVF-style approximate top-k: train coarse centroids on a seeded
+    sample, score each batch only against queries probing that batch's
+    cells. Approximate by construction; recall rises with n_probe."""
+    import ray
+
+    sample = ds.random_sample(
+        min(1.0, train_sample / max(1, ds.count())), seed=seed
+    ).to_pandas()
+    X = _normalize(np.stack([np.asarray(v, np.float32) for v in sample[vec_col]]))
+    rng = np.random.Generator(np.random.Philox(key=[seed, 0xC3]))
+    cents = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    for _ in range(iters):  # driver-side mini k-means on the sample
+        assign = (X @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                cents[c] = _normalize(X[m].mean(axis=0, keepdims=True))[0]
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    probe = np.argsort(-(q @ cents.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    cents_ref = ray.put(cents)
+    probe_ref = ray.put(probe)
+    qref = ray.put(q)
+
+    class CellScorer:
+        def __init__(self):
+            self.c = ray.get(cents_ref)
+            self.probe = ray.get(probe_ref)
+            self.q = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            v = _normalize(_vectors(batch, vec_col))
+            cell = (v @ self.c.T).argmax(axis=1)  # (n,)
+            ids = np.asarray(batch[id_col].to_pylist())
+            outs = {"query_id": [], id_col: [], "score": []}
+            probed = self.probe  # (nq, n_probe)
+            for qi in range(len(self.q)):  # nq-bounded
+                mask = np.isin(cell, probed[qi])
+                if not mask.any():
+                    continue
+                sims = self.q[qi] @ v[mask].T
+                kk = min(k, len(sims))
+                top = np.argpartition(-sims, kk - 1)[:kk]
+                outs["query_id"].extend([qi] * kk)
+                outs[id_col].extend(ids[mask][top].tolist())
+                outs["score"].extend(sims[top].astype(np.float64).tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(outs["query_id"], pa.int64()),
+                    id_col: pa.array(outs[id_col]),
+                    "score": pa.array(outs["score"], pa.float64()),
+                }
+            )
+
+    partials = ds.map_batches(
+        CellScorer,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    ).to_pandas()
+    return _merge_topk(partials, id_col, k)

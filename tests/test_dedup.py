@@ -1,0 +1,170 @@
+"""Dedup / similarity / relational / multimodal integration tests."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    """Small corpus with planted exact + near duplicates."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(200)]
+    texts, ids = [], []
+    for i in range(40):
+        words = rng.choice(vocab, size=30).tolist()
+        texts.append(" ".join(words))
+        ids.append(f"doc-{i:03d}")
+    # exact duplicate pair
+    texts[10] = texts[3]
+    # near duplicate: change 2 of 30 words (J ~ 0.87 on 3-shingles? high)
+    w = texts[5].split(" ")
+    w[0], w[1] = "zz1", "zz2"
+    texts[20] = " ".join(w)
+    df = pd.DataFrame({"doc_id": ids, "text": texts})
+    return rd.from_pandas(df), df
+
+
+def test_exact_dedup(docs_ds):
+    from etl_data_validation_kio_ray.dedup import dedup_exact, exact_dup_groups
+
+    ds, df = docs_ds
+    kept = dedup_exact(ds, ["text"]).to_pandas()
+    assert len(kept) == 39  # one exact dup removed
+    assert "doc-003" in set(kept.doc_id) and "doc-010" not in set(kept.doc_id)
+    groups = exact_dup_groups(ds, ["text"]).to_pandas()
+    assert len(groups) == 1
+    assert groups.iloc[0].doc_id == "doc-003" and groups.iloc[0].dup_count == 2
+
+
+def test_minhash_dedup_finds_planted_pairs(docs_ds):
+    from etl_data_validation_kio_ray.dedup import minhash_dedup_pairs
+    from etl_data_validation_kio_ray.dedup.ngram import jaccard_pairs_exact
+
+    ds, df = docs_ds
+    pairs = minhash_dedup_pairs(ds, jaccard_threshold=0.5, concurrency=2)
+    got = set(zip(pairs.id_a, pairs.id_b))
+    assert ("doc-003", "doc-010") in got  # exact dup => J=1
+    assert ("doc-005", "doc-020") in got  # near dup
+    # agrees with brute-force oracle at the same threshold
+    oracle = jaccard_pairs_exact(df, threshold=0.5)
+    assert got == set(zip(oracle.id_a, oracle.id_b))
+
+
+def test_simhash_pairs(docs_ds):
+    from etl_data_validation_kio_ray.dedup import simhash_dedup_pairs
+
+    ds, df = docs_ds
+    pairs = simhash_dedup_pairs(ds, max_hamming=6)
+    got = set(zip(pairs.id_a, pairs.id_b))
+    assert ("doc-003", "doc-010") in got  # identical text -> distance 0
+
+
+def test_embedding_dups_and_ann(ray_session):
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.dedup import embedding_dup_pairs
+    from etl_data_validation_kio_ray.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(11)
+    V = rng.standard_normal((100, 64)).astype(np.float32)
+    V[50] = V[7] + rng.standard_normal(64).astype(np.float32) * 0.01  # near dup
+    df = pd.DataFrame({"vec_id": np.arange(100), "embedding": list(V)})
+    ds = rd.from_pandas(df)
+
+    pairs = embedding_dup_pairs(ds, cosine_threshold=0.95, concurrency=2)
+    assert (7, 50) in set(zip(pairs.id_a, pairs.id_b))
+
+    # brute-force top-k vs numpy oracle
+    Q = V[[7, 33]]
+    top = brute_force_topk(ds, Q, k=5, concurrency=2)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    sims = Qn @ Vn.T
+    for qi in (0, 1):
+        want = set(np.argsort(-sims[qi])[:5].tolist())
+        got = set(top[top.query_id == qi].vec_id.astype(int))
+        assert got == want, (qi, got, want)
+
+    # IVF recall: top-1 must match exact for the self-query
+    ivf = ivf_topk(ds, Q, k=5, n_cells=8, n_probe=4, concurrency=2)
+    self_hit = ivf[(ivf.query_id == 0) & (ivf["rank"] == 1)].vec_id.iloc[0]
+    assert int(self_hit) == 7
+
+
+def test_relational_ops(ray_session):
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        broadcast_anti_join,
+        duplicate_groups,
+        grouped_agg,
+        tumbling_window_agg,
+    )
+
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "b", "b", "b", "c"],
+            "v": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+        }
+    )
+    ds = rd.from_pandas(df)
+    agg = grouped_agg(ds, ["k"], {"total": ("v", "sum"), "n": ("v", "count"), "avg": ("v", "mean")})
+    want = df.groupby("k").v.agg(["sum", "count", "mean"]).reset_index()
+    assert agg.total.tolist() == want["sum"].tolist()
+    assert agg.n.tolist() == want["count"].tolist()
+    assert agg.avg.tolist() == pytest.approx(want["mean"].tolist())
+
+    anti = broadcast_anti_join(ds, ["a", "c"], "k").to_pandas()
+    assert set(anti.k) == {"b"} and len(anti) == 3
+
+    dups = duplicate_groups(ds, "k")
+    assert dict(zip(dups.k, dups.dup_count)) == {"a": 2, "b": 3}
+
+    ev = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2026-01-01 00:10", "2026-01-01 00:50", "2026-01-01 01:10", "2026-01-01 00:20"]
+            ),
+            "event_type": ["x", "x", "x", "y"],
+            "value": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    win = tumbling_window_agg(rd.from_pandas(ev))
+    assert win.n_events.tolist() == [2, 1, 1]
+    assert win.value_sum.tolist() == [3.0, 3.0, 4.0]
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.multimodal import ImageFeatureStage, multimodal_schema
+
+    schema = multimodal_schema("image")
+    rng = np.random.default_rng(3)
+    rows = {
+        "doc_id": [f"img-{i}" for i in range(10)],
+        "payload": [rng.bytes(64) for _ in range(10)],
+        "width": pa.array([32] * 10, pa.int32()),
+        "height": pa.array([32] * 10, pa.int32()),
+        "format": ["png"] * 10,
+        "source": ["synth"] * 10,
+    }
+    t = pa.table(rows, schema=schema)
+    ds = rd.from_arrow(t)
+    out = ds.map_batches(
+        ImageFeatureStage, batch_format="pyarrow", batch_size=4, concurrency=2
+    ).to_pandas()
+    assert len(out) == 10
+    assert set(out.decoder) == {"stub"}  # PIL absent in this container
+    assert all(len(f) == 32 for f in out.features)
+    # deterministic: same payload -> same features
+    out2 = ds.map_batches(
+        ImageFeatureStage, batch_format="pyarrow", batch_size=4, concurrency=2
+    ).to_pandas()
+    a = np.stack(out.sort_values("doc_id").features.to_numpy())
+    b = np.stack(out2.sort_values("doc_id").features.to_numpy())
+    assert np.array_equal(a, b)

@@ -1,0 +1,118 @@
+"""Unit tests for hashing / text / tokenize functions vs slow oracles."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from etl_data_validation_kio_ray.functions.hashing import (
+    hamming64,
+    minhash_signatures,
+    polynomial_fingerprint,
+    simhash64,
+    stable_hash64,
+)
+from etl_data_validation_kio_ray.functions.text import (
+    lang_id_batch,
+    text_features,
+)
+from etl_data_validation_kio_ray.sources.tokenize import (
+    TOKEN_MULTIPLIER,
+    VOCAB_SIZE,
+    tokenize_batch,
+)
+
+
+def test_tokenize_matches_duckdb_mirror():
+    import duckdb
+
+    texts = ["hello world", "a  b", "single", "", "x yz abc"]
+    batch = pa.table(
+        {
+            "doc_id": pa.array([str(i) for i in range(len(texts))]),
+            "text": pa.array(texts),
+            "source": pa.array(["s"] * len(texts)),
+        }
+    )
+    out = tokenize_batch(batch)
+    con = duckdb.connect()
+    con.register("d", pd.DataFrame({"doc_id": range(len(texts)), "text": texts, "source": "s"}))
+    sql = """SELECT list_transform(string_split(text, ' '),
+               w -> CAST((length(w) * 2654435761) % 50257 AS INTEGER)) AS tokens,
+             CAST(length(string_split(text, ' ')) AS INTEGER) AS n_tok
+             FROM d ORDER BY doc_id"""
+    want = con.execute(sql).fetchall()
+    assert out["tokens"].to_pylist() == [w[0] for w in want]
+    assert out["n_tok"].to_pylist() == [w[1] for w in want]
+
+
+def test_polynomial_fingerprint_matches_duckdb_list_reduce():
+    import duckdb
+
+    rng = np.random.default_rng(0)
+    lists = [rng.integers(0, 50257, size=n).tolist() for n in (0, 1, 5, 100, 999)]
+    flat = np.concatenate([np.asarray(l, np.int64) for l in lists if l])
+    offsets = np.concatenate([[0], np.cumsum([len(l) for l in lists])])
+    fp = polynomial_fingerprint(flat, offsets)
+    con = duckdb.connect()
+    for i, l in enumerate(lists):
+        want = con.execute(
+            "SELECT list_reduce(list_prepend(CAST(0 AS BIGINT), ?::BIGINT[]), (a,b) -> (a*31+b) % 1000000007)",
+            [l],
+        ).fetchone()[0]
+        want = want if want is not None else 0
+        assert fp[i] == want, (i, fp[i], want)
+
+
+def test_minhash_jaccard_estimate():
+    """MinHash signature agreement approximates true Jaccard."""
+    rng = np.random.default_rng(1)
+    a = set(rng.integers(0, 10**9, 300).tolist())
+    b = set(list(a)[:240]) | set(rng.integers(0, 10**9, 60).tolist())  # J ~ 0.66
+    true_j = len(a & b) / len(a | b)
+    fa, fb = np.array(sorted(a), np.uint64), np.array(sorted(b), np.uint64)
+    flat = np.concatenate([fa, fb])
+    offsets = np.array([0, len(fa), len(fa) + len(fb)])
+    sig = minhash_signatures(flat, offsets, num_perm=256)
+    est = (sig[0] == sig[1]).mean()
+    assert abs(est - true_j) < 0.12
+
+
+def test_simhash_similarity():
+    rng = np.random.default_rng(2)
+    base = rng.integers(0, 2**63, 200, dtype=np.int64).astype(np.uint64)
+    near = base.copy()
+    near[:5] = rng.integers(0, 2**63, 5, dtype=np.int64).astype(np.uint64)
+    far = rng.integers(0, 2**63, 200, dtype=np.int64).astype(np.uint64)
+    flat = np.concatenate([base, near, far])
+    offsets = np.array([0, 200, 400, 600])
+    sig = simhash64(flat, offsets)
+    d_near = hamming64(sig[:1], sig[1:2])[0]
+    d_far = hamming64(sig[:1], sig[2:3])[0]
+    assert d_near < 10 < d_far
+
+
+def test_text_features_and_langid():
+    batch = pa.table(
+        {
+            "doc_id": pa.array(["a", "b", "c"]),
+            "text": pa.array(
+                [
+                    "the cat and the dog sat",
+                    "der hund und die katze ist hier nicht",
+                    "数据 处理 系统",
+                ]
+            ),
+        }
+    )
+    f = text_features(batch)
+    assert f["n_words"].to_pylist() == [6, 8, 3]
+    assert f["stopword_ratio"].to_pylist()[0] == pytest.approx(3 / 6)
+    l = lang_id_batch(batch)
+    assert l["lang_pred"].to_pylist() == ["en", "de", "zh"]
+
+
+def test_stable_hash_is_process_independent():
+    # fixed expected values guard against silent hash-scheme changes
+    h = stable_hash64(np.array(["a", "b"], dtype=object))
+    assert h.tolist() == [13950350942979735504, 12688059582079114975]
