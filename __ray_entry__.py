@@ -1,44 +1,660 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship validation pipeline on sf0.001;
+``queries()`` exposes one callable per implemented operator/pipeline
+(SURVEY.md §2); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
+every SQL-expressible one (same column names, hash-comparable types).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init`` / ``ray.shutdown`` anywhere below.
+
+Several queries are served from ONE cached flagship run per sf_dir:
+the documents table is tokenized with the SQL-mirrorable tokenizer
+(sources/tokenize.py), written as a per-source-partitioned parquet
+table, and validated by the full pipeline; verdicts, violations and
+exact stats all come from that run.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+CACHE_ROOT = "/tmp/kio_ray_cache"
+ALLOWED_SOURCES = [f"src{i}" for i in range(18)]  # src18/src19 deliberately absent
+MAX_LEN = 80  # row_invariants n_tok range upper bound (violations exist naturally)
+VOCAB = 50257
+
+TOKENIZE_CTE = """
+tok AS (
+  SELECT
+    CAST(doc_id AS VARCHAR) AS doc_id,
+    list_transform(string_split(text, ' '),
+                   w -> CAST((length(w) * 2654435761) % 50257 AS INTEGER)) AS tokens,
+    CAST(length(string_split(text, ' ')) AS INTEGER) AS n_tok,
+    source
+  FROM documents
+)
+""".strip()
+
+_ALLOWED_SQL = ", ".join(f"'{s}'" for s in ALLOWED_SOURCES)
+
+
+# --------------------------------------------------------------------- cache
+
+
+def _cache_dir(sf_dir: str) -> str:
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return os.path.join(CACHE_ROOT, f"run_{h}")
+
+
+def _token_table_dir(sf_dir: str) -> str:
+    """Tokenize documents -> parquet, one file per source (= partition)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.sources.tokenize import tokenize_documents
+
+    out = os.path.join(_cache_dir(sf_dir), "tokens")
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "source"]
+    )
+    table = pa.concat_tables(
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in tokenize_documents(ds).iter_batches(
+            batch_format="pyarrow", batch_size=65536
+        )
+    )
+    for src in sorted(set(table["source"].to_pylist())):
+        sub = table.filter(pc.equal(table["source"], src))
+        sub = sub.append_column(
+            "partition", pa.array([src] * sub.num_rows, pa.string())
+        )
+        pq.write_table(sub, os.path.join(out, f"{src}.parquet"))
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
+
+
+def _flagship_run(sf_dir: str):
+    """Run (once per sf_dir) the full validation pipeline on the derived
+    token table; cached RunResult artifacts serve several queries."""
+    from etl_data_validation_kio_ray.pipelines.validate import ValidationPipeline
+
+    tok_dir = _token_table_dir(sf_dir)
+    out = os.path.join(_cache_dir(sf_dir), "validate")
+    pipe = ValidationPipeline(allowed_sources=ALLOWED_SOURCES, shard_size=64)
+    pipe.rules = _rules()
+    return pipe.run(tok_dir, out, resume=True)
+
+
+def _rules():
+    from etl_data_validation_kio_ray.core.specs import default_rules
+
+    return default_rules(
+        min_len=1, max_len=MAX_LEN, vocab_size=VOCAB, allowed_sources=ALLOWED_SOURCES
+    )
+
+
+# --------------------------------------------------------------------- entry
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: validate the sf0.001-derived token table; returns the
+    per-(partition, rule) verdict table."""
+    res = _flagship_run("/root/testdata/sf0.001")
+    return pd.DataFrame(
+        [
+            {
+                "partition": c.partition,
+                "rule_id": c.rule_id,
+                "rows_failed": int(c.rows_failed),
+                "status": c.status,
+            }
+            for c in res.verdicts
+        ]
+    ).sort_values(["partition", "rule_id"]).reset_index(drop=True)
+
+
+# ------------------------------------------------------------------- queries
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def q_tokenize(sf_dir: str):
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.sources.tokenize import tokenize_documents
+
+    return tokenize_documents(_docs(sf_dir, ["doc_id", "text", "source"]))
+
+
+def q_validate_verdicts(sf_dir: str):
+    res = _flagship_run(sf_dir)
+    return pd.DataFrame(
+        [
+            {
+                "partition": c.partition,
+                "rule_id": c.rule_id,
+                "rows_failed": int(c.rows_failed),
+                "status": c.status,
+            }
+            for c in res.verdicts
+            if c.rule_id != "column_stats"
+        ]
+    )
+
+
+def q_row_invariants_violations(sf_dir: str):
+    res = _flagship_run(sf_dir)
+    v = res.violations()
+    return v.filter(pc.equal(v["rule_id"], "row_invariants"))
+
+
+def q_source_ref_violations(sf_dir: str):
+    res = _flagship_run(sf_dir)
+    v = res.violations()
+    return v.filter(pc.equal(v["rule_id"], "source_ref"))
+
+
+def q_column_stats_ntok(sf_dir: str):
+    res = _flagship_run(sf_dir)
+    g = res.metrics["global"]["n_tok"]
+    rows = res.metrics["global"]["rows_total"]
+    return pd.DataFrame(
+        [
+            {
+                "rows_total": np.int64(rows),
+                "n_tok_min": np.int64(g["min"]),
+                "n_tok_max": np.int64(g["max"]),
+                "n_tok_sum": np.int64(g["sum"]),
+                "n_tok_p50": np.int64(g["p50"]),
+                "n_tok_p95": np.int64(g["p95"]),
+                "n_tok_p99": np.int64(g["p99"]),
+            }
+        ]
+    )
+
+
+def q_doc_id_unique_violations(sf_dir: str):
+    """Duplicate-key detection on a table that HAS duplicates
+    (lineitem.l_orderkey) — GROUP BY HAVING COUNT>1 shape."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import duplicate_groups
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey"])
+    li = li.map_batches(
+        lambda t: pa.table({"doc_id": pc.cast(t["l_orderkey"], pa.string())}),
+        batch_format="pyarrow",
+    )
+    dups = duplicate_groups(li, "doc_id")
+    return pd.DataFrame(
+        {
+            "rule_id": "doc_id_unique",
+            "doc_id": dups["doc_id"],
+            "partition": "lineitem",
+            "reason": [f"doc_id appears {int(c)} times" for c in dups["dup_count"]],
+        }
+    )
+
+
+def q_completeness_nulls(sf_dir: str):
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    ds = _docs(sf_dir)
+
+    def counts(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_rows": pa.array([t.num_rows], pa.int64()),
+                **{
+                    f"null_{c}": pa.array([t[c].null_count], pa.int64())
+                    for c in ("doc_id", "text", "lang", "source", "n_chars")
+                },
+            }
+        )
+
+    parts = ds.map_batches(counts, batch_format="pyarrow").to_pandas()
+    return parts.sum().to_frame().T.astype("int64")
+
+
+def q_grouped_stats_by_source(sf_dir: str):
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    ds = q_tokenize(sf_dir)
+    out = grouped_agg(
+        ds.map_batches(
+            lambda t: t.select(["source", "n_tok"]), batch_format="pyarrow"
+        ),
+        ["source"],
+        {
+            "n_docs": ("n_tok", "count"),
+            "sum_n_tok": ("n_tok", "sum"),
+            "min_n_tok": ("n_tok", "min"),
+            "max_n_tok": ("n_tok", "max"),
+        },
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["sum_n_tok"] = out["sum_n_tok"].astype("int64")
+    out["min_n_tok"] = out["min_n_tok"].astype("int32")
+    out["max_n_tok"] = out["max_n_tok"].astype("int32")
+    return out
+
+
+def q_token_histogram(sf_dir: str):
+    """Global token-value histogram, 256 bins of width 197 — the
+    flattened-list (explode) aggregate, vectorized per batch."""
+    ds = q_tokenize(sf_dir)
+
+    def part(t: pa.Table) -> pa.Table:
+        tokens = t["tokens"]
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        flat = pc.list_flatten(tokens).to_numpy(zero_copy_only=False)
+        counts = np.bincount(flat // 197, minlength=256)[:256]
+        return pa.table(
+            {
+                "bin": pa.array(np.arange(256), pa.int32()),
+                "cnt": pa.array(counts, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(part, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    out = out[out.cnt > 0]
+    return out.sort_values("bin").reset_index(drop=True)
+
+
+def q_fingerprint(sf_dir: str):
+    from etl_data_validation_kio_ray.functions.text import fingerprint_tokens
+
+    ds = q_tokenize(sf_dir)
+    out = ds.map_batches(
+        lambda t: fingerprint_tokens(t).select(["doc_id", "fingerprint"]),
+        batch_format="pyarrow",
+    )
+    return out
+
+
+def q_exact_dedup(sf_dir: str):
+    from etl_data_validation_kio_ray.dedup import dedup_exact
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    kept = dedup_exact(ds, ["text"], id_col="doc_id")
+    return kept.map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow"
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def q_customers_without_orders(sf_dir: str):
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import broadcast_anti_join
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"])
+    keys = orders.unique("o_custkey")
+    out = broadcast_anti_join(cust, keys, "c_custkey").to_pandas()
+    if "c_custkey" not in out.columns:  # empty result loses schema
+        out = pd.DataFrame({"c_custkey": pd.Series(dtype="int64")})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def q_top_sources(sf_dir: str):
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    ds = _docs(sf_dir, ["doc_id", "source"])
+    agg = grouped_agg(ds, ["source"], {"n_docs": ("doc_id", "count")})
+    agg["n_docs"] = agg["n_docs"].astype("int64")
+    return (
+        agg.sort_values(["n_docs", "source"], ascending=[False, True])
+        .head(5)
+        .reset_index(drop=True)
+    )
+
+
+def q_mart_kpi_lineitem(sf_dir: str):
+    """TPC-H-Q1-shaped mart aggregate (mart view analog) with exact
+    integer-cents sums so the hash comparison is float-free."""
+    import ray.data as rd
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)
+        p = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_cents": pa.array(np.round(q * 100).astype(np.int64)),
+                "price_cents": pa.array(np.round(p * 100).astype(np.int64)),
+            }
+        )
+
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    out = grouped_agg(
+        li.map_batches(cents, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty_cents": ("qty_cents", "sum"),
+            "sum_price_cents": ("price_cents", "sum"),
+            "n_rows": ("qty_cents", "count"),
+        },
+    )
+    for c in ("sum_qty_cents", "sum_price_cents", "n_rows"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def q_events_window(sf_dir: str):
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import tumbling_window_agg
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type", "value"]
+    )
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["value"] = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+        return df
+
+    out = tumbling_window_agg(ev.map_batches(cents, batch_format="pandas"))
+    out["n_events"] = out["n_events"].astype("int64")
+    out["value_sum"] = out["value_sum"].astype("int64")
+    return out.rename(columns={"value_sum": "value_cents"})
+
+
+def q_text_quality(sf_dir: str):
+    from etl_data_validation_kio_ray.functions.text import text_features
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    out = ds.map_batches(
+        lambda t: text_features(t).select(["doc_id", "n_words", "mean_word_len"]),
+        batch_format="pyarrow",
+    )
+    return out
+
+
+def q_unique_sources(sf_dir: str):
+    from etl_data_validation_kio_ray.pipelines.relational import distinct_values
+
+    vals = distinct_values(_docs(sf_dir, ["source"]), "source")
+    return pd.DataFrame({"source": vals})
+
+
+def q_ann_topk(sf_dir: str):
+    """Exact cosine top-10 for the first three vectors as queries
+    (float64 path so ranks match the DuckDB double-precision oracle)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.similarity import brute_force_topk
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    qdf = qt.to_pandas().sort_values("vec_id").head(3)
+    Q = np.stack([np.asarray(v, np.float64) for v in qdf["embedding"]])
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    top = brute_force_topk(ds, Q, k=10, dtype=np.float64)
+    top = top[["query_id", "vec_id", "rank"]].astype("int64")
+    return top.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def q_lang_id(sf_dir: str):
+    """Heuristic language-ID accuracy per true lang (rows-only check —
+    the heuristic is not SQL-expressible)."""
+    from etl_data_validation_kio_ray.functions.text import lang_id_batch
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+    out = ds.map_batches(
+        lambda t: lang_id_batch(t).select(["lang", "lang_pred"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    g = out.assign(match=(out.lang == out.lang_pred).astype(int)).groupby("lang").agg(
+        n=("match", "size"), n_match=("match", "sum")
+    )
+    return g.reset_index().astype({"n": "int64", "n_match": "int64"})
+
+
+def q_hll_cardinality(sf_dir: str):
+    """HLL estimate vs exact (rows-only; sketch value is approximate)."""
+    res = _flagship_run(sf_dir)
+    est = res.metrics["global"]["doc_id_cardinality_est"]
+    return pd.DataFrame([{"cardinality_est": float(est)}])
+
+
+def q_drift_scores(sf_dir: str):
+    """Self-drift (snapshot built from the same data -> ~0 scores);
+    rows-only — sketch/statistical, not SQL-expressible."""
+    from etl_data_validation_kio_ray.pipelines.validate import ValidationPipeline
+
+    tok_dir = _token_table_dir(sf_dir)
+    snap = os.path.join(_cache_dir(sf_dir), "snapshot")
+    pipe = ValidationPipeline(allowed_sources=ALLOWED_SOURCES)
+    pipe.rules = _rules()
+    if not os.path.exists(os.path.join(snap, "snapshot.pkl")):
+        pipe.build_snapshot(tok_dir, snap)
+    pipe2 = ValidationPipeline(allowed_sources=ALLOWED_SOURCES, baseline_snapshot_dir=snap)
+    pipe2.rules = _rules()
+    res = pipe2.run(tok_dir, os.path.join(_cache_dir(sf_dir), "drift_run"), resume=False)
+    rows = [
+        {"partition": p, "ks_n_tok": s["ks_n_tok"], "psi_tokens": s["psi_tokens"],
+         "drifted": bool(s["drifted"])}
+        for p, s in sorted(res.drift.items())
+    ]
+    return pd.DataFrame(rows)
+
+
+def q_minhash_pairs(sf_dir: str):
+    """MinHash-LSH near-dup pairs over documents (rows-only; random-word
+    corpus has no near dups — result is the empty pair set, schema-stable)."""
+    from etl_data_validation_kio_ray.dedup import minhash_dedup_pairs
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    pairs = minhash_dedup_pairs(ds, jaccard_threshold=0.5, concurrency=2)
+    return pairs.astype({"id_a": "object", "id_b": "object", "jaccard": "float64"})
+
+
+def q_simhash_signatures(sf_dir: str):
+    """Per-doc 64-bit SimHash (rows-only; deterministic but the siphash
+    word hashing is not SQL-expressible)."""
+    from etl_data_validation_kio_ray.dedup.simhash import add_simhash
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    out = add_simhash(ds).map_batches(
+        lambda t: t.select(["doc_id", "simhash"]), batch_format="pyarrow"
+    )
+    return out
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "tokenize": q_tokenize,
+        "validate_verdicts": q_validate_verdicts,
+        "row_invariants_violations": q_row_invariants_violations,
+        "source_ref_violations": q_source_ref_violations,
+        "column_stats_ntok": q_column_stats_ntok,
+        "doc_id_unique_violations": q_doc_id_unique_violations,
+        "completeness_nulls": q_completeness_nulls,
+        "grouped_stats_by_source": q_grouped_stats_by_source,
+        "token_histogram": q_token_histogram,
+        "fingerprint": q_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "customers_without_orders": q_customers_without_orders,
+        "top_sources": q_top_sources,
+        "mart_kpi_lineitem": q_mart_kpi_lineitem,
+        "events_window": q_events_window,
+        "text_quality": q_text_quality,
+        "unique_sources": q_unique_sources,
+        "ann_topk": q_ann_topk,
+        "lang_id": q_lang_id,
+        "hll_cardinality": q_hll_cardinality,
+        "drift_scores": q_drift_scores,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_signatures": q_simhash_signatures,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# -------------------------------------------------------------------- oracle
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tokenize": f"WITH {TOKENIZE_CTE} SELECT * FROM tok",
+        "validate_verdicts": f"""
+WITH {TOKENIZE_CTE},
+per AS (
+  SELECT source AS p, COUNT(*) AS n,
+         SUM(CASE WHEN n_tok > {MAX_LEN} THEN 1 ELSE 0 END) AS inv,
+         CASE WHEN source IN ({_ALLOWED_SQL}) THEN 0 ELSE COUNT(*) END AS ref
+  FROM tok GROUP BY source
+)
+SELECT p AS partition, 'schema_types' AS rule_id, CAST(0 AS BIGINT) AS rows_failed, 'PASS' AS status FROM per
+UNION ALL
+SELECT p, 'completeness_nulls', CAST(0 AS BIGINT), 'PASS' FROM per
+UNION ALL
+SELECT p, 'row_invariants', CAST(inv AS BIGINT),
+       CASE WHEN inv > 0 THEN 'FAIL' ELSE 'PASS' END FROM per
+UNION ALL
+SELECT p, 'doc_id_unique', CAST(0 AS BIGINT), 'PASS' FROM per
+UNION ALL
+SELECT p, 'source_ref', CAST(ref AS BIGINT),
+       CASE WHEN ref > 0 THEN 'FAIL' ELSE 'PASS' END FROM per
+""",
+        "row_invariants_violations": f"""
+WITH {TOKENIZE_CTE}
+SELECT 'row_invariants' AS rule_id, doc_id, source AS partition,
+       'n_tok=' || n_tok || ' out of range [1,{MAX_LEN}]' AS reason
+FROM tok WHERE n_tok > {MAX_LEN} OR n_tok < 1
+""",
+        "source_ref_violations": f"""
+WITH {TOKENIZE_CTE}
+SELECT 'source_ref' AS rule_id, doc_id, source AS partition,
+       'source ''' || source || ''' not in allowed_sources' AS reason
+FROM tok WHERE source NOT IN ({_ALLOWED_SQL})
+""",
+        "column_stats_ntok": f"""
+WITH {TOKENIZE_CTE}
+SELECT CAST(COUNT(*) AS BIGINT) AS rows_total,
+       CAST(MIN(n_tok) AS BIGINT) AS n_tok_min,
+       CAST(MAX(n_tok) AS BIGINT) AS n_tok_max,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tok_sum,
+       CAST(quantile_disc(n_tok, 0.50) AS BIGINT) AS n_tok_p50,
+       CAST(quantile_disc(n_tok, 0.95) AS BIGINT) AS n_tok_p95,
+       CAST(quantile_disc(n_tok, 0.99) AS BIGINT) AS n_tok_p99
+FROM tok
+""",
+        "doc_id_unique_violations": """
+SELECT 'doc_id_unique' AS rule_id, CAST(l_orderkey AS VARCHAR) AS doc_id,
+       'lineitem' AS partition,
+       'doc_id appears ' || COUNT(*) || ' times' AS reason
+FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 1
+""",
+        "completeness_nulls": """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS null_doc_id,
+       CAST(COUNT(*) - COUNT(text) AS BIGINT) AS null_text,
+       CAST(COUNT(*) - COUNT(lang) AS BIGINT) AS null_lang,
+       CAST(COUNT(*) - COUNT(source) AS BIGINT) AS null_source,
+       CAST(COUNT(*) - COUNT(n_chars) AS BIGINT) AS null_n_chars
+FROM documents
+""",
+        "grouped_stats_by_source": f"""
+WITH {TOKENIZE_CTE}
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_n_tok,
+       CAST(MIN(n_tok) AS INTEGER) AS min_n_tok,
+       CAST(MAX(n_tok) AS INTEGER) AS max_n_tok
+FROM tok GROUP BY source ORDER BY source
+""",
+        "token_histogram": f"""
+WITH {TOKENIZE_CTE}
+SELECT CAST(t // 197 AS INTEGER) AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (SELECT unnest(tokens) AS t FROM tok)
+GROUP BY 1 ORDER BY 1
+""",
+        "fingerprint": f"""
+WITH {TOKENIZE_CTE}
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), tokens),
+                   (a, b) -> (a*31 + b) % 1000000007) AS fingerprint
+FROM tok
+""",
+        "exact_dedup": """
+SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id
+""",
+        "customers_without_orders": """
+SELECT c_custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY c_custkey
+""",
+        "top_sources": """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY source
+ORDER BY n_docs DESC, source LIMIT 5
+""",
+        "mart_kpi_lineitem": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+        "events_window": """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "text_quality": """
+SELECT doc_id,
+       CAST(length(string_split(text, ' ')) AS BIGINT) AS n_words,
+       CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE)
+         / length(string_split(text, ' ')) AS mean_word_len
+FROM documents
+""",
+        "unique_sources": "SELECT DISTINCT source FROM documents ORDER BY source",
+        "ann_topk": """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),
+s AS (SELECT q.qid AS query_id, e.vec_id,
+             list_cosine_similarity(q.qv, e.embedding) AS score
+      FROM q CROSS JOIN embeddings e),
+r AS (SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+      FROM s)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 10 ORDER BY query_id, rank
+""",
+    }

@@ -29,15 +29,16 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 class _TopKScorer:
     """Actor-pool stage: resolves the broadcast query matrix once."""
 
-    def __init__(self, queries_ref, vec_col: str, id_col: str, k: int):
+    def __init__(self, queries_ref, vec_col: str, id_col: str, k: int, dtype=np.float32):
         import ray
 
         q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
-        self.q = _normalize(np.asarray(q, dtype=np.float32))  # (nq, dim)
+        self.dtype = dtype
+        self.q = _normalize(np.asarray(q, dtype=dtype))  # (nq, dim)
         self.vec_col, self.id_col, self.k = vec_col, id_col, k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        v = _normalize(_vectors(batch, self.vec_col))  # (n, dim)
+        v = _normalize(_vectors(batch, self.vec_col).astype(self.dtype))  # (n, dim)
         sims = self.q @ v.T  # (nq, n)
         ids = np.asarray(batch[self.id_col].to_pylist())
         k = min(self.k, sims.shape[1])
@@ -55,16 +56,20 @@ class _TopKScorer:
 
 
 def brute_force_topk(
-    ds, queries: np.ndarray, *, vec_col="embedding", id_col="vec_id", k=10, concurrency=4
+    ds, queries: np.ndarray, *, vec_col="embedding", id_col="vec_id", k=10,
+    concurrency=4, dtype=np.float32,
 ) -> pd.DataFrame:
     """Exact cosine top-k: (query_id, id, score, rank), deterministic
-    tie-break by (score desc, id asc)."""
+    tie-break by (score desc, id asc). ``dtype=np.float64`` matches
+    double-precision SQL oracles."""
     import ray
 
-    qref = ray.put(np.asarray(queries, dtype=np.float32))
+    qref = ray.put(np.asarray(queries, dtype=dtype))
     partials = ds.map_batches(
         _TopKScorer,
-        fn_constructor_kwargs=dict(queries_ref=qref, vec_col=vec_col, id_col=id_col, k=k),
+        fn_constructor_kwargs=dict(
+            queries_ref=qref, vec_col=vec_col, id_col=id_col, k=k, dtype=dtype
+        ),
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,

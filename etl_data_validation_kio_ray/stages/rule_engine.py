@@ -89,6 +89,10 @@ class RuleEngine:
         self.min_len = int(inv.params.get("min_len", 1)) if inv else 1
         self.max_len = int(inv.params.get("max_len", max_len)) if inv else max_len
         self.vocab_size = int(inv.params.get("vocab_size", vocab_size)) if inv else vocab_size
+        # stats histogram domain is independent of the invariant range:
+        # a tight max_len must not clip the n_tok distribution stats
+        stats = self.rules.get("column_stats")
+        self.stats_hi = int((stats.params.get("hist_max") if stats else None) or 8192)
 
         # broadcast small side: resolve ObjectRef once per actor
         ref = self.rules.get("source_ref")
@@ -357,11 +361,9 @@ class RuleEngine:
         state: dict[str, Any] = {"rows_total": nrows, "rows_failed": 0}
         if n_tok_np is not None:
             valid = n_tok_np[n_tok_np >= 0]
-            ch = CountingHist(1, self.max_len).update(
-                np.clip(valid, 1, self.max_len)
-            )
+            ch = CountingHist(1, self.stats_hi).update(valid)
             td = TDigest().update(valid.astype(np.float64))
-            nh = FixedHistogram(1, self.max_len + 1, NTOK_BINS).update(valid)
+            nh = FixedHistogram(1, self.stats_hi + 1, NTOK_BINS).update(valid)
             state["n_tok_hist"] = ch.to_state()
             state["n_tok_tdigest"] = td.to_state()
             state["n_tok_fixed"] = nh.to_state()
