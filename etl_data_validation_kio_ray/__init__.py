@@ -22,6 +22,31 @@ Reference semantics reproduced (citations are /root/reference paths):
 
 __version__ = "0.1.0"
 
+
+def _tune_allocator() -> None:
+    """Keep large glibc allocations on the brk heap instead of fresh
+    mmap regions (mallopt(M_MMAP_THRESHOLD, 1 GiB)).
+
+    On some virtualized kernels, faulting in newly mmap'd pages is
+    orders of magnitude slower than extending the heap; numpy's large
+    temporaries (every astype/bincount over a flattened token column)
+    are malloc'd and freed per batch, so with the default dynamic
+    threshold each batch re-faults hundreds of MB. Heap pages are
+    faulted once per high-water mark and then reused. Runs in every
+    process that imports this package — the driver and each Ray worker.
+    No-op on non-glibc platforms.
+    """
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.mallopt(ctypes.c_int(-3), ctypes.c_int(1 << 30))  # M_MMAP_THRESHOLD
+    except Exception:  # noqa: BLE001 — best-effort tuning only
+        pass
+
+
+_tune_allocator()
+
 from .core.specs import RuleSpec, default_rules
 from .core.verdicts import CheckResult, gate_status
 

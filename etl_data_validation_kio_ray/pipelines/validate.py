@@ -38,7 +38,7 @@ from ..core.specs import RuleSpec, default_rules
 from ..core.verdicts import CheckResult, gate_status, partition_verdict
 from ..sketches import CountingHist, FixedHistogram, HyperLogLog, TDigest
 from ..stages.drift import load_baseline_snapshot, score_drift, build_baseline_snapshot
-from ..stages.rule_engine import RuleEngine
+from ..stages.rule_engine import CachedEngineFn, RuleEngine
 from ..stages.uniqueness import duplicate_id_counts, duplicate_violations
 from ..state.checkpoint import RunState
 
@@ -174,6 +174,7 @@ class ValidationPipeline:
         source_col: str = "source",
         concurrency: int | None = None,
         batch_size: int | None = None,
+        use_actor_pool: bool = False,
         shard_size: int = 64,
     ):
         self.rules = rules or default_rules(allowed_sources=allowed_sources)
@@ -191,6 +192,7 @@ class ValidationPipeline:
         self.source_col = source_col
         self.concurrency = concurrency
         self.batch_size = batch_size
+        self.use_actor_pool = use_actor_pool
         self.shard_size = shard_size
 
     # ------------------------------------------------------------ helpers
@@ -227,6 +229,33 @@ class ValidationPipeline:
         allowed = spec.params.get("allowed_sources") if spec else None
         return ray.put(allowed) if allowed is not None else None
 
+    def _map_engine(self, ds, engine_kwargs: dict):
+        """Apply the rule engine to a Dataset.
+
+        Default: task-based ``map_batches`` with a per-worker cached
+        engine (stages/rule_engine.py CachedEngineFn) so Ray fuses
+        ReadParquet -> engine -> Write into one task and the decoded
+        token column never crosses the object store. ``use_actor_pool``
+        switches to the classic actor-pool form (state in __init__) —
+        semantically identical, useful when engine construction is
+        expensive relative to the data (e.g. huge rule sets).
+        """
+        if self.use_actor_pool:
+            return ds.map_batches(
+                RuleEngine,
+                fn_constructor_kwargs=engine_kwargs,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                concurrency=self._concurrency(),
+                batch_size=self.batch_size,
+            )
+        return ds.map_batches(
+            CachedEngineFn(engine_kwargs),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=self.batch_size,
+        )
+
     def _narrow_checks(self, part: str, rules_states: dict[str, dict]) -> list[CheckResult]:
         """CheckResults for the single-pass rules of one partition."""
         checks = []
@@ -259,9 +288,9 @@ class ValidationPipeline:
         stats_rules = {
             k: v for k, v in self.rules.items() if k in ("column_stats",)
         } or {"column_stats": default_rules()["column_stats"]}
-        mapped = ds.map_batches(
-            RuleEngine,
-            fn_constructor_kwargs=dict(
+        mapped = self._map_engine(
+            ds,
+            dict(
                 rules=stats_rules,
                 partition_col=self.partition_col,
                 id_col=self.id_col,
@@ -269,10 +298,6 @@ class ValidationPipeline:
                 len_col=self.len_col,
                 source_col=self.source_col,
             ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            concurrency=self._concurrency(),
-            batch_size=self.batch_size,
         )
         partials: dict[str, dict] = {}
         for b in mapped.iter_batches(batch_format="pyarrow", batch_size=4096):
@@ -297,6 +322,7 @@ class ValidationPipeline:
         import ray.data as rd
 
         t0 = time.time()
+        phases: dict[str, float] = {}
         os.makedirs(out_dir, exist_ok=True)
         state = RunState(out_dir)
         files = discover_partition_files(input_path)
@@ -306,15 +332,25 @@ class ValidationPipeline:
 
         allowed_ref = self._allowed_ref()
 
+        t_narrow = time.time()
         for i in range(0, len(pending), self.shard_size):
             shard = pending[i : i + self.shard_size]
             for p in shard:
                 state.claim(p)
-            # shard dir is keyed by its first partition: deterministic
-            # across resumed runs (pending is sorted, grouping is
-            # stable), so a crashed shard is rebuilt under the same
-            # name while committed shards keep theirs
-            shard_dir = os.path.join(out_dir, "raw", f"shard-{shard[0]}")
+            # shard dir is keyed by its first partition; if a resumed
+            # run regroups partitions, an existing dir of that name may
+            # still be OWNED by other partitions' SUCCESS manifests —
+            # deleting it would destroy their committed violation rows.
+            # Pick the first name that is either free or unowned
+            # (crashed leftovers); owners-filtering at read time keeps
+            # stale rows of reclaimed partitions from double-counting.
+            owned_dirs = set(state.shard_owners().values())
+            base = f"shard-{shard[0]}"
+            shard_name, k = base, 0
+            while shard_name in owned_dirs:
+                k += 1
+                shard_name = f"{base}-r{k}"
+            shard_dir = os.path.join(out_dir, "raw", shard_name)
             if os.path.isdir(shard_dir):
                 import shutil
 
@@ -328,14 +364,7 @@ class ValidationPipeline:
                     _schema_groups([files[p] for p in shard], self._columns())
                 ):
                     ds = rd.read_parquet(group_files, columns=cols)
-                    mapped = ds.map_batches(
-                        RuleEngine,
-                        fn_constructor_kwargs=self._engine_kwargs(allowed_ref),
-                        batch_format="pyarrow",
-                        zero_copy_batch=True,
-                        concurrency=self._concurrency(),
-                        batch_size=self.batch_size,
-                    )
+                    mapped = self._map_engine(ds, self._engine_kwargs(allowed_ref))
                     mapped.write_parquet(
                         os.path.join(shard_dir, f"g{j}"), partition_cols=["kind"]
                     )
@@ -357,6 +386,9 @@ class ValidationPipeline:
                 for p in shard:
                     state.fail(p, repr(e))
                 raise
+
+        phases["narrow_pass"] = round(time.time() - t_narrow, 3)
+        t_phase = time.time()
 
         # all partitions' merged stats (this run + prior resumed runs):
         # re-read the tiny kind=partial outputs of every committed shard,
@@ -394,6 +426,9 @@ class ValidationPipeline:
                 os.path.join(sv_dir, "part-0.parquet"),
             )
 
+        phases["reduce_partials"] = round(time.time() - t_phase, 3)
+        t_phase = time.time()
+
         # ---- wide rule: global doc_id uniqueness over ALL partitions
         dup_violation_counts: dict[str, int] = {}
         if "doc_id_unique" in self.rules and self.rules["doc_id_unique"].enabled:
@@ -426,6 +461,9 @@ class ValidationPipeline:
             else:
                 os.makedirs(uniq_dir, exist_ok=True)
 
+        phases["uniqueness"] = round(time.time() - t_phase, 3)
+        t_phase = time.time()
+
         # ---- drift scoring
         drift_scores: dict[str, Any] = {}
         drift_spec = self.rules.get("drift_ks_psi")
@@ -447,6 +485,9 @@ class ValidationPipeline:
                     psi_threshold=float(drift_spec.params.get("psi_threshold", 0.2)),
                     ks_threshold=float(drift_spec.params.get("ks_threshold", 0.15)),
                 )
+
+        phases["drift"] = round(time.time() - t_phase, 3)
+        t_phase = time.time()
 
         # ---- verdicts per partition
         verdicts: list[CheckResult] = []
@@ -517,6 +558,9 @@ class ValidationPipeline:
                 g = _merge_stats(g, st) if g else st
         if g:
             metrics["global"] = _stats_metrics(g)
+
+        phases["verdicts"] = round(time.time() - t_phase, 3)
+        metrics["phases"] = phases
 
         run_verdict = partition_verdict(verdicts) if verdicts else "PASS"
         result = RunResult(

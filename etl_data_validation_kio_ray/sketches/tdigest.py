@@ -88,32 +88,22 @@ class TDigest:
 
 
 def _compress(means: np.ndarray, weights: np.ndarray, compression: int):
-    """Sort centroids and greedily merge neighbours under the k1
-    (arcsine) scale-function size bound."""
+    """Cluster sorted centroids by their position on the k1 (arcsine)
+    scale function — fully vectorized (no Python loop over values):
+    each item is assigned to cluster floor(k(q_mid)); items sharing a
+    cluster are merged by weighted mean. k spans [0, compression/2], so
+    the digest holds at most ~compression/2 + 1 centroids."""
     order = np.argsort(means, kind="stable")
     means, weights = means[order], weights[order]
     total = weights.sum()
-    out_means: list[float] = []
-    out_weights: list[float] = []
-    cur_m, cur_w = float(means[0]), float(weights[0])
-    cum = 0.0  # weight fully to the left of the current centroid
-    for m, w in zip(means[1:], weights[1:]):
-        q0 = cum / total
-        q1 = (cum + cur_w + w) / total
-        # k1 size bound: merge while the combined centroid spans less
-        # than one unit of k-space
-        dk = compression / (2.0 * np.pi) * (
-            np.arcsin(2.0 * min(1.0, q1) - 1.0) - np.arcsin(2.0 * q0 - 1.0)
-        )
-        if dk <= 1.0:
-            new_w = cur_w + w
-            cur_m += (m - cur_m) * (w / new_w)
-            cur_w = new_w
-        else:
-            out_means.append(cur_m)
-            out_weights.append(cur_w)
-            cum += cur_w
-            cur_m, cur_w = float(m), float(w)
-    out_means.append(cur_m)
-    out_weights.append(cur_w)
-    return np.asarray(out_means), np.asarray(out_weights)
+    cum = np.cumsum(weights)
+    q_mid = np.clip((cum - weights / 2.0) / total, 0.0, 1.0)
+    k = compression / (2.0 * np.pi) * (
+        np.arcsin(2.0 * q_mid - 1.0) + np.pi / 2.0
+    )
+    group = np.floor(k).astype(np.int64)
+    ng = int(group[-1]) + 1
+    w = np.bincount(group, weights=weights, minlength=ng)
+    m = np.bincount(group, weights=weights * means, minlength=ng)
+    nz = w > 0
+    return m[nz] / w[nz], w[nz]

@@ -54,6 +54,50 @@ UNION_SCHEMA = pa.schema(
 NTOK_BINS = 64
 TOKEN_BINS = 256
 
+# per-worker-process engine cache for the task-based (fused) path: the
+# compiled engine is built once per worker and reused by every task the
+# worker executes — the task-pool equivalent of actor-pool __init__
+# state. Keyed by a config fingerprint so differently-configured
+# pipelines sharing a worker don't collide.
+_WORKER_ENGINES: dict[str, "RuleEngine"] = {}
+
+
+class CachedEngineFn:
+    """Picklable ``map_batches`` callable that lazily builds (and
+    caches per worker process) a :class:`RuleEngine`.
+
+    Why not ``map_batches(RuleEngine, concurrency=N)``: an actor pool
+    is a separate operator, so read -> engine crosses the object store
+    and pays actor-pool startup on every run; a plain function fuses
+    with ReadParquet into ONE task (`ReadParquet->MapBatches->Write`),
+    keeping the heavy decoded token column entirely on the worker heap.
+    The engine state (compiled rules, broadcast allowed-source set) is
+    still built once per worker via the module-level cache above.
+    """
+
+    def __init__(self, engine_kwargs: dict):
+        self.engine_kwargs = engine_kwargs
+        self.cache_key = _config_key(engine_kwargs)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        eng = _WORKER_ENGINES.get(self.cache_key)
+        if eng is None:
+            eng = _WORKER_ENGINES[self.cache_key] = RuleEngine(**self.engine_kwargs)
+            if len(_WORKER_ENGINES) > 8:  # bound worker-lifetime growth
+                for k in list(_WORKER_ENGINES)[:-4]:
+                    del _WORKER_ENGINES[k]
+        return eng(batch)
+
+
+def _config_key(engine_kwargs: dict) -> str:
+    import hashlib
+
+    try:
+        blob = pickle.dumps(engine_kwargs, protocol=pickle.HIGHEST_PROTOCOL)
+    except Exception:  # unpicklable kwargs fall back to per-instance key
+        blob = repr(engine_kwargs).encode()
+    return hashlib.md5(blob).hexdigest()
+
 
 def _empty_like(n: int) -> dict[str, list]:
     return {k.name: [] for k in UNION_SCHEMA}
@@ -156,28 +200,28 @@ class RuleEngine:
         nrows = sub.num_rows
         cols = set(sub.column_names)
 
-        ids = None
-        if self.id_col in cols:
-            ids_arr = sub[self.id_col].combine_chunks()
-            ids = ids_arr.to_pylist()
+        # ids stay Arrow; materialized to Python ONLY for the (rare)
+        # violating rows via take — never a full to_pylist per batch
+        ids_arr = sub[self.id_col].combine_chunks() if self.id_col in cols else None
+
+        def take_ids(idx: np.ndarray) -> list:
+            if ids_arr is None:
+                return [None] * len(idx)
+            return ids_arr.take(pa.array(idx, pa.int64())).to_pylist()
 
         def id_at(i: int) -> str | None:
-            return ids[i] if ids is not None else None
+            return ids_arr[int(i)].as_py() if ids_arr is not None else None
 
-        # tokens: flatten once, reused by invariants + stats
-        tokens = lens_np = flat_np = row_of_flat = None
+        # tokens: flatten once (zero-copy int32 view), reused by
+        # invariants + stats; no int64 widening of the flat array
+        tokens = lens_np = flat_np = None
         if self.token_col in cols:
             tokens = sub[self.token_col].combine_chunks()
             lens = pc.list_value_length(tokens)
             lens_np = (
                 pc.fill_null(lens, -1).to_numpy(zero_copy_only=False).astype(np.int64)
             )
-            flat_np = (
-                pc.list_flatten(tokens).to_numpy(zero_copy_only=False).astype(np.int64)
-            )
-            row_of_flat = np.repeat(
-                np.arange(nrows), np.where(lens_np < 0, 0, lens_np)
-            )
+            flat_np = pc.list_flatten(tokens).to_numpy(zero_copy_only=False)
 
         n_tok_np = None
         if self.len_col in cols:
@@ -187,21 +231,21 @@ class RuleEngine:
             )
 
         if "schema_types" in self.rules:
-            self._rule_schema(sub, partition, out, id_at, nrows)
+            self._rule_schema(sub, partition, out, take_ids, nrows)
         if "completeness_nulls" in self.rules:
             self._rule_completeness(sub, partition, out, nrows)
         if "row_invariants" in self.rules and tokens is not None:
             self._rule_invariants(
-                partition, out, id_at, nrows, lens_np, n_tok_np, flat_np, row_of_flat
+                partition, out, take_ids, nrows, lens_np, n_tok_np, flat_np
             )
         if "source_ref" in self.rules and self.allowed_sources is not None and self.source_col in cols:
-            self._rule_source_ref(sub, partition, out, id_at)
+            self._rule_source_ref(sub, partition, out, take_ids)
         if "column_stats" in self.rules or "drift_ks_psi" in self.rules:
             self._rule_stats(sub, partition, out, nrows, lens_np, n_tok_np, flat_np)
 
     # ------------------------------------------------------------- kernels
 
-    def _rule_schema(self, sub, partition, out, id_at, nrows):
+    def _rule_schema(self, sub, partition, out, take_ids, nrows):
         """Arrow-schema + required-field checks — analog of the Draft-7
         suites (schema_suite/matches_schema.py:59-88: required keys,
         types, minItems)."""
@@ -235,7 +279,7 @@ class RuleEngine:
                 )
                 self._emit_violation(
                     out, "schema_types", partition,
-                    [id_at(int(i)) for i in bad],
+                    take_ids(bad),
                     [f"{col} is null"] * len(bad),
                 )
                 rows_failed += len(bad)
@@ -269,7 +313,7 @@ class RuleEngine:
         )
 
     def _rule_invariants(
-        self, partition, out, id_at, nrows, lens_np, n_tok_np, flat_np, row_of_flat
+        self, partition, out, take_ids, nrows, lens_np, n_tok_np, flat_np
     ):
         """Row-level predicates — analog of the consistency suites
         (consistency_suite/matches_consistency.py:18-50) and the
@@ -287,7 +331,7 @@ class RuleEngine:
             mism = np.flatnonzero(valid & (n_tok_np != lens_np))
             self._emit_violation(
                 out, "row_invariants", partition,
-                [id_at(int(i)) for i in mism],
+                take_ids(mism),
                 [
                     f"n_tok={n_tok_np[i]} != len(tokens)={lens_np[i]}"
                     for i in mism
@@ -301,7 +345,7 @@ class RuleEngine:
             )
             self._emit_violation(
                 out, "row_invariants", partition,
-                [id_at(int(i)) for i in rng],
+                take_ids(rng),
                 [
                     f"n_tok={n_tok_np[i]} out of range [{self.min_len},{self.max_len}]"
                     for i in rng
@@ -312,11 +356,16 @@ class RuleEngine:
         if flat_np is not None and len(flat_np):
             bad_tok = (flat_np < 0) | (flat_np >= self.vocab_size)
             if bad_tok.any():
+                # row index of each flat token — built ONLY when
+                # violations exist (rare path)
+                row_of_flat = np.repeat(
+                    np.arange(nrows), np.where(lens_np < 0, 0, lens_np)
+                )
                 per_row = np.bincount(row_of_flat[bad_tok], minlength=nrows)
                 bad_rows = np.flatnonzero(per_row)
                 self._emit_violation(
                     out, "row_invariants", partition,
-                    [id_at(int(i)) for i in bad_rows],
+                    take_ids(bad_rows),
                     [
                         f"{per_row[i]} tokens out of vocab range [0,{self.vocab_size})"
                         for i in bad_rows
@@ -329,7 +378,7 @@ class RuleEngine:
             {"rows_total": nrows, "rows_failed": rows_failed},
         )
 
-    def _rule_source_ref(self, sub, partition, out, id_at):
+    def _rule_source_ref(self, sub, partition, out, take_ids):
         """Broadcast hash semi-join probe against the allowed-sources
         dimension — analog of the FK NOT EXISTS anti-joins
         (dds/referential_suite/fact_match_fk.py:16-62): the small dim
@@ -343,7 +392,7 @@ class RuleEngine:
             vals = src.take(pa.array(bad)).to_pylist()
             self._emit_violation(
                 out, "source_ref", partition,
-                [id_at(int(i)) for i in bad],
+                take_ids(bad),
                 [f"source '{v}' not in allowed_sources" for v in vals],
             )
         self._emit_partial(
@@ -373,19 +422,32 @@ class RuleEngine:
             hll = HyperLogLog().update_hashed(hash64(vals))
             state["doc_id_hll"] = hll.to_state()
         if flat_np is not None and self.source_col in sub.column_names and lens_np is not None:
-            srcs = sub[self.source_col].combine_chunks().to_pylist()
-            token_hists: dict[str, dict] = {}
-            # segment the flat token array by source: rows of one source
-            # are gathered via repeat of per-row source index
-            src_arr = np.asarray([s if s is not None else "" for s in srcs], dtype=object)
-            uniq = sorted(set(src_arr.tolist()))
-            row_src = np.repeat(
-                np.arange(nrows), np.where(lens_np < 0, 0, lens_np)
+            # per-source token histograms in ONE vectorized pass:
+            # dictionary-encode source -> small int codes, repeat per
+            # token, then a single 2-D bincount over
+            # (code * TOKEN_BINS + token_bin) — no per-source scans of
+            # the flat token array
+            src = sub[self.source_col].combine_chunks()
+            dict_arr = pc.dictionary_encode(src)
+            names = dict_arr.dictionary.to_pylist()
+            codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            codes = np.where(codes < 0, len(names), codes)  # null source bucket
+            flat_codes = np.repeat(codes, np.where(lens_np < 0, 0, lens_np))
+            width = self.vocab_size / TOKEN_BINS
+            bins = np.clip(
+                (flat_np / width).astype(np.int64), 0, TOKEN_BINS - 1
             )
-            flat_src = src_arr[row_src]
-            for s in uniq:
-                h = FixedHistogram(0, self.vocab_size, TOKEN_BINS)
-                h.update(flat_np[flat_src == s])
-                token_hists[s] = h.to_state()
+            counts = np.bincount(
+                flat_codes * TOKEN_BINS + bins,
+                minlength=(len(names) + 1) * TOKEN_BINS,
+            ).reshape(len(names) + 1, TOKEN_BINS)
+            token_hists: dict[str, dict] = {}
+            for ci, name in enumerate([*names, None]):
+                if counts[ci].sum() == 0 and name is None:
+                    continue
+                h = FixedHistogram(
+                    0, self.vocab_size, TOKEN_BINS, counts[ci].astype(np.int64)
+                )
+                token_hists["" if name is None else str(name)] = h.to_state()
             state["token_hists"] = token_hists
         self._emit_partial(out, "column_stats", partition, state)

@@ -5,18 +5,26 @@ COUNT(*) > 1 (/root/reference/src/app2/etl_validation/specs.py:110-143
 at E, :148-169 at T) and the in-payload ``_find_duplicates``
 (/root/reference/src/app2/validators/stg/uniqueness_suite/areas_uniqueness.py:32-39).
 
-Scale design (SURVEY.md §7.3): the shuffle moves ONLY the key columns
-(`read_parquet(columns=[id_col, partition_col])` upstream prunes the
-heavy ``tokens`` column at the read), keyed on high-cardinality doc_id
-— uniform hash partitioning, no salting needed. Producing violation
-rows is two phases so the big side is never re-shuffled:
+Scale design (SURVEY.md §7.3):
 
-  1. ``groupby(id).count()`` -> filter count>1 -> SMALL dup-key table
-     (duplicates are rare by construction; a dataset that is mostly
-     duplicates would fail loudly at the driver collect).
-  2. broadcast the dup-key set and re-scan the key columns with a
-     vectorized ``is_in`` probe to emit one violation row per
-     offending row, with its real partition.
+  1. The shuffle moves ONLY an 8-byte hash per row: the key scan
+     (`read_parquet(columns=[id_col])`, heavy ``tokens`` column pruned
+     at the read) is mapped to ``hash64(doc_id)`` and the
+     ``groupby(h).count()`` shuffle exchanges int64s — at 10^12 rows
+     that is the difference between shuffling ~8 TB and shuffling the
+     full multi-hundred-TB id strings. High-cardinality uniform key,
+     no salting needed.
+  2. Candidate hashes with count>1 are a SMALL set (true duplicates +
+     ~n²/2⁶⁴ expected 64-bit collisions). They are collected to the
+     driver and broadcast.
+  3. An EXACT confirm pass re-scans the keys with a vectorized
+     ``is_in`` probe on the candidate hashes and counts the *actual*
+     id strings of the hits — hash collisions are filtered here, so
+     the result is exact, never probabilistic.
+
+Producing violation rows is a final broadcast probe
+(`duplicate_violations`) emitting one row per offending input row with
+its real partition.
 """
 
 from __future__ import annotations
@@ -25,39 +33,111 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..sketches.hll import hash64
+
 MAX_DUP_KEYS_COLLECTED = 5_000_000  # driver-side safety valve
 
 
-def duplicate_id_counts(keys_ds, id_col: str = "doc_id"):
+def _collect(ds, schema: pa.Schema) -> pa.Table:
+    tables = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in ds.iter_batches(batch_format="pyarrow", batch_size=2**20)
+    ]
+    tables = [t.select(schema.names) for t in tables if t.num_rows]
+    return pa.concat_tables(tables) if tables else schema.empty_table()
+
+
+def _id_hashes(t: pa.Table, id_col: str) -> np.ndarray:
+    ids = t[id_col].combine_chunks().drop_null()
+    if len(ids) == 0:
+        return np.empty(0, dtype=np.int64)
+    return hash64(ids.to_numpy(zero_copy_only=False)).view(np.int64)
+
+
+def duplicate_id_counts(
+    keys_ds, id_col: str = "doc_id", *, num_buckets: int | None = None
+) -> pa.Table:
     """Dataset[(id_col, ...)] -> pyarrow.Table (id_col, dup_count) of ids
-    seen more than once. Hash-partitioned shuffle on the id column."""
-    # null ids are the schema rule's finding; Ray's sort-based groupby
-    # cannot compare None with str, so drop them before the shuffle
-    keys_ds = keys_ds.map_batches(
-        lambda t: t.filter(pc.is_valid(t[id_col])), batch_format="pyarrow"
+    seen more than once. Exact (collision-checked); the shuffle carries
+    only int64 hashes.
+
+    The candidate scan buckets hashes by ``h % num_buckets`` and finds
+    within-bucket repeats via one ``np.unique`` per bucket — a
+    low-cardinality sort shuffle that avoids materializing a
+    per-distinct-key aggregate (2M+ groups) through the object store.
+    ``num_buckets`` bounds reducer memory: bucket size ≈ rows × 8B /
+    num_buckets, so size it to rows/~30M per bucket at large scale
+    (default: 4× input blocks, floor 64).
+    """
+    import ray
+
+    if num_buckets is None:
+        try:
+            num_buckets = max(64, keys_ds.num_blocks() * 4)
+        except Exception:  # noqa: BLE001 — unbacked plans have no block count
+            num_buckets = 256
+    nb = np.int64(num_buckets)
+
+    def to_bucketed_hash(t: pa.Table) -> pa.Table:
+        h = _id_hashes(t, id_col)
+        return pa.table(
+            {
+                "h": pa.array(h, pa.int64()),
+                "b": pa.array((h % nb).astype(np.int32)),
+            }
+        )
+
+    def bucket_dups(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(u[c > 1], pa.int64())})
+
+    cand = _collect(
+        keys_ds.map_batches(
+            to_bucketed_hash, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("b")
+        .map_groups(bucket_dups, batch_format="pyarrow"),
+        pa.schema([("h", pa.int64())]),
     )
-    counted = keys_ds.groupby(id_col).count()
-
-    def keep_dups(t: pa.Table) -> pa.Table:
-        cnt_col = next(c for c in t.column_names if c != id_col)
-        t = t.filter(pc.greater(t[cnt_col], 1))
-        return t.select([id_col, cnt_col]).rename_columns([id_col, "dup_count"])
-
-    dups = counted.map_batches(keep_dups, batch_format="pyarrow")
-    batches = list(dups.iter_batches(batch_format="pyarrow", batch_size=2**20))
     empty = pa.table(
         {id_col: pa.array([], pa.string()), "dup_count": pa.array([], pa.int64())}
     )
-    tables = [
-        b if isinstance(b, pa.Table) else pa.Table.from_batches([b]) for b in batches
-    ]
-    table = pa.concat_tables(tables or [empty])
-    if table.num_rows > MAX_DUP_KEYS_COLLECTED:
+    if cand.num_rows == 0:
+        return empty
+    if cand.num_rows > MAX_DUP_KEYS_COLLECTED:
         raise RuntimeError(
-            f"{table.num_rows} duplicate keys exceeds driver collect cap "
-            f"{MAX_DUP_KEYS_COLLECTED}; input looks pathologically duplicated"
+            f"{cand.num_rows} candidate duplicate keys exceeds driver collect "
+            f"cap {MAX_DUP_KEYS_COLLECTED}; input looks pathologically duplicated"
         )
-    return table
+
+    # exact confirm: gather the actual id strings behind candidate
+    # hashes (collisions included), then count them exactly
+    cand_ref = ray.put(cand["h"].combine_chunks())
+
+    def probe(t: pa.Table) -> pa.Table:
+        h = _id_hashes(t, id_col)
+        ids = t[id_col].combine_chunks().drop_null()
+        mask = pc.is_in(pa.array(h, pa.int64()), value_set=ray.get(cand_ref))
+        return pa.table({id_col: ids.filter(mask)})
+
+    hits = _collect(
+        keys_ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True),
+        pa.schema([(id_col, pa.string())]),
+    )
+    if hits.num_rows == 0:
+        return empty
+    counts = pc.value_counts(hits[id_col].combine_chunks())
+    vals, cnts = counts.field("values"), counts.field("counts")
+    dup_mask = pc.greater(cnts, 1)
+    out = pa.table(
+        {
+            id_col: vals.filter(dup_mask),
+            "dup_count": pc.cast(cnts.filter(dup_mask), pa.int64()),
+        }
+    )
+    order = pc.sort_indices(out, sort_keys=[(id_col, "ascending")])
+    return out.take(order)
 
 
 def duplicate_violations(
@@ -89,14 +169,8 @@ def duplicate_violations(
                 }
             )
         # map each hit id -> its dup_count for the reason string
-        import pandas as pd
-
-        counts = pd.Series(
-            dup["dup_count"].to_numpy(zero_copy_only=False),
-            index=dup[id_col].to_pylist(),
-        )
-        hit_ids = hit[id_col].to_pylist()
-        cnt = counts.loc[hit_ids].to_numpy()
+        idx = pc.index_in(hit[id_col].combine_chunks(), value_set=dup[id_col])
+        cnt = dup["dup_count"].take(idx).to_pylist()
         parts = (
             hit[partition_col].to_pylist()
             if partition_col and partition_col in hit.column_names
@@ -105,7 +179,7 @@ def duplicate_violations(
         return pa.table(
             {
                 "rule_id": pa.array(["doc_id_unique"] * n, pa.string()),
-                "doc_id": pa.array(hit_ids, pa.string()),
+                "doc_id": hit[id_col],
                 "partition": pa.array(parts, pa.string()),
                 "reason": pa.array(
                     [f"doc_id appears {int(c)} times" for c in cnt], pa.string()
