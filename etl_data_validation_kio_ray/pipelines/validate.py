@@ -39,7 +39,11 @@ from ..core.verdicts import CheckResult, gate_status, partition_verdict
 from ..sketches import CountingHist, FixedHistogram, HyperLogLog, TDigest
 from ..stages.drift import load_baseline_snapshot, score_drift, build_baseline_snapshot
 from ..stages.rule_engine import CachedEngineFn, RuleEngine
-from ..stages.uniqueness import duplicate_id_counts, duplicate_violations
+from ..stages.uniqueness import (
+    candidate_hashes_from_blobs,
+    confirm_duplicates,
+    duplicate_violations,
+)
 from ..state.checkpoint import RunState
 
 VIOLATION_COLS = ["rule_id", "doc_id", "partition", "reason"]
@@ -332,6 +336,11 @@ class ValidationPipeline:
 
         allowed_ref = self._allowed_ref()
 
+        # partial states of shards processed THIS run, kept in memory so
+        # the post-loop reduce only re-reads shards from PRIOR (resumed)
+        # runs
+        fresh_shard_stats: dict[str, dict[str, dict[str, dict]]] = {}
+
         t_narrow = time.time()
         for i in range(0, len(pending), self.shard_size):
             shard = pending[i : i + self.shard_size]
@@ -371,6 +380,7 @@ class ValidationPipeline:
                 # commit this shard: per-partition manifests with the
                 # narrow-rule checks (run-scope checks appended later)
                 merged = _reduce_partials(shard_dir)
+                fresh_shard_stats[shard_name] = merged
                 for p in shard:
                     checks = self._narrow_checks(p, merged.get(p, {}))
                     state.finish(
@@ -397,7 +407,10 @@ class ValidationPipeline:
         shard_stats: dict[str, dict[str, dict]] = {}
         for d in sorted(glob.glob(os.path.join(out_dir, "raw", "shard-*"))):
             shard_name = os.path.basename(d)
-            for part, rules_states in _reduce_partials(d).items():
+            reduced = fresh_shard_stats.get(shard_name)
+            if reduced is None:
+                reduced = _reduce_partials(d)
+            for part, rules_states in reduced.items():
                 if owners.get(part, shard_name) != shard_name:
                     continue
                 shard_stats[part] = rules_states
@@ -429,26 +442,45 @@ class ValidationPipeline:
         phases["reduce_partials"] = round(time.time() - t_phase, 3)
         t_phase = time.time()
 
-        # ---- wide rule: global doc_id uniqueness over ALL partitions
+        # ---- wide rule: global doc_id uniqueness over ALL partitions.
+        # Input is the tiny kind=hash rows the engine emitted (8 bytes
+        # per id), owners-filtered per shard — the heavy input files are
+        # NOT re-read unless candidate duplicates need string-level
+        # confirmation (stages/uniqueness.py).
         dup_violation_counts: dict[str, int] = {}
         if "doc_id_unique" in self.rules and self.rules["doc_id_unique"].enabled:
-            import pyarrow.parquet as pq
-
-            key_files = sorted(
-                f
-                for f in files.values()
-                if self.id_col in pq.read_schema(f).names
+            hash_ds = _hash_rows_dataset(out_dir, owners)
+            cand = (
+                candidate_hashes_from_blobs(hash_ds)
+                if hash_ds is not None
+                else pa.table({"h": pa.array([], pa.int64())})
             )
-            key_cols = [self.id_col, self.partition_col]
-            keys = rd.read_parquet(key_files, columns=key_cols)
-            dup_table = duplicate_id_counts(keys, self.id_col)
+            dup_table = pa.table(
+                {
+                    self.id_col: pa.array([], pa.string()),
+                    "dup_count": pa.array([], pa.int64()),
+                }
+            )
+            key_files = []
+            if cand.num_rows:
+                import pyarrow.parquet as pq
+
+                key_files = sorted(
+                    f
+                    for f in files.values()
+                    if self.id_col in pq.read_schema(f).names
+                )
+                keys = rd.read_parquet(key_files, columns=[self.id_col])
+                dup_table = confirm_duplicates(keys, cand, self.id_col)
             uniq_dir = os.path.join(out_dir, "unique_violations")
             if os.path.isdir(uniq_dir):
                 import shutil
 
                 shutil.rmtree(uniq_dir)  # run-scope check is recomputed whole
             if dup_table.num_rows:
-                keys = rd.read_parquet(key_files, columns=key_cols)
+                keys = rd.read_parquet(
+                    key_files, columns=[self.id_col, self.partition_col]
+                )
                 vio = duplicate_violations(
                     keys, dup_table, self.id_col, self.partition_col
                 )
@@ -603,6 +635,37 @@ def discover_partition_files(input_path: str) -> dict[str, str]:
     return out
 
 
+def _hash_rows_dataset(out_dir: str, owners: dict[str, str]):
+    """Lazy Dataset over the engine's kind=hash rows (partition,
+    payload), one owners-filtered sub-dataset per shard dir, unioned.
+    Returns None when no hash rows exist (id column absent)."""
+    import ray.data as rd
+
+    parts_ds = []
+    for d in sorted(
+        glob.glob(os.path.join(out_dir, "raw", "**", "kind=hash"), recursive=True)
+    ):
+        pq_files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+        if not pq_files:
+            continue
+        shard = _shard_of(out_dir, d)
+        mine = [p for p, s in owners.items() if s == shard] if owners else None
+        ds = rd.read_parquet(pq_files, columns=["partition", "payload"])
+        if mine is not None:
+            keep = pa.array(mine, pa.string())
+            ds = ds.map_batches(
+                lambda t, keep=keep: t.filter(pc.is_in(t["partition"], value_set=keep)),
+                batch_format="pyarrow",
+            )
+        parts_ds.append(ds)
+    if not parts_ds:
+        return None
+    out = parts_ds[0]
+    for other in parts_ds[1:]:
+        out = out.union(other)
+    return out
+
+
 def _shard_of(out_dir: str, nested_path: str) -> str:
     """raw shard dir name containing ``nested_path``."""
     rel = os.path.relpath(nested_path, os.path.join(out_dir, "raw"))
@@ -611,12 +674,17 @@ def _shard_of(out_dir: str, nested_path: str) -> str:
 
 def _schema_groups(paths: list[str], want: list[str]):
     """Group parquet files by (footer column ∩ wanted) signature so each
-    group can be read with a consistent column list."""
+    group can be read with a consistent column list. Footer reads are
+    I/O-bound metadata fetches — done on a thread pool so a shard of
+    hundreds of files doesn't serialize on the driver."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import pyarrow.parquet as pq
 
+    with ThreadPoolExecutor(max_workers=min(16, max(1, len(paths)))) as ex:
+        name_sets = list(ex.map(lambda p: set(pq.read_schema(p).names), paths))
     groups: dict[tuple, list[str]] = {}
-    for p in paths:
-        names = set(pq.read_schema(p).names)
+    for p, names in zip(paths, name_sets):
         cols = tuple(c for c in want if c in names)
         groups.setdefault(cols, []).append(p)
     return [(list(cols), files) for cols, files in sorted(groups.items())]

@@ -54,6 +54,14 @@ UNION_SCHEMA = pa.schema(
 NTOK_BINS = 64
 TOKEN_BINS = 256
 
+
+def bin_width(vocab_size: int) -> int:
+    """Integer token-hist bin width: ceil(vocab/TOKEN_BINS). The
+    histogram domain is [0, bin_width*TOKEN_BINS), slightly wider than
+    the vocab — bin edges stay integral so binning is one int32
+    divide."""
+    return -(-vocab_size // TOKEN_BINS)
+
 # per-worker-process engine cache for the task-based (fused) path: the
 # compiled engine is built once per worker and reused by every task the
 # worker executes — the task-pool equivalent of actor-pool __init__
@@ -230,6 +238,20 @@ class RuleEngine:
                 pc.fill_null(n_tok, -1).to_numpy(zero_copy_only=False).astype(np.int64)
             )
 
+        # doc_id hashes: computed once, shared by the HLL stat and the
+        # uniqueness rule's hash emission
+        ids_hash = None
+        if ids_arr is not None and (
+            "doc_id_unique" in self.rules or "column_stats" in self.rules
+        ):
+            from ..sketches.hll import hash64
+
+            valid_ids = ids_arr.drop_null()
+            if len(valid_ids):
+                ids_hash = hash64(valid_ids.to_numpy(zero_copy_only=False))
+            else:
+                ids_hash = np.empty(0, dtype=np.uint64)
+
         if "schema_types" in self.rules:
             self._rule_schema(sub, partition, out, take_ids, nrows)
         if "completeness_nulls" in self.rules:
@@ -241,7 +263,20 @@ class RuleEngine:
         if "source_ref" in self.rules and self.allowed_sources is not None and self.source_col in cols:
             self._rule_source_ref(sub, partition, out, take_ids)
         if "column_stats" in self.rules or "drift_ks_psi" in self.rules:
-            self._rule_stats(sub, partition, out, nrows, lens_np, n_tok_np, flat_np)
+            self._rule_stats(
+                sub, partition, out, nrows, lens_np, n_tok_np, flat_np, ids_hash
+            )
+        if "doc_id_unique" in self.rules and ids_hash is not None:
+            # one 'hash' row per (batch, partition): the raw 64-bit id
+            # hashes as a binary blob. The uniqueness shuffle later
+            # reads ONLY these small rows back — the id strings are
+            # never re-decoded from the input (stages/uniqueness.py)
+            out["kind"].append("hash")
+            out["rule_id"].append("doc_id_unique")
+            out["partition"].append(partition)
+            out["doc_id"].append(None)
+            out["reason"].append(None)
+            out["payload"].append(ids_hash.tobytes())
 
     # ------------------------------------------------------------- kernels
 
@@ -354,7 +389,13 @@ class RuleEngine:
             rows_failed += len(rng)
 
         if flat_np is not None and len(flat_np):
-            bad_tok = (flat_np < 0) | (flat_np >= self.vocab_size)
+            if flat_np.dtype == np.int32:
+                # one unsigned compare catches both negatives (wrap to
+                # huge uint32) and >= vocab — single pass over the flat
+                # token array instead of two compares + an OR
+                bad_tok = flat_np.view(np.uint32) >= np.uint32(self.vocab_size)
+            else:
+                bad_tok = (flat_np < 0) | (flat_np >= self.vocab_size)
             if bad_tok.any():
                 # row index of each flat token — built ONLY when
                 # violations exist (rare path)
@@ -400,7 +441,9 @@ class RuleEngine:
             {"rows_total": sub.num_rows, "rows_failed": int(len(bad))},
         )
 
-    def _rule_stats(self, sub, partition, out, nrows, lens_np, n_tok_np, flat_np):
+    def _rule_stats(
+        self, sub, partition, out, nrows, lens_np, n_tok_np, flat_np, ids_hash=None
+    ):
         """Mergeable per-batch stat partials — replaces the reference's
         exact count_sql scalars + mart aggregates (specs.py:421-426,
         mart_views.sql:62-95) with the sketch partials the north star
@@ -416,37 +459,43 @@ class RuleEngine:
             state["n_tok_hist"] = ch.to_state()
             state["n_tok_tdigest"] = td.to_state()
             state["n_tok_fixed"] = nh.to_state()
-        if self.id_col in sub.column_names:
+        if ids_hash is None and self.id_col in sub.column_names:
             arr = sub[self.id_col].combine_chunks()
             vals = arr.drop_null().to_numpy(zero_copy_only=False)
-            hll = HyperLogLog().update_hashed(hash64(vals))
-            state["doc_id_hll"] = hll.to_state()
+            ids_hash = hash64(vals)
+        if ids_hash is not None:
+            state["doc_id_hll"] = HyperLogLog().update_hashed(ids_hash).to_state()
         if flat_np is not None and self.source_col in sub.column_names and lens_np is not None:
             # per-source token histograms in ONE vectorized pass:
             # dictionary-encode source -> small int codes, repeat per
             # token, then a single 2-D bincount over
             # (code * TOKEN_BINS + token_bin) — no per-source scans of
-            # the flat token array
+            # the flat token array. All-int32 in-place arithmetic with
+            # an INTEGER bin width (ceil(vocab/bins)) keeps memory
+            # traffic at ~2 int32 passes over the flat array instead of
+            # a float64 round-trip — this stage runs on every token of
+            # the corpus, so bytes-per-token is the scaling cost.
             src = sub[self.source_col].combine_chunks()
             dict_arr = pc.dictionary_encode(src)
             names = dict_arr.dictionary.to_pylist()
-            codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-            codes = np.where(codes < 0, len(names), codes)  # null source bucket
+            codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int32)
+            codes = np.where(codes < 0, np.int32(len(names)), codes)
             flat_codes = np.repeat(codes, np.where(lens_np < 0, 0, lens_np))
-            width = self.vocab_size / TOKEN_BINS
-            bins = np.clip(
-                (flat_np / width).astype(np.int64), 0, TOKEN_BINS - 1
-            )
+            bin_w = np.int32(bin_width(self.vocab_size))
+            bins = flat_np // bin_w  # int32; invalid tokens land outside
+            np.clip(bins, 0, TOKEN_BINS - 1, out=bins)
+            bins = bins.astype(np.int32, copy=False)
+            flat_codes *= np.int32(TOKEN_BINS)
+            flat_codes += bins
             counts = np.bincount(
-                flat_codes * TOKEN_BINS + bins,
-                minlength=(len(names) + 1) * TOKEN_BINS,
+                flat_codes, minlength=(len(names) + 1) * TOKEN_BINS
             ).reshape(len(names) + 1, TOKEN_BINS)
             token_hists: dict[str, dict] = {}
             for ci, name in enumerate([*names, None]):
                 if counts[ci].sum() == 0 and name is None:
                     continue
                 h = FixedHistogram(
-                    0, self.vocab_size, TOKEN_BINS, counts[ci].astype(np.int64)
+                    0, int(bin_w) * TOKEN_BINS, TOKEN_BINS, counts[ci].astype(np.int64)
                 )
                 token_hists["" if name is None else str(name)] = h.to_state()
             state["token_hists"] = token_hists

@@ -54,6 +54,101 @@ def _id_hashes(t: pa.Table, id_col: str) -> np.ndarray:
     return hash64(ids.to_numpy(zero_copy_only=False)).view(np.int64)
 
 
+def candidate_hashes_from_blobs(hash_ds, *, num_buckets: int = 256) -> pa.Table:
+    """Dataset[(partition, payload: binary uint64-hash blob)] -> small
+    pyarrow.Table ("h": int64) of hashes occurring more than once
+    globally. All rows of a hash land in one ``h % num_buckets`` bucket,
+    so one ``np.unique`` per bucket sees every occurrence.
+
+    Map-side partitioning: each input blob is split into per-bucket
+    sub-blobs BEFORE the exchange, so the ``groupby('b')`` shuffle sorts
+    only (#blobs x num_buckets) binary rows — never one row per id.
+    This is the classic shuffle-write layout expressed in Ray Data ops.
+    """
+    nb = np.int64(num_buckets)
+
+    def partition_blobs(t: pa.Table) -> pa.Table:
+        out_b: list[int] = []
+        out_p: list[bytes] = []
+        for blob in t["payload"].to_pylist():
+            if not blob:
+                continue
+            h = np.frombuffer(blob, dtype=np.uint64).view(np.int64)
+            b = (h % nb).astype(np.int32)
+            order = np.argsort(b, kind="stable")
+            hs, bs = h[order], b[order]
+            cuts = np.flatnonzero(np.diff(bs)) + 1
+            starts = np.concatenate(([0], cuts))
+            ends = np.concatenate((cuts, [len(bs)]))
+            for s, e in zip(starts, ends):
+                out_b.append(int(bs[s]))
+                out_p.append(hs[s:e].tobytes())
+        return pa.table(
+            {
+                "b": pa.array(out_b, pa.int32()),
+                "payload": pa.array(out_p, pa.binary()),
+            }
+        )
+
+    def bucket_dups(g: pa.Table) -> pa.Table:
+        blobs = [b for b in g["payload"].to_pylist() if b]
+        if not blobs:
+            return pa.table({"h": pa.array([], pa.int64())})
+        h = np.concatenate([np.frombuffer(b, dtype=np.int64) for b in blobs])
+        u, c = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(u[c > 1], pa.int64())})
+
+    return _collect(
+        hash_ds.map_batches(partition_blobs, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(bucket_dups, batch_format="pyarrow"),
+        pa.schema([("h", pa.int64())]),
+    )
+
+
+def confirm_duplicates(keys_ds, cand: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Exact (id_col, dup_count) table for candidate hashes: re-scan the
+    id column, keep rows whose hash is a candidate (collisions included),
+    count the actual id strings. Empty candidates -> empty table."""
+    import ray
+
+    empty = pa.table(
+        {id_col: pa.array([], pa.string()), "dup_count": pa.array([], pa.int64())}
+    )
+    if cand.num_rows == 0:
+        return empty
+    if cand.num_rows > MAX_DUP_KEYS_COLLECTED:
+        raise RuntimeError(
+            f"{cand.num_rows} candidate duplicate keys exceeds driver collect "
+            f"cap {MAX_DUP_KEYS_COLLECTED}; input looks pathologically duplicated"
+        )
+    cand_ref = ray.put(cand["h"].combine_chunks())
+
+    def probe(t: pa.Table) -> pa.Table:
+        h = _id_hashes(t, id_col)
+        ids = t[id_col].combine_chunks().drop_null()
+        mask = pc.is_in(pa.array(h, pa.int64()), value_set=ray.get(cand_ref))
+        return pa.table({id_col: ids.filter(mask)})
+
+    hits = _collect(
+        keys_ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True),
+        pa.schema([(id_col, pa.string())]),
+    )
+    if hits.num_rows == 0:
+        return empty
+    counts = pc.value_counts(hits[id_col].combine_chunks())
+    vals, cnts = counts.field("values"), counts.field("counts")
+    dup_mask = pc.greater(cnts, 1)
+    out = pa.table(
+        {
+            id_col: vals.filter(dup_mask),
+            "dup_count": pc.cast(cnts.filter(dup_mask), pa.int64()),
+        }
+    )
+    order = pc.sort_indices(out, sort_keys=[(id_col, "ascending")])
+    return out.take(order)
+
+
 def duplicate_id_counts(
     keys_ds, id_col: str = "doc_id", *, num_buckets: int | None = None
 ) -> pa.Table:
@@ -69,8 +164,6 @@ def duplicate_id_counts(
     num_buckets, so size it to rows/~30M per bucket at large scale
     (default: 4× input blocks, floor 64).
     """
-    import ray
-
     if num_buckets is None:
         try:
             num_buckets = max(64, keys_ds.num_blocks() * 4)
@@ -100,44 +193,7 @@ def duplicate_id_counts(
         .map_groups(bucket_dups, batch_format="pyarrow"),
         pa.schema([("h", pa.int64())]),
     )
-    empty = pa.table(
-        {id_col: pa.array([], pa.string()), "dup_count": pa.array([], pa.int64())}
-    )
-    if cand.num_rows == 0:
-        return empty
-    if cand.num_rows > MAX_DUP_KEYS_COLLECTED:
-        raise RuntimeError(
-            f"{cand.num_rows} candidate duplicate keys exceeds driver collect "
-            f"cap {MAX_DUP_KEYS_COLLECTED}; input looks pathologically duplicated"
-        )
-
-    # exact confirm: gather the actual id strings behind candidate
-    # hashes (collisions included), then count them exactly
-    cand_ref = ray.put(cand["h"].combine_chunks())
-
-    def probe(t: pa.Table) -> pa.Table:
-        h = _id_hashes(t, id_col)
-        ids = t[id_col].combine_chunks().drop_null()
-        mask = pc.is_in(pa.array(h, pa.int64()), value_set=ray.get(cand_ref))
-        return pa.table({id_col: ids.filter(mask)})
-
-    hits = _collect(
-        keys_ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True),
-        pa.schema([(id_col, pa.string())]),
-    )
-    if hits.num_rows == 0:
-        return empty
-    counts = pc.value_counts(hits[id_col].combine_chunks())
-    vals, cnts = counts.field("values"), counts.field("counts")
-    dup_mask = pc.greater(cnts, 1)
-    out = pa.table(
-        {
-            id_col: vals.filter(dup_mask),
-            "dup_count": pc.cast(cnts.filter(dup_mask), pa.int64()),
-        }
-    )
-    order = pc.sort_indices(out, sort_keys=[(id_col, "ascending")])
-    return out.take(order)
+    return confirm_duplicates(keys_ds, cand, id_col)
 
 
 def duplicate_violations(
