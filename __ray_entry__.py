@@ -497,6 +497,217 @@ def q_simhash_signatures(sf_dir: str):
     return out
 
 
+def q_orders_by_nation(sf_dir: str):
+    """Broadcast hash (inner) join: orders ⋈ customer ⋈ nation, grouped
+    per nation — the mart fact⋈dim shape."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        broadcast_lookup_join,
+        grouped_agg,
+    )
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    # pre-join the two SMALL dims driver-side, broadcast once
+    idx = pc.index_in(cust["c_nationkey"].combine_chunks(), value_set=nation["n_nationkey"].combine_chunks())
+    dim = pa.table(
+        {
+            "c_custkey": cust["c_custkey"],
+            "n_name": nation["n_name"].combine_chunks().take(idx),
+        }
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        p = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "price_cents": pa.array(np.round(p * 100).astype(np.int64)),
+            }
+        )
+
+    joined = broadcast_lookup_join(
+        orders.map_batches(cents, batch_format="pyarrow"),
+        dim,
+        "o_custkey",
+        "c_custkey",
+        ["n_name"],
+    )
+    out = grouped_agg(
+        joined,
+        ["n_name"],
+        {"n_orders": ("price_cents", "count"), "total_cents": ("price_cents", "sum")},
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["total_cents"] = out["total_cents"].astype("int64")
+    return out
+
+
+def q_key_reconciliation(sf_dir: str):
+    """Two-sided referential reconciliation (source completeness +
+    exclusivity): customers with no order ∪ order custkeys with no
+    customer, via broadcast anti-joins + Dataset.union."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import broadcast_anti_join
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"])
+    order_keys = orders.unique("o_custkey")
+    cust_keys = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    ).unique("c_custkey")
+
+    missing = broadcast_anti_join(cust, order_keys, "c_custkey").map_batches(
+        lambda t: pa.table(
+            {
+                "key": pc.cast(t["c_custkey"], pa.int64()),
+                "side": pa.array(["customer_without_order"] * t.num_rows, pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    orphan_src = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+    ).map_batches(
+        lambda t: pa.table({"o_custkey": pc.unique(t["o_custkey"].combine_chunks())}),
+        batch_format="pyarrow",
+    )
+    orphans = broadcast_anti_join(orphan_src, cust_keys, "o_custkey").map_batches(
+        lambda t: pa.table(
+            {
+                "key": pc.cast(t["o_custkey"], pa.int64()),
+                "side": pa.array(["order_without_customer"] * t.num_rows, pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = missing.union(orphans).to_pandas().drop_duplicates()
+    if "key" not in out.columns:
+        out = pd.DataFrame({"key": pd.Series(dtype="int64"), "side": pd.Series(dtype=object)})
+    return out.sort_values(["side", "key"]).reset_index(drop=True)
+
+
+def q_latest_event_per_type(sf_dir: str):
+    """Per-key argmax (latest event per type; ties by event_id) — the
+    reference's latest-payload-per-entity ORDER BY ... LIMIT 1 shape."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import latest_per_key
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "event_type", "value"],
+    )
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["value_cents"] = np.round(df.pop("value").to_numpy() * 100).astype(np.int64)
+        return df
+
+    out = latest_per_key(
+        ev.map_batches(cents, batch_format="pandas"), "event_type", ["ts", "event_id"]
+    ).to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)[
+        ["event_type", "event_id", "ts", "value_cents"]
+    ]
+
+
+def q_shingle_stats(sf_dir: str):
+    """Distinct word-3-gram count per document (the shingling primitive
+    behind MinHash dedup) — exact, with a DuckDB list-function twin."""
+    from etl_data_validation_kio_ray.functions.text import shingle_stats
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: shingle_stats(t).select(["doc_id", "n_shingles"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_multimodal_features(sf_dir: str):
+    """Multimodal plumbing: deterministic fake image payloads derived
+    from doc ids -> actor-pool decode/feature stage (stubbed codec;
+    rows-only — binary decode is not SQL-expressible)."""
+    from etl_data_validation_kio_ray.multimodal.decode import (
+        ImageFeatureStage,
+        synthesize_image_batch,
+    )
+
+    ds = _docs(sf_dir, ["doc_id", "source"])
+    imgs = ds.map_batches(synthesize_image_batch, batch_format="pyarrow")
+    feats = imgs.map_batches(
+        ImageFeatureStage,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+        batch_size=256,  # binary rows: small batches (ray_guide memory-aware)
+    )
+    out = feats.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "width": t["width"],
+                "height": t["height"],
+                "decoder": t["decoder"],
+                "feat_mean": pa.array(
+                    np.stack(t["features"].to_pylist()).mean(axis=1).astype(np.float64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_embedding_dups(sf_dir: str):
+    """Embedding-cosine near-dup pairs via hyperplane-LSH buckets +
+    in-bucket verification (rows-only; approximate by construction)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.dedup.embedding import embedding_dup_pairs
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    pairs = embedding_dup_pairs(ds, cosine_threshold=0.9, concurrency=2)
+    if "id_a" not in pairs.columns:  # empty result loses schema
+        pairs = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+    return pairs.astype({"id_a": "int64", "id_b": "int64", "cosine": "float64"})
+
+
+def q_ivf_topk(sf_dir: str):
+    """IVF-bucketed approximate ANN (scale path of ann_topk; rows-only —
+    approximate by construction, recall checked in tests)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.similarity import ivf_topk
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    qdf = qt.to_pandas().sort_values("vec_id").head(3)
+    Q = np.stack([np.asarray(v, np.float32) for v in qdf["embedding"]])
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    top = ivf_topk(ds, Q, k=10, n_cells=8, n_probe=3, concurrency=2)
+    top = top[["query_id", "vec_id", "rank"]].astype("int64")
+    return top.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tokenize": q_tokenize,
@@ -522,6 +733,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drift_scores": q_drift_scores,
         "minhash_pairs": q_minhash_pairs,
         "simhash_signatures": q_simhash_signatures,
+        "orders_by_nation": q_orders_by_nation,
+        "key_reconciliation": q_key_reconciliation,
+        "latest_event_per_type": q_latest_event_per_type,
+        "shingle_stats": q_shingle_stats,
+        "multimodal_features": q_multimodal_features,
+        "embedding_dups": q_embedding_dups,
+        "ivf_topk": q_ivf_topk,
     }
 
 
@@ -656,5 +874,41 @@ r AS (SELECT query_id, vec_id,
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS vec_id,
        CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= 10 ORDER BY query_id, rank
+""",
+        "orders_by_nation": """
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n_name ORDER BY n_name
+""",
+        "key_reconciliation": """
+SELECT CAST(c_custkey AS BIGINT) AS key, 'customer_without_order' AS side
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT DISTINCT CAST(o_custkey AS BIGINT), 'order_without_customer'
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+ORDER BY side, key
+""",
+        "latest_event_per_type": """
+SELECT event_type, CAST(event_id AS BIGINT) AS event_id, ts, value_cents FROM (
+  SELECT event_type, event_id, ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+) WHERE rn = 1 ORDER BY event_type
+""",
+        "shingle_stats": """
+SELECT doc_id,
+  CAST(CASE WHEN len(ws) < 3 THEN 0 ELSE length(list_distinct(
+    list_transform(range(1, len(ws) - 1),
+                   i -> ws[i] || chr(31) || ws[i+1] || chr(31) || ws[i+2])
+  )) END AS BIGINT) AS n_shingles
+FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents)
 """,
     }

@@ -76,8 +76,17 @@ def embedding_dup_pairs(
         bucketed.groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
         .to_pandas()
-        .drop_duplicates(["id_a", "id_b"])
+    )
+    if "id_a" not in pairs.columns:  # empty result loses schema
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype=object),
+                "id_b": pd.Series(dtype=object),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+    return (
+        pairs.drop_duplicates(["id_a", "id_b"])
         .sort_values(["id_a", "id_b"])
         .reset_index(drop=True)
     )
-    return pairs

@@ -141,3 +141,24 @@ def fingerprint_tokens(batch: pa.Table, token_col: str = "tokens") -> pa.Table:
     offsets = np.asarray(tokens.offsets, dtype=np.int64)
     fp = polynomial_fingerprint(flat, offsets)
     return batch.append_column("fingerprint", pa.array(fp, pa.int64()))
+
+
+def shingle_stats(batch: pa.Table, text_col: str = "text", k: int = 3) -> pa.Table:
+    """Append ``n_shingles``: the number of DISTINCT word-k-grams per
+    document (lowercased, space-split) — the shingling primitive behind
+    MinHash/Jaccard dedup, exposed as an exact per-doc statistic with a
+    DuckDB list-function oracle. Exact tuple comparison (no hashing),
+    so the count matches the SQL twin bit-for-bit; the scale path for
+    pairwise work hashes shingles instead (functions/hashing.py)."""
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    counts = []
+    for t in text.to_pylist():  # documents table: per-doc work is small
+        ws = ("" if t is None else t).lower().split(" ")
+        counts.append(
+            len({tuple(ws[i : i + k]) for i in range(len(ws) - k + 1)})
+            if len(ws) >= k
+            else 0
+        )
+    return batch.append_column("n_shingles", pa.array(counts, pa.int64()))

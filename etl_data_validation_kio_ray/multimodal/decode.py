@@ -111,3 +111,41 @@ class AudioFeatureStage:
         return batch.append_column(
             "features", pa.array(list(feats))
         ).append_column("decoder", pa.array(["stub"] * len(payloads), pa.string()))
+
+
+def synthesize_image_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Deterministic fake image table conforming to
+    ``multimodal_schema('image')``: payload bytes and dimensions derive
+    from a blake2b of the id, so any worker produces identical rows.
+    Stands in for a real binary column while exercising the REAL
+    plumbing (schema, small batches, actor-pool decode)."""
+    import hashlib
+
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    payloads, widths, heights = [], [], []
+    for i in ids.to_pylist():
+        seed = hashlib.blake2b(str(i).encode(), digest_size=8).digest()
+        w = 16 + seed[0] % 48
+        h = 16 + seed[1] % 48
+        reps = -(-(w * h) // 8)
+        payloads.append((seed * reps)[: w * h])
+        widths.append(w)
+        heights.append(h)
+    src = (
+        batch["source"]
+        if "source" in batch.column_names
+        else pa.array(["synthetic"] * len(payloads), pa.string())
+    )
+    return pa.table(
+        {
+            "doc_id": ids,
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+            "format": pa.array(["fake-gray8"] * len(payloads), pa.string()),
+            "source": src,
+        },
+        schema=multimodal_schema("image"),
+    )

@@ -55,6 +55,60 @@ def broadcast_semi_join(left_ds, right_keys, left_key: str):
     return left_ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def broadcast_lookup_join(
+    ds, dim: pa.Table, left_key: str, right_key: str, value_cols: list[str]
+):
+    """Broadcast hash (inner) join: enrich each row of the big side with
+    ``value_cols`` from the small ``dim`` table — the reference's
+    fact ⋈ dim mart joins (/root/reference/sql/initdb/mart_views.sql:82-85)
+    as a map-side probe. ``dim`` ships via ``ray.put`` once; rows with
+    no match are dropped (inner semantics). The big side never shuffles."""
+    import ray
+
+    dim_ref = ray.put(dim.combine_chunks())
+
+    def probe(batch: pa.Table) -> pa.Table:
+        d = ray.get(dim_ref)
+        col = batch[left_key]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        idx = pc.index_in(col, value_set=d[right_key])
+        hit = pc.is_valid(idx)
+        batch = batch.filter(hit)
+        idx = idx.filter(hit)
+        for c in value_cols:
+            batch = batch.append_column(c, d[c].take(idx))
+        return batch
+
+    return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def latest_per_key(ds, key: str, order_cols: list[str]):
+    """One row per key: the row with the greatest ``order_cols`` tuple
+    (the reference's latest-payload-per-entity ORDER BY id DESC LIMIT 1,
+    /root/reference/src/app2/experiments/stg_payloads.py:29-44).
+
+    Two-level: each batch keeps its per-key argmax (pandas), then a
+    small groupby finalizes — the shuffle carries #keys x #batches
+    rows, never the raw data."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(order_cols, kind="mergesort")
+            .groupby([key], sort=False)
+            .tail(1)
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return partial(df)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(key)
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def grouped_agg(
     ds,
     keys: list[str],

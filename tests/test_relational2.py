@@ -1,0 +1,155 @@
+"""Tests for the round-1 coverage additions: broadcast lookup join,
+per-key latest, shingle stats, crash-resume shard ownership, and the
+synthetic multimodal source. Oracles are duckdb/pandas on the same
+in-memory data (SURVEY.md §5 strategy)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture()
+def events_df():
+    rng = np.random.Generator(np.random.Philox(key=[7, 1]))
+    n = 2000
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.Timestamp("2026-01-01")
+            + pd.to_timedelta(rng.integers(0, 3600 * 72, n), unit="s"),
+            "event_type": rng.choice(["click", "view", "buy"], n),
+            "value_cents": rng.integers(0, 10_000, n).astype(np.int64),
+        }
+    )
+
+
+def test_latest_per_key_matches_pandas(ray_session, events_df):
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import latest_per_key
+
+    ds = rd.from_pandas(events_df).repartition(8)
+    got = (
+        latest_per_key(ds, "event_type", ["ts", "event_id"])
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    want = (
+        events_df.sort_values(["ts", "event_id"])
+        .groupby("event_type", sort=True)
+        .tail(1)
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["event_type", "event_id"]], want[["event_type", "event_id"]]
+    )
+
+
+def test_broadcast_lookup_join_matches_merge(ray_session):
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import broadcast_lookup_join
+
+    big = pd.DataFrame({"k": np.arange(1000, dtype=np.int64) % 37, "v": np.arange(1000)})
+    dim = pa.table(
+        {
+            "k": pa.array(np.arange(0, 37, 2, dtype=np.int64)),  # odd keys unmatched
+            "name": pa.array([f"n{k}" for k in range(0, 37, 2)]),
+        }
+    )
+    ds = rd.from_pandas(big).repartition(4)
+    got = (
+        broadcast_lookup_join(ds, dim, "k", "k", ["name"])
+        .to_pandas()
+        .sort_values(["v"])
+        .reset_index(drop=True)
+    )
+    want = (
+        big.merge(dim.to_pandas(), on="k", how="inner")
+        .sort_values(["v"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want[got.columns.tolist()])
+
+
+def test_shingle_stats_matches_duckdb():
+    import duckdb
+
+    from etl_data_validation_kio_ray.functions.text import shingle_stats
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(6)]),
+            "text": pa.array(
+                [
+                    "a b c d e",
+                    "a a a a a a",
+                    "x y",
+                    "",
+                    "one two three one two three one",
+                    "Q w E r T y",
+                ]
+            ),
+        }
+    )
+    got = shingle_stats(docs)["n_shingles"].to_pylist()
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.execute(
+        """
+        SELECT CAST(CASE WHEN len(ws) < 3 THEN 0 ELSE length(list_distinct(
+          list_transform(range(1, len(ws) - 1),
+                         i -> ws[i] || chr(31) || ws[i+1] || chr(31) || ws[i+2])
+        )) END AS BIGINT)
+        FROM (SELECT string_split(lower(text), ' ') AS ws FROM documents)
+        """
+    ).fetchall()
+    assert got == [r[0] for r in want]
+
+
+def test_synthesize_image_batch_deterministic_and_typed():
+    from etl_data_validation_kio_ray.multimodal.decode import (
+        multimodal_schema,
+        synthesize_image_batch,
+    )
+
+    b = pa.table(
+        {"doc_id": pa.array(["a", "b", "c"]), "source": pa.array(["s1", "s2", "s1"])}
+    )
+    t1, t2 = synthesize_image_batch(b), synthesize_image_batch(b)
+    assert t1.schema.equals(multimodal_schema("image"))
+    assert t1.equals(t2)
+    for row in range(t1.num_rows):
+        w, h = t1["width"][row].as_py(), t1["height"][row].as_py()
+        assert len(t1["payload"][row].as_py()) == w * h
+
+
+def test_resume_after_manifest_loss_is_exact(ray_session, tmp_path):
+    """A regrouped resumed shard must not destroy or double-count
+    sibling partitions' committed violation rows (shard ownership)."""
+    import os
+
+    from etl_data_validation_kio_ray.pipelines.validate import (
+        ValidationPipeline,
+        load_violations,
+    )
+    from etl_data_validation_kio_ray.sources.mutations import mutate_table
+    from etl_data_validation_kio_ray.sources.synth import generate_token_table
+
+    clean = generate_token_table(str(tmp_path / "clean"), partitions=6, rows_per_partition=200)
+    mut = mutate_table(clean, str(tmp_path / "mut"), "corrupt_id")
+    out = str(tmp_path / "out")
+    pipe = ValidationPipeline(
+        allowed_sources=["web", "books", "code", "wiki"], shard_size=3
+    )
+    r1 = pipe.run(mut, out)
+    before = load_violations(out).to_pandas()
+    os.remove(os.path.join(out, "_manifests", "part-0001.json"))
+    ValidationPipeline(
+        allowed_sources=["web", "books", "code", "wiki"], shard_size=3
+    ).run(mut, out, resume=True)
+    after = load_violations(out).to_pandas()
+    pd.testing.assert_frame_equal(before, after)
