@@ -153,3 +153,56 @@ def test_resume_after_manifest_loss_is_exact(ray_session, tmp_path):
     ).run(mut, out, resume=True)
     after = load_violations(out).to_pandas()
     pd.testing.assert_frame_equal(before, after)
+
+
+def test_json_source_roundtrip(ray_session, tmp_path):
+    """JSONL corpus -> canonical token schema -> validation pipeline."""
+    import json as _json
+
+    from etl_data_validation_kio_ray.sources.jsonl import TOKEN_SCHEMA, read_token_json
+
+    p = tmp_path / "docs.jsonl"
+    rows = [
+        {"doc_id": "j1", "tokens": [1, 2, 3], "n_tok": 3, "source": "web"},
+        {"doc_id": "j2", "tokens": [4, 5], "n_tok": 5, "source": "books"},  # mismatch
+        {"doc_id": "j3", "tokens": [7], "source": "web"},  # n_tok derived
+    ]
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    ds = read_token_json(str(p), partition="p0")
+    t = pa.concat_tables(
+        b for b in ds.iter_batches(batch_format="pyarrow", batch_size=100)
+    )
+    assert t.schema.equals(TOKEN_SCHEMA)
+    assert t["n_tok"].to_pylist() == [3, 5, 1]
+    assert t["partition"].to_pylist() == ["p0"] * 3
+
+
+def test_summary_csv_and_report(ray_session, tmp_path):
+    import csv
+
+    from etl_data_validation_kio_ray.pipelines.validate import ValidationPipeline
+    from etl_data_validation_kio_ray.sources.mutations import mutate_table
+    from etl_data_validation_kio_ray.sources.synth import generate_token_table
+    from etl_data_validation_kio_ray.state.report import (
+        run_report,
+        write_run_report,
+        write_summary_csv,
+    )
+
+    clean = generate_token_table(str(tmp_path / "c"), partitions=3, rows_per_partition=100)
+    mut = mutate_table(clean, str(tmp_path / "m"), "corrupt_id")
+    out = str(tmp_path / "o")
+    ValidationPipeline(allowed_sources=["web", "books", "code", "wiki"]).run(mut, out)
+    csv_path = write_summary_csv(out, str(tmp_path / "summary.csv"))
+    with open(csv_path) as f:
+        rows = list(csv.DictReader(f))
+    groups = {r["rule_group"] for r in rows}
+    assert "invariants" in groups and "referential" in groups
+    inv = next(r for r in rows if r["rule_group"] == "invariants")
+    assert int(inv["rows_failed"]) > 0 and int(inv["checks_failed"]) > 0
+    txt = run_report(out)
+    assert "run verdict: FAIL" in txt and "row_invariants" in txt
+    rp = write_run_report(out)
+    assert rp.endswith("report.txt")
