@@ -1,0 +1,124 @@
+"""Job entry point — the ``ray job submit`` launch path.
+
+On a cluster:
+
+    ray job submit --working-dir . -- \
+        python -m etl_data_validation_kio_ray.cli validate \
+        --input /data/tokens --out /data/validation/run1 \
+        --allowed-sources web,books,code,wiki \
+        --snapshot /data/validation/baseline --resume
+
+Subcommands:
+    validate   run the full validation pipeline (resumable)
+    snapshot   build the drift-baseline snapshot from (clean) input
+    report     write summary CSV + text report for a finished run
+
+This module OWNS the Ray session (the library never calls ray.init —
+driver contract); inside ``ray job submit`` the session attaches to the
+running cluster via address="auto" semantics, standalone it starts a
+local one.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _init_ray() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address=os.environ.get("RAY_ADDRESS", "auto"),
+            ignore_reinit_error=True,
+        )
+
+
+def _pipeline(args):
+    from .core.specs import default_rules, load_rules
+    from .pipelines.validate import ValidationPipeline
+
+    allowed = args.allowed_sources.split(",") if args.allowed_sources else None
+    rules = default_rules(allowed_sources=allowed)
+    if args.rules_config:
+        rules = load_rules(args.rules_config, base=rules)
+    return ValidationPipeline(
+        rules,
+        allowed_sources=allowed,
+        baseline_snapshot_dir=args.snapshot,
+        shard_size=args.shard_size,
+    )
+
+
+def cmd_validate(args) -> int:
+    _init_ray()
+    pipe = _pipeline(args)
+    res = pipe.run(args.input, args.out, resume=args.resume)
+    print(
+        json.dumps(
+            {
+                "run_verdict": res.run_verdict,
+                "partitions": len(res.partitions),
+                "duration_s": round(res.duration_s, 3),
+                "phases": res.metrics.get("phases", {}),
+                "out": args.out,
+            }
+        )
+    )
+    return 0 if res.run_verdict != "FAIL" or args.exit_zero else 1
+
+
+def cmd_snapshot(args) -> int:
+    _init_ray()
+    pipe = _pipeline(args)
+    path = pipe.build_snapshot(args.input, args.out)
+    print(json.dumps({"snapshot": path}))
+    return 0
+
+
+def cmd_report(args) -> int:
+    from .state.report import write_run_report, write_summary_csv
+
+    csv_path = write_summary_csv(args.run_dir, os.path.join(args.run_dir, "summary.csv"))
+    txt_path = write_run_report(args.run_dir)
+    print(json.dumps({"summary_csv": csv_path, "report": txt_path}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="etl_data_validation_kio_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--allowed-sources", default=None, help="comma-separated")
+    common.add_argument("--snapshot", default=None, help="drift baseline dir")
+    common.add_argument("--rules-config", default=None, help="YAML rule overrides")
+    common.add_argument("--shard-size", type=int, default=64)
+
+    v = sub.add_parser("validate", parents=[common])
+    v.add_argument("--input", required=True)
+    v.add_argument("--out", required=True)
+    v.add_argument("--resume", action="store_true")
+    v.add_argument(
+        "--exit-zero", action="store_true", help="exit 0 even on FAIL verdict"
+    )
+    v.set_defaults(fn=cmd_validate)
+
+    s = sub.add_parser("snapshot", parents=[common])
+    s.add_argument("--input", required=True)
+    s.add_argument("--out", required=True)
+    s.set_defaults(fn=cmd_snapshot)
+
+    r = sub.add_parser("report")
+    r.add_argument("--run-dir", required=True)
+    r.set_defaults(fn=cmd_report)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

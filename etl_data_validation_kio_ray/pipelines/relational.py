@@ -164,24 +164,53 @@ def grouped_agg(
 def duplicate_groups(ds, key: str):
     """GROUP BY key HAVING COUNT(*) > 1 -> (key, dup_count) DataFrame
     (the reference's duplicate detection,
-    /root/reference/src/app2/etl_validation/specs.py:110-143)."""
+    /root/reference/src/app2/etl_validation/specs.py:110-143).
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby([key], sort=False).size().rename("n").reset_index()
+    Delegates to the hash-shuffle duplicate scan (stages/uniqueness.py):
+    the exchange carries 8-byte hashes bucketed map-side, candidates
+    are confirmed exactly against the real key values — never a
+    sort-shuffle of the raw keys or a per-distinct-key aggregate."""
+    from ..stages.uniqueness import duplicate_id_counts
 
-    from ray.data.aggregate import Sum
-
-    counted = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(key)
-        .aggregate(Sum("n", alias_name="dup_count"))
-    )
-
-    def keep(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater(t["dup_count"], 1))
-
-    out = counted.map_batches(keep, batch_format="pyarrow").to_pandas()
+    table = duplicate_id_counts(ds, key)
+    out = table.to_pandas()
+    out["dup_count"] = out["dup_count"].astype("int64")
     return out.sort_values(key).reset_index(drop=True)
+
+
+def salted_map_groups(ds, key: str, partial_fn, final_fn, *, salt: int = 16):
+    """Two-phase grouped computation for SKEWED keys (SURVEY.md §4:
+    the low-cardinality skewed ``source`` column).
+
+    A plain ``groupby(key).map_groups`` sends ALL rows of a hot key to
+    one reducer. Here each row first gets a salt ``hash(row) % salt``;
+    ``partial_fn`` runs per (key, salt) group — at most ``salt`` x
+    #keys groups, each ≤ 1/salt of a hot key's rows — and ``final_fn``
+    merges the per-salt partials per key (a tiny second groupby).
+
+    ``partial_fn``/``final_fn``: pandas DataFrame -> DataFrame; the
+    partial output must be mergeable by ``final_fn`` (the
+    mergeable-summary contract, same as the sketch partials).
+    """
+    rng_col = "__salt"
+
+    def add_salt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df[rng_col] = (
+            pd.util.hash_pandas_object(df.index.to_series(), index=False).to_numpy()
+            % salt
+        ).astype(np.int32)
+        return df
+
+    def run_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return partial_fn(df.drop(columns=[rng_col]))
+
+    partials = (
+        ds.map_batches(add_salt, batch_format="pandas")
+        .groupby([key, rng_col])
+        .map_groups(run_partial, batch_format="pandas")
+    )
+    return partials.groupby(key).map_groups(final_fn, batch_format="pandas")
 
 
 def top_k(ds, keys: list[str], k: int, *, descending=True):

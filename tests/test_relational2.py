@@ -206,3 +206,83 @@ def test_summary_csv_and_report(ray_session, tmp_path):
     assert "run verdict: FAIL" in txt and "row_invariants" in txt
     rp = write_run_report(out)
     assert rp.endswith("report.txt")
+
+
+def test_duplicate_groups_hash_path(ray_session):
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import duplicate_groups
+
+    df = pd.DataFrame({"k": (["a"] * 3 + ["b"] * 2 + ["c"]) * 10 + ["z"]})
+    got = duplicate_groups(rd.from_pandas(df).repartition(4), "k")
+    want = (
+        df.groupby("k").size().rename("dup_count").reset_index().query("dup_count > 1")
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want.astype({"dup_count": "int64"}))
+
+
+def test_salted_map_groups_matches_plain(ray_session):
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import salted_map_groups
+
+    rng = np.random.Generator(np.random.Philox(key=[3, 3]))
+    df = pd.DataFrame(
+        {
+            # skewed: 90% of rows share one key
+            "src": np.where(rng.random(5000) < 0.9, "hot", rng.choice(["a", "b"], 5000)),
+            "x": rng.integers(0, 100, 5000).astype(np.int64),
+        }
+    )
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"src": [g["src"].iloc[0]], "n": [len(g)], "s": [int(g["x"].sum())]}
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"src": [g["src"].iloc[0]], "n": [int(g["n"].sum())], "s": [int(g["s"].sum())]}
+        )
+
+    got = (
+        salted_map_groups(rd.from_pandas(df).repartition(6), "src", partial, final, salt=8)
+        .to_pandas()
+        .sort_values("src")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby("src")
+        .agg(n=("x", "size"), s=("x", "sum"))
+        .reset_index()
+        .sort_values("src")
+        .reset_index(drop=True)
+        .astype({"n": "int64", "s": "int64"})
+    )
+    pd.testing.assert_frame_equal(got.astype({"n": "int64", "s": "int64"}), want)
+
+
+def test_cli_validate_and_report(ray_session, tmp_path):
+    from etl_data_validation_kio_ray.cli import main as cli_main
+    from etl_data_validation_kio_ray.sources.mutations import mutate_table
+    from etl_data_validation_kio_ray.sources.synth import generate_token_table
+
+    clean = generate_token_table(str(tmp_path / "c"), partitions=3, rows_per_partition=100)
+    mut = mutate_table(clean, str(tmp_path / "m"), "corrupt_id")
+    out = str(tmp_path / "o")
+    rc = cli_main(
+        [
+            "validate",
+            "--input", mut,
+            "--out", out,
+            "--allowed-sources", "web,books,code,wiki",
+            "--exit-zero",
+        ]
+    )
+    assert rc == 0
+    import os
+
+    assert os.path.exists(os.path.join(out, "summary.json"))
+    rc = cli_main(["report", "--run-dir", out])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "summary.csv"))
