@@ -34,6 +34,7 @@ EXPECTED_DETECTION = {
     "out_of_range": "row_invariants",
     "drop_key": "schema_types",
     "unknown_source": "source_ref",
+    "vocab_violation": "row_invariants",
     "shift_distribution": "drift_ks_psi",
     "swap_like": None,
 }
@@ -126,6 +127,18 @@ def _apply(t: pa.Table, action: str, rng: np.random.Generator, k: int) -> pa.Tab
         rows = rng.choice(n, size=min(k, n), replace=False)
         src[rows] = "MUTATED"
         return rebuild(source=pa.array(src.tolist(), pa.string()))
+
+    if action == "vocab_violation":
+        # token values outside [0, vocab): negative and >= vocab on k
+        # rows; lengths unchanged so ONLY the vocab-range sub-check
+        # fires (the matchday-out-of-range analog applied per token)
+        rows = sorted(rng.choice(n, size=min(k, n), replace=False).tolist())
+        tokens = cols["tokens"].to_pylist()
+        for j, r in enumerate(rows):
+            if tokens[r]:
+                tokens[r] = list(tokens[r])
+                tokens[r][0] = -7 if j % 2 == 0 else 2_000_000_000
+        return rebuild(tokens=pa.array(tokens, pa.list_(pa.int32())))
 
     if action == "shift_distribution":
         # +512 to n_tok and pad tokens on ~30% of one source's rows —
