@@ -288,7 +288,10 @@ class ValidationPipeline:
         import ray.data as rd
 
         files = discover_partition_files(input_path)
-        ds = rd.read_parquet(sorted(files.values()), columns=self._columns())
+        file_list = sorted(files.values())
+        ds = rd.read_parquet(
+            file_list, columns=self._columns(), override_num_blocks=len(file_list)
+        )
         stats_rules = {
             k: v for k, v in self.rules.items() if k in ("column_stats",)
         } or {"column_stats": default_rules()["column_stats"]}
@@ -372,7 +375,17 @@ class ValidationPipeline:
                 for j, (cols, group_files) in enumerate(
                     _schema_groups([files[p] for p in shard], self._columns())
                 ):
-                    ds = rd.read_parquet(group_files, columns=cols)
+                    # one block per partition file: keeps ReadParquet ->
+                    # engine -> Write fused into a single task (no
+                    # object-store hop for the decoded token column).
+                    # Assumes bounded partition files (the documented
+                    # input layout); a multi-GB file would need
+                    # splitting instead.
+                    ds = rd.read_parquet(
+                        group_files,
+                        columns=cols,
+                        override_num_blocks=len(group_files),
+                    )
                     mapped = self._map_engine(ds, self._engine_kwargs(allowed_ref))
                     mapped.write_parquet(
                         os.path.join(shard_dir, f"g{j}"), partition_cols=["kind"]
@@ -449,12 +462,9 @@ class ValidationPipeline:
         # confirmation (stages/uniqueness.py).
         dup_violation_counts: dict[str, int] = {}
         if "doc_id_unique" in self.rules and self.rules["doc_id_unique"].enabled:
-            hash_ds = _hash_rows_dataset(out_dir, owners)
-            cand = (
-                candidate_hashes_from_blobs(hash_ds)
-                if hash_ds is not None
-                else pa.table({"h": pa.array([], pa.int64())})
-            )
+            cand = _candidate_hashes(out_dir, owners)
+            if cand is None:
+                cand = pa.table({"h": pa.array([], pa.int64())})
             dup_table = pa.table(
                 {
                     self.id_col: pa.array([], pa.string()),
@@ -635,13 +645,10 @@ def discover_partition_files(input_path: str) -> dict[str, str]:
     return out
 
 
-def _hash_rows_dataset(out_dir: str, owners: dict[str, str]):
-    """Lazy Dataset over the engine's kind=hash rows (partition,
-    payload), one owners-filtered sub-dataset per shard dir, unioned.
-    Returns None when no hash rows exist (id column absent)."""
-    import ray.data as rd
-
-    parts_ds = []
+def _hash_row_groups(out_dir: str, owners: dict[str, str]):
+    """[(parquet files, valid-partition list | None, total bytes)] per
+    shard dir holding the engine's kind=hash rows."""
+    groups = []
     for d in sorted(
         glob.glob(os.path.join(out_dir, "raw", "**", "kind=hash"), recursive=True)
     ):
@@ -650,6 +657,56 @@ def _hash_rows_dataset(out_dir: str, owners: dict[str, str]):
             continue
         shard = _shard_of(out_dir, d)
         mine = [p for p, s in owners.items() if s == shard] if owners else None
+        size = sum(os.path.getsize(f) for f in pq_files)
+        groups.append((pq_files, mine, size))
+    return groups
+
+
+# below this, the candidate scan runs on the DRIVER (one exact
+# np.unique over all id hashes) instead of a distributed bucket
+# shuffle — the broadcast-vs-shuffle style size cutoff. 1 GiB of
+# hash blobs ≈ 130M ids; beyond that the distributed path keeps
+# driver memory bounded.
+DRIVER_UNIQUE_MAX_BYTES = 1 << 30
+
+
+def _candidate_hashes(out_dir: str, owners: dict[str, str]) -> pa.Table | None:
+    """Small table ("h": int64) of id hashes seen more than once, or
+    None when no hash rows exist. Chooses driver-side exact scan vs
+    distributed bucket shuffle by total hash volume."""
+    import numpy as np
+
+    from ..stages.uniqueness import candidate_hashes_from_blobs
+
+    groups = _hash_row_groups(out_dir, owners)
+    if not groups:
+        return None
+    total = sum(size for _, _, size in groups)
+    if total <= DRIVER_UNIQUE_MAX_BYTES:
+        chunks = []
+        for pq_files, mine, _ in groups:
+            t = pads.dataset(pq_files).to_table(columns=["partition", "payload"])
+            if mine is not None:
+                t = t.filter(
+                    pc.is_in(t["partition"], value_set=pa.array(mine, pa.string()))
+                )
+            for blob in t["payload"].to_pylist():
+                if blob:
+                    chunks.append(np.frombuffer(blob, dtype=np.int64))
+        if not chunks:
+            return pa.table({"h": pa.array([], pa.int64())})
+        h = np.concatenate(chunks)
+        u, c = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(u[c > 1], pa.int64())})
+    return candidate_hashes_from_blobs(_hash_rows_dataset_from_groups(groups))
+
+
+def _hash_rows_dataset_from_groups(groups):
+    """Lazy owners-filtered Dataset over hash-row parquet files."""
+    import ray.data as rd
+
+    parts_ds = []
+    for pq_files, mine, _ in groups:
         ds = rd.read_parquet(pq_files, columns=["partition", "payload"])
         if mine is not None:
             keep = pa.array(mine, pa.string())
@@ -658,12 +715,19 @@ def _hash_rows_dataset(out_dir: str, owners: dict[str, str]):
                 batch_format="pyarrow",
             )
         parts_ds.append(ds)
-    if not parts_ds:
-        return None
     out = parts_ds[0]
     for other in parts_ds[1:]:
         out = out.union(other)
     return out
+
+
+def _hash_rows_dataset(out_dir: str, owners: dict[str, str]):
+    """Lazy Dataset over the engine's kind=hash rows (partition,
+    payload). Returns None when no hash rows exist (id column absent)."""
+    groups = _hash_row_groups(out_dir, owners)
+    if not groups:
+        return None
+    return _hash_rows_dataset_from_groups(groups)
 
 
 def _shard_of(out_dir: str, nested_path: str) -> str:

@@ -286,3 +286,27 @@ def test_cli_validate_and_report(ray_session, tmp_path):
     rc = cli_main(["report", "--run-dir", out])
     assert rc == 0
     assert os.path.exists(os.path.join(out, "summary.csv"))
+
+
+def test_uniqueness_distributed_path_matches_driver_path(ray_session, tmp_path, monkeypatch):
+    """The >1GiB bucket-shuffle path must find the same duplicates as
+    the driver-side fast path."""
+    from etl_data_validation_kio_ray.pipelines import validate as V
+    from etl_data_validation_kio_ray.sources.mutations import mutate_table
+    from etl_data_validation_kio_ray.sources.synth import generate_token_table
+
+    clean = generate_token_table(str(tmp_path / "c"), partitions=4, rows_per_partition=150)
+    mut = mutate_table(clean, str(tmp_path / "m"), "duplicate_first")
+
+    def run(out):
+        return V.ValidationPipeline(
+            allowed_sources=["web", "books", "code", "wiki"]
+        ).run(mut, out)
+
+    r1 = run(str(tmp_path / "o1"))
+    monkeypatch.setattr(V, "DRIVER_UNIQUE_MAX_BYTES", 0)
+    r2 = run(str(tmp_path / "o2"))
+    v1 = r1.violations().to_pandas()
+    v2 = r2.violations().to_pandas()
+    pd.testing.assert_frame_equal(v1, v2)
+    assert (v1.rule_id == "doc_id_unique").sum() > 0
