@@ -116,3 +116,34 @@ def test_stable_hash_is_process_independent():
     # fixed expected values guard against silent hash-scheme changes
     h = stable_hash64(np.array(["a", "b"], dtype=object))
     assert h.tolist() == [13950350942979735504, 12688059582079114975]
+
+
+def test_parse_iso_timestamp_variants():
+    import pyarrow as pa
+
+    from etl_data_validation_kio_ray.functions.dates import (
+        extract_year,
+        parse_iso_timestamp,
+    )
+
+    arr = pa.array(
+        [
+            "2026-03-01T12:30:45Z",
+            "2026-03-01T12:30:45+00:00",
+            "2026-03-01T12:30:45",
+            "2026-03-01 12:30:45",
+            "2026-03-01",
+            "not-a-date",
+            None,
+        ]
+    )
+    out = parse_iso_timestamp(arr)
+    vals = out.to_pylist()
+    import datetime as dt
+
+    assert vals[0] == dt.datetime(2026, 3, 1, 12, 30, 45)
+    assert vals[0] == vals[1] == vals[2] == vals[3]
+    assert vals[4] == dt.datetime(2026, 3, 1)
+    assert vals[5] is None and vals[6] is None
+    years = extract_year(out).to_pylist()
+    assert years[0] == 2026 and years[5] is None
