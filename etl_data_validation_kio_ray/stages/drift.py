@@ -70,6 +70,114 @@ def load_baseline_snapshot(snapshot_dir: str) -> dict:
     return payload
 
 
+class DriftScorer:
+    """Actor-pool ``map_batches`` stage holding the baseline snapshot in
+    actor state: loaded ONCE per actor in ``__init__`` (from disk or a
+    ``ray.put`` ObjectRef), never per batch.
+
+    Emits one row per (batch, partition) with streaming KS/PSI scores —
+    an early-warning signal while data flows. The exact per-partition
+    verdict still comes from :func:`score_drift` over fully merged
+    partials (a batch is a sample of its partition; per-batch scores
+    are noisier by design and use the same thresholds only as hints).
+
+        ds.map_batches(DriftScorer, fn_constructor_kwargs=dict(
+               snapshot=snap_dir_or_ref),
+           batch_format="pyarrow", zero_copy_batch=True, concurrency=N)
+    """
+
+    def __init__(
+        self,
+        snapshot,
+        *,
+        partition_col: str = "partition",
+        len_col: str = "n_tok",
+        token_col: str = "tokens",
+        source_col: str = "source",
+        vocab_size: int = 50257,
+        psi_threshold: float = 0.2,
+        ks_threshold: float = 0.15,
+        min_tokens_per_source: int = 2560,
+    ):
+        import ray
+
+        if isinstance(snapshot, ray.ObjectRef):
+            payload = ray.get(snapshot)
+            if payload.get("version") != SNAPSHOT_VERSION:
+                raise ValueError(
+                    f"baseline snapshot version {payload.get('version')} != {SNAPSHOT_VERSION}"
+                )
+        else:
+            payload = load_baseline_snapshot(snapshot)
+        self.base = payload["stats"]
+        self.partition_col = partition_col
+        self.len_col = len_col
+        self.token_col = token_col
+        self.source_col = source_col
+        self.vocab_size = vocab_size
+        self.psi_threshold = psi_threshold
+        self.ks_threshold = ks_threshold
+        # a batch is a SAMPLE: a source with few tokens in this batch
+        # cannot fill a 256-bin histogram, so its PSI vs the full
+        # baseline is pure sampling noise — skip it in streaming mode
+        # (the exact per-partition pass still covers every source)
+        self.min_tokens_per_source = min_tokens_per_source
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        from .rule_engine import NTOK_BINS, TOKEN_BINS, RuleEngine, bin_width
+        from ..core.specs import default_rules
+
+        # reuse the stats kernel to histogram this batch, then score
+        eng = RuleEngine(
+            {"column_stats": default_rules()["column_stats"]},
+            partition_col=self.partition_col,
+            len_col=self.len_col,
+            token_col=self.token_col,
+            source_col=self.source_col,
+            id_col="__absent__",
+            vocab_size=self.vocab_size,
+        )
+        union = eng(batch)
+        rows = {"partition": [], "ks_n_tok": [], "psi_tokens": [], "drifted": []}
+        for part, blob in zip(
+            union["partition"].to_pylist(), union["payload"].to_pylist()
+        ):
+            st = pickle.loads(blob)
+            if "n_tok_fixed" not in st:
+                continue
+            th = st.get("token_hists") or {}
+            st = {
+                **st,
+                "token_hists": {
+                    s: h
+                    for s, h in th.items()
+                    if int(np.asarray(h["counts"]).sum()) >= self.min_tokens_per_source
+                },
+            }
+            scored = score_drift(
+                {part: st},
+                {"version": SNAPSHOT_VERSION, "stats": self.base},
+                psi_threshold=self.psi_threshold,
+                ks_threshold=self.ks_threshold,
+            )[part]
+            rows["partition"].append(part)
+            rows["ks_n_tok"].append(scored["ks_n_tok"])
+            rows["psi_tokens"].append(scored["psi_tokens"])
+            rows["drifted"].append(scored["drifted"])
+        return pa.table(
+            {
+                "partition": pa.array(rows["partition"], pa.string()),
+                "ks_n_tok": pa.array(rows["ks_n_tok"], pa.float64()),
+                "psi_tokens": pa.array(
+                    [min(v, 1e9) for v in rows["psi_tokens"]], pa.float64()
+                ),
+                "drifted": pa.array(rows["drifted"], pa.bool_()),
+            }
+        )
+
+
 def score_drift(
     current: dict[str, dict],
     baseline: dict,

@@ -310,3 +310,38 @@ def test_uniqueness_distributed_path_matches_driver_path(ray_session, tmp_path, 
     v2 = r2.violations().to_pandas()
     pd.testing.assert_frame_equal(v1, v2)
     assert (v1.rule_id == "doc_id_unique").sum() > 0
+
+
+def test_drift_scorer_actor_stage(ray_session, tmp_path):
+    """Actor-pool DriftScorer: snapshot in actor state, per-batch
+    streaming scores agree with the exact driver scoring direction
+    (clean ~ no drift; shifted -> drift on mutated partitions)."""
+    import ray
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.validate import ValidationPipeline
+    from etl_data_validation_kio_ray.sources.mutations import mutate_table
+    from etl_data_validation_kio_ray.sources.synth import generate_token_table
+    from etl_data_validation_kio_ray.stages.drift import DriftScorer
+
+    clean = generate_token_table(str(tmp_path / "c"), partitions=3, rows_per_partition=400)
+    snap = str(tmp_path / "snap")
+    pipe = ValidationPipeline(allowed_sources=["web", "books", "code", "wiki"])
+    pipe.build_snapshot(clean, snap)
+
+    def scores(indir):
+        ds = rd.read_parquet(indir)
+        out = ds.map_batches(
+            DriftScorer,
+            fn_constructor_kwargs=dict(snapshot=snap),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=2,
+        ).to_pandas()
+        return out
+
+    clean_scores = scores(clean)
+    assert not clean_scores.drifted.any()
+    mut = mutate_table(clean, str(tmp_path / "m"), "shift_distribution")
+    mut_scores = scores(mut)
+    assert mut_scores.drifted.any()
