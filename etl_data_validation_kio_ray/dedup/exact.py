@@ -1,26 +1,39 @@
-"""Exact deduplication: hash-partition by content key, keep first.
+"""Exact deduplication: content-hash candidates + broadcast resolve.
 
 Generalizes the reference's load-time dedup — ``SELECT DISTINCT`` +
 ``ON CONFLICT DO NOTHING`` on the natural key
 (/root/reference/src/app2/dds/load_dds.py:20,32) — to arbitrary content
-columns at scale: a vectorized content-hash column added in
-``map_batches`` (cheap, narrow), then ONE hash shuffle on that key and
-a per-group deterministic "keep min id" (block order never decides the
-winner — exactness under distribution, SURVEY.md §7.4)."""
+columns at scale:
+
+  1. a vectorized 64-bit content-hash column in ``map_batches``;
+  2. duplicated hashes found by the same map-side-bucketed int64
+     exchange the uniqueness rule uses (8 bytes/row shuffled — the
+     full rows NEVER move);
+  3. the (rare) rows carrying a duplicated hash are gathered, the
+     winner per distinct content is chosen deterministically (min id;
+     block order never decides — SURVEY.md §7.4), and the winner set
+     is broadcast into one vectorized final filter.
+
+The partitioning assumption: duplicates are a small fraction of the
+corpus (the gather is capped; a corpus that is mostly duplicates fails
+loudly rather than silently collapsing)."""
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.hashing import stable_hash64
 
+MAX_DUP_ROWS_COLLECTED = 2_000_000  # driver-side safety valve
 
-def _with_content_hash(ds, content_cols: list[str], out_col: str = "__chash"):
+CHASH = "__chash"
+
+
+def _with_content_hash(ds, content_cols: list[str], out_col: str = CHASH):
     def add_hash(batch: pa.Table) -> pa.Table:
-        import numpy as np
-
         acc = None
         for c in content_cols:
             arr = batch[c]
@@ -33,27 +46,116 @@ def _with_content_hash(ds, content_cols: list[str], out_col: str = "__chash"):
     return ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _dup_content_hashes(hashed, *, num_buckets: int = 256) -> pa.Table:
+    """int64 content hashes seen more than once (exact; the exchange
+    carries only the hash column, bucketed map-side)."""
+    nb = np.int64(num_buckets)
+
+    def project(t: pa.Table) -> pa.Table:
+        h = t[CHASH].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"h": t[CHASH], "b": pa.array((h % nb).astype(np.int32))}
+        )
+
+    def bucket_dups(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(u[c > 1], pa.int64())})
+
+    out = (
+        hashed.map_batches(project, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(bucket_dups, batch_format="pyarrow")
+    )
+    tables = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in out.iter_batches(batch_format="pyarrow", batch_size=2**20)
+    ]
+    tables = [t for t in tables if t.num_rows]
+    return (
+        pa.concat_tables(tables)
+        if tables
+        else pa.table({"h": pa.array([], pa.int64())})
+    )
+
+
+def _collect_dup_rows(hashed, dup_hashes: pa.Table) -> pa.Table:
+    """Gather the full rows whose content hash is duplicated (small)."""
+    import ray
+
+    ref = ray.put(dup_hashes["h"].combine_chunks())
+
+    def probe(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t[CHASH], value_set=ray.get(ref)))
+
+    out = hashed.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+    tables = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in out.iter_batches(batch_format="pyarrow", batch_size=2**20)
+    ]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return None
+    t = pa.concat_tables(tables).combine_chunks()
+    if t.num_rows > MAX_DUP_ROWS_COLLECTED:
+        raise RuntimeError(
+            f"{t.num_rows} duplicated rows exceeds driver collect cap "
+            f"{MAX_DUP_ROWS_COLLECTED}; corpus looks pathologically duplicated"
+        )
+    return t
+
+
 def dedup_exact(ds, content_cols: list[str], id_col: str = "doc_id"):
     """Keep, per distinct content, the row with the MIN id. Returns the
-    deduplicated Dataset (hash-shuffle on the content hash)."""
+    deduplicated Dataset."""
+    import ray
+    import ray.data as rd
+
     hashed = _with_content_hash(ds, content_cols)
+    dup = _dup_content_hashes(hashed)
+    if dup.num_rows == 0:
+        return hashed.drop_columns([CHASH])
+    dup_rows = _collect_dup_rows(hashed, dup)
+    # winner per content hash: deterministic min id, exactly one row
+    # even when ids are themselves duplicated
+    win = (
+        dup_rows.to_pandas()
+        .sort_values([CHASH, id_col], kind="mergesort")
+        .groupby(CHASH, sort=False)
+        .head(1)
+    )
+    winners = pa.Table.from_pandas(
+        win.drop(columns=[CHASH]), preserve_index=False
+    )
+    dup_ref = ray.put(dup["h"].combine_chunks())
 
-    def keep_min(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(id_col, kind="mergesort").head(1)
+    def drop_dups(t: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(t[CHASH], value_set=ray.get(dup_ref)))
+        return t.filter(mask).drop_columns([CHASH])
 
-    out = hashed.groupby("__chash").map_groups(keep_min, batch_format="pandas")
-    return out.drop_columns(["__chash"])
+    survivors = hashed.map_batches(
+        drop_dups, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return survivors.union(rd.from_arrow(winners.select(survivors.schema().names)))
 
 
 def exact_dup_groups(ds, content_cols: list[str], id_col: str = "doc_id"):
     """Duplicate-group report: one row per duplicated content value with
     (keep_id, dup_count). Mirrors the GROUP BY HAVING COUNT>1 shape."""
     hashed = _with_content_hash(ds, content_cols)
-
-    def report(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return group.head(0)[[id_col]].assign(dup_count=pd.Series(dtype="int64"))
-        keep = group[id_col].min()
-        return pd.DataFrame({id_col: [keep], "dup_count": [len(group)]})
-
-    return hashed.groupby("__chash").map_groups(report, batch_format="pandas")
+    dup = _dup_content_hashes(hashed)
+    empty = pd.DataFrame(
+        {id_col: pd.Series(dtype=object), "dup_count": pd.Series(dtype="int64")}
+    )
+    if dup.num_rows == 0:
+        return empty
+    rows = _collect_dup_rows(hashed, dup)
+    df = rows.select([CHASH, id_col]).to_pandas()
+    g = (
+        df.sort_values([CHASH, id_col], kind="mergesort")
+        .groupby(CHASH, sort=False)[id_col]
+        .agg(keep="first", dup_count="size")
+        .reset_index(drop=True)
+        .rename(columns={"keep": id_col})
+    )
+    return g.astype({"dup_count": "int64"}).sort_values(id_col).reset_index(drop=True)

@@ -35,7 +35,7 @@ def test_exact_dedup(docs_ds):
     kept = dedup_exact(ds, ["text"]).to_pandas()
     assert len(kept) == 39  # one exact dup removed
     assert "doc-003" in set(kept.doc_id) and "doc-010" not in set(kept.doc_id)
-    groups = exact_dup_groups(ds, ["text"]).to_pandas()
+    groups = exact_dup_groups(ds, ["text"])
     assert len(groups) == 1
     assert groups.iloc[0].doc_id == "doc-003" and groups.iloc[0].dup_count == 2
 
