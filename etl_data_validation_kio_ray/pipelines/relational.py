@@ -218,9 +218,32 @@ def top_k(ds, keys: list[str], k: int, *, descending=True):
     return ds.sort(keys, descending=descending).limit(k)
 
 
-def distinct_values(ds, col: str) -> list:
-    """Distinct values of one column (shuffle on that column only)."""
-    return sorted(ds.unique(col))
+def distinct_values(ds, col: str, *, low_cardinality: bool = True) -> list:
+    """Distinct values of one column.
+
+    ``low_cardinality=True`` (the SELECT DISTINCT-on-a-dimension shape):
+    per-batch ``pc.unique`` partials union'd at the driver — no shuffle,
+    driver memory bounded by #batches x per-batch distinct. For
+    high-cardinality columns pass False to use the shuffling
+    ``Dataset.unique``."""
+    if not low_cardinality:
+        return sorted(ds.unique(col))
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        return pa.table({col: pc.unique(c)})
+
+    vals: set = set()
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=2**20
+    ):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        vals.update(t[col].to_pylist())
+    return sorted(v for v in vals if v is not None) + (
+        [None] if None in vals else []
+    )
 
 
 def tumbling_window_agg(
