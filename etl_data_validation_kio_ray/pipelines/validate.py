@@ -347,8 +347,7 @@ class ValidationPipeline:
         t_narrow = time.time()
         for i in range(0, len(pending), self.shard_size):
             shard = pending[i : i + self.shard_size]
-            for p in shard:
-                state.claim(p)
+            state.claim_many(shard)
             # shard dir is keyed by its first partition; if a resumed
             # run regroups partitions, an existing dir of that name may
             # still be OWNED by other partitions' SUCCESS manifests —
@@ -394,17 +393,23 @@ class ValidationPipeline:
                 # narrow-rule checks (run-scope checks appended later)
                 merged = _reduce_partials(shard_dir)
                 fresh_shard_stats[shard_name] = merged
+                items = []
                 for p in shard:
                     checks = self._narrow_checks(p, merged.get(p, {}))
-                    state.finish(
-                        p,
-                        verdict=partition_verdict(checks),
-                        rows_total=max(
-                            (c.rows_total for c in checks), default=0
-                        ),
-                        checks=[c.to_dict() for c in checks],
-                        shard=os.path.basename(shard_dir),
+                    items.append(
+                        (
+                            p,
+                            dict(
+                                verdict=partition_verdict(checks),
+                                rows_total=max(
+                                    (c.rows_total for c in checks), default=0
+                                ),
+                                checks=[c.to_dict() for c in checks],
+                                shard=os.path.basename(shard_dir),
+                            ),
+                        )
                     )
+                state.finish_many(items)
             except Exception as e:  # noqa: BLE001 — manifest records the failure
                 for p in shard:
                     state.fail(p, repr(e))
@@ -534,6 +539,7 @@ class ValidationPipeline:
         # ---- verdicts per partition
         verdicts: list[CheckResult] = []
         metrics: dict[str, Any] = {"partitions": {}}
+        finish_items: list[tuple[str, dict]] = []
         processed = [p for p in all_parts if p in shard_stats]
         for part in processed:
             rules_states = shard_stats[part]
@@ -582,15 +588,20 @@ class ValidationPipeline:
                     )
                 )
             verdict = partition_verdict(checks)
-            state.finish(
-                part,
-                verdict=verdict,
-                rows_total=rows_total,
-                checks=[c.to_dict() for c in checks],
+            finish_items.append(
+                (
+                    part,
+                    dict(
+                        verdict=verdict,
+                        rows_total=rows_total,
+                        checks=[c.to_dict() for c in checks],
+                    ),
+                )
             )
             verdicts.extend(checks)
             if "column_stats" in rules_states:
                 metrics["partitions"][part] = _stats_metrics(rules_states["column_stats"])
+        state.finish_many(finish_items)
 
         # global metrics
         g: dict = {}

@@ -112,6 +112,21 @@ class RunState:
             if m.status == SUCCESS and m.shard
         }
 
+    def claim_many(self, partitions: list[str]) -> None:
+        """Claim a batch of partitions on a thread pool — manifest I/O
+        is per-file and serializes badly at 10^4+ partitions."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            list(ex.map(self.claim, partitions))
+
+    def finish_many(self, items: list[tuple[str, dict]]) -> None:
+        """Finish a batch of (partition, finish-kwargs) on a thread pool."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            list(ex.map(lambda it: self.finish(it[0], **it[1]), items))
+
     def fail(self, partition: str, error: str) -> PartitionManifest:
         m = self.load(partition)
         m.status = FAILED
