@@ -82,6 +82,15 @@ def make_partition(
     )
 
 
+def _write_partition(args) -> None:
+    out_dir, p, rows, seed, kw = args
+    path = partition_file(out_dir, p)
+    table = make_partition(p, rows, seed=seed, **kw)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)  # atomic publish
+
+
 def generate_token_table(
     out_dir: str,
     partitions: int = 4,
@@ -89,19 +98,33 @@ def generate_token_table(
     *,
     seed: int = 42,
     overwrite: bool = False,
+    max_workers: int | None = None,
     **kw,
 ) -> str:
     """Write the table (one file per partition); returns out_dir.
-    Skips files that already exist (generation itself is resumable)."""
+    Skips files that already exist (generation itself is resumable);
+    the counter-based PRNG keyed by (seed, partition) makes output
+    independent of write order, so partitions generate on a process
+    pool."""
     os.makedirs(out_dir, exist_ok=True)
-    for p in range(partitions):
-        path = partition_file(out_dir, p)
-        if os.path.exists(path) and not overwrite:
-            continue
-        table = make_partition(p, rows_per_partition, seed=seed, **kw)
-        tmp = path + ".tmp"
-        pq.write_table(table, tmp)
-        os.replace(tmp, path)  # atomic publish
+    todo = [
+        p
+        for p in range(partitions)
+        if overwrite or not os.path.exists(partition_file(out_dir, p))
+    ]
+    if not todo:
+        return out_dir
+    args = [(out_dir, p, rows_per_partition, seed, kw) for p in todo]
+    if len(todo) <= 4:
+        for a in args:
+            _write_partition(a)
+        return out_dir
+    from concurrent.futures import ProcessPoolExecutor
+
+    if max_workers is None:
+        max_workers = min(16, os.cpu_count() or 4)
+    with ProcessPoolExecutor(max_workers=max_workers) as ex:
+        list(ex.map(_write_partition, args, chunksize=4))
     return out_dir
 
 
