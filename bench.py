@@ -39,8 +39,8 @@ import subprocess
 import sys
 import time
 
-BENCH_PARTS = int(os.environ.get("GRAFT_BENCH_PARTS", "512"))
-BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "62500"))  # 512*62500 = 32M seqs
+BENCH_PARTS = int(os.environ.get("GRAFT_BENCH_PARTS", "256"))
+BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "62500"))  # 256*62500 = 16M seqs
 SCALING_CPUS = tuple(
     int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "2,8").split(",")
 )
