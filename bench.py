@@ -15,8 +15,8 @@ Default mode: `python bench.py`
 
 Scaling mode: `python bench.py --scaling`
   Runs the SAME headline job twice in fresh child processes at
-  num_cpus=N and num_cpus=4N (default 2 and 8, override via
-  $GRAFT_SCALING_CPUS="2,8") on the same input and prints both
+  num_cpus=N and num_cpus=4N (default 1 and 4, override via
+  $GRAFT_SCALING_CPUS="1,4") on the same input and prints both
   throughputs + scaling efficiency (north rule: >= 0.8 from N to 4N).
   In-sandbox stand-in for two cluster sizes; the pair sits inside the
   single VM's fixed memory-bandwidth envelope because adding CLUSTER
@@ -42,7 +42,7 @@ import time
 BENCH_PARTS = int(os.environ.get("GRAFT_BENCH_PARTS", "256"))
 BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "62500"))  # 256*62500 = 16M seqs
 SCALING_CPUS = tuple(
-    int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "2,8").split(",")
+    int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "1,4").split(",")
 )
 TOKENS_DIR = f"/tmp/kio_bench_tokens_p{BENCH_PARTS}_r{BENCH_ROWS}"
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
