@@ -79,6 +79,30 @@ def cmd_snapshot(args) -> int:
     return 0
 
 
+def cmd_experiment(args) -> int:
+    _init_ray()
+    from .pipelines.experiment import run_experiment
+
+    def factory():
+        return _pipeline(args)
+
+    res = run_experiment(
+        args.input,
+        args.out,
+        actions=args.actions.split(",") if args.actions else None,
+        pipeline_factory=factory,
+    )
+    print(
+        json.dumps(
+            {
+                "all_detected": res.all_detected,
+                "iterations": [i.to_dict() for i in res.iterations],
+            }
+        )
+    )
+    return 0 if res.all_detected else 1
+
+
 def cmd_report(args) -> int:
     from .state.report import write_run_report, write_summary_csv
 
@@ -111,6 +135,12 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--input", required=True)
     s.add_argument("--out", required=True)
     s.set_defaults(fn=cmd_snapshot)
+
+    e = sub.add_parser("experiment", parents=[common])
+    e.add_argument("--input", required=True, help="clean baseline table dir")
+    e.add_argument("--out", required=True)
+    e.add_argument("--actions", default=None, help="comma-separated subset")
+    e.set_defaults(fn=cmd_experiment)
 
     r = sub.add_parser("report")
     r.add_argument("--run-dir", required=True)

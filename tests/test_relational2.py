@@ -345,3 +345,25 @@ def test_drift_scorer_actor_stage(ray_session, tmp_path):
     mut = mutate_table(clean, str(tmp_path / "m"), "shift_distribution")
     mut_scores = scores(mut)
     assert mut_scores.drifted.any()
+
+
+def test_mutation_experiment_runner(ray_session, tmp_path):
+    """The reference's flagship workflow: every fault-injection action
+    must be detected by its expected rule (or stay invisible for the
+    semantic swap) in one experiment run."""
+    from etl_data_validation_kio_ray.pipelines.experiment import run_experiment
+    from etl_data_validation_kio_ray.sources.synth import generate_token_table
+
+    clean = generate_token_table(str(tmp_path / "c"), partitions=3, rows_per_partition=150)
+    res = run_experiment(
+        clean,
+        str(tmp_path / "exp"),
+        actions=["corrupt_id", "unknown_source", "duplicate_first", "swap_like"],
+    )
+    assert res.baseline_verdict in ("PASS", "WARN", "FAIL")
+    assert res.all_detected, [i.to_dict() for i in res.iterations]
+    import json, os
+
+    summary = json.load(open(os.path.join(str(tmp_path / "exp"), "experiment_summary.json")))
+    assert summary["all_detected"] is True
+    assert os.path.exists(os.path.join(str(tmp_path / "exp"), "experiment_summary.csv"))
