@@ -58,9 +58,10 @@ def _dup_content_hashes(hashed, *, num_buckets: int = 256) -> pa.Table:
         )
 
     def bucket_dups(g: pa.Table) -> pa.Table:
+        from ..stages.uniqueness import dup_values
+
         h = g["h"].to_numpy(zero_copy_only=False)
-        u, c = np.unique(h, return_counts=True)
-        return pa.table({"h": pa.array(u[c > 1], pa.int64())})
+        return pa.table({"h": pa.array(dup_values(h), pa.int64())})
 
     out = (
         hashed.map_batches(project, batch_format="pyarrow")

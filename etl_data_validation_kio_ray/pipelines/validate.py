@@ -694,6 +694,8 @@ def _candidate_hashes(out_dir: str, owners: dict[str, str]) -> pa.Table | None:
         return None
     total = sum(size for _, _, size in groups)
     if total <= DRIVER_UNIQUE_MAX_BYTES:
+        from ..stages.uniqueness import blob_hashes, dup_values
+
         chunks = []
         for pq_files, mine, _ in groups:
             t = pads.dataset(pq_files).to_table(columns=["partition", "payload"])
@@ -701,14 +703,13 @@ def _candidate_hashes(out_dir: str, owners: dict[str, str]) -> pa.Table | None:
                 t = t.filter(
                     pc.is_in(t["partition"], value_set=pa.array(mine, pa.string()))
                 )
-            for blob in t["payload"].to_pylist():
-                if blob:
-                    chunks.append(np.frombuffer(blob, dtype=np.int64))
+            h = blob_hashes(t["payload"])  # zero-copy concat view
+            if len(h):
+                chunks.append(h)
         if not chunks:
             return pa.table({"h": pa.array([], pa.int64())})
-        h = np.concatenate(chunks)
-        u, c = np.unique(h, return_counts=True)
-        return pa.table({"h": pa.array(u[c > 1], pa.int64())})
+        h = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+        return pa.table({"h": pa.array(dup_values(h), pa.int64())})
     return candidate_hashes_from_blobs(_hash_rows_dataset_from_groups(groups))
 
 

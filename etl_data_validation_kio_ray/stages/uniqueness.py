@@ -38,6 +38,36 @@ from ..sketches.hll import hash64
 MAX_DUP_KEYS_COLLECTED = 5_000_000  # driver-side safety valve
 
 
+def blob_hashes(binary_arr) -> np.ndarray:
+    """Concatenated int64 view over a binary column of hash blobs —
+    ZERO-COPY: the Arrow data buffer of a dense binary array is exactly
+    the blobs back-to-back, so no per-blob frombuffer+concatenate."""
+    if isinstance(binary_arr, pa.ChunkedArray):
+        binary_arr = binary_arr.combine_chunks()
+    arr = binary_arr.drop_null()
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.int64)
+    offs_buf, data_buf = arr.buffers()[1], arr.buffers()[2]
+    offs = np.frombuffer(offs_buf, dtype=np.int32)
+    start = int(offs[arr.offset])
+    end = int(offs[arr.offset + len(arr)])
+    return np.frombuffer(data_buf, dtype=np.uint8)[start:end].view(np.int64)
+
+
+def dup_values(h: np.ndarray) -> np.ndarray:
+    """Distinct values occurring more than once. sort+diff, not
+    np.unique(return_counts): the sort-only path is dramatically faster
+    (np.unique's extra passes dominate on large arrays) and duplicates
+    are assumed rare, so the second-level dedupe input is tiny."""
+    if len(h) < 2:
+        return np.empty(0, dtype=h.dtype if len(h) else np.int64)
+    s = np.sort(h)
+    cand = s[1:][s[1:] == s[:-1]]
+    if len(cand) == 0:
+        return cand
+    return np.unique(cand)  # tiny
+
+
 def _collect(ds, schema: pa.Schema) -> pa.Table:
     tables = [
         b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
@@ -73,7 +103,7 @@ def candidate_hashes_from_blobs(hash_ds, *, num_buckets: int = 256) -> pa.Table:
         for blob in t["payload"].to_pylist():
             if not blob:
                 continue
-            h = np.frombuffer(blob, dtype=np.uint64).view(np.int64)
+            h = np.frombuffer(blob, dtype=np.int64)
             b = (h % nb).astype(np.int32)
             order = np.argsort(b, kind="stable")
             hs, bs = h[order], b[order]
@@ -91,12 +121,8 @@ def candidate_hashes_from_blobs(hash_ds, *, num_buckets: int = 256) -> pa.Table:
         )
 
     def bucket_dups(g: pa.Table) -> pa.Table:
-        blobs = [b for b in g["payload"].to_pylist() if b]
-        if not blobs:
-            return pa.table({"h": pa.array([], pa.int64())})
-        h = np.concatenate([np.frombuffer(b, dtype=np.int64) for b in blobs])
-        u, c = np.unique(h, return_counts=True)
-        return pa.table({"h": pa.array(u[c > 1], pa.int64())})
+        h = blob_hashes(g["payload"])
+        return pa.table({"h": pa.array(dup_values(h), pa.int64())})
 
     return _collect(
         hash_ds.map_batches(partition_blobs, batch_format="pyarrow")
@@ -182,8 +208,7 @@ def duplicate_id_counts(
 
     def bucket_dups(g: pa.Table) -> pa.Table:
         h = g["h"].to_numpy(zero_copy_only=False)
-        u, c = np.unique(h, return_counts=True)
-        return pa.table({"h": pa.array(u[c > 1], pa.int64())})
+        return pa.table({"h": pa.array(dup_values(h), pa.int64())})
 
     cand = _collect(
         keys_ds.map_batches(
