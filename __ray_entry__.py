@@ -708,6 +708,42 @@ def q_ivf_topk(sf_dir: str):
     return top.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def q_mutation_experiment(sf_dir: str):
+    """Fault-injection experiment (the reference's flagship workflow):
+    every planted corruption must be caught by its expected rule
+    (rows-only — detection outcomes, not SQL-expressible)."""
+    from etl_data_validation_kio_ray.pipelines.experiment import run_experiment
+    from etl_data_validation_kio_ray.sources.synth import generate_token_table
+
+    root = os.path.join(_cache_dir(sf_dir), "mut_exp")
+    clean = generate_token_table(
+        os.path.join(root, "clean"), partitions=3, rows_per_partition=200
+    )
+    res = run_experiment(
+        clean,
+        os.path.join(root, "exp"),
+        actions=[
+            "duplicate_first",
+            "drop_required",
+            "corrupt_id",
+            "out_of_range",
+            "unknown_source",
+            "vocab_violation",
+            "swap_like",
+        ],
+    )
+    return pd.DataFrame(
+        [
+            {
+                "action": i.action,
+                "expected_rule": i.expected_rule or "",
+                "detected": bool(i.detected),
+            }
+            for i in res.iterations
+        ]
+    ).sort_values("action").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tokenize": q_tokenize,
@@ -740,6 +776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": q_multimodal_features,
         "embedding_dups": q_embedding_dups,
         "ivf_topk": q_ivf_topk,
+        "mutation_experiment": q_mutation_experiment,
     }
 
 
