@@ -75,16 +75,28 @@ class MinHasher:
         )
 
 
-def add_minhash_bands(ds, text_col="text", id_col="doc_id", *, num_perm=128, bands=32, k=3, concurrency=4):
-    """Dataset -> exploded (id, band_id, band_key) rows."""
+def add_minhash_bands(ds, text_col="text", id_col="doc_id", *, num_perm=128, bands=32, k=3, concurrency=None):
+    """Dataset -> exploded (id, band_id, band_key) rows.
+
+    Task-based ``map_batches`` with a plain picklable MinHasher
+    instance: its state is a few ints (permutation params derive
+    deterministically from the seed inside the vectorized kernels), so
+    there is nothing worth an actor pool's startup cost — and the
+    task form lets Ray fuse the read with the hashing. ``concurrency``
+    (optional) switches back to an actor pool."""
+    hasher_kwargs = dict(
+        text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands, k=k
+    )
+    if concurrency:
+        return ds.map_batches(
+            MinHasher,
+            fn_constructor_kwargs=hasher_kwargs,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=concurrency,
+        )
     return ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(
-            text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands, k=k
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency,
+        MinHasher(**hasher_kwargs), batch_format="pyarrow", zero_copy_batch=True
     )
 
 
@@ -108,19 +120,55 @@ def minhash_dedup_pairs(
         ds, text_col, id_col, num_perm=num_perm, bands=bands, k=k, concurrency=concurrency
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        ids = sorted(g[id_col].unique())[:MAX_BUCKET]
-        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        return pd.DataFrame(out, columns=["id_a", "id_b"])
+    # Candidate buckets: almost every (band_id, band_key) bucket is a
+    # singleton, so DON'T run a per-group callable over all of them —
+    # find buckets with >1 row via the sort-based duplicate scan on a
+    # combined 64-bit bucket key (8 bytes/row), then gather only rows
+    # of those buckets (a tiny fraction) and form pairs.
+    from ..stages.uniqueness import dup_values
 
-    pairs = (
-        banded.groupby(["band_id", "band_key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+    banded = banded.materialize()  # scanned twice; rows = docs x bands, narrow
+
+    def to_bucket_key(t: pa.Table) -> pa.Table:
+        bid = t["band_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bk = t["band_key"].to_numpy(zero_copy_only=False)
+        return pa.table({"bk": pa.array(bk * np.int64(1000003) + bid, pa.int64())})
+
+
+    chunks = [
+        (b if isinstance(b, pa.Table) else pa.Table.from_batches([b]))["bk"]
+        .to_numpy(zero_copy_only=False)
+        for b in banded.map_batches(to_bucket_key, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=2**20
+        )
+    ]
+    all_bk = np.concatenate(chunks) if chunks else np.empty(0, np.int64)
+    dup_bk = dup_values(all_bk)
+    if len(dup_bk) == 0:
+        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+
+    import ray
+
+    dup_ref = ray.put(pa.array(dup_bk, pa.int64()))
+
+    def keep_cand(t: pa.Table) -> pa.Table:
+        bid = t["band_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bk = t["band_key"].to_numpy(zero_copy_only=False)
+        key = pa.array(bk * np.int64(1000003) + bid, pa.int64())
+        return t.append_column("bk", key).filter(
+            pc.is_in(key, value_set=ray.get(dup_ref))
+        )
+
+    cand = (
+        banded.map_batches(keep_cand, batch_format="pyarrow")
         .to_pandas()
-        .drop_duplicates()
+        .sort_values([id_col])
     )
+    rows = []
+    for _, g in cand.groupby("bk", sort=False):
+        ids = sorted(g[id_col].unique())[:MAX_BUCKET]
+        rows.extend((a, b) for i, a in enumerate(ids) for b in ids[i + 1 :])
+    pairs = pd.DataFrame(rows, columns=["id_a", "id_b"]).drop_duplicates()
     if pairs.empty:
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
 
