@@ -715,10 +715,26 @@ def q_mutation_experiment(sf_dir: str):
     from etl_data_validation_kio_ray.pipelines.experiment import run_experiment
     from etl_data_validation_kio_ray.sources.synth import generate_token_table
 
+    from etl_data_validation_kio_ray.pipelines.validate import ValidationPipeline
+
     root = os.path.join(_cache_dir(sf_dir), "mut_exp")
     clean = generate_token_table(
         os.path.join(root, "clean"), partitions=3, rows_per_partition=200
     )
+    # drift baseline from the clean table so shift_distribution is
+    # detectable by the drift rule
+    snap = os.path.join(root, "snap")
+    if not os.path.exists(os.path.join(snap, "snapshot.pkl")):
+        ValidationPipeline(
+            allowed_sources=["web", "books", "code", "wiki"]
+        ).build_snapshot(clean, snap)
+
+    def factory():
+        return ValidationPipeline(
+            allowed_sources=["web", "books", "code", "wiki"],
+            baseline_snapshot_dir=snap,
+        )
+
     res = run_experiment(
         clean,
         os.path.join(root, "exp"),
@@ -729,8 +745,10 @@ def q_mutation_experiment(sf_dir: str):
             "out_of_range",
             "unknown_source",
             "vocab_violation",
+            "shift_distribution",
             "swap_like",
         ],
+        pipeline_factory=factory,
     )
     return pd.DataFrame(
         [
