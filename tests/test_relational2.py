@@ -367,3 +367,72 @@ def test_mutation_experiment_runner(ray_session, tmp_path):
     summary = json.load(open(os.path.join(str(tmp_path / "exp"), "experiment_summary.json")))
     assert summary["all_detected"] is True
     assert os.path.exists(os.path.join(str(tmp_path / "exp"), "experiment_summary.csv"))
+
+
+def test_failed_shard_marked_and_resumable(ray_session, tmp_path):
+    """A broken input file fails its shard loudly (manifests FAILED with
+    the error), and a resumed run after repair completes the work."""
+    import os
+
+    import pytest as _pytest
+
+    from etl_data_validation_kio_ray.pipelines.validate import ValidationPipeline
+    from etl_data_validation_kio_ray.sources.synth import generate_token_table, make_partition
+    from etl_data_validation_kio_ray.state.checkpoint import RunState
+
+    import pyarrow.parquet as pq
+
+    clean = generate_token_table(str(tmp_path / "c"), partitions=4, rows_per_partition=100)
+    victim = os.path.join(clean, "part-0002.parquet")
+    good_bytes = open(victim, "rb").read()
+    with open(victim, "wb") as f:
+        f.write(b"not a parquet file")
+    out = str(tmp_path / "o")
+    pipe = ValidationPipeline(allowed_sources=["web", "books", "code", "wiki"], shard_size=2)
+    with _pytest.raises(Exception):
+        pipe.run(clean, out)
+    st = RunState(out)
+    failed = [m for m in st.all_manifests() if m.status == "FAILED"]
+    assert failed and all(m.error for m in failed)
+    # shard-0 (parts 0000/0001) committed before the bad shard
+    assert "part-0000" in st.completed()
+
+    with open(victim, "wb") as f:
+        f.write(good_bytes)
+    res = ValidationPipeline(
+        allowed_sources=["web", "books", "code", "wiki"], shard_size=2
+    ).run(clean, out, resume=True)
+    assert sorted(res.partitions) == [f"part-{i:04d}" for i in range(4)]
+    assert not [m for m in RunState(out).all_manifests() if m.status == "FAILED"]
+
+
+def test_yaml_rules_config_overrides(ray_session, tmp_path):
+    """YAML enable/disable + severity + params override surface
+    (reference: validators/configs/*.yml)."""
+    from etl_data_validation_kio_ray.core.specs import default_rules, load_rules
+    from etl_data_validation_kio_ray.pipelines.validate import ValidationPipeline
+    from etl_data_validation_kio_ray.sources.mutations import mutate_table
+    from etl_data_validation_kio_ray.sources.synth import generate_token_table
+
+    cfg = tmp_path / "rules.yml"
+    cfg.write_text(
+        """
+rules:
+  row_invariants: {enabled: false}
+  source_ref: {severity: warning}
+"""
+    )
+    rules = load_rules(str(cfg), base=default_rules(allowed_sources=["web", "books", "code", "wiki"]))
+    assert rules["row_invariants"].enabled is False
+    assert rules["source_ref"].severity == "warning"
+
+    clean = generate_token_table(str(tmp_path / "c"), partitions=2, rows_per_partition=150)
+    mut = mutate_table(clean, str(tmp_path / "m"), "corrupt_id")
+    res = ValidationPipeline(rules, allowed_sources=["web", "books", "code", "wiki"]).run(
+        mut, str(tmp_path / "o")
+    )
+    fired = {c.rule_id for c in res.verdicts if c.rows_failed}
+    assert "row_invariants" not in fired          # disabled rule is silent
+    src_checks = [c for c in res.verdicts if c.rule_id == "source_ref" and c.rows_failed]
+    assert src_checks and all(c.status == "WARN" for c in src_checks)
+    assert res.run_verdict != "FAIL"              # only warnings remain
