@@ -708,6 +708,28 @@ def q_ivf_topk(sf_dir: str):
     return top.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def q_session_windows(sf_dir: str):
+    """Gap-based session windows per event type (30-minute gap) — the
+    session operator Ray Data lacks, composed from groupby+map_groups."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import session_window_agg
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type", "value"]
+    )
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["value_cents"] = np.round(df.pop("value").to_numpy() * 100).astype(np.int64)
+        return df
+
+    out = session_window_agg(ev.map_batches(cents, batch_format="pandas"), gap="30min")
+    out["sid"] = out["sid"].astype("int64")
+    out["value_cents"] = out.pop("value_sum").astype("int64")
+    return out
+
+
 def q_mutation_experiment(sf_dir: str):
     """Fault-injection experiment (the reference's flagship workflow):
     every planted corruption must be caught by its expected rule
@@ -795,6 +817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups": q_embedding_dups,
         "ivf_topk": q_ivf_topk,
         "mutation_experiment": q_mutation_experiment,
+        "session_windows": q_session_windows,
     }
 
 
@@ -957,6 +980,27 @@ SELECT event_type, CAST(event_id AS BIGINT) AS event_id, ts, value_cents FROM (
          ) AS rn
   FROM events
 ) WHERE rn = 1 ORDER BY event_type
+""",
+        "session_windows": """
+WITH x AS (
+  SELECT event_type, ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY event_type ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+s AS (
+  SELECT *, SUM(new_s) OVER (
+    PARTITION BY event_type ORDER BY ts
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS sid
+  FROM x
+)
+SELECT event_type, CAST(sid AS BIGINT) AS sid,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(value_cents) AS BIGINT) AS value_cents
+FROM s GROUP BY event_type, sid ORDER BY event_type, sid
 """,
         "shingle_stats": """
 SELECT doc_id,

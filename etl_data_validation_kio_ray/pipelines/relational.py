@@ -246,6 +246,53 @@ def distinct_values(ds, col: str, *, low_cardinality: bool = True) -> list:
     )
 
 
+def session_window_agg(
+    ds,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value_cents",
+    gap: str = "30min",
+):
+    """Gap-based session windows per key: a new session starts when the
+    time since the previous event of the same key exceeds ``gap``.
+    Ray Data has no native session operator — composed here as
+    ``groupby(key).map_groups`` (sort by time inside the group, flag
+    gaps, cumulative-sum session ids, aggregate).
+
+    Partitioning assumption: one key's events fit one reducer. At
+    scale, sessionize per (key, coarse time range) and merge sessions
+    that touch range boundaries (classic parallel sessionization);
+    hot keys additionally need the [[salted_map_groups]] treatment for
+    the pre-aggregation phase.
+    """
+    gap_td = pd.to_timedelta(gap)
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col], kind="mergesort")
+        new_s = (g[ts_col].diff() > gap_td).astype("int64")
+        sid = new_s.cumsum()
+        out = (
+            g.assign(sid=sid)
+            .groupby("sid", sort=True)
+            .agg(
+                session_start=(ts_col, "min"),
+                session_end=(ts_col, "max"),
+                n_events=(ts_col, "size"),
+                value_sum=(value_col, "sum"),
+            )
+            .reset_index()
+        )
+        out.insert(0, key_col, g[key_col].iloc[0])
+        return out
+
+    final = (
+        ds.groupby(key_col).map_groups(sessions, batch_format="pandas").to_pandas()
+    )
+    final["n_events"] = final["n_events"].astype("int64")
+    return final.sort_values([key_col, "sid"]).reset_index(drop=True)
+
+
 def tumbling_window_agg(
     ds,
     *,
