@@ -260,8 +260,24 @@ class ValidationPipeline:
             batch_size=self.batch_size,
         )
 
+    def _empty_partition_check(self, part: str) -> CheckResult:
+        """An empty partition is a completeness WARNING (reference:
+        completeness_suite/matches_completeness.py:14-15 'list
+        non-empty'), never a silent omission."""
+        return CheckResult(
+            part,
+            "completeness_nulls",
+            gate_status("warning", 1),
+            1,
+            0,
+            "warning",
+            metrics={"empty_partition": True},
+        )
+
     def _narrow_checks(self, part: str, rules_states: dict[str, dict]) -> list[CheckResult]:
         """CheckResults for the single-pass rules of one partition."""
+        if not rules_states:
+            return [self._empty_partition_check(part)]
         checks = []
         for rule_id, spec in self.rules.items():
             if not spec.enabled or rule_id in ("doc_id_unique", "drift_ks_psi"):
@@ -537,6 +553,12 @@ class ValidationPipeline:
         t_phase = time.time()
 
         # ---- verdicts per partition
+        # partitions claimed by a committed shard but with NO batch
+        # output are EMPTY inputs — keep them visible with a WARN
+        for part in all_parts:
+            if part not in shard_stats and part in owners:
+                shard_stats[part] = {}
+
         verdicts: list[CheckResult] = []
         metrics: dict[str, Any] = {"partitions": {}}
         finish_items: list[tuple[str, dict]] = []
@@ -544,6 +566,8 @@ class ValidationPipeline:
         for part in processed:
             rules_states = shard_stats[part]
             checks: list[CheckResult] = []
+            if not rules_states:
+                checks.append(self._empty_partition_check(part))
             rows_total = 0
             for rule_id, spec in self.rules.items():
                 if not spec.enabled:

@@ -436,3 +436,21 @@ rules:
     src_checks = [c for c in res.verdicts if c.rule_id == "source_ref" and c.rows_failed]
     assert src_checks and all(c.status == "WARN" for c in src_checks)
     assert res.run_verdict != "FAIL"              # only warnings remain
+
+
+def test_empty_partition_gets_warn_not_silence(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from etl_data_validation_kio_ray.pipelines.validate import ValidationPipeline
+    from etl_data_validation_kio_ray.sources.synth import SCHEMA, generate_token_table
+
+    d = generate_token_table(str(tmp_path / "in"), partitions=2, rows_per_partition=50)
+    pq.write_table(SCHEMA.empty_table(), str(tmp_path / "in" / "part-0099.parquet"))
+    res = ValidationPipeline(allowed_sources=["web", "books", "code", "wiki"]).run(
+        d, str(tmp_path / "out")
+    )
+    assert "part-0099" in res.partitions
+    empty_checks = [c for c in res.verdicts if c.partition == "part-0099"]
+    warn = [c for c in empty_checks if c.rule_id == "completeness_nulls"]
+    assert warn and warn[0].status == "WARN"
+    assert warn[0].metrics.get("empty_partition") is True
