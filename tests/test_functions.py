@@ -147,3 +147,31 @@ def test_parse_iso_timestamp_variants():
     assert vals[5] is None and vals[6] is None
     years = extract_year(out).to_pylist()
     assert years[0] == 2026 and years[5] is None
+
+
+def test_tokenize_unicode_matches_duckdb():
+    import duckdb
+    import pyarrow as pa
+
+    from etl_data_validation_kio_ray.sources.tokenize import tokenize_batch
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(["u1", "u2", "u3"]),
+            "text": pa.array(["héllo wörld", "日本語 テスト です", "emoji 🎉🎉 mix café"]),
+            "source": pa.array(["web"] * 3),
+        }
+    )
+    got = tokenize_batch(docs)
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.execute(
+        """
+        SELECT list_transform(string_split(text,' '),
+                 w -> CAST((length(w)*2654435761)%50257 AS INTEGER)) tokens,
+               CAST(length(string_split(text,' ')) AS INTEGER) n_tok
+        FROM documents"""
+    ).fetchall()
+    for i, (toks, n) in enumerate(want):
+        assert got["tokens"][i].as_py() == toks
+        assert got["n_tok"][i].as_py() == n
