@@ -75,3 +75,41 @@ def read_token_json(paths, *, partition: str | None = None):
     return ds.map_batches(
         lambda t: _normalize(t, partition), batch_format="pyarrow"
     )
+
+
+def read_token_csv(paths, *, partition: str | None = None):
+    """CSV corpora -> canonical token-table Dataset. The ``tokens``
+    column is a JSON-style int list in text form (CSV cannot carry
+    nested types natively); parsed vectorized via Arrow split+cast.
+    Same normalization contract as :func:`read_token_json`."""
+    import ray.data as rd
+
+    ds = rd.read_csv(paths)
+
+    def parse(t: pa.Table) -> pa.Table:
+        if "tokens" in t.column_names and pa.types.is_string(t["tokens"].type):
+            s = t["tokens"]
+            if isinstance(s, pa.ChunkedArray):
+                s = s.combine_chunks()
+            stripped = pc.utf8_trim(s, " []")
+            empty = pc.equal(stripped, "")
+            parts = pc.split_pattern(
+                pc.if_else(empty, pa.nulls(len(s), pa.string()), stripped), ","
+            )
+            toks = pc.cast(
+                pc.utf8_trim_whitespace(pc.list_flatten(parts)), pa.int32()
+            )
+            lists = pa.ListArray.from_arrays(parts.combine_chunks().offsets, toks)
+            # empty-string rows -> empty lists (not null)
+            t = t.set_column(
+                t.column_names.index("tokens"),
+                "tokens",
+                pc.if_else(
+                    pc.is_valid(s),
+                    lists,
+                    pa.nulls(len(s), pa.list_(pa.int32())),
+                ),
+            )
+        return _normalize(t, partition)
+
+    return ds.map_batches(parse, batch_format="pyarrow")

@@ -454,3 +454,22 @@ def test_empty_partition_gets_warn_not_silence(ray_session, tmp_path):
     warn = [c for c in empty_checks if c.rule_id == "completeness_nulls"]
     assert warn and warn[0].status == "WARN"
     assert warn[0].metrics.get("empty_partition") is True
+
+
+def test_csv_source_roundtrip(ray_session, tmp_path):
+    from etl_data_validation_kio_ray.sources.jsonl import TOKEN_SCHEMA, read_token_csv
+
+    p = tmp_path / "docs.csv"
+    p.write_text(
+        "doc_id,tokens,n_tok,source\n"
+        'c1,"[1, 2, 3]",3,web\n'
+        'c2,"[7]",5,books\n'
+    )
+    ds = read_token_csv(str(p), partition="pc")
+    t = pa.concat_tables(
+        b for b in ds.iter_batches(batch_format="pyarrow", batch_size=10)
+    )
+    assert t.schema.equals(TOKEN_SCHEMA)
+    assert t["tokens"].to_pylist() == [[1, 2, 3], [7]]
+    assert t["n_tok"].to_pylist() == [3, 5]
+    assert t["partition"].to_pylist() == ["pc", "pc"]
