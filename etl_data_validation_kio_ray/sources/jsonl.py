@@ -99,7 +99,9 @@ def read_token_csv(paths, *, partition: str | None = None):
             toks = pc.cast(
                 pc.utf8_trim_whitespace(pc.list_flatten(parts)), pa.int32()
             )
-            lists = pa.ListArray.from_arrays(parts.combine_chunks().offsets, toks)
+            if isinstance(parts, pa.ChunkedArray):
+                parts = parts.combine_chunks()
+            lists = pa.ListArray.from_arrays(parts.offsets, toks)
             # empty-string rows -> empty lists (not null)
             t = t.set_column(
                 t.column_names.index("tokens"),
