@@ -220,8 +220,11 @@ class RuleEngine:
         def id_at(i: int) -> str | None:
             return ids_arr[int(i)].as_py() if ids_arr is not None else None
 
-        # tokens: flatten once (zero-copy int32 view), reused by
-        # invariants + stats; no int64 widening of the flat array
+        # tokens: flat view once, reused by invariants + stats; no
+        # int64 widening. When the ListArray is dense (unsliced,
+        # offsets covering the whole child array — the normal case for
+        # parquet-decoded blocks) the child `.values` IS the flattened
+        # array, zero-copy; otherwise fall back to list_flatten (copy).
         tokens = lens_np = flat_np = None
         if self.token_col in cols:
             tokens = sub[self.token_col].combine_chunks()
@@ -229,7 +232,22 @@ class RuleEngine:
             lens_np = (
                 pc.fill_null(lens, -1).to_numpy(zero_copy_only=False).astype(np.int64)
             )
-            flat_np = pc.list_flatten(tokens).to_numpy(zero_copy_only=False)
+            flat_np = None
+            if (
+                isinstance(tokens, pa.ListArray)
+                and tokens.offset == 0
+                and tokens.null_count == 0
+                and tokens.values.null_count == 0
+            ):
+                offs = tokens.offsets
+                if (
+                    len(offs)
+                    and offs[0].as_py() == 0
+                    and offs[-1].as_py() == len(tokens.values)
+                ):
+                    flat_np = tokens.values.to_numpy(zero_copy_only=False)
+            if flat_np is None:
+                flat_np = pc.list_flatten(tokens).to_numpy(zero_copy_only=False)
 
         n_tok_np = None
         if self.len_col in cols:
