@@ -36,6 +36,10 @@ def _tune_allocator() -> None:
     process that imports this package — the driver and each Ray worker.
     No-op on non-glibc platforms.
     """
+    import os
+
+    if os.environ.get("ETL_KIO_NO_MALLOPT"):
+        return  # embedders can opt out of the allocator retune
     try:
         import ctypes
 

@@ -30,11 +30,16 @@ import sys
 def _init_ray() -> None:
     import ray
 
-    if not ray.is_initialized():
-        ray.init(
-            address=os.environ.get("RAY_ADDRESS", "auto"),
-            ignore_reinit_error=True,
-        )
+    if ray.is_initialized():
+        return
+    addr = os.environ.get("RAY_ADDRESS")
+    if addr:
+        # inside `ray job submit` / an existing cluster
+        ray.init(address=addr, ignore_reinit_error=True)
+    else:
+        # standalone: start a local Ray (address="auto" would raise
+        # ConnectionError when no cluster is running)
+        ray.init(ignore_reinit_error=True)
 
 
 def _pipeline(args):

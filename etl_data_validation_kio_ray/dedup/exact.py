@@ -108,22 +108,29 @@ def _collect_dup_rows(hashed, dup_hashes: pa.Table) -> pa.Table:
 
 def dedup_exact(ds, content_cols: list[str], id_col: str = "doc_id"):
     """Keep, per distinct content, the row with the MIN id. Returns the
-    deduplicated Dataset."""
+    deduplicated Dataset. Exact under 64-bit hash collisions: winners
+    are resolved on the ACTUAL content values of the gathered rows, so
+    two different documents sharing a hash both survive."""
     import ray
     import ray.data as rd
 
-    hashed = _with_content_hash(ds, content_cols)
+    # materialize: the hashed dataset is scanned by the dup scan, the
+    # candidate gather, and the final filter — re-executing the
+    # upstream (and re-hashing) three times would triple the cost and
+    # break on nondeterministic upstreams
+    hashed = _with_content_hash(ds, content_cols).materialize()
     dup = _dup_content_hashes(hashed)
     if dup.num_rows == 0:
         return hashed.drop_columns([CHASH])
     dup_rows = _collect_dup_rows(hashed, dup)
-    # winner per content hash: deterministic min id, exactly one row
-    # even when ids are themselves duplicated
+    if dup_rows is None:
+        return hashed.drop_columns([CHASH])
+    # one winner per distinct CONTENT (not per hash): deterministic
+    # min id; hash-colliding distinct contents each keep their row
     win = (
         dup_rows.to_pandas()
-        .sort_values([CHASH, id_col], kind="mergesort")
-        .groupby(CHASH, sort=False)
-        .head(1)
+        .sort_values([id_col], kind="mergesort")
+        .drop_duplicates(subset=content_cols, keep="first")
     )
     winners = pa.Table.from_pandas(
         win.drop(columns=[CHASH]), preserve_index=False
@@ -142,8 +149,10 @@ def dedup_exact(ds, content_cols: list[str], id_col: str = "doc_id"):
 
 def exact_dup_groups(ds, content_cols: list[str], id_col: str = "doc_id"):
     """Duplicate-group report: one row per duplicated content value with
-    (keep_id, dup_count). Mirrors the GROUP BY HAVING COUNT>1 shape."""
-    hashed = _with_content_hash(ds, content_cols)
+    (keep_id, dup_count). Mirrors the GROUP BY HAVING COUNT>1 shape.
+    Grouped on actual content values, so hash-colliding distinct
+    contents are never reported as duplicates."""
+    hashed = _with_content_hash(ds, content_cols).materialize()
     dup = _dup_content_hashes(hashed)
     empty = pd.DataFrame(
         {id_col: pd.Series(dtype=object), "dup_count": pd.Series(dtype="int64")}
@@ -151,12 +160,15 @@ def exact_dup_groups(ds, content_cols: list[str], id_col: str = "doc_id"):
     if dup.num_rows == 0:
         return empty
     rows = _collect_dup_rows(hashed, dup)
-    df = rows.select([CHASH, id_col]).to_pandas()
+    if rows is None:
+        return empty
+    df = rows.select([*content_cols, id_col]).to_pandas()
     g = (
-        df.sort_values([CHASH, id_col], kind="mergesort")
-        .groupby(CHASH, sort=False)[id_col]
+        df.sort_values([id_col], kind="mergesort")
+        .groupby(content_cols, sort=False)[id_col]
         .agg(keep="first", dup_count="size")
         .reset_index(drop=True)
         .rename(columns={"keep": id_col})
     )
+    g = g[g["dup_count"] > 1]
     return g.astype({"dup_count": "int64"}).sort_values(id_col).reset_index(drop=True)

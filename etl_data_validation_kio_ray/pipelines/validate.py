@@ -260,24 +260,59 @@ class ValidationPipeline:
             batch_size=self.batch_size,
         )
 
-    def _empty_partition_check(self, part: str) -> CheckResult:
-        """An empty partition is a completeness WARNING (reference:
-        completeness_suite/matches_completeness.py:14-15 'list
-        non-empty'), never a silent omission."""
-        return CheckResult(
-            part,
-            "completeness_nulls",
-            gate_status("warning", 1),
-            1,
-            0,
-            "warning",
-            metrics={"empty_partition": True},
-        )
+    def _missing_state_checks(
+        self, part: str, input_file: str | None
+    ) -> list[CheckResult]:
+        """Checks for a partition that produced NO batch output.
 
-    def _narrow_checks(self, part: str, rules_states: dict[str, dict]) -> list[CheckResult]:
+        Truly empty file -> completeness WARNING (reference:
+        completeness_suite/matches_completeness.py:14-15 'list
+        non-empty'). File WITH rows -> schema FAIL: its rows were keyed
+        under another partition value (e.g. the partition column is
+        missing, so the engine attributed them to 'all') — that must
+        surface loudly, not masquerade as an empty partition."""
+        nrows = 0
+        if input_file:
+            try:
+                import pyarrow.parquet as pq
+
+                nrows = pq.read_metadata(input_file).num_rows
+            except Exception:  # noqa: BLE001 — unreadable file
+                nrows = -1
+        if nrows <= 0:
+            return [
+                CheckResult(
+                    part,
+                    "completeness_nulls",
+                    gate_status("warning", 1),
+                    1,
+                    0,
+                    "warning",
+                    metrics={"empty_partition": True},
+                )
+            ]
+        return [
+            CheckResult(
+                part,
+                "schema_types",
+                gate_status("error", nrows),
+                nrows,
+                nrows,
+                "error",
+                metrics={"unattributed_rows": True},
+            )
+        ]
+
+    def _narrow_checks(
+        self,
+        part: str,
+        rules_states: dict[str, dict],
+        *,
+        input_file: str | None = None,
+    ) -> list[CheckResult]:
         """CheckResults for the single-pass rules of one partition."""
         if not rules_states:
-            return [self._empty_partition_check(part)]
+            return self._missing_state_checks(part, input_file)
         checks = []
         for rule_id, spec in self.rules.items():
             if not spec.enabled or rule_id in ("doc_id_unique", "drift_ks_psi"):
@@ -360,6 +395,10 @@ class ValidationPipeline:
         # runs
         fresh_shard_stats: dict[str, dict[str, dict[str, dict]]] = {}
 
+        # owners snapshot read ONCE (each read walks every manifest);
+        # kept current incrementally as this run commits shards
+        owners_now = state.shard_owners()
+
         t_narrow = time.time()
         for i in range(0, len(pending), self.shard_size):
             shard = pending[i : i + self.shard_size]
@@ -371,7 +410,7 @@ class ValidationPipeline:
             # Pick the first name that is either free or unowned
             # (crashed leftovers); owners-filtering at read time keeps
             # stale rows of reclaimed partitions from double-counting.
-            owned_dirs = set(state.shard_owners().values())
+            owned_dirs = set(owners_now.values())
             base = f"shard-{shard[0]}"
             shard_name, k = base, 0
             while shard_name in owned_dirs:
@@ -411,7 +450,9 @@ class ValidationPipeline:
                 fresh_shard_stats[shard_name] = merged
                 items = []
                 for p in shard:
-                    checks = self._narrow_checks(p, merged.get(p, {}))
+                    checks = self._narrow_checks(
+                        p, merged.get(p, {}), input_file=files.get(p)
+                    )
                     items.append(
                         (
                             p,
@@ -426,6 +467,8 @@ class ValidationPipeline:
                         )
                     )
                 state.finish_many(items)
+                for p in shard:
+                    owners_now[p] = os.path.basename(shard_dir)
             except Exception as e:  # noqa: BLE001 — manifest records the failure
                 for p in shard:
                     state.fail(p, repr(e))
@@ -437,7 +480,7 @@ class ValidationPipeline:
         # all partitions' merged stats (this run + prior resumed runs):
         # re-read the tiny kind=partial outputs of every committed shard,
         # keeping each partition's state only from its OWNING shard
-        owners = state.shard_owners()
+        owners = owners_now  # kept current through the shard loop
         shard_stats: dict[str, dict[str, dict]] = {}
         for d in sorted(glob.glob(os.path.join(out_dir, "raw", "shard-*"))):
             shard_name = os.path.basename(d)
@@ -567,7 +610,7 @@ class ValidationPipeline:
             rules_states = shard_stats[part]
             checks: list[CheckResult] = []
             if not rules_states:
-                checks.append(self._empty_partition_check(part))
+                checks.extend(self._missing_state_checks(part, files.get(part)))
             rows_total = 0
             for rule_id, spec in self.rules.items():
                 if not spec.enabled:

@@ -27,7 +27,10 @@ import numpy as np
 from ..sketches import FixedHistogram
 from ..sketches.hist import ks_stat, psi
 
-SNAPSHOT_VERSION = 1
+# v2: token-histogram domain became [0, ceil(vocab/bins)*bins) with
+# integer bin widths (rule_engine.bin_width) — v1 snapshots bin on the
+# old [0, vocab) float edges and must not be compared silently
+SNAPSHOT_VERSION = 2
 
 
 def build_baseline_snapshot(
@@ -123,23 +126,25 @@ class DriftScorer:
         # (the exact per-partition pass still covers every source)
         self.min_tokens_per_source = min_tokens_per_source
 
+        # the stats kernel is compiled once per actor too (it would
+        # otherwise rebuild rule specs on every batch of the hot path)
+        from .rule_engine import RuleEngine
+        from ..core.specs import default_rules
+
+        self._engine = RuleEngine(
+            {"column_stats": default_rules()["column_stats"]},
+            partition_col=partition_col,
+            len_col=len_col,
+            token_col=token_col,
+            source_col=source_col,
+            id_col="__absent__",
+            vocab_size=vocab_size,
+        )
+
     def __call__(self, batch):
         import pyarrow as pa
 
-        from .rule_engine import NTOK_BINS, TOKEN_BINS, RuleEngine, bin_width
-        from ..core.specs import default_rules
-
-        # reuse the stats kernel to histogram this batch, then score
-        eng = RuleEngine(
-            {"column_stats": default_rules()["column_stats"]},
-            partition_col=self.partition_col,
-            len_col=self.len_col,
-            token_col=self.token_col,
-            source_col=self.source_col,
-            id_col="__absent__",
-            vocab_size=self.vocab_size,
-        )
-        union = eng(batch)
+        union = self._engine(batch)
         rows = {"partition": [], "ks_n_tok": [], "psi_tokens": [], "drifted": []}
         for part, blob in zip(
             union["partition"].to_pylist(), union["payload"].to_pylist()

@@ -496,8 +496,13 @@ class RuleEngine:
             src = sub[self.source_col].combine_chunks()
             dict_arr = pc.dictionary_encode(src)
             names = dict_arr.dictionary.to_pylist()
-            codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int32)
-            codes = np.where(codes < 0, np.int32(len(names)), codes)
+            # fill_null BEFORE to_numpy: null indices otherwise surface
+            # as float NaN whose int cast is platform-dependent
+            codes = (
+                pc.fill_null(dict_arr.indices, len(names))
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int32)
+            )
             flat_codes = np.repeat(codes, np.where(lens_np < 0, 0, lens_np))
             bin_w = np.int32(bin_width(self.vocab_size))
             bins = flat_np // bin_w  # int32; invalid tokens land outside
@@ -512,9 +517,11 @@ class RuleEngine:
             for ci, name in enumerate([*names, None]):
                 if counts[ci].sum() == 0 and name is None:
                     continue
-                h = FixedHistogram(
-                    0, int(bin_w) * TOKEN_BINS, TOKEN_BINS, counts[ci].astype(np.int64)
-                )
-                token_hists["" if name is None else str(name)] = h.to_state()
+                key = "" if name is None else str(name)
+                row = counts[ci].astype(np.int64)
+                if key in token_hists:  # null bucket merges with a real ""
+                    row = row + np.asarray(token_hists[key]["counts"])
+                h = FixedHistogram(0, int(bin_w) * TOKEN_BINS, TOKEN_BINS, row)
+                token_hists[key] = h.to_state()
             state["token_hists"] = token_hists
         self._emit_partial(out, "column_stats", partition, state)

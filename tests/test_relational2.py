@@ -473,3 +473,51 @@ def test_csv_source_roundtrip(ray_session, tmp_path):
     assert t["tokens"].to_pylist() == [[1, 2, 3], [7]]
     assert t["n_tok"].to_pylist() == [3, 5]
     assert t["partition"].to_pylist() == ["pc", "pc"]
+
+
+def test_unattributed_rows_flagged_as_schema_fail(ray_session, tmp_path):
+    """A non-empty file whose rows can't be attributed to its partition
+    (partition column dropped) must FAIL schema, not WARN empty."""
+    import pyarrow.parquet as pq
+
+    from etl_data_validation_kio_ray.pipelines.validate import ValidationPipeline
+    from etl_data_validation_kio_ray.sources.synth import generate_token_table
+
+    d = generate_token_table(str(tmp_path / "in"), partitions=2, rows_per_partition=50)
+    t = pq.read_table(str(tmp_path / "in" / "part-0001.parquet")).drop_columns(["partition"])
+    pq.write_table(t, str(tmp_path / "in" / "part-0001.parquet"))
+    res = ValidationPipeline(allowed_sources=["web", "books", "code", "wiki"]).run(
+        d, str(tmp_path / "out")
+    )
+    checks = [c for c in res.verdicts if c.partition == "part-0001"]
+    schema = [c for c in checks if c.rule_id == "schema_types"]
+    assert schema and schema[0].status == "FAIL"
+    assert schema[0].metrics.get("unattributed_rows") is True
+
+
+def test_exact_dedup_survives_hash_collision(ray_session):
+    """Two DIFFERENT texts with a forced content-hash collision must
+    both survive dedup and not appear in the dup-group report."""
+    import ray.data as rd
+    from unittest import mock
+
+    import numpy as np
+
+    from etl_data_validation_kio_ray.dedup import exact as E
+
+    df = pd.DataFrame(
+        {"doc_id": ["a", "b", "c", "d"], "text": ["t1", "t2", "t3", "t3"]}
+    )
+
+    def colliding_hash(values):
+        # t1 and t2 collide; t3 hashes distinctly
+        return np.asarray(
+            [np.uint64(7) if v in ("t1", "t2") else np.uint64(99) for v in values],
+            dtype=np.uint64,
+        )
+
+    with mock.patch.object(E, "stable_hash64", colliding_hash):
+        kept = E.dedup_exact(rd.from_pandas(df).repartition(2), ["text"]).to_pandas()
+        groups = E.exact_dup_groups(rd.from_pandas(df).repartition(2), ["text"])
+    assert set(kept.doc_id) == {"a", "b", "c"}  # t3 deduped, t1/t2 both kept
+    assert list(groups.doc_id) == ["c"] and list(groups.dup_count) == [2]
