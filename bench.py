@@ -14,10 +14,12 @@ Default mode: `python bench.py`
    "headline_seq_per_s": ..., "headline_rows": ...}
 
 Scaling mode: `python bench.py --scaling`
-  Runs the SAME headline job twice in fresh child processes at
-  num_cpus=N and num_cpus=4N (default 1 and 4, override via
-  $GRAFT_SCALING_CPUS="1,4") on the same input and prints both
-  throughputs + scaling efficiency (north rule: >= 0.8 from N to 4N).
+  Runs the SAME headline job in fresh child processes at num_cpus=N
+  and num_cpus=4N (default 1 and 4, override via
+  $GRAFT_SCALING_CPUS="1,4"), interleaved over $GRAFT_SCALING_ROUNDS
+  rounds, on the same input; prints per-level throughput samples plus
+  best-of AND median scaling efficiency (north rule: >= 0.8 from N to
+  4N, judged at the median).
   In-sandbox stand-in for two cluster sizes; the pair sits inside the
   single VM's fixed memory-bandwidth envelope because adding CLUSTER
   nodes adds memory bandwidth per node, while adding vCPUs on one
@@ -96,8 +98,8 @@ def _pipe(snap_dir: str | None = None):
         allowed_sources=["web", "books", "code", "wiki"],
         baseline_snapshot_dir=snap_dir,
         # one commit shard for the whole corpus: the bench job runs
-        # uninterrupted, so paying per-shard commit overhead twice
-        # (128 partitions / default 64) buys nothing here; production
+        # uninterrupted, so paying per-shard commit overhead four times
+        # (256 partitions / default 64) buys nothing here; production
         # runs keep the default for bounded recompute-after-crash
         shard_size=1024,
     )
@@ -170,12 +172,20 @@ def run_child(num_cpus: int) -> None:
 
 
 def run_scaling() -> None:
-    """Same job, same input, fresh processes at N=8 and 4N=32 CPUs."""
+    """Same job, same input, fresh warmed processes at the two CPU
+    levels in SCALING_CPUS (default N=1 and 4N=4; see BASELINE.md for
+    why the pair sits below the single-VM memory-bandwidth knee — the
+    wider 2-vs-8 pair measures 0.705 here because 8-way on one bus is
+    bandwidth-capped, not because the pipeline stops scaling).
+
+    Reports BOTH the best-of and the median-per-level efficiency; the
+    headline pass/fail is judged at the MEDIAN (best-of alone can be
+    flattered by host noise that favors one level)."""
     _gen_corpus()  # build + cache corpus once, outside the timed children
-    results: dict[int, dict] = {}
-    # interleave the two levels across rounds and keep each level's best
-    # — controls for time-varying host throttling in shared sandboxes
-    rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "2"))
+    samples: dict[int, list[dict]] = {c: [] for c in SCALING_CPUS}
+    # interleave the two levels across rounds — controls for
+    # time-varying host throttling in shared sandboxes
+    rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "3"))
     env = {**os.environ, "GRAFT_BENCH_REPEATS": "1"}
     for _ in range(rounds):
         for cpus in SCALING_CPUS:
@@ -190,26 +200,37 @@ def run_scaling() -> None:
             if proc.returncode != 0:
                 sys.stderr.write(proc.stderr)
                 raise SystemExit(f"child at num_cpus={cpus} failed")
-            r = json.loads(proc.stdout.strip().splitlines()[-1])
-            if cpus not in results or r["sec"] < results[cpus]["sec"]:
-                results[cpus] = r
+            samples[cpus].append(json.loads(proc.stdout.strip().splitlines()[-1]))
     lo, hi = SCALING_CPUS
-    t_lo, t_hi = results[lo]["seq_per_s"], results[hi]["seq_per_s"]
+
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+    tp = {c: [r["seq_per_s"] for r in samples[c]] for c in SCALING_CPUS}
     factor = hi / lo
-    eff = (t_hi / t_lo) / factor
+    eff_best = (max(tp[hi]) / max(tp[lo])) / factor
+    eff_median = (_median(tp[hi]) / _median(tp[lo])) / factor
     print(
         json.dumps(
             {
                 "metric": f"validation throughput scaling, N={lo} vs {factor:g}N={hi} CPUs, fresh warmed sessions",
-                "value": round(eff, 3),
+                "value": round(eff_median, 3),
                 "unit": "scaling_efficiency",
-                "rows": results[lo]["rows"],
-                f"throughput_at_{lo}": t_lo,
-                f"throughput_at_{hi}": t_hi,
-                f"sec_at_{lo}": results[lo]["sec"],
-                f"sec_at_{hi}": results[hi]["sec"],
+                "rows": samples[lo][0]["rows"],
+                "rounds": rounds,
+                f"throughput_samples_at_{lo}": tp[lo],
+                f"throughput_samples_at_{hi}": tp[hi],
+                f"throughput_median_at_{lo}": _median(tp[lo]),
+                f"throughput_median_at_{hi}": _median(tp[hi]),
+                f"throughput_best_at_{lo}": max(tp[lo]),
+                f"throughput_best_at_{hi}": max(tp[hi]),
+                "efficiency_median": round(eff_median, 3),
+                "efficiency_best": round(eff_best, 3),
                 "efficiency_target": 0.8,
-                "pass": eff >= 0.8,
+                "pass": eff_median >= 0.8,
+                "note": "pass judged at median; wider 2-vs-8 CPU pair measures ~0.705 on this single-bus VM (see BASELINE.md)",
             }
         )
     )
@@ -231,11 +252,13 @@ def run_default() -> None:
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
         res = qs[name](SF_DIR)
-        # force lazy Datasets to execute
-        if hasattr(res, "count") and not hasattr(res, "columns"):
+        # force lazy Datasets to execute (Ray 2.49 Datasets also expose
+        # .columns(), so duck-typing on 'columns' would misclassify them
+        # as eager DataFrames and under-time the query)
+        import ray.data as _rd
+
+        if isinstance(res, _rd.Dataset):
             res.count()
-        elif hasattr(res, "num_rows"):
-            pass
         queries[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(queries.values()), 3)

@@ -129,7 +129,12 @@ def run_experiment(
             # *_disabled expect-SUCCESS iterations
             detected = fired == base_fired and res.run_verdict == base_res.run_verdict
         else:
-            detected = expected in fired
+            # detected = the expected rule fired AND the run verdict
+            # degraded vs the clean baseline (a WARN-severity firing
+            # that leaves the verdict unchanged is not a detection)
+            _sev = {"PASS": 0, "WARN": 1, "FAIL": 2}
+            degraded = _sev[res.run_verdict] > _sev[base_res.run_verdict]
+            detected = expected in fired and degraded
         results.iterations.append(
             IterationResult(
                 action=action,

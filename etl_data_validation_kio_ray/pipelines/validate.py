@@ -267,10 +267,13 @@ class ValidationPipeline:
 
         Truly empty file -> completeness WARNING (reference:
         completeness_suite/matches_completeness.py:14-15 'list
-        non-empty'). File WITH rows -> schema FAIL: its rows were keyed
-        under another partition value (e.g. the partition column is
-        missing, so the engine attributed them to 'all') — that must
-        surface loudly, not masquerade as an empty partition."""
+        non-empty'). UNREADABLE file (footer metadata read raises) ->
+        schema FAIL with an ``unreadable_input`` metric: a file that
+        became corrupt must not masquerade as benign emptiness. File
+        WITH rows -> schema FAIL: its rows were keyed under another
+        partition value (e.g. the partition column is missing, so the
+        engine attributed them to 'all') — that must surface loudly,
+        not masquerade as an empty partition."""
         nrows = 0
         if input_file:
             try:
@@ -279,7 +282,19 @@ class ValidationPipeline:
                 nrows = pq.read_metadata(input_file).num_rows
             except Exception:  # noqa: BLE001 — unreadable file
                 nrows = -1
-        if nrows <= 0:
+        if nrows == -1:
+            return [
+                CheckResult(
+                    part,
+                    "schema_types",
+                    gate_status("error", 1),
+                    1,
+                    0,
+                    "error",
+                    metrics={"unreadable_input": True},
+                )
+            ]
+        if nrows == 0:
             return [
                 CheckResult(
                     part,
@@ -819,15 +834,29 @@ def _schema_groups(paths: list[str], want: list[str]):
     """Group parquet files by (footer column ∩ wanted) signature so each
     group can be read with a consistent column list. Footer reads are
     I/O-bound metadata fetches — done on a thread pool so a shard of
-    hundreds of files doesn't serialize on the driver."""
+    hundreds of files doesn't serialize on the driver.
+
+    UNREADABLE files (corrupt footer) are excluded from every group
+    rather than crashing the shard: their partitions produce no batch
+    output, so ``_missing_state_checks`` classifies them as
+    ``unreadable_input`` schema FAILs — one bad file must not take down
+    the other partitions of its shard."""
     from concurrent.futures import ThreadPoolExecutor
 
     import pyarrow.parquet as pq
 
+    def read_names(p: str) -> set[str] | None:
+        try:
+            return set(pq.read_schema(p).names)
+        except Exception:  # noqa: BLE001 — unreadable file, classified later
+            return None
+
     with ThreadPoolExecutor(max_workers=min(16, max(1, len(paths)))) as ex:
-        name_sets = list(ex.map(lambda p: set(pq.read_schema(p).names), paths))
+        name_sets = list(ex.map(read_names, paths))
     groups: dict[tuple, list[str]] = {}
     for p, names in zip(paths, name_sets):
+        if names is None:
+            continue
         cols = tuple(c for c in want if c in names)
         groups.setdefault(cols, []).append(p)
     return [(list(cols), files) for cols, files in sorted(groups.items())]
