@@ -476,12 +476,15 @@ def q_drift_scores(sf_dir: str):
 
 
 def q_minhash_pairs(sf_dir: str):
-    """MinHash-LSH near-dup pairs over documents (rows-only; random-word
-    corpus has no near dups — result is the empty pair set, schema-stable)."""
+    """MinHash-LSH near-dup pairs over documents, verified with EXACT
+    shingle Jaccard — hash-oracled against DuckDB's exact all-pairs
+    Jaccard (the planted near-dups sit far above the 0.8 threshold, so
+    the deterministic 32-band LSH recalls every oracle pair; verified
+    values are exact, never hash-approximate)."""
     from etl_data_validation_kio_ray.dedup import minhash_dedup_pairs
 
     ds = _docs(sf_dir, ["doc_id", "text"])
-    pairs = minhash_dedup_pairs(ds, jaccard_threshold=0.5, concurrency=2)
+    pairs = minhash_dedup_pairs(ds, jaccard_threshold=0.8, concurrency=2)
     return pairs.astype({"id_a": "object", "id_b": "object", "jaccard": "float64"})
 
 
@@ -1001,6 +1004,22 @@ SELECT event_type, CAST(sid AS BIGINT) AS sid,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(value_cents) AS BIGINT) AS value_cents
 FROM s GROUP BY event_type, sid ORDER BY event_type, sid
+""",
+        "minhash_pairs": """
+WITH sh AS (
+  SELECT doc_id, list_distinct(
+    list_transform(range(1, len(ws) - 1),
+                   i -> ws[i] || chr(31) || ws[i+1] || chr(31) || ws[i+2])) AS s
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.s, b.s)) * 1.0
+       / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+  AND len(list_intersect(a.s, b.s)) * 1.0
+      / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+ORDER BY id_a, id_b
 """,
         "shingle_stats": """
 SELECT doc_id,

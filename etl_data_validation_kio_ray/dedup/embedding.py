@@ -31,21 +31,34 @@ class HyperplaneBucketer:
         for b in range(bits.shape[1]):  # n_planes-bounded
             key |= bits[:, b] << np.uint64(b)
         norm = np.linalg.norm(v, axis=1)
+        flat = v.astype(np.float32, copy=False).ravel()
+        vec_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(flat, pa.float32()), v.shape[1] if len(v) else 1
+        )
         return pa.table(
             {
                 self.id_col: batch[self.id_col],
                 "bucket": pa.array(key.astype(np.int64)),
-                "vec": pa.array(list(v.astype(np.float32))),
+                "vec": vec_col,
                 "norm": pa.array(norm.astype(np.float64)),
             }
         )
 
 
+MAX_BUCKET = 1024  # per-bucket cap on the O(m^2) cosine verify; loud
+
+
 def embedding_dup_pairs(
     ds, vec_col="embedding", id_col="vec_id", *, dim=64, n_planes=16,
-    cosine_threshold=0.95, concurrency=4,
+    cosine_threshold=0.95, concurrency=4, report: dict | None = None,
 ) -> pd.DataFrame:
-    """Verified (id_a < id_b, cosine >= threshold) near-dup pairs."""
+    """Verified (id_a < id_b, cosine >= threshold) near-dup pairs.
+
+    The in-bucket exact-cosine verify is O(m^2) in bucket size, so each
+    bucket is capped at MAX_BUCKET members (first by id) and the number
+    of truncated buckets is reported via ``report['truncated_buckets']``
+    / the result's ``.attrs`` and a log warning — the same loud-cap
+    contract as the MinHash/SimHash stages."""
     bucketed = ds.map_batches(
         HyperplaneBucketer,
         fn_constructor_kwargs=dict(vec_col=vec_col, id_col=id_col, dim=dim, n_planes=n_planes),
@@ -54,39 +67,69 @@ def embedding_dup_pairs(
         concurrency=concurrency,
     )
 
+    empty_group = pd.DataFrame(
+        {
+            "id_a": pd.Series(dtype=object),
+            "id_b": pd.Series(dtype=object),
+            "cosine": pd.Series(dtype="float64"),
+            "trunc": pd.Series(dtype="int64"),
+        }
+    )
+    cap = MAX_BUCKET  # snapshot: closures ship to workers by value
+
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
         g = g.sort_values(id_col)
+        trunc = int(len(g) > cap)
+        g = g.head(cap)
+        if len(g) < 2:
+            return empty_group
         V = np.stack(g["vec"].to_numpy())
         norms = g["norm"].to_numpy()
         sims = (V @ V.T) / np.maximum(np.outer(norms, norms), 1e-12)
-        ids = g[id_col].tolist()
+        ids = g[id_col].to_numpy()
         iu, ju = np.triu_indices(len(ids), k=1)
         keep = sims[iu, ju] >= cosine_threshold
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
-                "id_a": [ids[i] for i in iu[keep]],
-                "id_b": [ids[j] for j in ju[keep]],
+                "id_a": ids[iu[keep]],
+                "id_b": ids[ju[keep]],
                 "cosine": sims[iu, ju][keep],
+                "trunc": 0,
             }
         )
+        if trunc:
+            if out.empty:  # keep the truncation visible even with 0 pairs
+                out = pd.DataFrame(
+                    {"id_a": [None], "id_b": [None], "cosine": [np.nan], "trunc": [1]}
+                )
+            else:
+                out.iloc[0, out.columns.get_loc("trunc")] = 1
+        return out
 
-    pairs = (
+    raw = (
         bucketed.groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
         .to_pandas()
     )
-    if "id_a" not in pairs.columns:  # empty result loses schema
-        return pd.DataFrame(
-            {
-                "id_a": pd.Series(dtype=object),
-                "id_b": pd.Series(dtype=object),
-                "cosine": pd.Series(dtype="float64"),
-            }
+    if "id_a" not in raw.columns:  # empty result loses schema
+        raw = empty_group.copy()
+    truncated = int(raw["trunc"].sum()) if len(raw) else 0
+    if report is not None:
+        report["truncated_buckets"] = truncated
+    if truncated:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "embedding_dup_pairs: %d LSH buckets exceeded MAX_BUCKET=%d and "
+            "were truncated — pair coverage is incomplete for those buckets",
+            truncated,
+            cap,
         )
-    return (
+    pairs = raw[raw["id_a"].notna()].drop(columns=["trunc"])
+    out = (
         pairs.drop_duplicates(["id_a", "id_b"])
         .sort_values(["id_a", "id_b"])
         .reset_index(drop=True)
     )
+    out.attrs["truncated_buckets"] = truncated
+    return out

@@ -25,7 +25,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.hashing import stable_hash64
+from ..functions.hashing import hash_string_array, stable_hash64
 
 MAX_DUP_ROWS_COLLECTED = 2_000_000  # driver-side safety valve
 
@@ -39,7 +39,18 @@ def _with_content_hash(ds, content_cols: list[str], out_col: str = CHASH):
             arr = batch[c]
             if isinstance(arr, pa.ChunkedArray):
                 arr = arr.combine_chunks()
-            h = stable_hash64(arr.to_pylist())
+            typ = arr.type
+            if (
+                pa.types.is_string(typ)
+                or pa.types.is_large_string(typ)
+                or pa.types.is_binary(typ)
+                or pa.types.is_large_binary(typ)
+            ):
+                # straight from the Arrow char buffer — no per-row
+                # Python objects for the (typically dominant) text cols
+                h = hash_string_array(arr)
+            else:
+                h = stable_hash64(arr.to_numpy(zero_copy_only=False))
             acc = h if acc is None else (acc * np.uint64(0x100000001B3)) ^ h
         return batch.append_column(out_col, pa.array(acc.astype("int64")))
 
@@ -48,36 +59,11 @@ def _with_content_hash(ds, content_cols: list[str], out_col: str = CHASH):
 
 def _dup_content_hashes(hashed, *, num_buckets: int = 256) -> pa.Table:
     """int64 content hashes seen more than once (exact; the exchange
-    carries only the hash column, bucketed map-side)."""
-    nb = np.int64(num_buckets)
+    carries only the hash column, bucketed map-side) — the shared
+    distributed dup scan of stages/uniqueness.dup_int64_column."""
+    from ..stages.uniqueness import dup_int64_column
 
-    def project(t: pa.Table) -> pa.Table:
-        h = t[CHASH].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {"h": t[CHASH], "b": pa.array((h % nb).astype(np.int32))}
-        )
-
-    def bucket_dups(g: pa.Table) -> pa.Table:
-        from ..stages.uniqueness import dup_values
-
-        h = g["h"].to_numpy(zero_copy_only=False)
-        return pa.table({"h": pa.array(dup_values(h), pa.int64())})
-
-    out = (
-        hashed.map_batches(project, batch_format="pyarrow")
-        .groupby("b")
-        .map_groups(bucket_dups, batch_format="pyarrow")
-    )
-    tables = [
-        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-        for b in out.iter_batches(batch_format="pyarrow", batch_size=2**20)
-    ]
-    tables = [t for t in tables if t.num_rows]
-    return (
-        pa.concat_tables(tables)
-        if tables
-        else pa.table({"h": pa.array([], pa.int64())})
-    )
+    return dup_int64_column(hashed, CHASH, num_buckets=num_buckets)
 
 
 def _collect_dup_rows(hashed, dup_hashes: pa.Table) -> pa.Table:

@@ -16,7 +16,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.hashing import band_keys, minhash_signatures, stable_hash64
+from ..functions.hashing import band_keys, hash_string_array, minhash_signatures
 
 MAX_BUCKET = 200  # pairs per bucket cap: |bucket| above this is flagged, not exploded
 
@@ -28,7 +28,9 @@ def _shingle_hashes(text: pa.Array, k: int) -> tuple[np.ndarray, np.ndarray]:
     words = pc.split_pattern(pc.utf8_lower(text), " ")
     flat_words = pc.list_flatten(words)
     offsets = np.asarray(words.offsets, dtype=np.int64)
-    wh = stable_hash64(flat_words.to_pylist())
+    # hashed straight from the Arrow char buffer — no per-word Python
+    # objects on this per-token hot path
+    wh = hash_string_array(flat_words)
     lens = np.diff(offsets)
     sh_lens = np.maximum(lens - k + 1, 0)
     # shingle i of a row combines word hashes i..i+k-1
@@ -65,10 +67,14 @@ class MinHasher:
         sig = minhash_signatures(flat, offsets, num_perm=self.num_perm, seed=self.seed)
         bk = band_keys(sig, bands=self.bands)
         n = len(text)
-        ids = batch[self.id_col].to_pylist()
+        ids = batch[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        # explode ids via Arrow take — no Python-object round trip
+        take_idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), self.bands))
         return pa.table(
             {
-                self.id_col: pa.array(np.repeat(np.asarray(ids, object), self.bands).tolist()),
+                self.id_col: ids.take(take_idx),
                 "band_id": pa.array(np.tile(np.arange(self.bands), n), pa.int32()),
                 "band_key": pa.array(bk.ravel(), pa.int64()),
             }
@@ -100,6 +106,94 @@ def add_minhash_bands(ds, text_col="text", id_col="doc_id", *, num_perm=128, ban
     )
 
 
+MAX_CANDIDATE_ROWS = 2_000_000  # driver-side gather cap (loud, not silent)
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _combined_bucket_key(t: pa.Table) -> pa.Array:
+    """(band_id, band_key) mixed into ONE well-distributed int64 so the
+    distributed dup scan can bucket it with a plain modulo."""
+    from ..functions.hashing import _splitmix64
+
+    bid = t["band_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    bk = t["band_key"].to_numpy(zero_copy_only=False).view(np.uint64)
+    return pa.array(_splitmix64(bk ^ ((bid + np.uint64(1)) * _GOLDEN)).view(np.int64))
+
+
+def bucket_pairs_vectorized(
+    bucket_keys: np.ndarray, ids: np.ndarray, *, max_bucket: int = MAX_BUCKET
+) -> tuple[pd.DataFrame, int]:
+    """(bucket_key, id) rows -> deduplicated candidate pairs
+    (id_a < id_b), enumerated WITHOUT a Python loop over buckets: rows
+    are sorted by (bucket, id), bucket segments grouped BY SIZE, and
+    each size class emits its pairs with one fancy-indexed
+    ``np.triu_indices`` expansion. Buckets above ``max_bucket`` keep
+    their first ``max_bucket`` members and are counted in the returned
+    ``truncated_buckets`` (loud coverage cap, never silent).
+
+    Shared by the MinHash and SimHash candidate stages."""
+    df = pd.DataFrame({"bk": bucket_keys, "id": ids})
+    df = df.drop_duplicates(["bk", "id"]).sort_values(
+        ["bk", "id"], kind="mergesort", ignore_index=True
+    )
+    bks = df["bk"].to_numpy()
+    idv = df["id"].to_numpy()
+    n = len(bks)
+    if n == 0:
+        return pd.DataFrame({"id_a": [], "id_b": []}), 0
+    starts = np.flatnonzero(np.r_[True, bks[1:] != bks[:-1]])
+    sizes = np.diff(np.r_[starts, n])
+    truncated = int((sizes > max_bucket).sum())
+    sizes = np.minimum(sizes, max_bucket)
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    for s in np.unique(sizes):
+        if s < 2:
+            continue
+        sel = starts[sizes == s]
+        mat = sel[:, None] + np.arange(s)[None, :]
+        iu, ju = np.triu_indices(int(s), k=1)
+        out_a.append(idv[mat[:, iu]].ravel())
+        out_b.append(idv[mat[:, ju]].ravel())
+    if not out_a:
+        return pd.DataFrame({"id_a": [], "id_b": []}), truncated
+    pairs = pd.DataFrame(
+        {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+    ).drop_duplicates(ignore_index=True)
+    return pairs, truncated
+
+
+def exact_jaccard_for_pairs(
+    ds, pairs: pd.DataFrame, text_col: str, id_col: str, k: int
+) -> pd.DataFrame:
+    """Exact word-k-gram Jaccard appended to candidate ``pairs``:
+    gathers ONLY the candidate docs (broadcast id probe), builds exact
+    tuple shingle sets per doc. Bounded by the candidate count, which
+    the LSH stage already capped."""
+    cand_ids = pd.unique(pd.concat([pairs.id_a, pairs.id_b], ignore_index=True))
+    import ray
+
+    ids_ref = ray.put(pa.array(list(cand_ids)))
+    sub = ds.map_batches(
+        lambda t: t.filter(
+            pc.is_in(t[id_col], value_set=ray.get(ids_ref))
+        ).select([id_col, text_col]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    shingle_sets: dict = {}
+    for did, text in zip(sub[id_col], sub[text_col]):
+        ws = str(text).lower().split(" ")
+        shingle_sets[did] = {tuple(ws[i : i + k]) for i in range(len(ws) - k + 1)}
+    empty: set = set()
+    jac = []
+    for a, b in zip(pairs.id_a, pairs.id_b):
+        sa, sb = shingle_sets.get(a, empty), shingle_sets.get(b, empty)
+        u = len(sa | sb)
+        jac.append(len(sa & sb) / u if u else 0.0)
+    return pairs.assign(jaccard=jac)
+
+
 def minhash_dedup_pairs(
     ds,
     text_col="text",
@@ -110,88 +204,100 @@ def minhash_dedup_pairs(
     k=3,
     jaccard_threshold=0.8,
     concurrency=4,
+    num_buckets=256,
+    report: dict | None = None,
 ) -> pd.DataFrame:
     """Verified near-dup pairs (id_a < id_b, jaccard >= threshold).
 
-    Final verification recomputes exact shingle Jaccard for candidate
-    docs (gathered to the driver — candidates are assumed a small
-    fraction; buckets above MAX_BUCKET are truncated and reported)."""
-    banded = add_minhash_bands(
-        ds, text_col, id_col, num_perm=num_perm, bands=bands, k=k, concurrency=concurrency
-    )
+    Fully distributed candidate scan — nothing proportional to
+    docs x bands ever reaches the driver or is pinned in the object
+    store:
 
-    # Candidate buckets: almost every (band_id, band_key) bucket is a
-    # singleton, so DON'T run a per-group callable over all of them —
-    # find buckets with >1 row via the sort-based duplicate scan on a
-    # combined 64-bit bucket key (8 bytes/row), then gather only rows
-    # of those buckets (a tiny fraction) and form pairs.
-    from ..stages.uniqueness import dup_values
+      pass A: banded rows -> combined int64 bucket key -> map-side
+              ``key % num_buckets`` bucketing -> ONE low-cardinality
+              groupby shuffle (12 bytes/row) -> per-bucket sort-based
+              dup scan (stages/uniqueness.dup_int64_column). Only the
+              (tiny) duplicated bucket keys are collected.
+      pass B: banded rows recomputed lazily, filtered by a broadcast
+              ``is_in`` probe on the duplicated keys; only candidate
+              bucket MEMBERS (a small fraction, gather capped at
+              MAX_CANDIDATE_ROWS) reach the driver for pair formation.
 
-    banded = banded.materialize()  # scanned twice; rows = docs x bands, narrow
+    The banded dataset is intentionally NOT materialized: recomputing
+    the (vectorized, CPU-cheap) minhash pass twice costs far less at
+    scale than pinning docs x bands rows in the object store between
+    passes.
 
-    def to_bucket_key(t: pa.Table) -> pa.Table:
-        bid = t["band_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        bk = t["band_key"].to_numpy(zero_copy_only=False)
-        return pa.table({"bk": pa.array(bk * np.int64(1000003) + bid, pa.int64())})
-
-
-    chunks = [
-        (b if isinstance(b, pa.Table) else pa.Table.from_batches([b]))["bk"]
-        .to_numpy(zero_copy_only=False)
-        for b in banded.map_batches(to_bucket_key, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow", batch_size=2**20
-        )
-    ]
-    all_bk = np.concatenate(chunks) if chunks else np.empty(0, np.int64)
-    dup_bk = dup_values(all_bk)
-    if len(dup_bk) == 0:
-        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+    Buckets above MAX_BUCKET are truncated LOUDLY: the count is
+    returned in ``report['truncated_buckets']`` (also set on the result
+    DataFrame's ``.attrs``) and logged. Final verification recomputes
+    exact shingle Jaccard for candidate docs, so reported pairs are
+    never hash-approximate."""
+    import logging
 
     import ray
 
-    dup_ref = ray.put(pa.array(dup_bk, pa.int64()))
+    from ..stages.uniqueness import dup_int64_column
 
-    def keep_cand(t: pa.Table) -> pa.Table:
-        bid = t["band_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        bk = t["band_key"].to_numpy(zero_copy_only=False)
-        key = pa.array(bk * np.int64(1000003) + bid, pa.int64())
-        return t.append_column("bk", key).filter(
-            pc.is_in(key, value_set=ray.get(dup_ref))
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+    if report is None:
+        report = {}
+    report.setdefault("truncated_buckets", 0)
+
+    def banded():
+        return add_minhash_bands(
+            ds, text_col, id_col, num_perm=num_perm, bands=bands, k=k,
+            concurrency=concurrency,
         )
 
-    cand = (
-        banded.map_batches(keep_cand, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values([id_col])
-    )
-    rows = []
-    for _, g in cand.groupby("bk", sort=False):
-        ids = sorted(g[id_col].unique())[:MAX_BUCKET]
-        rows.extend((a, b) for i, a in enumerate(ids) for b in ids[i + 1 :])
-    pairs = pd.DataFrame(rows, columns=["id_a", "id_b"]).drop_duplicates()
-    if pairs.empty:
-        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+    def project_key(t: pa.Table) -> pa.Table:
+        return pa.table({"h": _combined_bucket_key(t)})
 
-    # exact verification on the candidate docs only
-    cand_ids = set(pairs.id_a) | set(pairs.id_b)
-    sub = ds.map_batches(
-        lambda t: t.filter(
-            pc.is_in(t[id_col], value_set=pa.array(list(cand_ids)))
-        ).select([id_col, text_col]),
-        batch_format="pyarrow",
-    ).to_pandas()
-    shingle_sets: dict = {}
-    for _, r in sub.iterrows():
-        ws = str(r[text_col]).lower().split(" ")
-        shingle_sets[r[id_col]] = {tuple(ws[i : i + k]) for i in range(len(ws) - k + 1)}
-    jac = []
-    for _, r in pairs.iterrows():
-        sa, sb = shingle_sets.get(r.id_a, set()), shingle_sets.get(r.id_b, set())
-        u = len(sa | sb)
-        jac.append(len(sa & sb) / u if u else 0.0)
-    pairs = pairs.assign(jaccard=jac)
-    return (
+    cand_keys = dup_int64_column(
+        banded().map_batches(project_key, batch_format="pyarrow"),
+        "h",
+        num_buckets=num_buckets,
+    )
+    if cand_keys.num_rows == 0:
+        out = empty.copy()
+        out.attrs["truncated_buckets"] = 0
+        return out
+
+    keys_ref = ray.put(cand_keys["h"].combine_chunks())
+
+    def keep_cand(t: pa.Table) -> pa.Table:
+        key = _combined_bucket_key(t)
+        mask = pc.is_in(key, value_set=ray.get(keys_ref))
+        return pa.table({"bk": key, id_col: t[id_col]}).filter(mask)
+
+    gathered = banded().map_batches(keep_cand, batch_format="pyarrow").to_pandas()
+    if len(gathered) > MAX_CANDIDATE_ROWS:
+        raise RuntimeError(
+            f"{len(gathered)} candidate bucket rows exceeds driver gather cap "
+            f"{MAX_CANDIDATE_ROWS}; corpus looks pathologically self-similar — "
+            "raise bands/num_perm or dedup exactly first"
+        )
+    pairs, truncated = bucket_pairs_vectorized(
+        gathered["bk"].to_numpy(), gathered[id_col].to_numpy(), max_bucket=MAX_BUCKET
+    )
+    report["truncated_buckets"] = truncated
+    if truncated:
+        logging.getLogger(__name__).warning(
+            "minhash_dedup_pairs: %d LSH buckets exceeded MAX_BUCKET=%d and were "
+            "truncated — pair coverage is incomplete for those buckets",
+            truncated,
+            MAX_BUCKET,
+        )
+    if pairs.empty:
+        out = empty.copy()
+        out.attrs["truncated_buckets"] = truncated
+        return out
+
+    pairs = exact_jaccard_for_pairs(ds, pairs, text_col, id_col, k)
+    out = (
         pairs[pairs.jaccard >= jaccard_threshold]
         .sort_values(["id_a", "id_b"])
         .reset_index(drop=True)
     )
+    out.attrs["truncated_buckets"] = truncated
+    return out

@@ -1,4 +1,10 @@
-from .hashing import stable_hash64, polynomial_fingerprint, minhash_signatures, simhash64
+from .hashing import (
+    hash_string_array,
+    minhash_signatures,
+    polynomial_fingerprint,
+    simhash64,
+    stable_hash64,
+)
 from .text import text_features, lang_id_batch, tokenize_ws, FINGERPRINT_SQL
 
 __all__ = [

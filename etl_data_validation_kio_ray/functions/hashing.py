@@ -13,10 +13,99 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 MERSENNE31 = (1 << 31) - 1
 FP_MOD = 1_000_000_007
 FP_BASE = 31
+_BYTE_PATH_MAX = 32  # strings up to this length hash per-byte
+_BLOCK_CAP = 512  # positional-loop bound (8-byte blocks = 4 KiB)
+
+
+def _byte_horner(
+    data: np.ndarray, starts: np.ndarray, lens: np.ndarray, base: np.uint64
+) -> np.ndarray:
+    """h = fold(h*base + byte) over each row's bytes; rows sorted by
+    length so each byte position processes a shrinking suffix."""
+    n = len(starts)
+    order = np.argsort(lens, kind="stable")
+    lens_s = lens[order]
+    starts_s = starts[order]
+    h = np.zeros(n, dtype=np.uint64)
+    for j in range(int(lens_s[-1]) if n else 0):
+        s = int(np.searchsorted(lens_s, j, side="right"))
+        h[s:] = h[s:] * base + data[starts_s[s:] + j]
+    out = np.empty(n, dtype=np.uint64)
+    out[order] = h
+    return out
+
+
+def _block_horner(
+    data: np.ndarray, starts: np.ndarray, lens: np.ndarray, base: np.uint64
+) -> np.ndarray:
+    """h = fold(h*base + block) over each row's 8-byte little-endian
+    blocks (tail block zero-masked past the string end). Unaligned
+    uint64 loads come from eight shifted views of a once-padded copy of
+    the char buffer; a row's block offsets all share one residue class,
+    so each residue group runs its own suffix-Horner."""
+    padded = np.empty(len(data) + 8, dtype=np.uint8)
+    padded[: len(data)] = data
+    padded[len(data) :] = 0
+    views = [
+        np.frombuffer(padded, dtype=np.uint64, offset=r, count=(len(padded) - r) // 8)
+        for r in range(8)
+    ]
+    n = len(starts)
+    out = np.empty(n, dtype=np.uint64)
+    nblocks = -(-lens // 8)
+    res = starts % 8
+    full_mask = np.uint64(0xFFFFFFFFFFFFFFFF)
+    for r in range(8):
+        rows = np.flatnonzero(res == r)
+        if not len(rows):
+            continue
+        dv = views[r]
+        order = rows[np.argsort(nblocks[rows], kind="stable")]
+        nb_s = nblocks[order]
+        starts_s = starts[order]
+        lens_s = lens[order]
+        m = len(order)
+        h = np.zeros(m, dtype=np.uint64)
+        for j in range(min(int(nb_s[-1]), _BLOCK_CAP)):
+            s = int(np.searchsorted(nb_s, j, side="right"))
+            v = dv[(starts_s[s:] + 8 * j) >> 3]
+            # rows whose LAST block is j sit at the front of the active
+            # suffix: zero-mask their bytes past the string end
+            e = int(np.searchsorted(nb_s, j + 1, side="right"))
+            if e > s:
+                rem = (lens_s[s:e] % 8).astype(np.uint64)
+                mask = np.where(
+                    rem == 0,
+                    full_mask,
+                    (np.uint64(1) << (np.uint64(8) * rem)) - np.uint64(1),
+                )
+                v = v.copy()
+                v[: e - s] &= mask
+            h[s:] = h[s:] * base + v
+        # rare tail: rows longer than the block cap finish with a
+        # per-row vectorized polynomial over their remaining blocks
+        for i in np.flatnonzero(nb_s > _BLOCK_CAP):
+            bs = int(starts_s[i])
+            nb = int(nb_s[i])
+            v = dv[(bs + 8 * _BLOCK_CAP) >> 3 : (bs + 8 * nb) >> 3].copy()
+            v = v.astype(np.uint64)
+            rem = int(lens_s[i] % 8)
+            if rem:
+                v[-1] &= (np.uint64(1) << np.uint64(8 * rem)) - np.uint64(1)
+            k = len(v)
+            pw = np.empty(k, dtype=np.uint64)
+            pw[0] = 1
+            if k > 1:
+                np.cumprod(np.full(k - 1, base, np.uint64), out=pw[1:])
+            with np.errstate(over="ignore"):
+                h[i] = h[i] * (pw[-1] * base) + np.sum(v * pw[::-1])
+        out[order] = h
+    return out
 
 
 def stable_hash64(values) -> np.ndarray:
@@ -25,6 +114,87 @@ def stable_hash64(values) -> np.ndarray:
     if arr.dtype.kind in ("U", "S", "O"):
         arr = arr.astype(object)
     return pd.util.hash_array(arr, categorize=False)
+
+
+def _splitmix64(z: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constants):
+    avalanches a weakly-mixed uint64 so low bits are usable for
+    bucketing (h % num_buckets)."""
+    z = (z + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def hash_string_array(arr, *, seed: int = 0) -> np.ndarray:
+    """Deterministic 64-bit hash of an Arrow string/binary array,
+    computed DIRECTLY from the Arrow char buffer + offsets — no
+    ``to_pylist()``, no per-row Python objects (the object-array path
+    materializes every string on the heap before hashing; this one is
+    two numpy passes over the raw bytes).
+
+    Scheme: per-row polynomial hash over the UTF-8 bytes in the
+    natural mod-2^64 ring (byte[i] * base^(len-1-i), summed with
+    wraparound), length-mixed and finished with a splitmix64 avalanche.
+    Not cryptographic — callers that need exactness confirm candidates
+    against real values (stages/uniqueness.py pattern). Null rows hash
+    to a fixed sentinel distinct from the empty string."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    typ = arr.type
+    off_dtype = (
+        np.int64
+        if (pa.types.is_large_string(typ) or pa.types.is_large_binary(typ))
+        else np.int32
+    )
+    offs_buf, data_buf = arr.buffers()[1], arr.buffers()[2]
+    offs = np.frombuffer(offs_buf, dtype=off_dtype)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    start, end = int(offs[0]), int(offs[-1])
+    data = (
+        np.frombuffer(data_buf, dtype=np.uint8)[start:end]
+        if data_buf is not None and end > start
+        else np.empty(0, np.uint8)
+    )
+    offs = offs - start
+    lens = np.diff(offs)
+    base = np.uint64(0x100000001B3 ^ (seed * 2 + 1))  # odd => invertible mod 2^64
+    out = np.zeros(n, dtype=np.uint64)
+    total = int(offs[-1])
+    if total:
+        starts = offs[:-1]
+        # Per-STRING scheme selection (so the hash of a given string is
+        # independent of which batch it arrives in): short strings use
+        # a per-byte Horner, long strings a per-8-byte-block Horner.
+        # Both are vectorized ACROSS rows and loop over POSITIONS with
+        # the active rows as a suffix of a length-sorted order —
+        # touching only O(row-count)-sized reused buffers per step (the
+        # flat per-byte formulation allocates several bytes-sized int64
+        # temporaries, which this sandbox's page-fault behavior makes
+        # pathologically slow; see __init__._tune_allocator).
+        short = lens <= _BYTE_PATH_MAX
+        if short.any():
+            idx = np.flatnonzero(short)
+            out[idx] = _byte_horner(data, starts[idx], lens[idx], base)
+        if not short.all():
+            idx = np.flatnonzero(~short)
+            out[idx] = _block_horner(data, starts[idx], lens[idx], base)
+    seed_mix = np.uint64((seed * 2 + 1) * 0xD1B54A32D192ED03 % (1 << 64))
+    out ^= lens.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    out ^= seed_mix  # seed perturbs every row, incl. empty strings
+    out = _splitmix64(out)
+    if arr.null_count:
+        import pyarrow.compute as pc
+
+        nulls = pc.is_null(arr).to_numpy(zero_copy_only=False)
+        out[nulls] = _splitmix64(
+            np.uint64(0x6E756C6C5F726F77) ^ seed_mix  # null sentinel
+        )
+    return out
 
 
 def polynomial_fingerprint(

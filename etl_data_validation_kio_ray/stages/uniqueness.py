@@ -84,6 +84,37 @@ def _id_hashes(t: pa.Table, id_col: str) -> np.ndarray:
     return hash64(ids.to_numpy(zero_copy_only=False)).view(np.int64)
 
 
+def dup_int64_column(ds, col: str = "h", *, num_buckets: int = 256) -> pa.Table:
+    """Distinct int64 values of ``col`` occurring more than once
+    GLOBALLY -> small pyarrow.Table ("h": int64).
+
+    The generic distributed duplicate scan: every value lands in bucket
+    ``value % num_buckets`` (map-side projection, 12 bytes/row through
+    the exchange), the low-cardinality ``groupby('b')`` shuffle brings
+    each bucket to one reducer, and one sort-based ``dup_values`` pass
+    per bucket sees every occurrence. Callers feed PRE-MIXED hashes
+    (splitmix64-style) so the modulo is uniform. Used by exact-dedup
+    content hashes and the MinHash/SimHash LSH bucket-key scans."""
+    nb = np.int64(num_buckets)
+
+    def project(t: pa.Table) -> pa.Table:
+        h = t[col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"h": t[col], "b": pa.array((h % nb).astype(np.int32))}
+        )
+
+    def bucket_dups(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy(zero_copy_only=False)
+        return pa.table({"h": pa.array(dup_values(h), pa.int64())})
+
+    return _collect(
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(bucket_dups, batch_format="pyarrow"),
+        pa.schema([("h", pa.int64())]),
+    )
+
+
 def candidate_hashes_from_blobs(hash_ds, *, num_buckets: int = 256) -> pa.Table:
     """Dataset[(partition, payload: binary uint64-hash blob)] -> small
     pyarrow.Table ("h": int64) of hashes occurring more than once

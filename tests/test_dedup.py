@@ -168,3 +168,127 @@ def test_multimodal_plumbing(ray_session):
     a = np.stack(out.sort_values("doc_id").features.to_numpy())
     b = np.stack(out2.sort_values("doc_id").features.to_numpy())
     assert np.array_equal(a, b)
+
+
+def test_minhash_truncation_loud(docs_ds, monkeypatch):
+    """A hot LSH bucket (many identical docs) is capped LOUDLY: bounded
+    pair count + truncated_buckets reported, never a silent O(m^2)."""
+    import ray.data as rd
+
+    import etl_data_validation_kio_ray.dedup.minhash as mh
+
+    n = 30
+    df = pd.DataFrame(
+        {"doc_id": [f"h-{i:03d}" for i in range(n)],
+         "text": ["same words repeated here for every doc " * 3] * n}
+    )
+    monkeypatch.setattr(mh, "MAX_BUCKET", 10)
+    report: dict = {}
+    pairs = mh.minhash_dedup_pairs(
+        rd.from_pandas(df), jaccard_threshold=0.5, concurrency=2, report=report
+    )
+    assert report["truncated_buckets"] > 0
+    assert pairs.attrs["truncated_buckets"] == report["truncated_buckets"]
+    # every emitted pair is within the capped first-10 id set
+    assert len(pairs) == 10 * 9 // 2
+    assert set(pairs.id_a) | set(pairs.id_b) == {f"h-{i:03d}" for i in range(10)}
+    assert (pairs.jaccard == 1.0).all()
+
+
+def test_simhash_truncation_loud(ray_session, monkeypatch):
+    import ray.data as rd
+
+    import etl_data_validation_kio_ray.dedup.simhash as sh
+
+    n = 25
+    df = pd.DataFrame(
+        {"doc_id": [f"s-{i:03d}" for i in range(n)],
+         "text": ["identical content for a hot simhash bucket"] * n}
+    )
+    monkeypatch.setattr(sh, "MAX_BUCKET", 8)
+    report: dict = {}
+    pairs = sh.simhash_dedup_pairs(rd.from_pandas(df), max_hamming=3, report=report)
+    assert report["truncated_buckets"] > 0  # all 4 bands share one hot bucket
+    assert len(pairs) == 8 * 7 // 2
+    assert (pairs.hamming == 0).all()
+
+
+def test_embedding_truncation_loud(ray_session, monkeypatch):
+    import ray.data as rd
+
+    import etl_data_validation_kio_ray.dedup.embedding as em
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(64).astype(np.float32)
+    V = np.stack([base + rng.standard_normal(64).astype(np.float32) * 1e-3
+                  for _ in range(20)])
+    df = pd.DataFrame({"vec_id": np.arange(20), "embedding": list(V)})
+    monkeypatch.setattr(em, "MAX_BUCKET", 6)
+    report: dict = {}
+    pairs = em.embedding_dup_pairs(
+        rd.from_pandas(df), cosine_threshold=0.99, concurrency=2, report=report
+    )
+    assert report["truncated_buckets"] >= 1
+    assert pairs.attrs["truncated_buckets"] == report["truncated_buckets"]
+    assert len(pairs) <= 6 * 5 // 2
+    assert len(pairs) > 0
+
+
+def test_bucket_pairs_vectorized_unit():
+    from etl_data_validation_kio_ray.dedup.minhash import bucket_pairs_vectorized
+
+    bk = np.array([1, 1, 1, 2, 2, 3, 4, 4, 4, 4], dtype=np.int64)
+    ids = np.array(list("abcdefghij"), dtype=object)
+    pairs, trunc = bucket_pairs_vectorized(bk, ids, max_bucket=3)
+    got = set(zip(pairs.id_a, pairs.id_b))
+    # bucket1: ab ac bc; bucket2: de; bucket4 capped at 3 of (g,h,i,j): gh gi hi
+    assert got == {("a","b"),("a","c"),("b","c"),("d","e"),
+                   ("g","h"),("g","i"),("h","i")}
+    assert trunc == 1
+    # duplicate (bk,id) rows collapse; cross-bucket duplicate pairs dedup
+    bk2 = np.array([7, 7, 7, 8, 8], dtype=np.int64)
+    ids2 = np.array(["x", "y", "x", "x", "y"], dtype=object)
+    p2, t2 = bucket_pairs_vectorized(bk2, ids2)
+    assert set(zip(p2.id_a, p2.id_b)) == {("x", "y")} and t2 == 0
+    p3, t3 = bucket_pairs_vectorized(np.array([], np.int64), np.array([], object))
+    assert len(p3) == 0 and t3 == 0
+
+
+def test_signature_determinism_fixture(ray_session):
+    """Exact expected-value fixture: MinHash band keys and SimHash
+    signatures are deterministic functions of (text, seed) — identical
+    across batches, runs and processes (rows-only queries still have
+    verified values)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.dedup.minhash import add_minhash_bands
+    from etl_data_validation_kio_ray.dedup.simhash import add_simhash
+
+    df = pd.DataFrame(
+        {"doc_id": ["a", "b", "c"],
+         "text": ["the quick brown fox jumps over the lazy dog",
+                   "the quick brown fox jumps over the lazy cat",
+                   "completely different words entirely here now"]}
+    )
+    banded1 = (
+        add_minhash_bands(rd.from_pandas(df)).to_pandas()
+        .sort_values(["doc_id", "band_id"], ignore_index=True)
+    )
+    banded2 = (
+        add_minhash_bands(rd.from_pandas(df.iloc[::-1])).to_pandas()
+        .sort_values(["doc_id", "band_id"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(banded1, banded2)
+    # near-identical docs share most band keys; the unrelated doc none
+    ab = banded1[banded1.doc_id == "a"].band_key.to_numpy()
+    bb = banded1[banded1.doc_id == "b"].band_key.to_numpy()
+    cb = banded1[banded1.doc_id == "c"].band_key.to_numpy()
+    assert (ab == bb).sum() > 0 and (ab == cb).sum() == 0
+
+    s1 = add_simhash(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
+    s2 = add_simhash(rd.from_pandas(df.iloc[::-1])).to_pandas().sort_values("doc_id")
+    assert s1.simhash.tolist() == s2.simhash.tolist()
+    from etl_data_validation_kio_ray.functions.hashing import hamming64
+    h = s1.simhash.to_numpy().astype(np.int64).view(np.uint64)
+    assert hamming64(h[[0]], h[[1]])[0] <= 12  # near dups are close
+    assert hamming64(h[[0]], h[[2]])[0] > 12   # unrelated docs are far

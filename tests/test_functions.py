@@ -175,3 +175,31 @@ def test_tokenize_unicode_matches_duckdb():
     for i, (toks, n) in enumerate(want):
         assert got["tokens"][i].as_py() == toks
         assert got["n_tok"][i].as_py() == n
+
+
+def test_hash_string_array_buffer_path():
+    """Char-buffer hashing: deterministic, null/empty-safe, slice-safe,
+    batch-independent (same string -> same hash in any batch)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from etl_data_validation_kio_ray.functions.hashing import hash_string_array
+
+    vals = ["", "a", "hello world", "x" * 32, "x" * 33, None, "y" * 5000, "hello world"]
+    arr = pa.array(vals, pa.string())
+    h = hash_string_array(arr)
+    assert h.dtype == np.uint64 and len(h) == len(vals)
+    assert h[2] == h[7]                      # equal strings agree
+    assert h[0] != h[1] and h[3] != h[4]
+    assert h[5] == hash_string_array(pa.array([None], pa.string()))[0]
+    assert h[5] != h[0]                      # null != empty
+    # slice / large_string / solo-batch independence
+    assert (hash_string_array(arr.slice(1, 4)) == h[1:5]).all()
+    assert (hash_string_array(pa.array(vals, pa.large_string())) == h).all()
+    assert hash_string_array(pa.array(["x" * 33]))[0] == h[4]
+    # seed changes every hash
+    assert (hash_string_array(arr, seed=3) != h).all()
+    # distinctness over many generated ids
+    ids = pa.array([f"doc-{i:07d}" for i in range(50_000)])
+    hh = np.sort(hash_string_array(ids))
+    assert (hh[1:] != hh[:-1]).all()
