@@ -84,11 +84,13 @@ def text_features(batch: pa.Table, text_col: str = "text") -> pa.Table:
     punct_ratio = np.divide(punct, nc, out=np.zeros(n), where=nc > 0)
     digit_ratio = np.divide(digit, nc, out=np.zeros(n), where=nc > 0)
 
-    # BPE-ish token count (regex findall per row via pandas str engine)
-    import pandas as pd
-
+    # BPE-ish token count: Arrow RE2 kernel (verified equal to Python
+    # re.findall counts for this disjoint-class pattern) — no pandas
+    # per-row regex engine
     token_count_bpe = (
-        pd.Series(text.to_pandas()).str.count(BPE_RE).fillna(0).astype(np.int64).values
+        pc.fill_null(pc.count_substring_regex(text, BPE_RE.pattern), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
     )
 
     return (
@@ -143,22 +145,76 @@ def fingerprint_tokens(batch: pa.Table, token_col: str = "tokens") -> pa.Table:
     return batch.append_column("fingerprint", pa.array(fp, pa.int64()))
 
 
+def _dense_ranks(a: np.ndarray) -> tuple[np.ndarray, int]:
+    """Dense 0-based ranks of ``a`` (sort-based — np.unique's extra
+    passes are pathologically slow on this host, see
+    stages/uniqueness.dup_values). Returns (ranks, cardinality)."""
+    if len(a) == 0:
+        return np.empty(0, np.int64), 0
+    order = np.argsort(a, kind="stable")
+    s = a[order]
+    new = np.empty(len(s), dtype=bool)
+    new[0] = True
+    np.not_equal(s[1:], s[:-1], out=new[1:])
+    r = np.cumsum(new) - 1
+    out = np.empty(len(a), np.int64)
+    out[order] = r
+    return out, int(r[-1]) + 1
+
+
 def shingle_stats(batch: pa.Table, text_col: str = "text", k: int = 3) -> pa.Table:
     """Append ``n_shingles``: the number of DISTINCT word-k-grams per
     document (lowercased, space-split) — the shingling primitive behind
     MinHash/Jaccard dedup, exposed as an exact per-doc statistic with a
-    DuckDB list-function oracle. Exact tuple comparison (no hashing),
-    so the count matches the SQL twin bit-for-bit; the scale path for
-    pairwise work hashes shingles instead (functions/hashing.py)."""
+    DuckDB list-function oracle.
+
+    EXACT and fully vectorized — no hashing (a hash collision would
+    undercount vs the SQL twin) and no Python loop over rows: words are
+    dictionary-encoded to int codes (exact identity), each k-window is
+    combined into one radix key (compacted via dense ranks whenever the
+    radix could overflow int64), the window's row id joins the radix as
+    the top digit, cross-row windows (only the last k-1 positions of
+    each row — a tiny scatter, never a windows-sized mask) are stamped
+    with a sort-to-the-end sentinel, and distinct-per-row falls out of
+    ONE np.sort + adjacent-difference + bincount."""
     text = batch[text_col]
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
-    counts = []
-    for t in text.to_pylist():  # documents table: per-doc work is small
-        ws = ("" if t is None else t).lower().split(" ")
-        counts.append(
-            len({tuple(ws[i : i + k]) for i in range(len(ws) - k + 1)})
-            if len(ws) >= k
-            else 0
-        )
+    n = len(text)
+    words = pc.split_pattern(pc.utf8_lower(text), " ")
+    flat = pc.list_flatten(words)
+    offsets = np.asarray(words.offsets, dtype=np.int64)
+    lens = np.diff(offsets)
+    m = len(flat)
+    counts = np.zeros(n, dtype=np.int64)
+    nwin = m - k + 1  # global window count (cross-row windows dropped below)
+    if m and nwin > 0:
+        enc = pc.dictionary_encode(flat)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        card = max(len(enc.dictionary), 1)
+        key = codes[:nwin].copy()
+        kcard = card
+        for j in range(1, k):
+            if kcard * card >= (1 << 62):  # compact before the radix overflows
+                key, kcard = _dense_ranks(key)
+            key *= card
+            key += codes[j : nwin + j]
+            kcard *= card
+        if n * kcard >= (1 << 62):  # room for the row digit on top
+            key, kcard = _dense_ranks(key)
+        comp = np.repeat(np.arange(n, dtype=np.int64) * kcard, lens)[:nwin]
+        comp += key
+        sent = np.iinfo(np.int64).max
+        n_inv = 0
+        for j in range(1, k):  # (k-1)-bounded tiny scatters
+            tgt = offsets[1:] - j
+            ok = (tgt >= offsets[:-1]) & (tgt < nwin)
+            comp[tgt[ok]] = sent
+            n_inv += int(ok.sum())
+        s = np.sort(comp)[: nwin - n_inv]
+        if len(s):
+            first = np.empty(len(s), dtype=bool)
+            first[0] = True
+            np.not_equal(s[1:], s[:-1], out=first[1:])
+            counts = np.bincount(s[first] // kcard, minlength=n).astype(np.int64)
     return batch.append_column("n_shingles", pa.array(counts, pa.int64()))

@@ -203,3 +203,44 @@ def test_hash_string_array_buffer_path():
     ids = pa.array([f"doc-{i:07d}" for i in range(50_000)])
     hh = np.sort(hash_string_array(ids))
     assert (hh[1:] != hh[:-1]).all()
+
+
+def test_shingle_stats_vectorized_exact():
+    """The sentinel-scatter distinct-kgram kernel matches a per-row
+    Python tuple-set oracle exactly, incl. radix-compaction (huge
+    vocab), empty/short/null rows, and k=1/2/5."""
+    import random
+
+    import numpy as np
+    import pyarrow as pa
+
+    from etl_data_validation_kio_ray.functions.text import shingle_stats
+
+    def oracle(texts, k):
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(0)
+                continue
+            ws = t.lower().split(" ")
+            out.append(
+                len({tuple(ws[i : i + k]) for i in range(len(ws) - k + 1)})
+                if len(ws) >= k
+                else 0
+            )
+        return out
+
+    random.seed(17)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [
+        " ".join(random.choice(vocab) for _ in range(random.randint(0, 25)))
+        for _ in range(1500)
+    ]
+    texts += ["", "one", "one two", "one two three", None, "a a a a", "X y X y X"]
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    for k in (1, 2, 3, 5):
+        assert shingle_stats(t, k=k)["n_shingles"].to_pylist() == oracle(texts, k), k
+    # huge per-batch vocab forces the dense-rank compaction path
+    big = [" ".join(f"u{random.randint(0, 10**7)}" for _ in range(15)) for _ in range(500)]
+    tb = pa.table({"text": pa.array(big)})
+    assert shingle_stats(tb)["n_shingles"].to_pylist() == oracle(big, 3)
