@@ -12,9 +12,11 @@ Per iteration this runner writes a mutated copy of the baseline table,
 runs :class:`ValidationPipeline` (each iteration's run dir is
 per-partition resumable like any other run), and scores:
 
-    expected_rule fired  AND  run verdict degraded   -> "detected"
+    expected_rule fired AND its rows_failed INCREASED
+        vs the baseline run                          -> "detected"
     expected None (semantic corruption)              -> "invisible" iff
-        no rule fired (the reference's *_disabled SUCCESS iterations)
+        nothing fired beyond the baseline's intrinsic findings (the
+        reference's *_disabled SUCCESS iterations)
 
 Results land in ``experiment_summary.json`` + a CSV row per iteration
 (the validation_summary CSV analog).
@@ -32,6 +34,13 @@ from typing import Any
 
 from ..sources.mutations import EXPECTED_DETECTION, mutate_table
 from .validate import ValidationPipeline
+
+
+def _rows_failed_by_rule(res) -> dict[str, int]:
+    out: dict[str, int] = {}
+    for c in res.verdicts:
+        out[c.rule_id] = out.get(c.rule_id, 0) + int(c.rows_failed)
+    return out
 
 
 @dataclass
@@ -106,6 +115,7 @@ def run_experiment(
             if c.status in ("FAIL", "WARN") and c.rows_failed
         }
     )
+    base_rows = _rows_failed_by_rule(base_res)
 
     results = ExperimentResult(out_dir=out_dir, baseline_verdict=base_res.run_verdict)
     for action in actions:
@@ -129,12 +139,16 @@ def run_experiment(
             # *_disabled expect-SUCCESS iterations
             detected = fired == base_fired and res.run_verdict == base_res.run_verdict
         else:
-            # detected = the expected rule fired AND the run verdict
-            # degraded vs the clean baseline (a WARN-severity firing
-            # that leaves the verdict unchanged is not a detection)
-            _sev = {"PASS": 0, "WARN": 1, "FAIL": 2}
-            degraded = _sev[res.run_verdict] > _sev[base_res.run_verdict]
-            detected = expected in fired and degraded
+            # detected = the expected rule fired AND its total
+            # rows_failed INCREASED vs the clean-baseline run — a rule
+            # already firing at the same rate on the baseline's
+            # intrinsic findings is not a detection of THIS mutation
+            # (robust to baselines that are not pristine, unlike a
+            # run-verdict-degradation test)
+            run_rows = _rows_failed_by_rule(res)
+            detected = expected in fired and run_rows.get(
+                expected, 0
+            ) > base_rows.get(expected, 0)
         results.iterations.append(
             IterationResult(
                 action=action,

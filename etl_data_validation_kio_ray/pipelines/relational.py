@@ -253,43 +253,97 @@ def session_window_agg(
     key_col: str = "event_type",
     value_col: str = "value_cents",
     gap: str = "30min",
+    range_width: str = "1D",
 ):
     """Gap-based session windows per key: a new session starts when the
     time since the previous event of the same key exceeds ``gap``.
-    Ray Data has no native session operator — composed here as
-    ``groupby(key).map_groups`` (sort by time inside the group, flag
-    gaps, cumulative-sum session ids, aggregate).
+    Ray Data has no native session operator — composed here as the
+    classic PARALLEL sessionization:
 
-    Partitioning assumption: one key's events fit one reducer. At
-    scale, sessionize per (key, coarse time range) and merge sessions
-    that touch range boundaries (classic parallel sessionization);
-    hot keys additionally need the [[salted_map_groups]] treatment for
-    the pre-aggregation phase.
-    """
+      phase 1: events partition by (key, coarse time range of
+               ``range_width``) — raw events of one key spread over
+               #ranges reducers instead of all landing on one — and
+               each group sessionizes locally into session FRAGMENTS
+               (start, end, n_events, value_sum). A session crossing a
+               range boundary shows up as one fragment per range.
+      phase 2: per key, fragments (#sessions-sized, far smaller than
+               events) sort by start and merge where the inter-fragment
+               gap is <= ``gap``; session ids number the merged result
+               chronologically from 0.
+
+    Exactness: within a range, fragments are separated by > gap by
+    construction, and ranges partition time, so interval-merging
+    fragments reproduces the single-reducer sessionization verbatim
+    (the ``session_windows`` DuckDB window-function oracle stays
+    hash-identical). Skew bound: phase 1 groups hold one key's events
+    of one range; phase 2 holds one key's fragments. A key so hot that
+    a single range overflows a reducer needs a narrower
+    ``range_width`` — which raises only fragment counts, not result
+    values."""
     gap_td = pd.to_timedelta(gap)
+    range_td = pd.to_timedelta(range_width)
+    if range_td <= gap_td:
+        raise ValueError(
+            f"range_width {range_width!r} must exceed gap {gap!r} for "
+            "boundary merging to see every mergeable fragment pair"
+        )
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+    def add_range(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__rng"] = df[ts_col].dt.floor(range_width)
+        return df
+
+    def fragments(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([ts_col], kind="mergesort")
-        new_s = (g[ts_col].diff() > gap_td).astype("int64")
-        sid = new_s.cumsum()
+        fid = (g[ts_col].diff() > gap_td).cumsum()
         out = (
-            g.assign(sid=sid)
-            .groupby("sid", sort=True)
+            g.assign(fid=fid)
+            .groupby("fid", sort=True)
             .agg(
                 session_start=(ts_col, "min"),
                 session_end=(ts_col, "max"),
                 n_events=(ts_col, "size"),
                 value_sum=(value_col, "sum"),
             )
-            .reset_index()
+            .reset_index(drop=True)
         )
         out.insert(0, key_col, g[key_col].iloc[0])
         return out
 
+    frags = (
+        ds.map_batches(add_range, batch_format="pandas")
+        .groupby([key_col, "__rng"])
+        .map_groups(
+            lambda g: fragments(g.drop(columns=["__rng"])), batch_format="pandas"
+        )
+    )
+
+    def merge(f: pd.DataFrame) -> pd.DataFrame:
+        f = f.sort_values(
+            ["session_start", "session_end"], kind="mergesort"
+        ).reset_index(drop=True)
+        prev_end = f["session_end"].shift()
+        new_s = prev_end.isna() | ((f["session_start"] - prev_end) > gap_td)
+        sid = new_s.cumsum() - 1
+        out = (
+            f.assign(sid=sid)
+            .groupby("sid", sort=True)
+            .agg(
+                session_start=("session_start", "min"),
+                session_end=("session_end", "max"),
+                n_events=("n_events", "sum"),
+                value_sum=("value_sum", "sum"),
+            )
+            .reset_index()
+        )
+        out.insert(0, key_col, f[key_col].iloc[0])
+        return out
+
     final = (
-        ds.groupby(key_col).map_groups(sessions, batch_format="pandas").to_pandas()
+        frags.groupby(key_col).map_groups(merge, batch_format="pandas").to_pandas()
     )
     final["n_events"] = final["n_events"].astype("int64")
+    final["sid"] = final["sid"].astype("int64")
     return final.sort_values([key_col, "sid"]).reset_index(drop=True)
 
 

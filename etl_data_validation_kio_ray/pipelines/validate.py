@@ -414,6 +414,12 @@ class ValidationPipeline:
         # kept current incrementally as this run commits shards
         owners_now = state.shard_owners()
 
+        # partitions whose input file is unreadable: their verdict rows
+        # stay visible (schema FAIL, unreadable_input) but the manifest
+        # is marked FAILED — not SUCCESS — so a resumed run after the
+        # file is repaired re-validates it instead of skipping it
+        unreadable_parts: dict[str, list[CheckResult]] = {}
+
         t_narrow = time.time()
         for i in range(0, len(pending), self.shard_size):
             shard = pending[i : i + self.shard_size]
@@ -468,6 +474,12 @@ class ValidationPipeline:
                     checks = self._narrow_checks(
                         p, merged.get(p, {}), input_file=files.get(p)
                     )
+                    if any(
+                        (c.metrics or {}).get("unreadable_input") for c in checks
+                    ):
+                        state.fail(p, f"unreadable input file: {files.get(p)}")
+                        unreadable_parts[p] = checks
+                        continue
                     items.append(
                         (
                             p,
@@ -482,7 +494,7 @@ class ValidationPipeline:
                         )
                     )
                 state.finish_many(items)
-                for p in shard:
+                for p, _ in items:
                     owners_now[p] = os.path.basename(shard_dir)
             except Exception as e:  # noqa: BLE001 — manifest records the failure
                 for p in shard:
@@ -693,6 +705,10 @@ class ValidationPipeline:
                 g = _merge_stats(g, st) if g else st
         if g:
             metrics["global"] = _stats_metrics(g)
+
+        # unreadable inputs: verdict rows visible, manifests FAILED
+        for part in sorted(unreadable_parts):
+            verdicts.extend(unreadable_parts[part])
 
         phases["verdicts"] = round(time.time() - t_phase, 3)
         metrics["phases"] = phases

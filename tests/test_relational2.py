@@ -369,18 +369,16 @@ def test_mutation_experiment_runner(ray_session, tmp_path):
     assert os.path.exists(os.path.join(str(tmp_path / "exp"), "experiment_summary.csv"))
 
 
-def test_failed_shard_marked_and_resumable(ray_session, tmp_path):
-    """A broken input file fails its shard loudly (manifests FAILED with
-    the error), and a resumed run after repair completes the work."""
+def test_unreadable_input_fails_partition_and_resumes(ray_session, tmp_path):
+    """A corrupt input file must NOT take down its shard: the other
+    partitions complete, the bad partition surfaces as a loud
+    schema_types FAIL (unreadable_input) with a FAILED manifest — and a
+    resumed run after repairing the file re-validates exactly it."""
     import os
 
-    import pytest as _pytest
-
     from etl_data_validation_kio_ray.pipelines.validate import ValidationPipeline
-    from etl_data_validation_kio_ray.sources.synth import generate_token_table, make_partition
+    from etl_data_validation_kio_ray.sources.synth import generate_token_table
     from etl_data_validation_kio_ray.state.checkpoint import RunState
-
-    import pyarrow.parquet as pq
 
     clean = generate_token_table(str(tmp_path / "c"), partitions=4, rows_per_partition=100)
     victim = os.path.join(clean, "part-0002.parquet")
@@ -389,13 +387,20 @@ def test_failed_shard_marked_and_resumable(ray_session, tmp_path):
         f.write(b"not a parquet file")
     out = str(tmp_path / "o")
     pipe = ValidationPipeline(allowed_sources=["web", "books", "code", "wiki"], shard_size=2)
-    with _pytest.raises(Exception):
-        pipe.run(clean, out)
+    res1 = pipe.run(clean, out)
+    assert res1.run_verdict == "FAIL"
+    bad = [
+        c
+        for c in res1.verdicts
+        if c.partition == "part-0002" and (c.metrics or {}).get("unreadable_input")
+    ]
+    assert bad and bad[0].rule_id == "schema_types" and bad[0].status == "FAIL"
     st = RunState(out)
     failed = [m for m in st.all_manifests() if m.status == "FAILED"]
-    assert failed and all(m.error for m in failed)
-    # shard-0 (parts 0000/0001) committed before the bad shard
-    assert "part-0000" in st.completed()
+    assert [m.partition for m in failed] == ["part-0002"]
+    assert all("unreadable" in (m.error or "") for m in failed)
+    # every OTHER partition (incl. the shard-mate part-0003) completed
+    assert sorted(st.completed()) == ["part-0000", "part-0001", "part-0003"]
 
     with open(victim, "wb") as f:
         f.write(good_bytes)
@@ -404,6 +409,9 @@ def test_failed_shard_marked_and_resumable(ray_session, tmp_path):
     ).run(clean, out, resume=True)
     assert sorted(res.partitions) == [f"part-{i:04d}" for i in range(4)]
     assert not [m for m in RunState(out).all_manifests() if m.status == "FAILED"]
+    assert not any(
+        (c.metrics or {}).get("unreadable_input") for c in res.verdicts
+    )
 
 
 def test_yaml_rules_config_overrides(ray_session, tmp_path):
@@ -521,3 +529,71 @@ def test_exact_dedup_survives_hash_collision(ray_session):
         groups = E.exact_dup_groups(rd.from_pandas(df).repartition(2), ["text"])
     assert set(kept.doc_id) == {"a", "b", "c"}  # t3 deduped, t1/t2 both kept
     assert list(groups.doc_id) == ["c"] and list(groups.dup_count) == [2]
+
+
+def test_session_windows_partitioned_matches_single_reducer(ray_session):
+    """The per-(key, day-range) sessionization with boundary merge must
+    reproduce single-reducer sessionization exactly — incl. sessions
+    that span midnight range boundaries and multi-day chains."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import session_window_agg
+
+    rng = np.random.default_rng(23)
+    rows = []
+    # session crossing midnight: events every 10 min from 23:40 to 00:20
+    for i, m in enumerate(range(0, 60, 10)):
+        rows.append(("x", pd.Timestamp("2026-01-01 23:40") + pd.Timedelta(minutes=m), i))
+    # chain across 3 range boundaries: one event every 20 min for 3 days
+    t = pd.Timestamp("2026-02-01 00:00")
+    for i in range(3 * 72):
+        rows.append(("y", t, i))
+        t += pd.Timedelta(minutes=20)
+    # plus random scattered events on several keys
+    for i in range(400):
+        rows.append(
+            (
+                rng.choice(["x", "y", "z"]),
+                pd.Timestamp("2026-03-01") + pd.Timedelta(minutes=int(rng.integers(0, 7 * 24 * 60))),
+                i,
+            )
+        )
+    df = pd.DataFrame(rows, columns=["event_type", "ts", "value_cents"])
+    df["value_cents"] = df["value_cents"].astype("int64")
+
+    got = session_window_agg(rd.from_pandas(df), gap="30min", range_width="1D")
+
+    # single-reducer reference (the pre-round-2 semantics)
+    def reference(df, gap="30min"):
+        gap_td = pd.to_timedelta(gap)
+        outs = []
+        for key, g in df.sort_values("ts").groupby("event_type"):
+            sid = (g.ts.diff() > gap_td).astype("int64").cumsum()
+            o = (
+                g.assign(sid=sid)
+                .groupby("sid")
+                .agg(
+                    session_start=("ts", "min"),
+                    session_end=("ts", "max"),
+                    n_events=("ts", "size"),
+                    value_sum=("value_cents", "sum"),
+                )
+                .reset_index()
+            )
+            o.insert(0, "event_type", key)
+            outs.append(o)
+        out = pd.concat(outs, ignore_index=True)
+        out["n_events"] = out["n_events"].astype("int64")
+        out["sid"] = out["sid"].astype("int64")
+        return out.sort_values(["event_type", "sid"]).reset_index(drop=True)
+
+    want = reference(df)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the midnight-crossing session stayed ONE session
+    x0 = got[(got.event_type == "x") & (got.sid == 0)].iloc[0]
+    assert x0.n_events >= 6 and x0.session_end.day != x0.session_start.day
+    # the 3-day 20-min chain stayed ONE session per its construction
+    ychain = got[(got.event_type == "y") & (got.session_start == pd.Timestamp("2026-02-01"))]
+    assert ychain.iloc[0].n_events == 3 * 72
