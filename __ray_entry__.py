@@ -311,17 +311,20 @@ def q_exact_dedup(sf_dir: str):
 
 
 def q_customers_without_orders(sf_dir: str):
+    """Large x large anti-join: customers with no orders, via the
+    hash-partitioned per-bucket set diff — neither key set is collected
+    to the driver or broadcast (both sides of a reconciliation are
+    large at 100 TB; c_custkey is unique so distinct keys = rows)."""
     import ray.data as rd
 
-    from etl_data_validation_kio_ray.pipelines.relational import broadcast_anti_join
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        hash_partitioned_anti_keys,
+    )
 
     cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"])
     orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"])
-    keys = orders.unique("o_custkey")
-    out = broadcast_anti_join(cust, keys, "c_custkey").to_pandas()
-    if "c_custkey" not in out.columns:  # empty result loses schema
-        out = pd.DataFrame({"c_custkey": pd.Series(dtype="int64")})
-    return out.sort_values("c_custkey").reset_index(drop=True)
+    out = hash_partitioned_anti_keys(cust, orders, "c_custkey", "o_custkey").to_pandas()
+    return out.astype({"c_custkey": "int64"}).reset_index(drop=True)
 
 
 def q_top_sources(sf_dir: str):
@@ -557,46 +560,24 @@ def q_orders_by_nation(sf_dir: str):
 def q_key_reconciliation(sf_dir: str):
     """Two-sided referential reconciliation (source completeness +
     exclusivity): customers with no order ∪ order custkeys with no
-    customer, via broadcast anti-joins + Dataset.union."""
+    customer — ONE hash-partitioned exchange computes both directions
+    via the per-bucket set diff; no ``ds.unique()`` collect of either
+    key set (both sides are large at 100 TB)."""
     import ray.data as rd
 
-    from etl_data_validation_kio_ray.pipelines.relational import broadcast_anti_join
+    from etl_data_validation_kio_ray.pipelines.relational import key_set_reconcile
 
     cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"])
     orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"])
-    order_keys = orders.unique("o_custkey")
-    cust_keys = rd.read_parquet(
-        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
-    ).unique("c_custkey")
-
-    missing = broadcast_anti_join(cust, order_keys, "c_custkey").map_batches(
-        lambda t: pa.table(
-            {
-                "key": pc.cast(t["c_custkey"], pa.int64()),
-                "side": pa.array(["customer_without_order"] * t.num_rows, pa.string()),
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    orphan_src = rd.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
-    ).map_batches(
-        lambda t: pa.table({"o_custkey": pc.unique(t["o_custkey"].combine_chunks())}),
-        batch_format="pyarrow",
-    )
-    orphans = broadcast_anti_join(orphan_src, cust_keys, "o_custkey").map_batches(
-        lambda t: pa.table(
-            {
-                "key": pc.cast(t["o_custkey"], pa.int64()),
-                "side": pa.array(["order_without_customer"] * t.num_rows, pa.string()),
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    out = missing.union(orphans).to_pandas().drop_duplicates()
-    if "key" not in out.columns:
-        out = pd.DataFrame({"key": pd.Series(dtype="int64"), "side": pd.Series(dtype=object)})
-    return out.sort_values(["side", "key"]).reset_index(drop=True)
+    rec = key_set_reconcile(
+        cust,
+        orders,
+        "c_custkey",
+        "o_custkey",
+        left_only_label="customer_without_order",
+        right_only_label="order_without_customer",
+    ).to_pandas()
+    return rec.astype({"key": "int64"}).reset_index(drop=True)
 
 
 def q_latest_event_per_type(sf_dir: str):

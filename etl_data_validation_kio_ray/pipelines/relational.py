@@ -83,6 +83,157 @@ def broadcast_lookup_join(
     return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _key_hash(arr: pa.Array) -> np.ndarray:
+    """Well-mixed uint64 of a key column (string via char-buffer hash,
+    integers via splitmix) for hash-partitioning."""
+    from ..functions.hashing import _splitmix64, hash_string_array
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    typ = arr.type
+    if (
+        pa.types.is_string(typ)
+        or pa.types.is_large_string(typ)
+        or pa.types.is_binary(typ)
+        or pa.types.is_large_binary(typ)
+    ):
+        return hash_string_array(arr)
+    v = pc.fill_null(pc.cast(arr, pa.int64()), np.iinfo(np.int64).min).to_numpy(
+        zero_copy_only=False
+    )
+    return _splitmix64(v.view(np.uint64))
+
+
+def key_set_reconcile(
+    left_ds,
+    right_ds,
+    left_key: str,
+    right_key: str,
+    *,
+    num_buckets: int = 64,
+    left_only_label: str = "left_only",
+    right_only_label: str = "right_only",
+    emit: tuple[str, ...] = ("left_only", "right_only"),
+) -> pa.Table:
+    """Two-sided key reconciliation of two LARGE datasets — distinct
+    left keys with no right match and distinct right keys with no left
+    match — in ONE hash-partitioned exchange (SURVEY.md §2.4's
+    'hash-partition + per-group set diff'; reference shape
+    dds/source_suite/matches_source.py:18-52).
+
+    Neither side is collected or broadcast: each side projects to
+    (key, side, bucket=hash(key) % num_buckets) with PER-BATCH key
+    dedup (the exchange carries at most #batches copies of a key, not
+    #rows), the bucket groupby co-locates every occurrence of a key,
+    and the per-bucket set difference is a vectorized Arrow
+    ``is_in`` probe. Returns a (key, side) table sorted by (side, key);
+    the result is the violation set, assumed small — the INPUTS may
+    both be arbitrarily large."""
+    nb = np.int64(num_buckets)
+
+    def project(side_code: int, key_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t[key_col]
+            if isinstance(k, pa.ChunkedArray):
+                k = k.combine_chunks()
+            if pa.types.is_integer(k.type):
+                k = pc.cast(k, pa.int64())  # both sides meet on one type
+            k = pc.unique(k.drop_null())  # per-batch dedup before the shuffle
+            h = _key_hash(k)
+            return pa.table(
+                {
+                    "k": k,
+                    "s": pa.array(
+                        np.full(len(k), side_code, dtype=np.int8), pa.int8()
+                    ),
+                    "b": pa.array((h % np.uint64(nb)).astype(np.int32)),
+                }
+            )
+
+        return fn
+
+    left_proj = left_ds.map_batches(project(0, left_key), batch_format="pyarrow")
+    right_proj = right_ds.map_batches(project(1, right_key), batch_format="pyarrow")
+
+    want_left = "left_only" in emit
+    want_right = "right_only" in emit
+
+    def bucket_diff(g: pa.Table) -> pa.Table:
+        k = g["k"]
+        s = g["s"]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        left = pc.unique(k.filter(pc.equal(s, 0)))
+        right = pc.unique(k.filter(pc.equal(s, 1)))
+        keys_out = []
+        sides_out = []
+        if want_left and len(left):
+            lonly = left.filter(
+                pc.invert(pc.is_in(left, value_set=right))
+            )
+            keys_out.append(lonly)
+            sides_out.extend([left_only_label] * len(lonly))
+        if want_right and len(right):
+            ronly = right.filter(
+                pc.invert(pc.is_in(right, value_set=left))
+            )
+            keys_out.append(ronly)
+            sides_out.extend([right_only_label] * len(ronly))
+        keys = (
+            pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in keys_out])
+            if keys_out
+            else pa.array([], g["k"].type)
+        )
+        return pa.table({"key": keys, "side": pa.array(sides_out, pa.string())})
+
+    tables = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in left_proj.union(right_proj)
+        .groupby("b")
+        .map_groups(bucket_diff, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=2**20)
+    ]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        sch = left_ds.schema()
+        sch = getattr(sch, "base_schema", sch)  # ray.data.Schema wraps pyarrow
+        try:
+            kt = sch.field(left_key).type
+        except AttributeError:  # PandasBlockSchema: parallel names/types
+            i = list(sch.names).index(left_key)
+            t = sch.types[i]
+            kt = t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(t)
+        if pa.types.is_integer(kt):
+            kt = pa.int64()
+        return pa.schema([("key", kt), ("side", pa.string())]).empty_table()
+    out = pa.concat_tables(tables)
+    order = pc.sort_indices(
+        out, sort_keys=[("side", "ascending"), ("key", "ascending")]
+    )
+    return out.take(order)
+
+
+def hash_partitioned_anti_keys(
+    left_ds, right_ds, left_key: str, right_key: str, *, num_buckets: int = 64
+) -> pa.Table:
+    """Distinct ``left_key`` values with NO match in ``right_ds`` —
+    the large x large anti-join on keys. One hash-partitioned exchange,
+    nothing collected to the driver (contrast broadcast_anti_join,
+    which is the right tool only when the RIGHT side is known small).
+    Returns a one-column table named ``left_key``, sorted."""
+    rec = key_set_reconcile(
+        left_ds,
+        right_ds,
+        left_key,
+        right_key,
+        num_buckets=num_buckets,
+        emit=("left_only",),
+    )
+    return pa.table({left_key: rec["key"]})
+
+
 def latest_per_key(ds, key: str, order_cols: list[str]):
     """One row per key: the row with the greatest ``order_cols`` tuple
     (the reference's latest-payload-per-entity ORDER BY id DESC LIMIT 1,

@@ -597,3 +597,50 @@ def test_session_windows_partitioned_matches_single_reducer(ray_session):
     # the 3-day 20-min chain stayed ONE session per its construction
     ychain = got[(got.event_type == "y") & (got.session_start == pd.Timestamp("2026-02-01"))]
     assert ychain.iloc[0].n_events == 3 * 72
+
+
+def test_hash_partitioned_anti_join_and_reconcile(ray_session):
+    """Large x large anti-join via per-bucket set diff: matches a pandas
+    oracle on overlapping key sets (ints and strings), emits both sides,
+    and never broadcasts/collects either input key set."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        hash_partitioned_anti_keys,
+        key_set_reconcile,
+    )
+
+    rng = np.random.default_rng(31)
+    left = rng.choice(20_000, size=5_000, replace=False)
+    right = rng.choice(20_000, size=5_000, replace=False)
+    lds = rd.from_pandas(pd.DataFrame({"lk": np.repeat(left, 2)}))  # dup rows ok
+    rds = rd.from_pandas(pd.DataFrame({"rk": right}))
+
+    anti = hash_partitioned_anti_keys(lds, rds, "lk", "rk").to_pandas()
+    want = np.sort(np.setdiff1d(left, right))
+    assert anti["lk"].tolist() == want.tolist()
+
+    rec = key_set_reconcile(lds, rds, "lk", "rk").to_pandas()
+    lo = rec[rec.side == "left_only"].key.tolist()
+    ro = rec[rec.side == "right_only"].key.tolist()
+    assert lo == want.tolist()
+    assert ro == np.sort(np.setdiff1d(right, left)).tolist()
+
+    # string keys + custom labels + nulls ignored
+    lsd = rd.from_pandas(pd.DataFrame({"k": ["a", "b", "c", None, "b"]}))
+    rsd = rd.from_pandas(pd.DataFrame({"k": ["b", "d", None]}))
+    rec2 = key_set_reconcile(
+        lsd, rsd, "k", "k", left_only_label="missing", right_only_label="orphan"
+    ).to_pandas()
+    assert rec2.values.tolist() == [["a", "missing"], ["c", "missing"], ["d", "orphan"]]
+
+    # disjoint buckets edge: empty result keeps schema
+    e = key_set_reconcile(
+        rd.from_pandas(pd.DataFrame({"k": [1, 2]})),
+        rd.from_pandas(pd.DataFrame({"k": [1, 2]})),
+        "k",
+        "k",
+    ).to_pandas()
+    assert len(e) == 0 and list(e.columns) == ["key", "side"]
