@@ -768,6 +768,24 @@ def q_mutation_experiment(sf_dir: str):
     ).sort_values("action").reset_index(drop=True)
 
 
+def q_cross_check_agreement(sf_dir: str):
+    """Second-executor agreement: every enabled rule's SQL twin re-run
+    in DuckDB over the same partition files must reproduce the engine's
+    per-(partition, rule) violation counts (the reference's cross-tool
+    agreement oracle, etl_validation/runner.py:94-135, re-expressed;
+    rows-only — the result IS the agreement table)."""
+    from etl_data_validation_kio_ray.pipelines.crosscheck import cross_check_run
+
+    res = _flagship_run(sf_dir)
+    tok_dir = _token_table_dir(sf_dir)
+    out = cross_check_run(tok_dir, res, _rules())
+    if not out.agree.all():
+        raise AssertionError(
+            "engine/DuckDB disagreement:\n" + out[~out.agree].to_string()
+        )
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tokenize": q_tokenize,
@@ -802,6 +820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": q_ivf_topk,
         "mutation_experiment": q_mutation_experiment,
         "session_windows": q_session_windows,
+        "cross_check_agreement": q_cross_check_agreement,
     }
 
 

@@ -1,0 +1,224 @@
+"""Second-executor cross-check: a DuckDB runner for the same RuleSpecs.
+
+The reference's core experimental axis is running ONE spec through
+several independent executors and checking they agree (cross-tool
+agreement, /root/reference/src/app2/etl_validation/runner.py:94-135
+executing the same StageChecks via sql/gx/soda/dbt and comparing
+verdicts). This module is that idea re-expressed for the Ray engine:
+every enabled rule's SQL twin runs in DuckDB directly over the input
+partition parquet files, and the per-(partition, rule) violation
+counts must agree with the engine's verdicts — an independent
+execution path (different scan, different kernel implementations,
+different aggregation) over the same declarative specs.
+
+Sampling: pass ``partitions=[...]`` to check a subset (the reference
+samples too); the run-scope ``doc_id_unique`` rule is only
+cross-checked when the whole input is covered, since a sampled global
+uniqueness count is not well-defined.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..core.specs import RuleSpec
+from .validate import RunResult, discover_partition_files
+
+EXPECTED_COLS = ("doc_id", "tokens", "n_tok", "source")
+EXPECTED_TYPES = {
+    "doc_id": pa.string(),
+    "tokens": pa.list_(pa.int32()),
+    "n_tok": pa.int32(),
+    "source": pa.string(),
+}
+
+
+def _agree_row(part: str, rule: str, metric: str, eng, sql) -> dict[str, Any]:
+    return {
+        "partition": part,
+        "rule_id": rule,
+        "metric": metric,
+        "engine_value": int(eng),
+        "sql_value": int(sql),
+        "agree": bool(int(eng) == int(sql)),
+    }
+
+
+def cross_check_run(
+    input_path: str,
+    result: RunResult,
+    rules: dict[str, RuleSpec],
+    *,
+    partitions: list[str] | None = None,
+) -> pd.DataFrame:
+    """Compare the engine's per-(partition, rule) violation counts with
+    a DuckDB re-execution of each rule's SQL twin over the raw input
+    files. Returns one row per (partition, rule, metric) with
+    ``agree``; disagreement means one of the two executors is wrong —
+    the reference's cross-tool agreement oracle."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    files = discover_partition_files(input_path)
+    keep = set(partitions) if partitions is not None else None
+    parts = [p for p in sorted(files) if keep is None or p in keep]
+
+    eng: dict[tuple[str, str], int] = {}
+    stats: dict[str, dict] = {}
+    for c in result.verdicts:
+        eng[(c.partition, c.rule_id)] = int(c.rows_failed)
+        if c.rule_id == "column_stats" and c.metrics:
+            stats[c.partition] = c.metrics
+
+    inv = rules.get("row_invariants")
+    min_len = int(inv.params.get("min_len", 1)) if inv else 1
+    max_len = int(inv.params.get("max_len", 8192)) if inv else 8192
+    vocab = int(inv.params.get("vocab_size", 50257)) if inv else 50257
+    ref = rules.get("source_ref")
+    allowed = ref.params.get("allowed_sources") if ref else None
+
+    con = duckdb.connect()
+    rows: list[dict] = []
+    try:
+        for p in parts:
+            f = files[p].replace("'", "''")
+            try:
+                sch = pq.read_schema(files[p])
+                nrows = pq.read_metadata(files[p]).num_rows
+            except Exception:  # noqa: BLE001 — unreadable: engine said FAIL too
+                continue
+            names = list(sch.names)
+            rel = f"read_parquet('{f}')"
+
+            def enabled(rule_id: str) -> bool:
+                r = rules.get(rule_id)
+                return bool(r and r.enabled and (p, rule_id) in eng)
+
+            if enabled("schema_types"):
+                sqlv = 0
+                for c in EXPECTED_COLS:
+                    if c not in names:
+                        sqlv += nrows
+                        continue
+                    actual = sch.field(c).type
+                    want = EXPECTED_TYPES[c]
+                    if actual != want and not (
+                        pa.types.is_large_list(actual)
+                        and want == pa.list_(pa.int32())
+                        and actual.value_type == pa.int32()
+                    ):
+                        sqlv += nrows
+                null_cols = [c for c in ("doc_id", "tokens") if c in names]
+                if null_cols:
+                    q = " + ".join(
+                        f'(SELECT count(*) FROM {rel} WHERE "{c}" IS NULL)'
+                        for c in null_cols
+                    )
+                    sqlv += int(con.execute(f"SELECT {q}").fetchone()[0])
+                rows.append(
+                    _agree_row(p, "schema_types", "rows_failed", eng[(p, "schema_types")], sqlv)
+                )
+
+            if enabled("completeness_nulls") and names:
+                pred = " OR ".join(f'"{c}" IS NULL' for c in names)
+                sqlv = con.execute(
+                    f"SELECT count(*) FROM {rel} WHERE {pred}"
+                ).fetchone()[0]
+                rows.append(
+                    _agree_row(
+                        p, "completeness_nulls", "rows_failed",
+                        eng[(p, "completeness_nulls")], sqlv,
+                    )
+                )
+
+            if enabled("row_invariants") and "tokens" in names:
+                has_ntok = "n_tok" in names
+                mism = (
+                    f"(SELECT count(*) FROM {rel} WHERE n_tok IS NOT NULL AND "
+                    f"n_tok >= 0 AND tokens IS NOT NULL AND n_tok != len(tokens))"
+                    if has_ntok
+                    else "0"
+                )
+                rng = (
+                    f"(SELECT count(*) FROM {rel} WHERE n_tok IS NOT NULL AND "
+                    f"n_tok >= 0 AND (n_tok < {min_len} OR n_tok > {max_len}))"
+                    if has_ntok
+                    else "0"
+                )
+                voc = (
+                    f"(SELECT count(*) FROM {rel} WHERE tokens IS NOT NULL AND "
+                    f"len(list_filter(tokens, x -> x < 0 OR x >= {vocab})) > 0)"
+                )
+                sqlv = con.execute(f"SELECT {mism} + {rng} + {voc}").fetchone()[0]
+                rows.append(
+                    _agree_row(
+                        p, "row_invariants", "rows_failed",
+                        eng[(p, "row_invariants")], sqlv,
+                    )
+                )
+
+            if enabled("source_ref") and allowed is not None and "source" in names:
+                vals = ", ".join("'" + str(s).replace("'", "''") + "'" for s in allowed)
+                sqlv = con.execute(
+                    f"SELECT count(*) FROM {rel} WHERE source IS NULL "
+                    f"OR source NOT IN ({vals})"
+                ).fetchone()[0]
+                rows.append(
+                    _agree_row(p, "source_ref", "rows_failed", eng[(p, "source_ref")], sqlv)
+                )
+
+            if (p, "column_stats") in eng and p in stats and "n_tok" in names:
+                got = stats[p]
+                sqlrow = con.execute(
+                    f"SELECT count(*), coalesce(sum(n_tok), 0), min(n_tok), "
+                    f"max(n_tok) FROM {rel}"
+                ).fetchone()
+                rows.append(_agree_row(p, "column_stats", "rows_total", got["rows_total"], sqlrow[0]))
+                nt = got.get("n_tok")
+                if nt and nt.get("sum") is not None:
+                    rows.append(_agree_row(p, "column_stats", "n_tok_sum", nt["sum"], sqlrow[1]))
+                    rows.append(_agree_row(p, "column_stats", "n_tok_min", nt["min"], sqlrow[2]))
+                    rows.append(_agree_row(p, "column_stats", "n_tok_max", nt["max"], sqlrow[3]))
+
+        # run-scope uniqueness: only meaningful over the FULL input
+        uniq = rules.get("doc_id_unique")
+        if keep is None and uniq and uniq.enabled:
+            import os
+
+            src = input_path.replace("'", "''").rstrip("/")
+            if not os.path.isfile(input_path):
+                src = src + "/*.parquet"
+            glob_rel = f"read_parquet('{src}', union_by_name=true)"
+            try:
+                dup = con.execute(
+                    f"""
+                    WITH t AS (SELECT doc_id, "partition" FROM {glob_rel}),
+                    d AS (SELECT doc_id FROM t GROUP BY doc_id HAVING count(*) > 1)
+                    SELECT "partition", count(*) FROM t
+                    WHERE doc_id IN (SELECT doc_id FROM d) GROUP BY "partition"
+                    """
+                ).fetchall()
+            except Exception:  # noqa: BLE001 — heterogeneous/corrupt inputs
+                dup = None
+            if dup is not None:
+                per = {str(k): int(v) for k, v in dup}
+                for p in parts:
+                    if (p, "doc_id_unique") in eng:
+                        rows.append(
+                            _agree_row(
+                                p, "doc_id_unique", "rows_failed",
+                                eng[(p, "doc_id_unique")], per.get(p, 0),
+                            )
+                        )
+    finally:
+        con.close()
+
+    out = pd.DataFrame(
+        rows,
+        columns=["partition", "rule_id", "metric", "engine_value", "sql_value", "agree"],
+    )
+    return out.sort_values(["partition", "rule_id", "metric"]).reset_index(drop=True)

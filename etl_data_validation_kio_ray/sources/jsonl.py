@@ -25,22 +25,101 @@ TOKEN_SCHEMA = pa.schema(
     ]
 )
 
+# reader-recorded per-row schema findings; surfaced by the engine's
+# schema_types rule, excluded from completeness (leading "__")
+SCHEMA_ERROR_COL = "__schema_error"
 
-def _normalize(batch: pa.Table, partition: str | None) -> pa.Table:
+def nested_type_errors(
+    actual: pa.DataType, declared: pa.DataType, path: str = ""
+) -> list[str]:
+    """Declarative NESTED Arrow-schema check — the analog of the
+    reference's Draft-7 nested validators
+    (/root/reference/src/app2/validators/stg/schema_suite/matches_schema.py:9-56,
+    standings_schema.py:9-58: required keys, item types, nesting depth):
+    recursively compare an actual Arrow type against the declared one.
+    Integer-to-integer differences (JSON numerics always parse int64;
+    per-VALUE overflow is caught by the safe cast) and large_list/list
+    spelling differences are accepted; everything else produces a
+    precise path-qualified error string
+    (['tokens[]: string != declared int32', ...])."""
+    where = path or "$"
+    if actual.equals(declared):
+        return []
+    if pa.types.is_integer(declared) and pa.types.is_integer(actual):
+        return []
+    a_list = pa.types.is_list(actual) or pa.types.is_large_list(actual)
+    d_list = pa.types.is_list(declared) or pa.types.is_large_list(declared)
+    if d_list:
+        if not a_list:
+            return [f"{where}: {actual} != declared {declared}"]
+        return nested_type_errors(
+            actual.value_type, declared.value_type, f"{path}[]"
+        )
+    if pa.types.is_struct(declared):
+        if not pa.types.is_struct(actual):
+            return [f"{where}: {actual} != declared struct"]
+        errs = []
+        actual_names = {actual.field(i).name: actual.field(i) for i in range(actual.num_fields)}
+        for i in range(declared.num_fields):
+            f = declared.field(i)
+            sub = actual_names.get(f.name)
+            child = f"{path}.{f.name}" if path else f.name
+            if sub is None:
+                errs.append(f"{child}: required field missing")
+            else:
+                errs.extend(nested_type_errors(sub.type, f.type, child))
+        return errs
+    return [f"{where}: {actual} != declared {declared}"]
+
+
+def _coerce_column(
+    arr, declared: pa.DataType, col: str, errors: list[str]
+):
+    """Cast ``arr`` to ``declared``; on structural mismatch or cast
+    failure, RECORD a precise reason (no silent nulling) and null the
+    column so downstream rules see a consistent schema."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    errs = nested_type_errors(arr.type, declared, col)
+    if not errs:
+        try:
+            return pc.cast(arr, declared) if arr.type != declared else arr
+        except pa.ArrowInvalid as e:  # overflow etc. despite shape match
+            errors.append(f"column '{col}': cast to {declared} failed: {e}")
+            return pa.nulls(len(arr), declared)
+    # shape mismatch: try a safe element cast anyway (e.g. list<string>
+    # of numeric strings) — success downgrades the finding, failure
+    # records it
+    try:
+        out = pc.cast(arr, declared)
+        errors.append(
+            f"column '{col}': declared {declared}, got {arr.type} "
+            "(values castable — accepted with warning)"
+        )
+        return out
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+        errors.extend(f"column '{col}': {e}" for e in errs)
+        return pa.nulls(len(arr), declared)
+
+
+def _normalize(
+    batch: pa.Table, partition: str | None, extra_schema: pa.Schema | None = None
+) -> pa.Table:
     cols = {}
     names = set(batch.column_names)
     n = batch.num_rows
-    cols["doc_id"] = (
-        pc.cast(batch["doc_id"], pa.string())
-        if "doc_id" in names
-        else pa.nulls(n, pa.string())
-    )
-    if "tokens" in names:
-        toks = batch["tokens"]
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        cols["tokens"] = pc.cast(toks, pa.list_(pa.int32()))
+    errors: list[str] = []
+    if "doc_id" in names:
+        cols["doc_id"] = _coerce_column(batch["doc_id"], pa.string(), "doc_id", errors)
     else:
+        errors.append("column 'doc_id': required column missing")
+        cols["doc_id"] = pa.nulls(n, pa.string())
+    if "tokens" in names:
+        cols["tokens"] = _coerce_column(
+            batch["tokens"], pa.list_(pa.int32()), "tokens", errors
+        )
+    else:
+        errors.append("column 'tokens': required column missing")
         cols["tokens"] = pa.nulls(n, pa.list_(pa.int32()))
     derived = pc.cast(
         pc.fill_null(pc.list_value_length(cols["tokens"]), 0), pa.int32()
@@ -49,12 +128,12 @@ def _normalize(batch: pa.Table, partition: str | None) -> pa.Table:
         # rows missing the field in the JSON arrive as nulls — derive
         # those from the token list, keep declared values as-is (a
         # mismatch is the row_invariants rule's finding, not ours)
-        declared = pc.cast(batch["n_tok"], pa.int32())
+        declared = _coerce_column(batch["n_tok"], pa.int32(), "n_tok", errors)
         cols["n_tok"] = pc.if_else(pc.is_valid(declared), declared, derived)
     else:
         cols["n_tok"] = derived
     cols["source"] = (
-        pc.cast(batch["source"], pa.string())
+        _coerce_column(batch["source"], pa.string(), "source", errors)
         if "source" in names
         else pa.array(["unknown"] * n, pa.string())
     )
@@ -62,18 +141,43 @@ def _normalize(batch: pa.Table, partition: str | None) -> pa.Table:
         cols["partition"] = pc.cast(batch["partition"], pa.string())
     else:
         cols["partition"] = pa.array([partition or "json"] * n, pa.string())
-    return pa.table(cols, schema=TOKEN_SCHEMA)
+    out_schema = TOKEN_SCHEMA
+    if extra_schema is not None:
+        # declared NESTED passthrough columns (lists of structs etc.) —
+        # validated recursively, the reference's standings/matches
+        # nested-schema shape
+        fields = list(TOKEN_SCHEMA)
+        for f in extra_schema:
+            if f.name in names:
+                cols[f.name] = _coerce_column(batch[f.name], f.type, f.name, errors)
+            else:
+                errors.append(f"column '{f.name}': required column missing")
+                cols[f.name] = pa.nulls(n, f.type)
+            fields.append(f)
+        out_schema = pa.schema(fields)
+    if errors:
+        msg = "; ".join(sorted(set(errors)))
+        cols[SCHEMA_ERROR_COL] = pa.array([msg] * n, pa.string())
+        out_schema = pa.schema([*out_schema, (SCHEMA_ERROR_COL, pa.string())])
+    return pa.table(cols, schema=out_schema)
 
 
-def read_token_json(paths, *, partition: str | None = None):
+def read_token_json(
+    paths, *, partition: str | None = None, extra_schema: pa.Schema | None = None
+):
     """JSON/JSONL files -> Dataset with the canonical token-table
-    schema. Missing columns are nulled (the schema rule reports them);
-    n_tok is derived from tokens when absent."""
+    schema. Columns are validated against their DECLARED (possibly
+    nested) Arrow types — a shape mismatch is recorded per row in the
+    ``__schema_error`` column (which the engine's schema_types rule
+    turns into violations), never silently nulled; missing columns are
+    nulled AND recorded. ``extra_schema`` declares additional nested
+    passthrough columns (struct / list-of-struct) to validate
+    recursively. n_tok is derived from tokens when absent."""
     import ray.data as rd
 
     ds = rd.read_json(paths)
     return ds.map_batches(
-        lambda t: _normalize(t, partition), batch_format="pyarrow"
+        lambda t: _normalize(t, partition, extra_schema), batch_format="pyarrow"
     )
 
 

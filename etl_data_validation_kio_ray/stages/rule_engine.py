@@ -307,6 +307,22 @@ class RuleEngine:
         # row per partition at reduce time, not one per batch — exactness
         # under any batching, SURVEY.md §7.4)
         schema_errors: list[str] = []
+        # reader-recorded nested-schema findings (sources/jsonl.py
+        # SCHEMA_ERROR_COL): one violation per flagged row, with the
+        # reader's precise reason — never silently dropped
+        if "__schema_error" in sub.column_names:
+            err = sub["__schema_error"]
+            if isinstance(err, pa.ChunkedArray):
+                err = err.combine_chunks()
+            if err.null_count < len(err):
+                bad = np.flatnonzero(
+                    pc.is_valid(err).to_numpy(zero_copy_only=False)
+                )
+                reasons = err.take(pa.array(bad, pa.int64())).to_pylist()
+                self._emit_violation(
+                    out, "schema_types", partition, take_ids(bad), reasons
+                )
+                rows_failed += len(bad)
         for f in self.expected_schema:
             if f.name not in sub.column_names:
                 schema_errors.append(f"column '{f.name}' missing")
@@ -349,9 +365,13 @@ class RuleEngine:
         """Null-rate per column + empty-partition detection — analog of
         completeness_suite/matches_completeness.py:7-32 (list non-empty,
         declared count vs actual)."""
-        null_counts = {c: int(sub[c].null_count) for c in sub.column_names}
+        null_counts = {
+            c: int(sub[c].null_count)
+            for c in sub.column_names
+            if not c.startswith("__")  # reader-internal columns
+        }
         any_null = np.zeros(nrows, dtype=bool)
-        for c in sub.column_names:
+        for c in null_counts:
             if null_counts[c]:
                 any_null |= pc.is_null(sub[c]).combine_chunks().to_numpy(
                     zero_copy_only=False

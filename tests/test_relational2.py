@@ -644,3 +644,106 @@ def test_hash_partitioned_anti_join_and_reconcile(ray_session):
         "k",
     ).to_pandas()
     assert len(e) == 0 and list(e.columns) == ["key", "side"]
+
+
+def test_nested_schema_validation_not_silent(ray_session, tmp_path):
+    """Malformed nested JSON must surface as schema_types violations
+    with precise reasons — never silent nulling (reference analog:
+    stg/schema_suite nested Draft-7 checks)."""
+    import json as _json
+
+    from etl_data_validation_kio_ray.core.specs import default_rules
+    from etl_data_validation_kio_ray.sources.jsonl import (
+        SCHEMA_ERROR_COL,
+        nested_type_errors,
+        read_token_json,
+    )
+    from etl_data_validation_kio_ray.stages.rule_engine import RuleEngine
+
+    # --- unit: recursive nested-type comparison
+    decl = pa.struct(
+        [("author", pa.string()), ("tags", pa.list_(pa.string())), ("n", pa.int32())]
+    )
+    ok = pa.struct(
+        [("author", pa.string()), ("tags", pa.list_(pa.string())), ("n", pa.int16())]
+    )
+    assert nested_type_errors(ok, decl) == []  # widening + order-free
+    bad = pa.struct([("author", pa.int64()), ("tags", pa.list_(pa.int32()))])
+    errs = nested_type_errors(bad, decl, "meta")
+    assert any("meta.author" in e for e in errs)
+    assert any("meta.tags[]" in e for e in errs)
+    assert any("meta.n: required field missing" in e for e in errs)
+    assert nested_type_errors(pa.large_list(pa.int32()), pa.list_(pa.int32())) == []
+
+    # --- reader: tokens list<string> of NON-numeric strings
+    p1 = tmp_path / "bad_tokens.jsonl"
+    with open(p1, "w") as f:
+        for i in range(3):
+            f.write(_json.dumps({"doc_id": f"b{i}", "tokens": ["x", "y"], "source": "web"}) + "\n")
+    t = pa.concat_tables(
+        b for b in read_token_json(str(p1), partition="p0").iter_batches(
+            batch_format="pyarrow", batch_size=100
+        )
+    )
+    assert SCHEMA_ERROR_COL in t.column_names
+    assert all("tokens" in (e or "") for e in t[SCHEMA_ERROR_COL].to_pylist())
+
+    # engine turns reader findings into schema_types violations
+    eng = RuleEngine(default_rules(allowed_sources=["web"]))
+    out = eng(t)
+    vio = out.filter(pa.compute.equal(out["kind"], "violation")).to_pandas()
+    schema_vio = vio[vio.rule_id == "schema_types"]
+    reader_rows = schema_vio[
+        schema_vio.reason.str.contains("tokens")
+        & schema_vio.reason.str.contains("declared")
+    ]
+    assert len(reader_rows) == 3 and set(reader_rows.doc_id) == {"b0", "b1", "b2"}
+
+    # --- reader: numeric strings are accepted WITH a warning record
+    p2 = tmp_path / "castable.jsonl"
+    with open(p2, "w") as f:
+        f.write(_json.dumps({"doc_id": "c0", "tokens": ["1", "2"], "source": "web"}) + "\n")
+    t2 = pa.concat_tables(
+        b for b in read_token_json(str(p2)).iter_batches(batch_format="pyarrow", batch_size=10)
+    )
+    assert t2["tokens"].to_pylist() == [[1, 2]]
+    assert "castable" in t2[SCHEMA_ERROR_COL].to_pylist()[0]
+
+    # --- declared nested passthrough column validated recursively
+    p3 = tmp_path / "nested.jsonl"
+    with open(p3, "w") as f:
+        f.write(
+            _json.dumps(
+                {"doc_id": "n0", "tokens": [1], "source": "web",
+                 "meta": {"author": 7, "tags": ["a"]}}
+            )
+            + "\n"
+        )
+    extra = pa.schema([("meta", decl)])
+    t3 = pa.concat_tables(
+        b
+        for b in read_token_json(str(p3), extra_schema=extra).iter_batches(
+            batch_format="pyarrow", batch_size=10
+        )
+    )
+    err3 = t3[SCHEMA_ERROR_COL].to_pylist()[0]
+    assert "meta.author" in err3 and "meta.n" in err3
+
+    # --- well-formed nested input: clean schema, no error column
+    p4 = tmp_path / "good.jsonl"
+    with open(p4, "w") as f:
+        f.write(
+            _json.dumps(
+                {"doc_id": "g0", "tokens": [1, 2], "source": "web",
+                 "meta": {"author": "me", "tags": ["t"], "n": 3}}
+            )
+            + "\n"
+        )
+    t4 = pa.concat_tables(
+        b
+        for b in read_token_json(str(p4), extra_schema=extra).iter_batches(
+            batch_format="pyarrow", batch_size=10
+        )
+    )
+    assert SCHEMA_ERROR_COL not in t4.column_names
+    assert t4["meta"].to_pylist() == [{"author": "me", "tags": ["t"], "n": 3}]

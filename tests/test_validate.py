@@ -121,3 +121,46 @@ def test_generator_determinism(tmp_path):
     assert t1.equals(t2)
     # per-row token-array equality of generated vs re-generated data
     assert t1["tokens"].to_pylist() == t2["tokens"].to_pylist()
+
+
+def test_cross_check_agreement(ray_session, tmp_path):
+    """DuckDB second-executor agreement: clean AND mutated inputs must
+    produce identical per-(partition, rule) counts from both executors;
+    a doctored engine verdict must be flagged as disagreement."""
+    from etl_data_validation_kio_ray.pipelines.crosscheck import cross_check_run
+    from etl_data_validation_kio_ray.pipelines.validate import ValidationPipeline
+    from etl_data_validation_kio_ray.sources.mutations import mutate_table
+    from etl_data_validation_kio_ray.sources.synth import generate_token_table
+
+    clean = generate_token_table(str(tmp_path / "c"), partitions=4, rows_per_partition=150)
+    pipe = ValidationPipeline(allowed_sources=["web", "books", "code", "wiki"])
+    res = pipe.run(clean, str(tmp_path / "o1"))
+    agree = cross_check_run(clean, res, pipe.rules)
+    assert len(agree) > 0 and agree.agree.all(), agree[~agree.agree]
+    # covers every narrow rule + stats + global uniqueness
+    assert {"schema_types", "completeness_nulls", "row_invariants",
+            "source_ref", "column_stats", "doc_id_unique"} <= set(agree.rule_id)
+
+    for action in ("corrupt_id", "unknown_source", "duplicate_first", "drop_required"):
+        mut = mutate_table(clean, str(tmp_path / f"m_{action}"), action)
+        pipe2 = ValidationPipeline(allowed_sources=["web", "books", "code", "wiki"])
+        res2 = pipe2.run(mut, str(tmp_path / f"o_{action}"))
+        a2 = cross_check_run(mut, res2, pipe2.rules)
+        assert a2.agree.all(), (action, a2[~a2.agree])
+
+    # sampled partitions: subset checked, run-scope rule skipped
+    sub = cross_check_run(clean, res, pipe.rules, partitions=["part-0001"])
+    assert set(sub.partition) == {"part-0001"}
+    assert "doc_id_unique" not in set(sub.rule_id)
+
+    # a wrong engine count MUST surface as disagreement
+    import copy
+
+    bad = copy.deepcopy(res)
+    for c in bad.verdicts:
+        if c.rule_id == "row_invariants" and c.partition == "part-0000":
+            c.rows_failed += 7
+    a3 = cross_check_run(clean, bad, pipe.rules)
+    assert not a3[
+        (a3.partition == "part-0000") & (a3.rule_id == "row_invariants")
+    ].agree.any()
