@@ -434,8 +434,11 @@ def q_ann_topk(sf_dir: str):
 
 
 def q_lang_id(sf_dir: str):
-    """Heuristic language-ID accuracy per true lang (rows-only check —
-    the heuristic is not SQL-expressible)."""
+    """Heuristic language-ID accuracy per true lang — the stopword
+    argmax + CJK override is deterministic and SQL-expressible, so this
+    is hash-oracled against a DuckDB twin built from the same stopword
+    sets (accuracy itself is toy-grade on the random-word corpus; the
+    oracle verifies the deterministic prediction pipeline)."""
     from etl_data_validation_kio_ray.functions.text import lang_id_batch
 
     ds = _docs(sf_dir, ["doc_id", "text", "lang"])
@@ -827,8 +830,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # -------------------------------------------------------------------- oracle
 
 
+def _lang_id_sql() -> str:
+    """DuckDB twin of functions/text.lang_id_batch: per-word stopword
+    hits per language, argmax with first-max tie-breaking in dict
+    order (en, de, fr, es), CJK codepoint override to zh."""
+    from etl_data_validation_kio_ray.functions.text import STOPWORDS
+
+    def score(lang: str) -> str:
+        inset = ", ".join(f"'{w}'" for w in sorted(STOPWORDS[lang]))
+        return f"len(list_filter(string_split(lower(text), ' '), w -> w IN ({inset})))"
+
+    en, de, fr, es = (score(lg) for lg in ("en", "de", "fr", "es"))
+    return f"""
+WITH s AS (
+  SELECT lang,
+    CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+         WHEN {en} >= {de} AND {en} >= {fr} AND {en} >= {es} THEN 'en'
+         WHEN {de} >= {fr} AND {de} >= {es} THEN 'de'
+         WHEN {fr} >= {es} THEN 'fr'
+         ELSE 'es' END AS lang_pred
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+FROM s GROUP BY lang ORDER BY lang
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "lang_id": _lang_id_sql(),
         "tokenize": f"WITH {TOKENIZE_CTE} SELECT * FROM tok",
         "validate_verdicts": f"""
 WITH {TOKENIZE_CTE},
