@@ -62,6 +62,24 @@ def cmd_validate(args) -> int:
     _init_ray()
     pipe = _pipeline(args)
     res = pipe.run(args.input, args.out, resume=args.resume)
+    cross = None
+    if args.cross_check:
+        # second-executor agreement: re-run every rule's SQL twin in
+        # DuckDB over sampled partitions (pipelines/crosscheck.py)
+        from .pipelines.crosscheck import cross_check_run
+
+        parts = None
+        if args.cross_check_sample and args.cross_check_sample < len(res.partitions):
+            parts = sorted(res.partitions)[:: max(
+                1, len(res.partitions) // args.cross_check_sample
+            )][: args.cross_check_sample]
+        agree = cross_check_run(args.input, res, pipe.rules, partitions=parts)
+        cross = {
+            "checked": int(len(agree)),
+            "disagreements": int((~agree.agree).sum()),
+        }
+        if cross["disagreements"]:
+            sys.stderr.write(agree[~agree.agree].to_string() + "\n")
     print(
         json.dumps(
             {
@@ -70,9 +88,12 @@ def cmd_validate(args) -> int:
                 "duration_s": round(res.duration_s, 3),
                 "phases": res.metrics.get("phases", {}),
                 "out": args.out,
+                **({"cross_check": cross} if cross else {}),
             }
         )
     )
+    if cross and cross["disagreements"]:
+        return 2  # executor disagreement outranks a FAIL verdict
     return 0 if res.run_verdict != "FAIL" or args.exit_zero else 1
 
 
@@ -133,6 +154,17 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--resume", action="store_true")
     v.add_argument(
         "--exit-zero", action="store_true", help="exit 0 even on FAIL verdict"
+    )
+    v.add_argument(
+        "--cross-check",
+        action="store_true",
+        help="re-run every rule's SQL twin in DuckDB and require agreement",
+    )
+    v.add_argument(
+        "--cross-check-sample",
+        type=int,
+        default=0,
+        help="cross-check only N evenly-spaced partitions (0 = all)",
     )
     v.set_defaults(fn=cmd_validate)
 

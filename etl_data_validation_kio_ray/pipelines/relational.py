@@ -239,24 +239,33 @@ def latest_per_key(ds, key: str, order_cols: list[str]):
     (the reference's latest-payload-per-entity ORDER BY id DESC LIMIT 1,
     /root/reference/src/app2/experiments/stg_payloads.py:29-44).
 
-    Two-level: each batch keeps its per-key argmax (pandas), then a
-    small groupby finalizes — the shuffle carries #keys x #batches
-    rows, never the raw data."""
+    Two-level: each batch keeps its per-key argmax (Arrow sort +
+    first-of-segment mask — no pandas round trip), then a small groupby
+    finalizes — the shuffle carries #keys x #batches rows, never the
+    raw data."""
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return (
-            df.sort_values(order_cols, kind="mergesort")
-            .groupby([key], sort=False)
-            .tail(1)
-        )
+    sort_keys = [(key, "ascending")] + [(c, "descending") for c in order_cols]
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        return partial(df)
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        k = t[key]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        n = len(k)
+        first = np.ones(n, dtype=bool)
+        if n > 1:
+            neq = pc.fill_null(
+                pc.not_equal(k.slice(1), k.slice(0, n - 1)), True
+            )
+            first[1:] = neq.to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(first))
 
     return (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(key)
-        .map_groups(final, batch_format="pandas")
+        .map_groups(partial, batch_format="pyarrow")
     )
 
 
