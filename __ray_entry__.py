@@ -657,8 +657,14 @@ def q_multimodal_features(sf_dir: str):
 
 
 def q_embedding_dups(sf_dir: str):
-    """Embedding-cosine near-dup pairs via hyperplane-LSH buckets +
-    in-bucket verification (rows-only; approximate by construction)."""
+    """Embedding-cosine near-dup pairs via 4-table hyperplane-LSH +
+    exact in-bucket verification. Hash-oracled against DuckDB's exact
+    all-pairs cosine: the fixture corpus contains NO true pairs at the
+    0.9 threshold (max pair cosine ~0.6), so the oracle verifies the
+    no-false-positives side exactly; recall on true pairs is covered by
+    the planted-duplicate pytest (LSH recall at 0.9 with 4x16-bit
+    tables is probabilistic, so a value oracle on a corpus WITH pairs
+    would not be sound)."""
     import ray.data as rd
 
     from etl_data_validation_kio_ray.dedup.embedding import embedding_dup_pairs
@@ -666,7 +672,7 @@ def q_embedding_dups(sf_dir: str):
     ds = rd.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
-    pairs = embedding_dup_pairs(ds, cosine_threshold=0.9, concurrency=2)
+    pairs = embedding_dup_pairs(ds, cosine_threshold=0.9, n_tables=4, concurrency=2)
     if "id_a" not in pairs.columns:  # empty result loses schema
         pairs = pd.DataFrame(
             {
@@ -1035,6 +1041,13 @@ SELECT event_type, CAST(sid AS BIGINT) AS sid,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(value_cents) AS BIGINT) AS value_cents
 FROM s GROUP BY event_type, sid ORDER BY event_type, sid
+""",
+        "embedding_dups": """
+SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
+       CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+ORDER BY id_a, id_b
 """,
         "minhash_pairs": """
 WITH sh AS (

@@ -18,29 +18,53 @@ from ..functions.vectors import batch_vectors as _vectors
 
 
 class HyperplaneBucketer:
-    def __init__(self, vec_col="embedding", id_col="vec_id", *, dim=64, n_planes=16, seed=11):
+    """Multi-table random-hyperplane LSH: ``n_tables`` independent
+    hyperplane sets (all derived from the fixed seed). A pair is a
+    candidate if it shares a bucket in ANY table — recall for pairs at
+    cosine c is 1-(1-p^b)^T with p = 1 - arccos(c)/pi, so tables are
+    the recall lever while planes-per-table bounds bucket size. Rows
+    are exploded T-fold (table id folded into the bucket key), so the
+    single groupby shuffle still moves each vector T times — keep T
+    small (<= 8) or switch to a candidate-scan-then-gather layout like
+    dedup/minhash.py when vectors are wide."""
+
+    def __init__(
+        self, vec_col="embedding", id_col="vec_id", *,
+        dim=64, n_planes=16, n_tables=1, seed=11,
+    ):
         rng = np.random.Generator(np.random.Philox(key=[seed, 0xA11CE]))
-        self.planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+        self.planes = rng.standard_normal((dim, n_planes * n_tables)).astype(
+            np.float32
+        )
+        self.n_planes, self.n_tables = n_planes, n_tables
         self.vec_col, self.id_col = vec_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         v = _vectors(batch, self.vec_col)
-        proj = v @ self.planes
+        n = len(v)
+        proj = v @ self.planes  # (n, planes*tables)
         bits = (proj > 0).astype(np.uint64)
-        key = np.zeros(len(v), dtype=np.uint64)
-        for b in range(bits.shape[1]):  # n_planes-bounded
-            key |= bits[:, b] << np.uint64(b)
+        keys = np.zeros((n, self.n_tables), dtype=np.uint64)
+        for t in range(self.n_tables):  # table/plane-bounded loops
+            for b in range(self.n_planes):
+                keys[:, t] |= bits[:, t * self.n_planes + b] << np.uint64(b)
+            keys[:, t] |= np.uint64(t) << np.uint64(self.n_planes)
         norm = np.linalg.norm(v, axis=1)
-        flat = v.astype(np.float32, copy=False).ravel()
+        T = self.n_tables
+        rep = np.repeat(np.arange(n, dtype=np.int64), T)
+        flat = v.astype(np.float32, copy=False)[rep].ravel()
         vec_col = pa.FixedSizeListArray.from_arrays(
-            pa.array(flat, pa.float32()), v.shape[1] if len(v) else 1
+            pa.array(flat, pa.float32()), v.shape[1] if n else 1
         )
+        ids = batch[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
         return pa.table(
             {
-                self.id_col: batch[self.id_col],
-                "bucket": pa.array(key.astype(np.int64)),
+                self.id_col: ids.take(pa.array(rep)),
+                "bucket": pa.array(keys.reshape(-1).astype(np.int64)),
                 "vec": vec_col,
-                "norm": pa.array(norm.astype(np.float64)),
+                "norm": pa.array(norm[rep]),
             }
         )
 
@@ -50,18 +74,24 @@ MAX_BUCKET = 1024  # per-bucket cap on the O(m^2) cosine verify; loud
 
 def embedding_dup_pairs(
     ds, vec_col="embedding", id_col="vec_id", *, dim=64, n_planes=16,
-    cosine_threshold=0.95, concurrency=4, report: dict | None = None,
+    n_tables=1, cosine_threshold=0.95, concurrency=4,
+    report: dict | None = None,
 ) -> pd.DataFrame:
     """Verified (id_a < id_b, cosine >= threshold) near-dup pairs.
 
-    The in-bucket exact-cosine verify is O(m^2) in bucket size, so each
-    bucket is capped at MAX_BUCKET members (first by id) and the number
-    of truncated buckets is reported via ``report['truncated_buckets']``
-    / the result's ``.attrs`` and a log warning — the same loud-cap
-    contract as the MinHash/SimHash stages."""
+    ``n_tables`` > 1 enables multi-table LSH (OR-amplified recall; see
+    HyperplaneBucketer). The in-bucket exact-cosine verify is O(m^2) in
+    bucket size, so each bucket is capped at MAX_BUCKET members (first
+    by id) and the number of truncated buckets is reported via
+    ``report['truncated_buckets']`` / the result's ``.attrs`` and a log
+    warning — the same loud-cap contract as the MinHash/SimHash
+    stages."""
     bucketed = ds.map_batches(
         HyperplaneBucketer,
-        fn_constructor_kwargs=dict(vec_col=vec_col, id_col=id_col, dim=dim, n_planes=n_planes),
+        fn_constructor_kwargs=dict(
+            vec_col=vec_col, id_col=id_col, dim=dim,
+            n_planes=n_planes, n_tables=n_tables,
+        ),
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,

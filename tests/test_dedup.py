@@ -292,3 +292,26 @@ def test_signature_determinism_fixture(ray_session):
     h = s1.simhash.to_numpy().astype(np.int64).view(np.uint64)
     assert hamming64(h[[0]], h[[1]])[0] <= 12  # near dups are close
     assert hamming64(h[[0]], h[[2]])[0] > 12   # unrelated docs are far
+
+
+def test_embedding_multitable_lsh_recall(ray_session):
+    """Multi-table LSH finds planted near-dup pairs that single-table
+    misses at the same plane count (OR-amplified recall), with
+    deterministic seeding."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(41)
+    V = rng.standard_normal((300, 64)).astype(np.float32)
+    planted = [(11, 211), (42, 242), (77, 277)]
+    for a, b in planted:
+        V[b] = V[a] + rng.standard_normal(64).astype(np.float32) * 0.02
+    df = pd.DataFrame({"vec_id": np.arange(300), "embedding": list(V)})
+    ds = rd.from_pandas(df)
+    pairs = embedding_dup_pairs(ds, cosine_threshold=0.95, n_tables=8, concurrency=2)
+    got = set(zip(pairs.id_a, pairs.id_b))
+    assert set(planted) <= got, (planted, got)
+    # determinism: same result on a re-run
+    pairs2 = embedding_dup_pairs(ds, cosine_threshold=0.95, n_tables=8, concurrency=2)
+    assert got == set(zip(pairs2.id_a, pairs2.id_b))
