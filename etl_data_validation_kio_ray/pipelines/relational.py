@@ -296,20 +296,18 @@ def grouped_agg(
         else:
             plan[out] = (col, fn)
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(keys, sort=False)
-        cols = {}
-        for out, (col, fn) in plan.items():
-            s = g[col]
-            cols[out] = {
-                "sum": s.sum(),
-                "count": s.count(),
-                "min": s.min(),
-                "max": s.max(),
-            }[fn]
-        return pd.DataFrame(cols).reset_index()
+    def partial(t: pa.Table) -> pa.Table:
+        # Arrow-native per-batch pre-aggregation (C++ hash aggregate,
+        # no pandas round trip); plan names may alias the same
+        # (col, fn), so build output columns explicitly
+        uniq = list(dict.fromkeys(plan.values()))
+        out = t.group_by(keys).aggregate(uniq)
+        cols = {k: out[k] for k in keys}
+        for name, (col, fn) in plan.items():
+            cols[name] = out[f"{col}_{fn}"]
+        return pa.table(cols)
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     ray_aggs = []
     for out, (col, fn) in plan.items():
         cls = {"sum": Sum, "count": Sum, "min": Min, "max": Max}[fn]
@@ -517,19 +515,42 @@ def tumbling_window_agg(
 ):
     """Event-time tumbling window counts/sums per key. No watermarks:
     this is a batch engine; the window is a pure derived groupby key
-    (floor(ts / window)), so ordering/lateness cannot change results."""
+    (floor(ts / window)), so ordering/lateness cannot change results.
+    Per-batch pre-aggregation is an Arrow C++ hash aggregate
+    (floor_temporal + group_by) — only (key, window) partials shuffle."""
+    td = pd.to_timedelta(window)
+    ns = int(td.value)
+    if ns % 3_600_000_000_000 == 0:
+        mult, unit = ns // 3_600_000_000_000, "hour"
+    elif ns % 60_000_000_000 == 0:
+        mult, unit = ns // 60_000_000_000, "minute"
+    else:
+        mult, unit = ns // 1_000_000_000, "second"
 
-    def bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["window_start"] = df[ts_col].dt.floor(window)
-        g = df.groupby([key_col, "window_start"], sort=False)
-        out = g[value_col].agg(["count", "sum"]).reset_index()
-        return out.rename(columns={"count": "n", "sum": "value_sum"})
+    def bucket(t: pa.Table) -> pa.Table:
+        ts = t[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        ws = pc.floor_temporal(ts, multiple=int(mult), unit=unit)
+        proj = pa.table(
+            {key_col: t[key_col], "window_start": ws, value_col: t[value_col]}
+        )
+        out = proj.group_by([key_col, "window_start"]).aggregate(
+            [(value_col, "count"), (value_col, "sum")]
+        )
+        return pa.table(
+            {
+                key_col: out[key_col],
+                "window_start": out["window_start"],
+                "n": out[f"{value_col}_count"],
+                "value_sum": out[f"{value_col}_sum"],
+            }
+        )
 
     from ray.data.aggregate import Sum
 
     final = (
-        ds.map_batches(bucket, batch_format="pandas")
+        ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby([key_col, "window_start"])
         .aggregate(Sum("n", alias_name="n_events"), Sum("value_sum", alias_name="value_sum"))
         .to_pandas()
