@@ -130,11 +130,16 @@ def cmd_experiment(args) -> int:
 
 
 def cmd_report(args) -> int:
-    from .state.report import write_run_report, write_summary_csv
+    from .state.report import write_html_report, write_run_report, write_summary_csv
 
     csv_path = write_summary_csv(args.run_dir, os.path.join(args.run_dir, "summary.csv"))
     txt_path = write_run_report(args.run_dir)
-    print(json.dumps({"summary_csv": csv_path, "report": txt_path}))
+    html_path = write_html_report(args.run_dir)
+    print(
+        json.dumps(
+            {"summary_csv": csv_path, "report": txt_path, "html": html_path}
+        )
+    )
     return 0
 
 

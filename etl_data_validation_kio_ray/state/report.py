@@ -114,3 +114,115 @@ def write_run_report(run_dir: str, out_path: str | None = None) -> str:
         f.write(run_report(run_dir) + "\n")
     os.replace(tmp, out_path)
     return out_path
+
+
+def _esc(v: Any) -> str:
+    import html
+
+    return html.escape(str(v))
+
+
+def write_html_report(run_dir: str, out_path: str | None = None) -> str:
+    """Self-contained HTML run report — the analog of the reference's
+    mutation-experiment HTML report
+    (/root/reference/src/app2/experiments/report.py:709+), stdlib-only:
+    run verdict banner, per-partition verdict table with failing
+    checks, global metrics, drift scores, and (when the run dir is an
+    experiment output containing experiment_summary.json) the
+    per-iteration detection table."""
+    state = RunState(run_dir)
+    summary = _load_summary(run_dir)
+    verdict = summary.get("run_verdict", "?")
+    color = {"PASS": "#1a7f37", "WARN": "#b58105", "FAIL": "#cf222e"}.get(
+        verdict, "#57606a"
+    )
+    parts: list[str] = [
+        "<!doctype html><html><head><meta charset='utf-8'>",
+        "<title>validation report</title>",
+        "<style>body{font:14px/1.45 system-ui,sans-serif;margin:2em;color:#1f2328}",
+        "table{border-collapse:collapse;margin:1em 0}",
+        "td,th{border:1px solid #d0d7de;padding:4px 10px;text-align:left}",
+        "th{background:#f6f8fa}.fail{color:#cf222e;font-weight:600}",
+        ".warn{color:#b58105}.pass{color:#1a7f37}</style></head><body>",
+        f"<h1>validation run <code>{_esc(run_dir)}</code></h1>",
+        f"<p><strong style='color:{color}'>run verdict: {_esc(verdict)}</strong>"
+        f" &middot; duration {_esc(summary.get('duration_s', '?'))}s</p>",
+        "<h2>partitions</h2>",
+        "<table><tr><th>partition</th><th>status</th><th>verdict</th>"
+        "<th>rows</th><th>failing checks</th></tr>",
+    ]
+    for m in state.all_manifests():
+        fails = "; ".join(
+            f"{c.get('rule_id')} ({c.get('status')}, rows_failed={c.get('rows_failed')})"
+            for c in m.checks
+            if c.get("status") != "PASS"
+        )
+        if m.error:
+            fails = (fails + "; " if fails else "") + f"error: {m.error}"
+        cls = {"FAIL": "fail", "WARN": "warn"}.get(m.verdict or "", "pass")
+        parts.append(
+            f"<tr><td>{_esc(m.partition)}</td><td>{_esc(m.status)}</td>"
+            f"<td class='{cls}'>{_esc(m.verdict)}</td><td>{_esc(m.rows_total)}</td>"
+            f"<td>{_esc(fails) or '—'}</td></tr>"
+        )
+    parts.append("</table>")
+
+    g = summary.get("metrics_global") or {}
+    if g:
+        parts.append("<h2>global metrics</h2><table><tr><th>metric</th><th>value</th></tr>")
+        for k, v in sorted(g.items()):
+            parts.append(f"<tr><td>{_esc(k)}</td><td><code>{_esc(v)}</code></td></tr>")
+        parts.append("</table>")
+
+    # drift scores live on the drift_ks_psi checks inside manifests
+    drift_rows = []
+    for m in state.all_manifests():
+        for c in m.checks:
+            met = c.get("metrics") or {}
+            if c.get("rule_id") == "drift_ks_psi" and "ks_n_tok" in met:
+                drift_rows.append(
+                    (m.partition, met["ks_n_tok"], met["psi_tokens"], c.get("status"))
+                )
+    if drift_rows:
+        parts.append(
+            "<h2>drift vs baseline</h2><table><tr><th>partition</th>"
+            "<th>KS(n_tok)</th><th>PSI(tokens)</th><th>status</th></tr>"
+        )
+        for p, ks, psi, st in sorted(drift_rows):
+            cls = {"FAIL": "fail", "WARN": "warn"}.get(st or "", "pass")
+            parts.append(
+                f"<tr><td>{_esc(p)}</td><td>{_esc(round(float(ks), 5))}</td>"
+                f"<td>{_esc(round(float(psi), 5))}</td>"
+                f"<td class='{cls}'>{_esc(st)}</td></tr>"
+            )
+        parts.append("</table>")
+
+    exp_path = os.path.join(run_dir, "experiment_summary.json")
+    if os.path.exists(exp_path):
+        with open(exp_path) as f:
+            exp = json.load(f)
+        parts.append(
+            "<h2>mutation experiment</h2>"
+            f"<p>all detected: <strong>{_esc(exp.get('all_detected'))}</strong></p>"
+            "<table><tr><th>action</th><th>expected rule</th><th>fired</th>"
+            "<th>verdict</th><th>detected</th><th>duration (s)</th></tr>"
+        )
+        for it in exp.get("iterations", []):
+            cls = "pass" if it.get("detected") else "fail"
+            parts.append(
+                f"<tr><td>{_esc(it.get('action'))}</td>"
+                f"<td>{_esc(it.get('expected_rule') or '—')}</td>"
+                f"<td>{_esc(', '.join(it.get('fired_rules') or []) or '—')}</td>"
+                f"<td>{_esc(it.get('run_verdict'))}</td>"
+                f"<td class='{cls}'>{_esc(it.get('detected'))}</td>"
+                f"<td>{_esc(it.get('duration_s'))}</td></tr>"
+            )
+        parts.append("</table>")
+
+    parts.append("</body></html>")
+    out_path = out_path or os.path.join(run_dir, "report.html")
+    tmp = out_path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("\n".join(parts) + "\n")
+    os.replace(tmp, out_path)
+    return out_path

@@ -747,3 +747,25 @@ def test_nested_schema_validation_not_silent(ray_session, tmp_path):
     )
     assert SCHEMA_ERROR_COL not in t4.column_names
     assert t4["meta"].to_pylist() == [{"author": "me", "tags": ["t"], "n": 3}]
+
+
+def test_html_report(ray_session, tmp_path):
+    """HTML report: run verdicts, failing checks, and the mutation
+    experiment's per-iteration table (the reference's HTML report
+    analog), stdlib-only and well-formed enough to grep."""
+    from etl_data_validation_kio_ray.pipelines.experiment import run_experiment
+    from etl_data_validation_kio_ray.sources.synth import generate_token_table
+    from etl_data_validation_kio_ray.state.report import write_html_report
+
+    clean = generate_token_table(str(tmp_path / "c"), partitions=2, rows_per_partition=80)
+    res = run_experiment(
+        clean, str(tmp_path / "exp"), actions=["corrupt_id", "unknown_source"]
+    )
+    # run-level report on the baseline run dir
+    html1 = open(write_html_report(str(tmp_path / "exp" / "baseline"))).read()
+    assert "run verdict" in html1 and "part-0000" in html1
+    # experiment-level report picks up the iteration table
+    html2 = open(write_html_report(str(tmp_path / "exp"))).read()
+    assert "mutation experiment" in html2
+    assert "corrupt_id" in html2 and "row_invariants" in html2
+    assert html2.count("<table>") >= 1 and "</html>" in html2
