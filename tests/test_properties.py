@@ -75,3 +75,72 @@ def test_tdigest_split_tolerance(vals, c):
         assert abs(bulk.quantile(q) - merged.quantile(q)) <= 0.1 * spread
         if len(vals) >= 20:  # tiny samples: interpolation conventions differ
             assert abs(bulk.quantile(q) - float(np.quantile(vals, q))) <= 0.15 * spread
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.text(
+                alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x2FA0),
+                max_size=120,
+            ),
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+    st.integers(min_value=0, max_value=5),
+)
+@settings(max_examples=60, deadline=None)
+def test_hash_string_array_properties(vals, seed):
+    """Equal strings hash equal; hashing is batch-independent and
+    null-distinguishing for any unicode content and seed."""
+    import numpy as np
+    import pyarrow as pa
+
+    from etl_data_validation_kio_ray.functions.hashing import hash_string_array
+
+    arr = pa.array(vals, pa.string())
+    h = hash_string_array(arr, seed=seed)
+    assert len(h) == len(vals) and h.dtype == np.uint64
+    # equal values agree, unequal non-null values disagree (no observed
+    # collisions in this tiny domain), independent of batch position
+    for i, v in enumerate(vals):
+        solo = hash_string_array(pa.array([v], pa.string()), seed=seed)[0]
+        assert solo == h[i]
+    by_val = {}
+    for i, v in enumerate(vals):
+        if v in by_val:
+            assert h[by_val[v]] == h[i]
+        by_val[v] = i
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "dd", "e f", ""]), min_size=0, max_size=15
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=60, deadline=None)
+def test_shingle_stats_property(word_lists, k):
+    """Vectorized distinct-kgram counts equal the tuple-set oracle for
+    arbitrary word sequences (incl. empty words and repeats)."""
+    import pyarrow as pa
+
+    from etl_data_validation_kio_ray.functions.text import shingle_stats
+
+    texts = [" ".join(ws) for ws in word_lists]
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    got = shingle_stats(t, k=k)["n_shingles"].to_pylist()
+    for text, g in zip(texts, got):
+        ws = text.lower().split(" ")
+        want = (
+            len({tuple(ws[i : i + k]) for i in range(len(ws) - k + 1)})
+            if len(ws) >= k
+            else 0
+        )
+        assert g == want, (text, k, g, want)
