@@ -92,25 +92,43 @@ def _collect_dup_rows(hashed, dup_hashes: pa.Table) -> pa.Table:
     return t
 
 
-def dedup_exact(ds, content_cols: list[str], id_col: str = "doc_id"):
+def dedup_exact(
+    ds, content_cols: list[str], id_col: str = "doc_id", *, materialize: bool = True
+):
     """Keep, per distinct content, the row with the MIN id. Returns the
     deduplicated Dataset. Exact under 64-bit hash collisions: winners
     are resolved on the ACTUAL content values of the gathered rows, so
-    two different documents sharing a hash both survive."""
+    two different documents sharing a hash both survive.
+
+    The hashed dataset is scanned three times (dup scan, candidate
+    gather, final filter). ``materialize=True`` (default) pins it in
+    the object store — one read of the input, but full-width rows
+    occupy (and at very large scale spill from) the object store.
+    ``materialize=False`` re-executes the upstream read + hash per
+    scan — three reads, near-zero object-store footprint; prefer it
+    when the corpus dwarfs cluster memory and the input is a
+    deterministic source like parquet (results with nondeterministic
+    upstreams are undefined across re-scans)."""
     import ray
     import ray.data as rd
 
-    # materialize: the hashed dataset is scanned by the dup scan, the
-    # candidate gather, and the final filter — re-executing the
-    # upstream (and re-hashing) three times would triple the cost and
-    # break on nondeterministic upstreams
-    hashed = _with_content_hash(ds, content_cols).materialize()
-    dup = _dup_content_hashes(hashed)
+    if materialize:
+        mat = _with_content_hash(ds, content_cols).materialize()
+
+        def hashed():
+            return mat
+
+    else:
+
+        def hashed():
+            return _with_content_hash(ds, content_cols)
+
+    dup = _dup_content_hashes(hashed())
     if dup.num_rows == 0:
-        return hashed.drop_columns([CHASH])
-    dup_rows = _collect_dup_rows(hashed, dup)
+        return hashed().drop_columns([CHASH])
+    dup_rows = _collect_dup_rows(hashed(), dup)
     if dup_rows is None:
-        return hashed.drop_columns([CHASH])
+        return hashed().drop_columns([CHASH])
     # one winner per distinct CONTENT (not per hash): deterministic
     # min id; hash-colliding distinct contents each keep their row
     win = (
@@ -127,7 +145,7 @@ def dedup_exact(ds, content_cols: list[str], id_col: str = "doc_id"):
         mask = pc.invert(pc.is_in(t[CHASH], value_set=ray.get(dup_ref)))
         return t.filter(mask).drop_columns([CHASH])
 
-    survivors = hashed.map_batches(
+    survivors = hashed().map_batches(
         drop_dups, batch_format="pyarrow", zero_copy_batch=True
     )
     return survivors.union(rd.from_arrow(winners.select(survivors.schema().names)))

@@ -315,3 +315,14 @@ def test_embedding_multitable_lsh_recall(ray_session):
     # determinism: same result on a re-run
     pairs2 = embedding_dup_pairs(ds, cosine_threshold=0.95, n_tables=8, concurrency=2)
     assert got == set(zip(pairs2.id_a, pairs2.id_b))
+
+
+def test_exact_dedup_no_materialize_equivalent(docs_ds):
+    """materialize=False (re-scan instead of object-store pinning)
+    yields the identical surviving set on a deterministic source."""
+    from etl_data_validation_kio_ray.dedup import dedup_exact
+
+    ds, df = docs_ds
+    a = sorted(dedup_exact(ds, ["text"]).to_pandas().doc_id)
+    b = sorted(dedup_exact(ds, ["text"], materialize=False).to_pandas().doc_id)
+    assert a == b and len(a) == 39
