@@ -37,7 +37,10 @@ EXPECTED_TYPES = {
 }
 
 
-def _agree_row(part: str, rule: str, metric: str, eng, sql) -> dict[str, Any]:
+def _agree_row(
+    part: str, rule: str, metric: str, eng, sql,
+    engine_ms: float | None = None, sql_ms: float | None = None,
+) -> dict[str, Any]:
     return {
         "partition": part,
         "rule_id": rule,
@@ -45,6 +48,10 @@ def _agree_row(part: str, rule: str, metric: str, eng, sql) -> dict[str, Any]:
         "engine_value": int(eng),
         "sql_value": int(sql),
         "agree": bool(int(eng) == int(sql)),
+        # cost comparison (reference: per-tool duration metrics in
+        # validation_summary CSV / tech.validation_check_result)
+        "engine_ms": engine_ms,
+        "sql_ms": sql_ms,
     }
 
 
@@ -68,9 +75,12 @@ def cross_check_run(
     parts = [p for p in sorted(files) if keep is None or p in keep]
 
     eng: dict[tuple[str, str], int] = {}
+    eng_ms: dict[tuple[str, str], float] = {}
     stats: dict[str, dict] = {}
     for c in result.verdicts:
         eng[(c.partition, c.rule_id)] = int(c.rows_failed)
+        if c.duration_ms is not None:
+            eng_ms[(c.partition, c.rule_id)] = round(float(c.duration_ms), 3)
         if c.rule_id == "column_stats" and c.metrics:
             stats[c.partition] = c.metrics
 
@@ -83,6 +93,14 @@ def cross_check_run(
 
     con = duckdb.connect()
     rows: list[dict] = []
+
+    def timed(sql: str):
+        import time
+
+        t0 = time.perf_counter()
+        out = con.execute(sql).fetchone()[0]
+        return int(out), round((time.perf_counter() - t0) * 1000, 3)
+
     try:
         for p in parts:
             f = files[p].replace("'", "''")
@@ -113,25 +131,30 @@ def cross_check_run(
                     ):
                         sqlv += nrows
                 null_cols = [c for c in ("doc_id", "tokens") if c in names]
+                ms = None
                 if null_cols:
                     q = " + ".join(
                         f'(SELECT count(*) FROM {rel} WHERE "{c}" IS NULL)'
                         for c in null_cols
                     )
-                    sqlv += int(con.execute(f"SELECT {q}").fetchone()[0])
+                    v, ms = timed(f"SELECT {q}")
+                    sqlv += v
                 rows.append(
-                    _agree_row(p, "schema_types", "rows_failed", eng[(p, "schema_types")], sqlv)
+                    _agree_row(
+                        p, "schema_types", "rows_failed",
+                        eng[(p, "schema_types")], sqlv,
+                        eng_ms.get((p, "schema_types")), ms,
+                    )
                 )
 
             if enabled("completeness_nulls") and names:
                 pred = " OR ".join(f'"{c}" IS NULL' for c in names)
-                sqlv = con.execute(
-                    f"SELECT count(*) FROM {rel} WHERE {pred}"
-                ).fetchone()[0]
+                sqlv, ms = timed(f"SELECT count(*) FROM {rel} WHERE {pred}")
                 rows.append(
                     _agree_row(
                         p, "completeness_nulls", "rows_failed",
                         eng[(p, "completeness_nulls")], sqlv,
+                        eng_ms.get((p, "completeness_nulls")), ms,
                     )
                 )
 
@@ -153,22 +176,27 @@ def cross_check_run(
                     f"(SELECT count(*) FROM {rel} WHERE tokens IS NOT NULL AND "
                     f"len(list_filter(tokens, x -> x < 0 OR x >= {vocab})) > 0)"
                 )
-                sqlv = con.execute(f"SELECT {mism} + {rng} + {voc}").fetchone()[0]
+                sqlv, ms = timed(f"SELECT {mism} + {rng} + {voc}")
                 rows.append(
                     _agree_row(
                         p, "row_invariants", "rows_failed",
                         eng[(p, "row_invariants")], sqlv,
+                        eng_ms.get((p, "row_invariants")), ms,
                     )
                 )
 
             if enabled("source_ref") and allowed is not None and "source" in names:
                 vals = ", ".join("'" + str(s).replace("'", "''") + "'" for s in allowed)
-                sqlv = con.execute(
+                sqlv, ms = timed(
                     f"SELECT count(*) FROM {rel} WHERE source IS NULL "
                     f"OR source NOT IN ({vals})"
-                ).fetchone()[0]
+                )
                 rows.append(
-                    _agree_row(p, "source_ref", "rows_failed", eng[(p, "source_ref")], sqlv)
+                    _agree_row(
+                        p, "source_ref", "rows_failed",
+                        eng[(p, "source_ref")], sqlv,
+                        eng_ms.get((p, "source_ref")), ms,
+                    )
                 )
 
             if (p, "column_stats") in eng and p in stats and "n_tok" in names:
@@ -219,6 +247,9 @@ def cross_check_run(
 
     out = pd.DataFrame(
         rows,
-        columns=["partition", "rule_id", "metric", "engine_value", "sql_value", "agree"],
+        columns=[
+            "partition", "rule_id", "metric", "engine_value", "sql_value",
+            "agree", "engine_ms", "sql_ms",
+        ],
     )
     return out.sort_values(["partition", "rule_id", "metric"]).reset_index(drop=True)

@@ -101,6 +101,8 @@ def _merge_stats(a: dict, b: dict) -> dict:
     out = dict(a)
     out["rows_total"] = a.get("rows_total", 0) + b.get("rows_total", 0)
     out["rows_failed"] = a.get("rows_failed", 0) + b.get("rows_failed", 0)
+    if "duration_ms" in a or "duration_ms" in b:
+        out["duration_ms"] = a.get("duration_ms", 0.0) + b.get("duration_ms", 0.0)
     if "null_counts" in a or "null_counts" in b:
         nc = dict(a.get("null_counts", {}))
         for k, v in b.get("null_counts", {}).items():
@@ -342,6 +344,7 @@ class ValidationPipeline:
                     st.get("rows_failed", 0), st.get("rows_total", 0),
                     spec.severity,
                     metrics=_stats_metrics(st) if rule_id == "column_stats" else None,
+                    duration_ms=st.get("duration_ms"),
                 )
             )
         return checks
@@ -679,6 +682,7 @@ class ValidationPipeline:
                         st.get("rows_failed", 0), st.get("rows_total", 0),
                         spec.severity,
                         metrics=_stats_metrics(st) if rule_id == "column_stats" else None,
+                        duration_ms=st.get("duration_ms"),
                     )
                 )
             verdict = partition_verdict(checks)

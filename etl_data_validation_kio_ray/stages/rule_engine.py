@@ -29,6 +29,7 @@ against the baseline in stages/drift.py.
 from __future__ import annotations
 
 import pickle
+import time
 from typing import Any
 
 import numpy as np
@@ -302,6 +303,7 @@ class RuleEngine:
         """Arrow-schema + required-field checks — analog of the Draft-7
         suites (schema_suite/matches_schema.py:59-88: required keys,
         types, minItems)."""
+        t0 = time.perf_counter()
         rows_failed = 0
         # schema-level issues are emitted as PARTIAL state (one violation
         # row per partition at reduce time, not one per batch — exactness
@@ -358,6 +360,7 @@ class RuleEngine:
                 "rows_total": nrows,
                 "rows_failed": rows_failed,
                 "schema_errors": sorted(set(schema_errors)),
+                "duration_ms": (time.perf_counter() - t0) * 1000,
             },
         )
 
@@ -365,6 +368,7 @@ class RuleEngine:
         """Null-rate per column + empty-partition detection — analog of
         completeness_suite/matches_completeness.py:7-32 (list non-empty,
         declared count vs actual)."""
+        t0 = time.perf_counter()
         null_counts = {
             c: int(sub[c].null_count)
             for c in sub.column_names
@@ -382,6 +386,7 @@ class RuleEngine:
                 "rows_total": nrows,
                 "rows_failed": int(any_null.sum()),
                 "null_counts": null_counts,
+                "duration_ms": (time.perf_counter() - t0) * 1000,
             },
         )
 
@@ -398,6 +403,7 @@ class RuleEngine:
           len_range    : n_tok outside [min_len, max_len]
           vocab_range  : any token outside [0, vocab_size)
         """
+        t0 = time.perf_counter()
         rows_failed = 0
         if n_tok_np is not None:
             valid = (lens_np >= 0) & (n_tok_np >= 0)  # nulls handled by schema rule
@@ -454,7 +460,11 @@ class RuleEngine:
 
         self._emit_partial(
             out, "row_invariants", partition,
-            {"rows_total": nrows, "rows_failed": rows_failed},
+            {
+                "rows_total": nrows,
+                "rows_failed": rows_failed,
+                "duration_ms": (time.perf_counter() - t0) * 1000,
+            },
         )
 
     def _rule_source_ref(self, sub, partition, out, take_ids):
@@ -463,6 +473,7 @@ class RuleEngine:
         (dds/referential_suite/fact_match_fk.py:16-62): the small dim
         side is broadcast once per actor; violations are rows whose
         ``source`` has no match."""
+        t0 = time.perf_counter()
         src = sub[self.source_col].combine_chunks()
         ok = pc.is_in(src, value_set=self.allowed_sources)
         bad_mask = pc.fill_null(pc.invert(ok), True)
@@ -476,7 +487,11 @@ class RuleEngine:
             )
         self._emit_partial(
             out, "source_ref", partition,
-            {"rows_total": sub.num_rows, "rows_failed": int(len(bad))},
+            {
+                "rows_total": sub.num_rows,
+                "rows_failed": int(len(bad)),
+                "duration_ms": (time.perf_counter() - t0) * 1000,
+            },
         )
 
     def _rule_stats(
@@ -488,6 +503,7 @@ class RuleEngine:
         requires: count/null-rate, min/max, exact counting-hist
         quantiles + t-digest, HLL doc_id cardinality, and the drift
         histograms (n_tok 64 bins, per-source token values 256 bins)."""
+        t0 = time.perf_counter()
         state: dict[str, Any] = {"rows_total": nrows, "rows_failed": 0}
         if n_tok_np is not None:
             valid = n_tok_np[n_tok_np >= 0]
@@ -544,4 +560,5 @@ class RuleEngine:
                 h = FixedHistogram(0, int(bin_w) * TOKEN_BINS, TOKEN_BINS, row)
                 token_hists[key] = h.to_state()
             state["token_hists"] = token_hists
+        state["duration_ms"] = (time.perf_counter() - t0) * 1000
         self._emit_partial(out, "column_stats", partition, state)

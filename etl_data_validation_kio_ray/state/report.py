@@ -35,7 +35,13 @@ def summary_rows(run_dir: str) -> list[dict[str, Any]]:
     the shape of the reference's validation_summary CSV."""
     state = RunState(run_dir)
     agg: dict[tuple, dict[str, Any]] = defaultdict(
-        lambda: {"checks_total": 0, "checks_failed": 0, "rows_failed": 0, "rows_total": 0}
+        lambda: {
+            "checks_total": 0,
+            "checks_failed": 0,
+            "rows_failed": 0,
+            "rows_total": 0,
+            "duration_ms": 0.0,
+        }
     )
     from ..core.specs import default_rules
 
@@ -48,8 +54,10 @@ def summary_rows(run_dir: str) -> list[dict[str, Any]]:
             slot["checks_failed"] += 1 if c.get("status") == "FAIL" else 0
             slot["rows_failed"] += int(c.get("rows_failed", 0))
             slot["rows_total"] = max(slot["rows_total"], int(c.get("rows_total", 0)))
+            slot["duration_ms"] += float(c.get("duration_ms") or 0.0)
     rows = []
     for (group,), slot in sorted(agg.items()):
+        slot["duration_ms"] = round(slot["duration_ms"], 3)
         rows.append({"run_dir": run_dir, "rule_group": group, **slot})
     return rows
 
@@ -65,7 +73,10 @@ def write_summary_csv(run_dirs: list[str] | str, out_path: str) -> str:
     for d in run_dirs:
         rows.extend(summary_rows(d))
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-    fields = ["run_dir", "rule_group", "checks_total", "checks_failed", "rows_failed", "rows_total"]
+    fields = [
+        "run_dir", "rule_group", "checks_total", "checks_failed",
+        "rows_failed", "rows_total", "duration_ms",
+    ]
     tmp = out_path + ".tmp"
     with open(tmp, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=fields)
