@@ -206,6 +206,13 @@ class RuleEngine:
         )
 
     def _process(self, sub: pa.Table, partition: str, out) -> None:
+        # gate rule FIRST: rows failing the declarative predicate are
+        # quarantined (violation rows + count) and excluded from every
+        # downstream rule — the reference's HTTP-status gating filter
+        # (experiments/stg_copy.py:67 `http_status BETWEEN 200 AND 299`,
+        # etl_validation/specs.py:36) re-expressed declaratively
+        if "row_gate" in self.rules:
+            sub = self._rule_gate(sub, partition, out)
         nrows = sub.num_rows
         cols = set(sub.column_names)
 
@@ -298,6 +305,76 @@ class RuleEngine:
             out["payload"].append(ids_hash.tobytes())
 
     # ------------------------------------------------------------- kernels
+
+    _GATE_OPS = {
+        "==": pc.equal,
+        "!=": pc.not_equal,
+        "<": pc.less,
+        "<=": pc.less_equal,
+        ">": pc.greater,
+        ">=": pc.greater_equal,
+    }
+
+    def _rule_gate(self, sub: pa.Table, partition: str, out) -> pa.Table:
+        """Declarative row gate: keep rows satisfying ALL predicates
+        ``params['predicates'] = [(col, op, value), ...]`` with op in
+        ==, !=, <, <=, >, >=, in, not_in, not_null. Failing (or
+        null-predicate) rows are quarantined: emitted as violations,
+        counted in the partial, and EXCLUDED from downstream rules."""
+        t0 = time.perf_counter()
+        spec = self.rules["row_gate"]
+        preds = spec.params.get("predicates", [])
+        nrows = sub.num_rows
+        keep = np.ones(nrows, dtype=bool)
+        why: list[str] = []
+        per_row_reason = np.full(nrows, -1, dtype=np.int32)
+        for pi, (col, op, value) in enumerate(preds):
+            if col not in sub.column_names:
+                ok = np.zeros(nrows, dtype=bool)  # column gone: all gated
+            else:
+                arr = sub[col]
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                if op == "not_null":
+                    m = pc.is_valid(arr)
+                elif op == "in":
+                    m = pc.is_in(arr, value_set=pa.array(list(value)))
+                elif op == "not_in":
+                    m = pc.invert(pc.is_in(arr, value_set=pa.array(list(value))))
+                elif op in self._GATE_OPS:
+                    m = self._GATE_OPS[op](arr, pa.scalar(value))
+                else:
+                    raise ValueError(f"row_gate: unknown op {op!r}")
+                ok = pc.fill_null(m, False).to_numpy(zero_copy_only=False)
+            newly = keep & ~ok
+            per_row_reason[newly] = pi
+            keep &= ok
+            why.append(f"{col} {op} {value!r}")
+        gated = np.flatnonzero(~keep)
+        if len(gated):
+            ids_arr = (
+                sub[self.id_col].combine_chunks()
+                if self.id_col in sub.column_names
+                else None
+            )
+            ids = (
+                ids_arr.take(pa.array(gated, pa.int64())).to_pylist()
+                if ids_arr is not None
+                else [None] * len(gated)
+            )
+            self._emit_violation(
+                out, "row_gate", partition, ids,
+                [f"gated: failed {why[per_row_reason[i]]}" for i in gated],
+            )
+        self._emit_partial(
+            out, "row_gate", partition,
+            {
+                "rows_total": nrows,
+                "rows_failed": int(len(gated)),
+                "duration_ms": (time.perf_counter() - t0) * 1000,
+            },
+        )
+        return sub.filter(pa.array(keep)) if len(gated) else sub
 
     def _rule_schema(self, sub, partition, out, take_ids, nrows):
         """Arrow-schema + required-field checks — analog of the Draft-7

@@ -164,3 +164,38 @@ def test_cross_check_agreement(ray_session, tmp_path):
     assert not a3[
         (a3.partition == "part-0000") & (a3.rule_id == "row_invariants")
     ].agree.any()
+
+
+def test_row_gate_quarantines_before_rules(ray_session, tmp_path):
+    """Declarative row gate (the reference's http_status-BETWEEN gating
+    filter analog): failing rows are counted + emitted as violations
+    and EXCLUDED from every downstream rule's totals."""
+    from etl_data_validation_kio_ray.core.specs import RuleSpec, default_rules
+    from etl_data_validation_kio_ray.pipelines.validate import ValidationPipeline
+    from etl_data_validation_kio_ray.sources.synth import generate_token_table
+
+    clean = generate_token_table(str(tmp_path / "c"), partitions=2, rows_per_partition=120)
+    rules = dict(default_rules(allowed_sources=["web", "books", "code", "wiki", "forums"]))
+    rules["row_gate"] = RuleSpec(
+        "row_gate",
+        "invariants",
+        "warning",
+        params={"predicates": [("source", "not_in", ["web"]), ("n_tok", ">=", 1)]},
+    )
+    pipe = ValidationPipeline(rules)
+    res = pipe.run(clean, str(tmp_path / "o"))
+
+    gate_checks = [c for c in res.verdicts if c.rule_id == "row_gate"]
+    assert gate_checks and sum(c.rows_failed for c in gate_checks) > 0
+    # downstream stats only saw surviving rows
+    gated_total = sum(c.rows_failed for c in gate_checks)
+    assert res.metrics["global"]["rows_total"] == 240 - gated_total
+    v = res.violations().to_pandas()
+    gate_rows = v[v.rule_id == "row_gate"]
+    assert len(gate_rows) == gated_total
+    assert gate_rows.reason.str.startswith("gated: failed source not_in").all()
+    # without the gate the same input validates all 240 rows
+    res2 = ValidationPipeline(
+        default_rules(allowed_sources=["web", "books", "code", "wiki", "forums"])
+    ).run(clean, str(tmp_path / "o2"))
+    assert res2.metrics["global"]["rows_total"] == 240
