@@ -777,6 +777,32 @@ def q_mutation_experiment(sf_dir: str):
     ).sort_values("action").reset_index(drop=True)
 
 
+def q_quality_filter(sf_dir: str):
+    """Training-data quality filter — the canonical pretraining
+    pipeline step: keep documents passing vectorized quality
+    thresholds (length, mean word length, punctuation ratio), emitted
+    as the surviving doc_id set. Streams via map_batches; the DuckDB
+    twin recomputes the same features (both sides use RE2 regex and
+    codepoint lengths, so values match bit-for-bit)."""
+    from etl_data_validation_kio_ray.functions.text import text_features
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def filt(t: pa.Table) -> pa.Table:
+        f = text_features(t)
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(f["n_words"], pa.scalar(40)),
+                pc.greater_equal(f["mean_word_len"], pa.scalar(4.4)),
+            ),
+            pc.less_equal(f["punct_ratio"], pa.scalar(0.05)),
+        )
+        return f.filter(keep).select(["doc_id"])
+
+    out = ds.map_batches(filt, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_cross_check_agreement(sf_dir: str):
     """Second-executor agreement: every enabled rule's SQL twin re-run
     in DuckDB over the same partition files must reproduce the engine's
@@ -830,6 +856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mutation_experiment": q_mutation_experiment,
         "session_windows": q_session_windows,
         "cross_check_agreement": q_cross_check_agreement,
+        "quality_filter": q_quality_filter,
     }
 
 
@@ -1041,6 +1068,20 @@ SELECT event_type, CAST(sid AS BIGINT) AS sid,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(value_cents) AS BIGINT) AS value_cents
 FROM s GROUP BY event_type, sid ORDER BY event_type, sid
+""",
+        "quality_filter": r"""
+WITH f AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS mean_word_len,
+         CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+           / NULLIF(length(text), 0) AS punct_ratio
+  FROM documents
+)
+SELECT doc_id FROM f
+WHERE n_words >= 40 AND mean_word_len >= 4.4 AND coalesce(punct_ratio, 0) <= 0.05
+ORDER BY doc_id
 """,
         "embedding_dups": """
 SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
