@@ -1,3 +1,28 @@
 from .validate import ValidationPipeline, RunResult
+from .crosscheck import cross_check_run
+from .relational import (
+    broadcast_anti_join,
+    broadcast_lookup_join,
+    broadcast_semi_join,
+    grouped_agg,
+    hash_partitioned_anti_keys,
+    key_set_reconcile,
+    latest_per_key,
+    session_window_agg,
+    tumbling_window_agg,
+)
 
-__all__ = ["ValidationPipeline", "RunResult"]
+__all__ = [
+    "ValidationPipeline",
+    "RunResult",
+    "cross_check_run",
+    "broadcast_anti_join",
+    "broadcast_semi_join",
+    "broadcast_lookup_join",
+    "grouped_agg",
+    "hash_partitioned_anti_keys",
+    "key_set_reconcile",
+    "latest_per_key",
+    "session_window_agg",
+    "tumbling_window_agg",
+]
