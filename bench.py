@@ -52,8 +52,8 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # queries() entries timed in default mode — the headline pipelines
 # (flagship validation + each distinct physical shape: shuffle dedup,
-# groupby agg, explode-histogram, broadcast anti-join, window, ANN,
-# minhash near-dup).
+# groupby agg, explode-histogram, hash-partitioned anti-join, tumbling
+# + session windows, ANN, minhash near-dup, quality filter).
 BENCH_QUERIES = [
     "validate_verdicts",
     "doc_id_unique_violations",
@@ -61,10 +61,13 @@ BENCH_QUERIES = [
     "token_histogram",
     "exact_dedup",
     "customers_without_orders",
+    "key_reconciliation",
     "mart_kpi_lineitem",
     "events_window",
+    "session_windows",
     "ann_topk",
     "minhash_pairs",
+    "quality_filter",
 ]
 
 
