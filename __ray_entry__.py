@@ -871,13 +871,18 @@ def _lang_id_sql() -> str:
 
     def score(lang: str) -> str:
         inset = ", ".join(f"'{w}'" for w in sorted(STOPWORDS[lang]))
-        return f"len(list_filter(string_split(lower(text), ' '), w -> w IN ({inset})))"
+        # coalesce: NULL text must behave like the engine's zero-score
+        # row (-> 'en'), not fall through NULL comparisons to 'es'
+        return (
+            "len(list_filter(string_split(lower(coalesce(text, '')), ' '), "
+            f"w -> w IN ({inset})))"
+        )
 
     en, de, fr, es = (score(lg) for lg in ("en", "de", "fr", "es"))
     return f"""
 WITH s AS (
   SELECT lang,
-    CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+    CASE WHEN regexp_matches(coalesce(text, ''), '[一-鿿]') THEN 'zh'
          WHEN {en} >= {de} AND {en} >= {fr} AND {en} >= {es} THEN 'en'
          WHEN {de} >= {fr} AND {de} >= {es} THEN 'de'
          WHEN {fr} >= {es} THEN 'fr'

@@ -68,6 +68,13 @@ def default_rules(
     """The standard rule set over the tokenized-sequence table."""
     rules = [
         RuleSpec(
+            "row_gate",
+            "invariants",
+            "warning",
+            enabled=False,  # opt-in via YAML/config: set predicates + enabled
+            params={"predicates": []},
+        ),
+        RuleSpec(
             "schema_types",
             "schema",
             "error",

@@ -40,6 +40,18 @@ class HyperplaneBucketer:
         self.vec_col, self.id_col = vec_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        dim = self.planes.shape[0]
+        if batch.num_rows == 0:  # empty block: keep the vec schema stable
+            return pa.table(
+                {
+                    self.id_col: batch[self.id_col],
+                    "bucket": pa.array([], pa.int64()),
+                    "vec": pa.FixedSizeListArray.from_arrays(
+                        pa.array([], pa.float32()), dim
+                    ),
+                    "norm": pa.array([], pa.float64()),
+                }
+            )
         v = _vectors(batch, self.vec_col)
         n = len(v)
         proj = v @ self.planes  # (n, planes*tables)
@@ -49,13 +61,11 @@ class HyperplaneBucketer:
             for b in range(self.n_planes):
                 keys[:, t] |= bits[:, t * self.n_planes + b] << np.uint64(b)
             keys[:, t] |= np.uint64(t) << np.uint64(self.n_planes)
-        norm = np.linalg.norm(v, axis=1)
+        norm = np.linalg.norm(v, axis=1).astype(np.float64)  # float64 cosine math
         T = self.n_tables
         rep = np.repeat(np.arange(n, dtype=np.int64), T)
         flat = v.astype(np.float32, copy=False)[rep].ravel()
-        vec_col = pa.FixedSizeListArray.from_arrays(
-            pa.array(flat, pa.float32()), v.shape[1] if n else 1
-        )
+        vec_col = pa.FixedSizeListArray.from_arrays(pa.array(flat, pa.float32()), dim)
         ids = batch[self.id_col]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()

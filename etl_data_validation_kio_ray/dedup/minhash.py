@@ -132,7 +132,10 @@ def bucket_pairs_vectorized(
     their first ``max_bucket`` members and are counted in the returned
     ``truncated_buckets`` (loud coverage cap, never silent).
 
-    Shared by the MinHash and SimHash candidate stages."""
+    Used by the MinHash driver-side candidate stage; the SimHash and
+    embedding stages enumerate per-bucket ON the reducers (they carry
+    signatures/vectors for in-bucket verification) with the same
+    cap-and-count contract."""
     df = pd.DataFrame({"bk": bucket_keys, "id": ids})
     df = df.drop_duplicates(["bk", "id"]).sort_values(
         ["bk", "id"], kind="mergesort", ignore_index=True

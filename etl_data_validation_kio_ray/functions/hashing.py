@@ -191,9 +191,12 @@ def hash_string_array(arr, *, seed: int = 0) -> np.ndarray:
         import pyarrow.compute as pc
 
         nulls = pc.is_null(arr).to_numpy(zero_copy_only=False)
-        out[nulls] = _splitmix64(
-            np.uint64(0x6E756C6C5F726F77) ^ seed_mix  # null sentinel
+        # 1-element array form: numpy SCALAR uint64 ops emit overflow
+        # RuntimeWarnings while array ops wrap silently
+        sentinel = np.array(
+            [np.uint64(0x6E756C6C5F726F77) ^ seed_mix], dtype=np.uint64
         )
+        out[nulls] = _splitmix64(sentinel)[0]
     return out
 
 

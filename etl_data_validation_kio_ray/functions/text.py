@@ -84,9 +84,11 @@ def text_features(batch: pa.Table, text_col: str = "text") -> pa.Table:
     punct_ratio = np.divide(punct, nc, out=np.zeros(n), where=nc > 0)
     digit_ratio = np.divide(digit, nc, out=np.zeros(n), where=nc > 0)
 
-    # BPE-ish token count: Arrow RE2 kernel (verified equal to Python
-    # re.findall counts for this disjoint-class pattern) — no pandas
-    # per-row regex engine
+    # BPE-ish token count: Arrow RE2 kernel — no pandas per-row regex
+    # engine. NOTE: RE2 character classes (\s, \d) are ASCII here while
+    # Python re's are Unicode, so counts differ on e.g. non-breaking
+    # spaces or Arabic digits; the RE2 semantics are the contract (the
+    # vectorized kernel IS the engine's definition of a token)
     token_count_bpe = (
         pc.fill_null(pc.count_substring_regex(text, BPE_RE.pattern), 0)
         .to_numpy(zero_copy_only=False)
@@ -145,6 +147,11 @@ def fingerprint_tokens(batch: pa.Table, token_col: str = "tokens") -> pa.Table:
     return batch.append_column("fingerprint", pa.array(fp, pa.int64()))
 
 
+# radix-overflow guard for shingle_stats key building; module-level so
+# tests can lower it to force the dense-rank compaction path
+_RADIX_LIMIT = 1 << 62
+
+
 def _dense_ranks(a: np.ndarray) -> tuple[np.ndarray, int]:
     """Dense 0-based ranks of ``a`` (sort-based — np.unique's extra
     passes are pathologically slow on this host, see
@@ -195,12 +202,12 @@ def shingle_stats(batch: pa.Table, text_col: str = "text", k: int = 3) -> pa.Tab
         key = codes[:nwin].copy()
         kcard = card
         for j in range(1, k):
-            if kcard * card >= (1 << 62):  # compact before the radix overflows
+            if kcard * card >= _RADIX_LIMIT:  # compact before radix overflow
                 key, kcard = _dense_ranks(key)
             key *= card
             key += codes[j : nwin + j]
             kcard *= card
-        if n * kcard >= (1 << 62):  # room for the row digit on top
+        if n * kcard >= _RADIX_LIMIT:  # room for the row digit on top
             key, kcard = _dense_ranks(key)
         comp = np.repeat(np.arange(n, dtype=np.int64) * kcard, lens)[:nwin]
         comp += key

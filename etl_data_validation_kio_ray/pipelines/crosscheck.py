@@ -29,12 +29,55 @@ from ..core.specs import RuleSpec
 from .validate import RunResult, discover_partition_files
 
 EXPECTED_COLS = ("doc_id", "tokens", "n_tok", "source")
+# what the engine actually reads (ValidationPipeline._columns) — the
+# completeness twin must not OR-over extra physical file columns the
+# engine never sees
+ENGINE_COLS = ("doc_id", "tokens", "n_tok", "source", "partition")
 EXPECTED_TYPES = {
     "doc_id": pa.string(),
     "tokens": pa.list_(pa.int32()),
     "n_tok": pa.int32(),
     "source": pa.string(),
 }
+
+
+def _sql_lit(v: Any) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    return str(v)
+
+
+def _gate_where(rules: dict[str, RuleSpec], names: list[str]) -> str | None:
+    """SQL WHERE mirroring the engine's row_gate quarantine (rows the
+    downstream rules actually see), or None when the gate is off.
+    Returns 'FALSE' when a predicate column is missing (the engine
+    gates every row then). SQL NULL comparison semantics match the
+    engine's fill_null(False)."""
+    gate = rules.get("row_gate")
+    if not gate or not gate.enabled:
+        return None
+    preds = gate.params.get("predicates", [])
+    if not preds:
+        return None
+    clauses = []
+    for col, op, value in preds:
+        if col not in names:
+            return "FALSE"
+        q = f'"{col}"'
+        if op == "not_null":
+            clauses.append(f"{q} IS NOT NULL")
+        elif op == "in":
+            clauses.append(f"{q} IN ({', '.join(_sql_lit(x) for x in value)})")
+        elif op == "not_in":
+            clauses.append(f"{q} NOT IN ({', '.join(_sql_lit(x) for x in value)})")
+        elif op in ("==", "!=", "<", "<=", ">", ">="):
+            sql_op = "=" if op == "==" else op
+            clauses.append(f"{q} {sql_op} {_sql_lit(value)}")
+        else:
+            raise ValueError(f"row_gate: unknown op {op!r}")
+    return " AND ".join(clauses)
 
 
 def _agree_row(
@@ -110,17 +153,42 @@ def cross_check_run(
             except Exception:  # noqa: BLE001 — unreadable: engine said FAIL too
                 continue
             names = list(sch.names)
-            rel = f"read_parquet('{f}')"
+            raw_rel = f"read_parquet('{f}')"
+            gate = _gate_where(rules, names)
+            # downstream twins see only rows surviving the gate, exactly
+            # like the engine's quarantine-before-validate
+            rel = (
+                f"(SELECT * FROM {raw_rel} WHERE {gate})" if gate else raw_rel
+            )
 
             def enabled(rule_id: str) -> bool:
                 r = rules.get(rule_id)
                 return bool(r and r.enabled and (p, rule_id) in eng)
 
+            if gate is not None and enabled("row_gate"):
+                sqlv, ms = timed(
+                    f"SELECT (SELECT count(*) FROM {raw_rel}) - "
+                    f"(SELECT count(*) FROM {rel})"
+                )
+                rows.append(
+                    _agree_row(
+                        p, "row_gate", "rows_failed",
+                        eng[(p, "row_gate")], sqlv,
+                        eng_ms.get((p, "row_gate")), ms,
+                    )
+                )
+
             if enabled("schema_types"):
+                # per-row totals the engine sees are POST-gate
+                eff_rows = (
+                    nrows
+                    if gate is None
+                    else con.execute(f"SELECT count(*) FROM {rel}").fetchone()[0]
+                )
                 sqlv = 0
                 for c in EXPECTED_COLS:
                     if c not in names:
-                        sqlv += nrows
+                        sqlv += eff_rows
                         continue
                     actual = sch.field(c).type
                     want = EXPECTED_TYPES[c]
@@ -129,7 +197,7 @@ def cross_check_run(
                         and want == pa.list_(pa.int32())
                         and actual.value_type == pa.int32()
                     ):
-                        sqlv += nrows
+                        sqlv += eff_rows
                 null_cols = [c for c in ("doc_id", "tokens") if c in names]
                 ms = None
                 if null_cols:
@@ -148,7 +216,8 @@ def cross_check_run(
                 )
 
             if enabled("completeness_nulls") and names:
-                pred = " OR ".join(f'"{c}" IS NULL' for c in names)
+                seen = [c for c in names if c in ENGINE_COLS]
+                pred = " OR ".join(f'"{c}" IS NULL' for c in seen) or "FALSE"
                 sqlv, ms = timed(f"SELECT count(*) FROM {rel} WHERE {pred}")
                 rows.append(
                     _agree_row(
@@ -221,6 +290,16 @@ def cross_check_run(
             if not os.path.isfile(input_path):
                 src = src + "/*.parquet"
             glob_rel = f"read_parquet('{src}', union_by_name=true)"
+            gate = _gate_where(rules, list(EXPECTED_COLS) + ["partition"])
+            if gate == "FALSE":
+                # gate references columns outside the token schema:
+                # per-file presence can't be mirrored in one global
+                # query — skip this run-scope cross-check
+                return _finish(rows)
+            if gate:
+                # mirror the engine: uniqueness hashes are emitted AFTER
+                # the gate, so only surviving rows count
+                glob_rel = f"(SELECT * FROM {glob_rel} WHERE {gate})"
             try:
                 dup = con.execute(
                     f"""
@@ -245,6 +324,10 @@ def cross_check_run(
     finally:
         con.close()
 
+    return _finish(rows)
+
+
+def _finish(rows: list[dict]) -> pd.DataFrame:
     out = pd.DataFrame(
         rows,
         columns=[

@@ -240,7 +240,18 @@ def test_shingle_stats_vectorized_exact():
     t = pa.table({"text": pa.array(texts, pa.string())})
     for k in (1, 2, 3, 5):
         assert shingle_stats(t, k=k)["n_shingles"].to_pylist() == oracle(texts, k), k
-    # huge per-batch vocab forces the dense-rank compaction path
+    # large random vocab (no compaction needed at the real limit)
     big = [" ".join(f"u{random.randint(0, 10**7)}" for _ in range(15)) for _ in range(500)]
     tb = pa.table({"text": pa.array(big)})
     assert shingle_stats(tb)["n_shingles"].to_pylist() == oracle(big, 3)
+    # force the dense-rank compaction path by lowering the radix limit
+    # (card^k and n*kcard both exceed it) — results must be identical
+    import etl_data_validation_kio_ray.functions.text as textmod
+
+    old = textmod._RADIX_LIMIT
+    try:
+        textmod._RADIX_LIMIT = 1 << 8
+        assert shingle_stats(tb)["n_shingles"].to_pylist() == oracle(big, 3)
+        assert shingle_stats(t, k=3)["n_shingles"].to_pylist() == oracle(texts, 3)
+    finally:
+        textmod._RADIX_LIMIT = old

@@ -199,3 +199,43 @@ def test_row_gate_quarantines_before_rules(ray_session, tmp_path):
         default_rules(allowed_sources=["web", "books", "code", "wiki", "forums"])
     ).run(clean, str(tmp_path / "o2"))
     assert res2.metrics["global"]["rows_total"] == 240
+
+
+def test_cross_check_with_gate_and_extra_columns(ray_session, tmp_path):
+    """Cross-check must mirror the row-gate quarantine (downstream
+    twins count only surviving rows) and must ignore extra physical
+    columns the engine never reads."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_data_validation_kio_ray.core.specs import RuleSpec, default_rules
+    from etl_data_validation_kio_ray.pipelines.crosscheck import cross_check_run
+    from etl_data_validation_kio_ray.pipelines.validate import ValidationPipeline
+    from etl_data_validation_kio_ray.sources.synth import generate_token_table
+
+    clean = generate_token_table(str(tmp_path / "c"), partitions=3, rows_per_partition=100)
+
+    # add an extra nullable column to one partition file
+    import glob as _glob
+
+    f0 = sorted(_glob.glob(clean + "/*.parquet"))[0]
+    t = pq.read_table(f0)
+    extra = pa.array([None if i % 3 == 0 else "x" for i in range(t.num_rows)], pa.string())
+    pq.write_table(t.append_column("extra_note", extra), f0)
+
+    rules = dict(default_rules(allowed_sources=["web", "books", "code", "wiki", "forums"]))
+    rules["row_gate"] = RuleSpec(
+        "row_gate", "invariants", "warning",
+        params={"predicates": [("source", "not_in", ["web"]), ("n_tok", ">=", 2)]},
+    )
+    pipe = ValidationPipeline(rules)
+    res = pipe.run(clean, str(tmp_path / "o"))
+    gated = sum(c.rows_failed for c in res.verdicts if c.rule_id == "row_gate")
+    assert gated > 0
+
+    agree = cross_check_run(clean, res, pipe.rules)
+    assert agree.agree.all(), agree[~agree.agree]
+    assert "row_gate" in set(agree.rule_id)  # the gate itself is cross-checked
+    # downstream totals reflect the quarantine
+    rt = agree[(agree.rule_id == "column_stats") & (agree.metric == "rows_total")]
+    assert rt.engine_value.sum() == 300 - gated
