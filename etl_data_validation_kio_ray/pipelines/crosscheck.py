@@ -42,6 +42,8 @@ EXPECTED_TYPES = {
 
 
 def _sql_lit(v: Any) -> str:
+    if v is None:
+        return "NULL"  # comparisons with NULL gate the row, like the engine
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
     if isinstance(v, bool):
@@ -49,12 +51,15 @@ def _sql_lit(v: Any) -> str:
     return str(v)
 
 
-def _gate_where(rules: dict[str, RuleSpec], names: list[str]) -> str | None:
+def _gate_where(rules: dict[str, RuleSpec], engine_names: list[str]) -> str | None:
     """SQL WHERE mirroring the engine's row_gate quarantine (rows the
     downstream rules actually see), or None when the gate is off.
-    Returns 'FALSE' when a predicate column is missing (the engine
-    gates every row then). SQL NULL comparison semantics match the
-    engine's fill_null(False)."""
+    ``engine_names`` must be the columns the ENGINE sees (its pruned
+    read), not the physical file schema. Returns 'FALSE' when a
+    predicate column is outside them (the engine gates every row
+    then). SQL NULL comparison semantics match the engine's
+    fill_null(False); empty in/not_in sets match pc.is_in on an empty
+    value set (nothing / everything passes)."""
     gate = rules.get("row_gate")
     if not gate or not gate.enabled:
         return None
@@ -63,21 +68,25 @@ def _gate_where(rules: dict[str, RuleSpec], names: list[str]) -> str | None:
         return None
     clauses = []
     for col, op, value in preds:
-        if col not in names:
+        if col not in engine_names:
             return "FALSE"
         q = f'"{col}"'
         if op == "not_null":
             clauses.append(f"{q} IS NOT NULL")
         elif op == "in":
+            if not value:
+                return "FALSE"  # empty membership set passes no row
             clauses.append(f"{q} IN ({', '.join(_sql_lit(x) for x in value)})")
         elif op == "not_in":
+            if not value:
+                continue  # empty exclusion set passes every row
             clauses.append(f"{q} NOT IN ({', '.join(_sql_lit(x) for x in value)})")
         elif op in ("==", "!=", "<", "<=", ">", ">="):
             sql_op = "=" if op == "==" else op
             clauses.append(f"{q} {sql_op} {_sql_lit(value)}")
         else:
             raise ValueError(f"row_gate: unknown op {op!r}")
-    return " AND ".join(clauses)
+    return " AND ".join(clauses) if clauses else None
 
 
 def _agree_row(
@@ -154,7 +163,10 @@ def cross_check_run(
                 continue
             names = list(sch.names)
             raw_rel = f"read_parquet('{f}')"
-            gate = _gate_where(rules, names)
+            # gate predicates resolve against the ENGINE's pruned read,
+            # not the physical file schema (a column outside ENGINE_COLS
+            # is invisible to the engine even if the file has it)
+            gate = _gate_where(rules, [c for c in names if c in ENGINE_COLS])
             # downstream twins see only rows surviving the gate, exactly
             # like the engine's quarantine-before-validate
             rel = (
@@ -165,26 +177,20 @@ def cross_check_run(
                 r = rules.get(rule_id)
                 return bool(r and r.enabled and (p, rule_id) in eng)
 
-            if gate is not None and enabled("row_gate"):
-                sqlv, ms = timed(
-                    f"SELECT (SELECT count(*) FROM {raw_rel}) - "
-                    f"(SELECT count(*) FROM {rel})"
-                )
-                rows.append(
-                    _agree_row(
-                        p, "row_gate", "rows_failed",
-                        eng[(p, "row_gate")], sqlv,
-                        eng_ms.get((p, "row_gate")), ms,
+            eff_rows = nrows  # post-gate row total the engine sees
+            if gate is not None:
+                surviving, gate_ms = timed(f"SELECT count(*) FROM {rel}")
+                eff_rows = surviving
+                if enabled("row_gate"):
+                    rows.append(
+                        _agree_row(
+                            p, "row_gate", "rows_failed",
+                            eng[(p, "row_gate")], nrows - surviving,
+                            eng_ms.get((p, "row_gate")), gate_ms,
+                        )
                     )
-                )
 
             if enabled("schema_types"):
-                # per-row totals the engine sees are POST-gate
-                eff_rows = (
-                    nrows
-                    if gate is None
-                    else con.execute(f"SELECT count(*) FROM {rel}").fetchone()[0]
-                )
                 sqlv = 0
                 for c in EXPECTED_COLS:
                     if c not in names:
@@ -255,7 +261,7 @@ def cross_check_run(
                 )
 
             if enabled("source_ref") and allowed is not None and "source" in names:
-                vals = ", ".join("'" + str(s).replace("'", "''") + "'" for s in allowed)
+                vals = ", ".join(_sql_lit(str(s)) for s in allowed)
                 sqlv, ms = timed(
                     f"SELECT count(*) FROM {rel} WHERE source IS NULL "
                     f"OR source NOT IN ({vals})"
@@ -275,11 +281,16 @@ def cross_check_run(
                     f"max(n_tok) FROM {rel}"
                 ).fetchone()
                 rows.append(_agree_row(p, "column_stats", "rows_total", got["rows_total"], sqlrow[0]))
-                nt = got.get("n_tok")
-                if nt and nt.get("sum") is not None:
-                    rows.append(_agree_row(p, "column_stats", "n_tok_sum", nt["sum"], sqlrow[1]))
-                    rows.append(_agree_row(p, "column_stats", "n_tok_min", nt["min"], sqlrow[2]))
-                    rows.append(_agree_row(p, "column_stats", "n_tok_max", nt["max"], sqlrow[3]))
+                nt = got.get("n_tok") or {}
+                # empty (e.g. fully gated) partitions have None min/max
+                # on BOTH sides — compare only defined stats
+                for key, idx in (("sum", 1), ("min", 2), ("max", 3)):
+                    if nt.get(key) is not None and sqlrow[idx] is not None:
+                        rows.append(
+                            _agree_row(
+                                p, "column_stats", f"n_tok_{key}", nt[key], sqlrow[idx]
+                            )
+                        )
 
         # run-scope uniqueness: only meaningful over the FULL input
         uniq = rules.get("doc_id_unique")
@@ -290,15 +301,14 @@ def cross_check_run(
             if not os.path.isfile(input_path):
                 src = src + "/*.parquet"
             glob_rel = f"read_parquet('{src}', union_by_name=true)"
-            gate = _gate_where(rules, list(EXPECTED_COLS) + ["partition"])
-            if gate == "FALSE":
-                # gate references columns outside the token schema:
-                # per-file presence can't be mirrored in one global
-                # query — skip this run-scope cross-check
-                return _finish(rows)
+            # gate resolves against the engine's column universe; files
+            # missing a predicate column are NULL-filled by
+            # union_by_name, and NULL comparisons gate those rows just
+            # like the engine's missing-column handling. A predicate
+            # OUTSIDE the universe gates everything -> WHERE FALSE,
+            # which mirrors the engine's zero emitted hashes exactly.
+            gate = _gate_where(rules, list(ENGINE_COLS))
             if gate:
-                # mirror the engine: uniqueness hashes are emitted AFTER
-                # the gate, so only surviving rows count
                 glob_rel = f"(SELECT * FROM {glob_rel} WHERE {gate})"
             try:
                 dup = con.execute(

@@ -338,9 +338,13 @@ class RuleEngine:
                 if op == "not_null":
                     m = pc.is_valid(arr)
                 elif op == "in":
-                    m = pc.is_in(arr, value_set=pa.array(list(value)))
+                    # type the set from the column: pa.array([]) is
+                    # null-typed and is_in rejects the mismatch
+                    m = pc.is_in(arr, value_set=pa.array(list(value), type=arr.type))
                 elif op == "not_in":
-                    m = pc.invert(pc.is_in(arr, value_set=pa.array(list(value))))
+                    m = pc.invert(
+                        pc.is_in(arr, value_set=pa.array(list(value), type=arr.type))
+                    )
                 elif op in self._GATE_OPS:
                     m = self._GATE_OPS[op](arr, pa.scalar(value))
                 else:

@@ -239,3 +239,51 @@ def test_cross_check_with_gate_and_extra_columns(ray_session, tmp_path):
     # downstream totals reflect the quarantine
     rt = agree[(agree.rule_id == "column_stats") & (agree.metric == "rows_total")]
     assert rt.engine_value.sum() == 300 - gated
+
+
+def test_cross_check_gate_edge_cases(ray_session, tmp_path):
+    """Gate predicates on engine-invisible columns, empty membership
+    sets, and NULL literals must all mirror the engine (which gates
+    everything / nothing) instead of crashing or diverging."""
+    from etl_data_validation_kio_ray.core.specs import RuleSpec, default_rules
+    from etl_data_validation_kio_ray.pipelines.crosscheck import cross_check_run
+    from etl_data_validation_kio_ray.pipelines.validate import ValidationPipeline
+    from etl_data_validation_kio_ray.sources.synth import generate_token_table
+
+    clean = generate_token_table(str(tmp_path / "c"), partitions=2, rows_per_partition=60)
+
+    def run_with(preds, out):
+        rules = dict(
+            default_rules(allowed_sources=["web", "books", "code", "wiki", "forums"])
+        )
+        rules["row_gate"] = RuleSpec(
+            "row_gate", "invariants", "warning", params={"predicates": preds}
+        )
+        pipe = ValidationPipeline(rules)
+        res = pipe.run(clean, str(tmp_path / out))
+        return pipe, res
+
+    # engine-invisible column: engine gates ALL rows; twins must agree
+    pipe, res = run_with([("nonexistent_col", "not_null", None)], "o_invis")
+    gated = sum(c.rows_failed for c in res.verdicts if c.rule_id == "row_gate")
+    assert gated == 120
+    a = cross_check_run(clean, res, pipe.rules)
+    assert a.agree.all(), a[~a.agree]
+    assert set(a[a.rule_id == "doc_id_unique"].sql_value) <= {0}
+
+    # empty in-set gates everything; empty not_in gates nothing
+    pipe2, res2 = run_with([("source", "in", [])], "o_emptyin")
+    assert sum(c.rows_failed for c in res2.verdicts if c.rule_id == "row_gate") == 120
+    a2 = cross_check_run(clean, res2, pipe2.rules)
+    assert a2.agree.all(), a2[~a2.agree]
+
+    pipe3, res3 = run_with([("source", "not_in", [])], "o_emptynot")
+    assert sum(c.rows_failed for c in res3.verdicts if c.rule_id == "row_gate") == 0
+    a3 = cross_check_run(clean, res3, pipe3.rules)
+    assert a3.agree.all(), a3[~a3.agree]
+
+    # NULL comparison literal gates everything on both sides
+    pipe4, res4 = run_with([("source", "!=", None)], "o_null")
+    assert sum(c.rows_failed for c in res4.verdicts if c.rule_id == "row_gate") == 120
+    a4 = cross_check_run(clean, res4, pipe4.rules)
+    assert a4.agree.all(), a4[~a4.agree]
