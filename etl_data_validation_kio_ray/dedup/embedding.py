@@ -1,17 +1,21 @@
 """Embedding-cosine near-duplicate detection.
 
-Scale shape: random-hyperplane LSH (seeded, deterministic) buckets
-vectors with ONE groupby shuffle; candidate pairs within a bucket are
-verified with exact cosine. The hyperplane matrix is built once per
-actor from the fixed seed (no broadcast needed — it's derived state,
-the actor-pool analog of the reference's module-level compiled
-validators)."""
+Scale shape: multi-table random-hyperplane LSH (seeded, deterministic)
+emits NARROW (id, bucket) rows; multi-member buckets come from the
+map-side-bucketed int64 dup scan (one low-cardinality shuffle of 12
+bytes/row), candidate members gather to the driver (capped loudly),
+and only candidate VECTORS are fetched for exact float64 cosine
+verification — vectors never ride a shuffle. The hyperplane matrix is
+built once per actor from the fixed seed (no broadcast needed — it's
+derived state, the actor-pool analog of the reference's module-level
+compiled validators)."""
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 from ..functions.vectors import batch_vectors as _vectors
@@ -22,11 +26,12 @@ class HyperplaneBucketer:
     hyperplane sets (all derived from the fixed seed). A pair is a
     candidate if it shares a bucket in ANY table — recall for pairs at
     cosine c is 1-(1-p^b)^T with p = 1 - arccos(c)/pi, so tables are
-    the recall lever while planes-per-table bounds bucket size. Rows
-    are exploded T-fold (table id folded into the bucket key), so the
-    single groupby shuffle still moves each vector T times — keep T
-    small (<= 8) or switch to a candidate-scan-then-gather layout like
-    dedup/minhash.py when vectors are wide."""
+    the recall lever while planes-per-table bounds bucket size.
+
+    Emits ONLY narrow (id, bucket) rows (table id folded into the
+    bucket key) — vectors never travel with the bucket exchange; the
+    pair stage gathers candidate vectors separately (the
+    candidate-scan-then-gather layout of dedup/minhash.py)."""
 
     def __init__(
         self, vec_col="embedding", id_col="vec_id", *,
@@ -40,16 +45,11 @@ class HyperplaneBucketer:
         self.vec_col, self.id_col = vec_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        dim = self.planes.shape[0]
-        if batch.num_rows == 0:  # empty block: keep the vec schema stable
+        if batch.num_rows == 0:  # empty block: keep the schema stable
             return pa.table(
                 {
                     self.id_col: batch[self.id_col],
                     "bucket": pa.array([], pa.int64()),
-                    "vec": pa.FixedSizeListArray.from_arrays(
-                        pa.array([], pa.float32()), dim
-                    ),
-                    "norm": pa.array([], pa.float64()),
                 }
             )
         v = _vectors(batch, self.vec_col)
@@ -61,11 +61,8 @@ class HyperplaneBucketer:
             for b in range(self.n_planes):
                 keys[:, t] |= bits[:, t * self.n_planes + b] << np.uint64(b)
             keys[:, t] |= np.uint64(t) << np.uint64(self.n_planes)
-        norm = np.linalg.norm(v, axis=1).astype(np.float64)  # float64 cosine math
         T = self.n_tables
         rep = np.repeat(np.arange(n, dtype=np.int64), T)
-        flat = v.astype(np.float32, copy=False)[rep].ravel()
-        vec_col = pa.FixedSizeListArray.from_arrays(pa.array(flat, pa.float32()), dim)
         ids = batch[self.id_col]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
@@ -73,13 +70,12 @@ class HyperplaneBucketer:
             {
                 self.id_col: ids.take(pa.array(rep)),
                 "bucket": pa.array(keys.reshape(-1).astype(np.int64)),
-                "vec": vec_col,
-                "norm": pa.array(norm[rep]),
             }
         )
 
 
-MAX_BUCKET = 1024  # per-bucket cap on the O(m^2) cosine verify; loud
+MAX_BUCKET = 1024  # per-bucket candidate cap; truncation is LOUD
+MAX_CANDIDATE_ROWS = 2_000_000  # driver-side gather cap (loud, not silent)
 
 
 def embedding_dup_pairs(
@@ -90,84 +86,120 @@ def embedding_dup_pairs(
     """Verified (id_a < id_b, cosine >= threshold) near-dup pairs.
 
     ``n_tables`` > 1 enables multi-table LSH (OR-amplified recall; see
-    HyperplaneBucketer). The in-bucket exact-cosine verify is O(m^2) in
-    bucket size, so each bucket is capped at MAX_BUCKET members (first
-    by id) and the number of truncated buckets is reported via
-    ``report['truncated_buckets']`` / the result's ``.attrs`` and a log
-    warning — the same loud-cap contract as the MinHash/SimHash
-    stages."""
-    bucketed = ds.map_batches(
-        HyperplaneBucketer,
-        fn_constructor_kwargs=dict(
-            vec_col=vec_col, id_col=id_col, dim=dim,
-            n_planes=n_planes, n_tables=n_tables,
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency,
-    )
+    HyperplaneBucketer). Fully distributed candidate scan, same layout
+    as dedup/minhash.py — vectors NEVER travel with a shuffle:
 
-    empty_group = pd.DataFrame(
+      pass A: narrow (id, bucket) rows -> splitmix-mixed int64 key ->
+              map-side bucketed dup scan
+              (stages/uniqueness.dup_int64_column) -> the (tiny)
+              multi-member bucket keys.
+      pass B: narrow rows recomputed lazily, filtered by a broadcast
+              probe; candidate bucket MEMBERS gather to the driver
+              (capped loudly at MAX_CANDIDATE_ROWS); pairs enumerate
+              via the shared bucket_pairs_vectorized with the
+              per-bucket MAX_BUCKET cap and truncated_buckets
+              reporting (report dict / .attrs / log warning).
+      verify: ONLY candidate vectors gather (broadcast id probe);
+              exact cosine computed in float64."""
+    import logging
+
+    import ray
+
+    from ..functions.hashing import _splitmix64
+    from ..stages.uniqueness import dup_int64_column
+    from .minhash import bucket_pairs_vectorized
+
+    empty = pd.DataFrame(
         {
             "id_a": pd.Series(dtype=object),
             "id_b": pd.Series(dtype=object),
             "cosine": pd.Series(dtype="float64"),
-            "trunc": pd.Series(dtype="int64"),
         }
     )
-    cap = MAX_BUCKET  # snapshot: closures ship to workers by value
+    if report is None:
+        report = {}
+    report.setdefault("truncated_buckets", 0)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col)
-        trunc = int(len(g) > cap)
-        g = g.head(cap)
-        if len(g) < 2:
-            return empty_group
-        V = np.stack(g["vec"].to_numpy())
-        norms = g["norm"].to_numpy()
-        sims = (V @ V.T) / np.maximum(np.outer(norms, norms), 1e-12)
-        ids = g[id_col].to_numpy()
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = sims[iu, ju] >= cosine_threshold
-        out = pd.DataFrame(
-            {
-                "id_a": ids[iu[keep]],
-                "id_b": ids[ju[keep]],
-                "cosine": sims[iu, ju][keep],
-                "trunc": 0,
-            }
+    def bucketed():
+        return ds.map_batches(
+            HyperplaneBucketer,
+            fn_constructor_kwargs=dict(
+                vec_col=vec_col, id_col=id_col, dim=dim,
+                n_planes=n_planes, n_tables=n_tables,
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=concurrency,
         )
-        if trunc:
-            if out.empty:  # keep the truncation visible even with 0 pairs
-                out = pd.DataFrame(
-                    {"id_a": [None], "id_b": [None], "cosine": [np.nan], "trunc": [1]}
-                )
-            else:
-                out.iloc[0, out.columns.get_loc("trunc")] = 1
+
+    def mixed_key(t: pa.Table) -> pa.Array:
+        b = t["bucket"].to_numpy(zero_copy_only=False).view(np.uint64)
+        return pa.array(_splitmix64(b.copy()).view(np.int64))
+
+    cand_keys = dup_int64_column(
+        bucketed().map_batches(
+            lambda t: pa.table({"h": mixed_key(t)}), batch_format="pyarrow"
+        ),
+        "h",
+    )
+    out = empty.copy()
+    out.attrs["truncated_buckets"] = 0
+    if cand_keys.num_rows == 0:
         return out
 
-    raw = (
-        bucketed.groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
-    )
-    if "id_a" not in raw.columns:  # empty result loses schema
-        raw = empty_group.copy()
-    truncated = int(raw["trunc"].sum()) if len(raw) else 0
-    if report is not None:
-        report["truncated_buckets"] = truncated
-    if truncated:
-        import logging
+    keys_ref = ray.put(cand_keys["h"].combine_chunks())
 
+    def keep_cand(t: pa.Table) -> pa.Table:
+        key = mixed_key(t)
+        mask = pc.is_in(key, value_set=ray.get(keys_ref))
+        return pa.table({"bk": key, id_col: t[id_col]}).filter(mask)
+
+    gathered = bucketed().map_batches(keep_cand, batch_format="pyarrow").to_pandas()
+    if len(gathered) > MAX_CANDIDATE_ROWS:
+        raise RuntimeError(
+            f"{len(gathered)} candidate bucket rows exceeds driver gather cap "
+            f"{MAX_CANDIDATE_ROWS}; reduce n_tables or raise n_planes"
+        )
+    pairs, truncated = bucket_pairs_vectorized(
+        gathered["bk"].to_numpy(), gathered[id_col].to_numpy(),
+        max_bucket=MAX_BUCKET,
+    )
+    report["truncated_buckets"] = truncated
+    if truncated:
         logging.getLogger(__name__).warning(
             "embedding_dup_pairs: %d LSH buckets exceeded MAX_BUCKET=%d and "
             "were truncated — pair coverage is incomplete for those buckets",
             truncated,
-            cap,
+            MAX_BUCKET,
         )
-    pairs = raw[raw["id_a"].notna()].drop(columns=["trunc"])
+    out.attrs["truncated_buckets"] = truncated
+    if pairs.empty:
+        return out
+
+    # exact cosine verification on candidate vectors only
+    cand_ids = pd.unique(pd.concat([pairs.id_a, pairs.id_b], ignore_index=True))
+    ids_ref = ray.put(pa.array(list(cand_ids)))
+
+    def keep_vecs(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t[id_col], value_set=ray.get(ids_ref))
+        return t.select([id_col, vec_col]).filter(mask)
+
+    sub = ds.map_batches(keep_vecs, batch_format="pyarrow").to_pandas()
+    vecs = {
+        i: np.asarray(v, dtype=np.float64)
+        for i, v in zip(sub[id_col], sub[vec_col])
+    }
+    cos = []
+    for a, b in zip(pairs.id_a, pairs.id_b):  # bounded: capped candidates
+        va, vb = vecs.get(a), vecs.get(b)
+        if va is None or vb is None:
+            cos.append(float("nan"))
+            continue
+        denom = np.linalg.norm(va) * np.linalg.norm(vb)
+        cos.append(float(va @ vb) / denom if denom > 0 else 0.0)
+    pairs = pairs.assign(cosine=cos)
     out = (
-        pairs.drop_duplicates(["id_a", "id_b"])
+        pairs[pairs.cosine >= cosine_threshold]
         .sort_values(["id_a", "id_b"])
         .reset_index(drop=True)
     )
