@@ -15,7 +15,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 
 from ..functions.vectors import batch_vectors as _vectors
@@ -75,7 +74,6 @@ class HyperplaneBucketer:
 
 
 MAX_BUCKET = 1024  # per-bucket candidate cap; truncation is LOUD
-MAX_CANDIDATE_ROWS = 2_000_000  # driver-side gather cap (loud, not silent)
 
 
 def embedding_dup_pairs(
@@ -86,28 +84,20 @@ def embedding_dup_pairs(
     """Verified (id_a < id_b, cosine >= threshold) near-dup pairs.
 
     ``n_tables`` > 1 enables multi-table LSH (OR-amplified recall; see
-    HyperplaneBucketer). Fully distributed candidate scan, same layout
-    as dedup/minhash.py — vectors NEVER travel with a shuffle:
-
-      pass A: narrow (id, bucket) rows -> splitmix-mixed int64 key ->
-              map-side bucketed dup scan
-              (stages/uniqueness.dup_int64_column) -> the (tiny)
-              multi-member bucket keys.
-      pass B: narrow rows recomputed lazily, filtered by a broadcast
-              probe; candidate bucket MEMBERS gather to the driver
-              (capped loudly at MAX_CANDIDATE_ROWS); pairs enumerate
-              via the shared bucket_pairs_vectorized with the
-              per-bucket MAX_BUCKET cap and truncated_buckets
-              reporting (report dict / .attrs / log warning).
-      verify: ONLY candidate vectors gather (broadcast id probe);
-              exact cosine computed in float64."""
+    HyperplaneBucketer). Fully distributed candidate scan via the
+    shared two-pass scaffold (dedup/scan.py, same layout as
+    dedup/minhash.py) — vectors NEVER ride a shuffle: narrow
+    (id, bucket) rows feed the bucketed dup scan, candidate members
+    gather to the driver (capped loudly), pairs enumerate via the
+    shared bucket_pairs_vectorized (per-bucket MAX_BUCKET cap with
+    truncated_buckets reporting), and ONLY candidate vectors are
+    fetched for the exact float64 cosine verification (vectorized —
+    one norm per unique id, batched dots)."""
     import logging
 
-    import ray
-
     from ..functions.hashing import _splitmix64
-    from ..stages.uniqueness import dup_int64_column
     from .minhash import bucket_pairs_vectorized
+    from .scan import gather_candidate_rows, gather_rows_by_id
 
     empty = pd.DataFrame(
         {
@@ -118,7 +108,7 @@ def embedding_dup_pairs(
     )
     if report is None:
         report = {}
-    report.setdefault("truncated_buckets", 0)
+    report["truncated_buckets"] = 0  # assigned, not setdefault: never stale
 
     def bucketed():
         return ds.map_batches(
@@ -136,30 +126,13 @@ def embedding_dup_pairs(
         b = t["bucket"].to_numpy(zero_copy_only=False).view(np.uint64)
         return pa.array(_splitmix64(b.copy()).view(np.int64))
 
-    cand_keys = dup_int64_column(
-        bucketed().map_batches(
-            lambda t: pa.table({"h": mixed_key(t)}), batch_format="pyarrow"
-        ),
-        "h",
+    gathered = gather_candidate_rows(
+        bucketed, mixed_key, id_col, what="embedding-lsh"
     )
     out = empty.copy()
     out.attrs["truncated_buckets"] = 0
-    if cand_keys.num_rows == 0:
+    if gathered.empty:
         return out
-
-    keys_ref = ray.put(cand_keys["h"].combine_chunks())
-
-    def keep_cand(t: pa.Table) -> pa.Table:
-        key = mixed_key(t)
-        mask = pc.is_in(key, value_set=ray.get(keys_ref))
-        return pa.table({"bk": key, id_col: t[id_col]}).filter(mask)
-
-    gathered = bucketed().map_batches(keep_cand, batch_format="pyarrow").to_pandas()
-    if len(gathered) > MAX_CANDIDATE_ROWS:
-        raise RuntimeError(
-            f"{len(gathered)} candidate bucket rows exceeds driver gather cap "
-            f"{MAX_CANDIDATE_ROWS}; reduce n_tables or raise n_planes"
-        )
     pairs, truncated = bucket_pairs_vectorized(
         gathered["bk"].to_numpy(), gathered[id_col].to_numpy(),
         max_bucket=MAX_BUCKET,
@@ -176,27 +149,25 @@ def embedding_dup_pairs(
     if pairs.empty:
         return out
 
-    # exact cosine verification on candidate vectors only
+    # exact cosine verification on candidate vectors only — vectorized:
+    # one float64 norm per unique id, batched dot products over pairs
     cand_ids = pd.unique(pd.concat([pairs.id_a, pairs.id_b], ignore_index=True))
-    ids_ref = ray.put(pa.array(list(cand_ids)))
-
-    def keep_vecs(t: pa.Table) -> pa.Table:
-        mask = pc.is_in(t[id_col], value_set=ray.get(ids_ref))
-        return t.select([id_col, vec_col]).filter(mask)
-
-    sub = ds.map_batches(keep_vecs, batch_format="pyarrow").to_pandas()
-    vecs = {
-        i: np.asarray(v, dtype=np.float64)
-        for i, v in zip(sub[id_col], sub[vec_col])
-    }
-    cos = []
-    for a, b in zip(pairs.id_a, pairs.id_b):  # bounded: capped candidates
-        va, vb = vecs.get(a), vecs.get(b)
-        if va is None or vb is None:
-            cos.append(float("nan"))
-            continue
-        denom = np.linalg.norm(va) * np.linalg.norm(vb)
-        cos.append(float(va @ vb) / denom if denom > 0 else 0.0)
+    sub = gather_rows_by_id(ds, cand_ids, [id_col, vec_col], id_col)
+    idx = {i: j for j, i in enumerate(sub[id_col])}
+    missing = [i for i in cand_ids if i not in idx]
+    if missing:
+        raise RuntimeError(
+            f"embedding_dup_pairs: {len(missing)} candidate ids (e.g. "
+            f"{missing[:3]!r}) have no vector in the source dataset — "
+            "inconsistent id column between scan and verify passes"
+        )
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in sub[vec_col]])
+    norms = np.linalg.norm(V, axis=1)
+    ia = pairs.id_a.map(idx).to_numpy(dtype=np.int64)
+    ib = pairs.id_b.map(idx).to_numpy(dtype=np.int64)
+    denom = norms[ia] * norms[ib]
+    dots = np.einsum("ij,ij->i", V[ia], V[ib])
+    cos = np.divide(dots, denom, out=np.zeros(len(pairs)), where=denom > 0)
     pairs = pairs.assign(cosine=cos)
     out = (
         pairs[pairs.cosine >= cosine_threshold]

@@ -106,7 +106,7 @@ def add_minhash_bands(ds, text_col="text", id_col="doc_id", *, num_perm=128, ban
     )
 
 
-MAX_CANDIDATE_ROWS = 2_000_000  # driver-side gather cap (loud, not silent)
+from .scan import MAX_CANDIDATE_ROWS, gather_candidate_rows, gather_rows_by_id
 
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
@@ -175,15 +175,7 @@ def exact_jaccard_for_pairs(
     tuple shingle sets per doc. Bounded by the candidate count, which
     the LSH stage already capped."""
     cand_ids = pd.unique(pd.concat([pairs.id_a, pairs.id_b], ignore_index=True))
-    import ray
-
-    ids_ref = ray.put(pa.array(list(cand_ids)))
-    sub = ds.map_batches(
-        lambda t: t.filter(
-            pc.is_in(t[id_col], value_set=ray.get(ids_ref))
-        ).select([id_col, text_col]),
-        batch_format="pyarrow",
-    ).to_pandas()
+    sub = gather_rows_by_id(ds, cand_ids, [id_col, text_col], id_col)
     shingle_sets: dict = {}
     for did, text in zip(sub[id_col], sub[text_col]):
         ws = str(text).lower().split(" ")
@@ -238,14 +230,10 @@ def minhash_dedup_pairs(
     never hash-approximate."""
     import logging
 
-    import ray
-
-    from ..stages.uniqueness import dup_int64_column
-
     empty = pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
     if report is None:
         report = {}
-    report.setdefault("truncated_buckets", 0)
+    report["truncated_buckets"] = 0  # assigned, not setdefault: never stale
 
     def banded():
         return add_minhash_bands(
@@ -253,33 +241,14 @@ def minhash_dedup_pairs(
             concurrency=concurrency,
         )
 
-    def project_key(t: pa.Table) -> pa.Table:
-        return pa.table({"h": _combined_bucket_key(t)})
-
-    cand_keys = dup_int64_column(
-        banded().map_batches(project_key, batch_format="pyarrow"),
-        "h",
-        num_buckets=num_buckets,
+    gathered = gather_candidate_rows(
+        banded, _combined_bucket_key, id_col,
+        num_buckets=num_buckets, what="minhash",
     )
-    if cand_keys.num_rows == 0:
+    if gathered.empty:
         out = empty.copy()
         out.attrs["truncated_buckets"] = 0
         return out
-
-    keys_ref = ray.put(cand_keys["h"].combine_chunks())
-
-    def keep_cand(t: pa.Table) -> pa.Table:
-        key = _combined_bucket_key(t)
-        mask = pc.is_in(key, value_set=ray.get(keys_ref))
-        return pa.table({"bk": key, id_col: t[id_col]}).filter(mask)
-
-    gathered = banded().map_batches(keep_cand, batch_format="pyarrow").to_pandas()
-    if len(gathered) > MAX_CANDIDATE_ROWS:
-        raise RuntimeError(
-            f"{len(gathered)} candidate bucket rows exceeds driver gather cap "
-            f"{MAX_CANDIDATE_ROWS}; corpus looks pathologically self-similar — "
-            "raise bands/num_perm or dedup exactly first"
-        )
     pairs, truncated = bucket_pairs_vectorized(
         gathered["bk"].to_numpy(), gathered[id_col].to_numpy(), max_bucket=MAX_BUCKET
     )

@@ -73,14 +73,33 @@ def _gate_where(rules: dict[str, RuleSpec], engine_names: list[str]) -> str | No
         q = f'"{col}"'
         if op == "not_null":
             clauses.append(f"{q} IS NOT NULL")
-        elif op == "in":
-            if not value:
-                return "FALSE"  # empty membership set passes no row
-            clauses.append(f"{q} IN ({', '.join(_sql_lit(x) for x in value)})")
-        elif op == "not_in":
-            if not value:
-                continue  # empty exclusion set passes every row
-            clauses.append(f"{q} NOT IN ({', '.join(_sql_lit(x) for x in value)})")
+        elif op in ("in", "not_in"):
+            # mirror pc.is_in semantics exactly: a None in the value
+            # set MATCHES null column values (SQL IN/NOT IN would
+            # instead yield NULL), so null membership splits out into
+            # an IS NULL / IS NOT NULL clause
+            has_null = any(x is None for x in value)
+            vals = [x for x in value if x is not None]
+            inner = (
+                f"{q} IN ({', '.join(_sql_lit(x) for x in vals)})"
+                if vals
+                else "FALSE"
+            )
+            if op == "in":
+                clauses.append(
+                    f"({inner} OR {q} IS NULL)" if has_null else inner
+                )
+            else:
+                # engine not_in passes a row iff is_in is false: null
+                # column values match the set only when the set
+                # contains null
+                if has_null:
+                    clauses.append(f"NOT ({inner} OR {q} IS NULL)")
+                elif vals:
+                    clauses.append(f"({q} NOT IN ({', '.join(_sql_lit(x) for x in vals)}) OR {q} IS NULL)")
+                # empty not_in set: every row (incl. nulls) passes —
+                # no clause; per-file missing-column divergence is
+                # handled by the caller's heterogeneity check
         elif op in ("==", "!=", "<", "<=", ">", ">="):
             sql_op = "=" if op == "==" else op
             clauses.append(f"{q} {sql_op} {_sql_lit(value)}")
@@ -145,6 +164,15 @@ def cross_check_run(
 
     con = duckdb.connect()
     rows: list[dict] = []
+    gate_spec = rules.get("row_gate")
+    gate_cols = (
+        {c for c, _, _ in gate_spec.params.get("predicates", [])}
+        if gate_spec and gate_spec.enabled
+        else set()
+    )
+    # files whose schema lacks a gate predicate column: the engine
+    # gates ALL their rows, which one global union query cannot mirror
+    het_gate_files = False
 
     def timed(sql: str):
         import time
@@ -162,6 +190,11 @@ def cross_check_run(
             except Exception:  # noqa: BLE001 — unreadable: engine said FAIL too
                 continue
             names = list(sch.names)
+            # only engine-universe predicate columns can be missing
+            # PER-FILE (a column outside ENGINE_COLS gates uniformly
+            # everywhere, which WHERE FALSE mirrors exactly)
+            if (gate_cols & set(ENGINE_COLS)) - set(names):
+                het_gate_files = True
             raw_rel = f"read_parquet('{f}')"
             # gate predicates resolve against the ENGINE's pruned read,
             # not the physical file schema (a column outside ENGINE_COLS
@@ -301,13 +334,25 @@ def cross_check_run(
             if not os.path.isfile(input_path):
                 src = src + "/*.parquet"
             glob_rel = f"read_parquet('{src}', union_by_name=true)"
-            # gate resolves against the engine's column universe; files
-            # missing a predicate column are NULL-filled by
-            # union_by_name, and NULL comparisons gate those rows just
-            # like the engine's missing-column handling. A predicate
-            # OUTSIDE the universe gates everything -> WHERE FALSE,
-            # which mirrors the engine's zero emitted hashes exactly.
+            # gate resolves against the engine's column universe. A
+            # predicate OUTSIDE it gates everything -> WHERE FALSE
+            # (mirrors the engine's zero emitted hashes exactly). Files
+            # missing a predicate column are a case one global query
+            # cannot mirror for every op (an empty not_in emits no
+            # clause but the engine still gates missing-column rows) —
+            # skip LOUDLY then, never silently diverge.
             gate = _gate_where(rules, list(ENGINE_COLS))
+            if gate_cols and het_gate_files:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "cross_check_run: skipping the global doc_id_unique "
+                    "cross-check — some input files lack row_gate predicate "
+                    "column(s) %s and the engine's per-file gating cannot be "
+                    "mirrored by one union query",
+                    sorted(gate_cols),
+                )
+                return _finish(rows)
             if gate:
                 glob_rel = f"(SELECT * FROM {glob_rel} WHERE {gate})"
             try:

@@ -337,14 +337,26 @@ class RuleEngine:
                     arr = arr.combine_chunks()
                 if op == "not_null":
                     m = pc.is_valid(arr)
-                elif op == "in":
-                    # type the set from the column: pa.array([]) is
-                    # null-typed and is_in rejects the mismatch
-                    m = pc.is_in(arr, value_set=pa.array(list(value), type=arr.type))
-                elif op == "not_in":
-                    m = pc.invert(
-                        pc.is_in(arr, value_set=pa.array(list(value), type=arr.type))
+                elif op in ("in", "not_in"):
+                    # INFERRED set type (numeric promotion compares
+                    # exact values, so 2.5 or out-of-range ints simply
+                    # match nothing — forcing arr.type would truncate
+                    # or overflow); empty sets need the column type
+                    # because pa.array([]) is null-typed
+                    vs = (
+                        pa.array(list(value))
+                        if value
+                        else pa.array([], type=arr.type)
                     )
+                    try:
+                        m = pc.is_in(arr, value_set=vs)
+                    except (pa.ArrowTypeError, pa.ArrowNotImplementedError) as e:
+                        raise ValueError(
+                            f"row_gate: values {value!r} not comparable to "
+                            f"column {col!r} of type {arr.type}: {e}"
+                        ) from e
+                    if op == "not_in":
+                        m = pc.invert(m)
                 elif op in self._GATE_OPS:
                     m = self._GATE_OPS[op](arr, pa.scalar(value))
                 else:

@@ -287,3 +287,48 @@ def test_cross_check_gate_edge_cases(ray_session, tmp_path):
     assert sum(c.rows_failed for c in res4.verdicts if c.rule_id == "row_gate") == 120
     a4 = cross_check_run(clean, res4, pipe4.rules)
     assert a4.agree.all(), a4[~a4.agree]
+
+
+def test_cross_check_gate_null_in_set(ray_session, tmp_path):
+    """None inside in/not_in value sets must mirror pc.is_in's
+    null-matching semantics (SQL IN/NOT IN alone would diverge), and
+    float/out-of-range literals must match nothing on both sides."""
+    import pyarrow.parquet as pq
+
+    from etl_data_validation_kio_ray.core.specs import RuleSpec, default_rules
+    from etl_data_validation_kio_ray.pipelines.crosscheck import cross_check_run
+    from etl_data_validation_kio_ray.pipelines.validate import ValidationPipeline
+    from etl_data_validation_kio_ray.sources.synth import generate_token_table
+
+    clean = generate_token_table(str(tmp_path / "c"), partitions=2, rows_per_partition=50)
+    # plant some NULL sources in one file
+    import glob as _glob
+
+    import pyarrow as pa
+
+    f0 = sorted(_glob.glob(clean + "/*.parquet"))[0]
+    t = pq.read_table(f0)
+    src = t["source"].to_pylist()
+    for i in range(0, len(src), 7):
+        src[i] = None
+    t = t.set_column(t.column_names.index("source"), "source", pa.array(src, pa.string()))
+    pq.write_table(t, f0)
+
+    cases = [
+        [("source", "in", ["web", None])],        # nulls PASS the gate
+        [("source", "not_in", ["web", None])],    # nulls gated
+        [("source", "not_in", ["web"])],          # nulls pass
+        [("n_tok", "in", [2.5])],                 # float literal: matches nothing
+        [("n_tok", "in", [2**40])],               # out-of-range: matches nothing
+    ]
+    for i, preds in enumerate(cases):
+        rules = dict(
+            default_rules(allowed_sources=["web", "books", "code", "wiki", "forums"])
+        )
+        rules["row_gate"] = RuleSpec(
+            "row_gate", "invariants", "warning", params={"predicates": preds}
+        )
+        pipe = ValidationPipeline(rules)
+        res = pipe.run(clean, str(tmp_path / f"o{i}"))
+        a = cross_check_run(clean, res, pipe.rules)
+        assert a.agree.all(), (preds, a[~a.agree])
