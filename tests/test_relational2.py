@@ -769,3 +769,26 @@ def test_html_report(ray_session, tmp_path):
     assert "mutation experiment" in html2
     assert "corrupt_id" in html2 and "row_invariants" in html2
     assert html2.count("<table>") >= 1 and "</html>" in html2
+
+
+def test_example_rules_config_loads_and_runs(ray_session, tmp_path):
+    """The shipped example YAML exercises the full config surface:
+    row_gate enablement, severity/param overrides, rule disabling."""
+    from etl_data_validation_kio_ray.core.specs import default_rules, load_rules
+    from etl_data_validation_kio_ray.pipelines.validate import ValidationPipeline
+    from etl_data_validation_kio_ray.sources.synth import generate_token_table
+
+    rules = load_rules(
+        "configs/example_rules.yml",
+        base=default_rules(allowed_sources=["web", "books", "code", "wiki"]),
+    )
+    assert rules["row_gate"].enabled
+    assert rules["row_invariants"].params["max_len"] == 4096
+    assert not rules["drift_ks_psi"].enabled
+
+    clean = generate_token_table(str(tmp_path / "c"), partitions=2, rows_per_partition=80)
+    res = ValidationPipeline(rules, allowed_sources=["web", "books", "code", "wiki"]).run(
+        clean, str(tmp_path / "o")
+    )
+    rule_ids = {c.rule_id for c in res.verdicts}
+    assert "row_gate" in rule_ids and "drift_ks_psi" not in rule_ids
