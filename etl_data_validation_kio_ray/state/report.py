@@ -237,3 +237,36 @@ def write_html_report(run_dir: str, out_path: str | None = None) -> str:
         f.write("\n".join(parts) + "\n")
     os.replace(tmp, out_path)
     return out_path
+
+
+def aggregate_runs(run_dirs: list[str]):
+    """Cross-run summary statistics: mean/std of per-rule-group
+    duration and failure counts over multiple runs — the reference's
+    AVG/STDDEV summary over ``tech.validation_run``
+    (/root/reference/scripts/run_manual_experiments.py:359-381).
+    Returns a pandas DataFrame with one row per rule_group."""
+    import pandas as pd
+
+    rows: list[dict[str, Any]] = []
+    for d in run_dirs:
+        rows.extend(summary_rows(d))
+    if not rows:
+        return pd.DataFrame(
+            columns=[
+                "rule_group", "runs", "duration_ms_mean", "duration_ms_std",
+                "rows_failed_mean", "rows_failed_std", "checks_failed_total",
+            ]
+        )
+    df = pd.DataFrame(rows)
+    g = df.groupby("rule_group", sort=True)
+    out = pd.DataFrame(
+        {
+            "runs": g.size(),
+            "duration_ms_mean": g.duration_ms.mean(),
+            "duration_ms_std": g.duration_ms.std(ddof=0),
+            "rows_failed_mean": g.rows_failed.mean(),
+            "rows_failed_std": g.rows_failed.std(ddof=0),
+            "checks_failed_total": g.checks_failed.sum(),
+        }
+    ).reset_index()
+    return out

@@ -792,3 +792,26 @@ def test_example_rules_config_loads_and_runs(ray_session, tmp_path):
     )
     rule_ids = {c.rule_id for c in res.verdicts}
     assert "row_gate" in rule_ids and "drift_ks_psi" not in rule_ids
+
+
+def test_aggregate_runs_summary_stats(ray_session, tmp_path):
+    """Cross-run AVG/STDDEV summary (reference's validation_summary
+    aggregation): stable rule groups, sane stats over repeated runs."""
+    from etl_data_validation_kio_ray.pipelines.validate import ValidationPipeline
+    from etl_data_validation_kio_ray.sources.mutations import mutate_table
+    from etl_data_validation_kio_ray.sources.synth import generate_token_table
+    from etl_data_validation_kio_ray.state.report import aggregate_runs
+
+    clean = generate_token_table(str(tmp_path / "c"), partitions=2, rows_per_partition=80)
+    mut = mutate_table(clean, str(tmp_path / "m"), "corrupt_id")
+    dirs = []
+    for i in range(2):
+        out = str(tmp_path / f"o{i}")
+        ValidationPipeline(allowed_sources=["web", "books", "code", "wiki"]).run(mut, out)
+        dirs.append(out)
+    agg = aggregate_runs(dirs)
+    assert set(agg.rule_group) >= {"invariants", "referential", "stats"}
+    inv = agg[agg.rule_group == "invariants"].iloc[0]
+    assert inv.runs == 2 and inv.rows_failed_mean > 0
+    assert inv.duration_ms_mean > 0  # per-check durations recorded
+    assert aggregate_runs([]).empty
