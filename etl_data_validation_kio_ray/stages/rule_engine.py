@@ -264,6 +264,16 @@ class RuleEngine:
                 pc.fill_null(n_tok, -1).to_numpy(zero_copy_only=False).astype(np.int64)
             )
 
+        # one max-reduction over the flat tokens (read-only, no
+        # temporaries): the uint32 view maps negatives to huge values,
+        # so `tok_max_u < vocab_size` proves EVERY token in-range —
+        # letting the vocab check and the histogram clip skip their
+        # full-array passes on clean data (the common case; bytes per
+        # token is the scaling cost of this stage)
+        tok_max_u = None
+        if flat_np is not None and len(flat_np) and flat_np.dtype == np.int32:
+            tok_max_u = int(flat_np.view(np.uint32).max())
+
         # doc_id hashes: computed once, shared by the HLL stat and the
         # uniqueness rule's hash emission
         ids_hash = None
@@ -284,13 +294,15 @@ class RuleEngine:
             self._rule_completeness(sub, partition, out, nrows)
         if "row_invariants" in self.rules and tokens is not None:
             self._rule_invariants(
-                partition, out, take_ids, nrows, lens_np, n_tok_np, flat_np
+                partition, out, take_ids, nrows, lens_np, n_tok_np, flat_np,
+                tok_max_u=tok_max_u,
             )
         if "source_ref" in self.rules and self.allowed_sources is not None and self.source_col in cols:
             self._rule_source_ref(sub, partition, out, take_ids)
         if "column_stats" in self.rules or "drift_ks_psi" in self.rules:
             self._rule_stats(
-                sub, partition, out, nrows, lens_np, n_tok_np, flat_np, ids_hash
+                sub, partition, out, nrows, lens_np, n_tok_np, flat_np, ids_hash,
+                tok_max_u=tok_max_u,
             )
         if "doc_id_unique" in self.rules and ids_hash is not None:
             # one 'hash' row per (batch, partition): the raw 64-bit id
@@ -484,7 +496,8 @@ class RuleEngine:
         )
 
     def _rule_invariants(
-        self, partition, out, take_ids, nrows, lens_np, n_tok_np, flat_np
+        self, partition, out, take_ids, nrows, lens_np, n_tok_np, flat_np,
+        tok_max_u=None,
     ):
         """Row-level predicates — analog of the consistency suites
         (consistency_suite/matches_consistency.py:18-50) and the
@@ -495,6 +508,9 @@ class RuleEngine:
           len_mismatch : n_tok != len(tokens)
           len_range    : n_tok outside [min_len, max_len]
           vocab_range  : any token outside [0, vocab_size)
+
+        ``tok_max_u``: precomputed unsigned max over the flat tokens
+        (see _process) — skips the vocab compare entirely when clean.
         """
         t0 = time.perf_counter()
         rows_failed = 0
@@ -526,14 +542,22 @@ class RuleEngine:
             rows_failed += len(rng)
 
         if flat_np is not None and len(flat_np):
-            if flat_np.dtype == np.int32:
+            if tok_max_u is not None:
+                # precomputed max-reduction (read-only): all tokens
+                # proven in-range -> no compare pass, no bool temporary
+                bad_tok = (
+                    None
+                    if tok_max_u < self.vocab_size
+                    else flat_np.view(np.uint32) >= np.uint32(self.vocab_size)
+                )
+            elif flat_np.dtype == np.int32:
                 # one unsigned compare catches both negatives (wrap to
                 # huge uint32) and >= vocab — single pass over the flat
                 # token array instead of two compares + an OR
                 bad_tok = flat_np.view(np.uint32) >= np.uint32(self.vocab_size)
             else:
                 bad_tok = (flat_np < 0) | (flat_np >= self.vocab_size)
-            if bad_tok.any():
+            if bad_tok is not None and bad_tok.any():
                 # row index of each flat token — built ONLY when
                 # violations exist (rare path)
                 row_of_flat = np.repeat(
@@ -588,7 +612,8 @@ class RuleEngine:
         )
 
     def _rule_stats(
-        self, sub, partition, out, nrows, lens_np, n_tok_np, flat_np, ids_hash=None
+        self, sub, partition, out, nrows, lens_np, n_tok_np, flat_np, ids_hash=None,
+        tok_max_u=None,
     ):
         """Mergeable per-batch stat partials — replaces the reference's
         exact count_sql scalars + mart aggregates (specs.py:421-426,
@@ -635,7 +660,10 @@ class RuleEngine:
             flat_codes = np.repeat(codes, np.where(lens_np < 0, 0, lens_np))
             bin_w = np.int32(bin_width(self.vocab_size))
             bins = flat_np // bin_w  # int32; invalid tokens land outside
-            np.clip(bins, 0, TOKEN_BINS - 1, out=bins)
+            if tok_max_u is None or tok_max_u >= self.vocab_size:
+                # clip guards only INVALID tokens; the precomputed max
+                # proves clean batches need no read+write clip pass
+                np.clip(bins, 0, TOKEN_BINS - 1, out=bins)
             bins = bins.astype(np.int32, copy=False)
             flat_codes *= np.int32(TOKEN_BINS)
             flat_codes += bins
