@@ -182,6 +182,7 @@ class ValidationPipeline:
         batch_size: int | None = None,
         use_actor_pool: bool = False,
         shard_size: int = 64,
+        max_read_tasks: int | None = None,
     ):
         self.rules = rules or default_rules(allowed_sources=allowed_sources)
         if allowed_sources is not None and "source_ref" in self.rules:
@@ -200,6 +201,14 @@ class ValidationPipeline:
         self.batch_size = batch_size
         self.use_actor_pool = use_actor_pool
         self.shard_size = shard_size
+        # cap on read tasks per shard: None (default) = one fused task
+        # per partition file — right when files are large (the
+        # documented production layout). Small-file corpora can set a
+        # cap so several files group into each fused task (same
+        # Read->Engine->Write fusion, bigger blocks): per-task
+        # scheduling is a FIXED driver-side cost that otherwise
+        # dominates small runs at low parallelism.
+        self.max_read_tasks = max_read_tasks
 
     # ------------------------------------------------------------ helpers
 
@@ -453,16 +462,20 @@ class ValidationPipeline:
                 for j, (cols, group_files) in enumerate(
                     _schema_groups([files[p] for p in shard], self._columns())
                 ):
-                    # one block per partition file: keeps ReadParquet ->
-                    # engine -> Write fused into a single task (no
+                    # one block per partition file (or per small GROUP
+                    # of files under max_read_tasks): keeps ReadParquet
+                    # -> engine -> Write fused into a single task (no
                     # object-store hop for the decoded token column).
                     # Assumes bounded partition files (the documented
                     # input layout); a multi-GB file would need
                     # splitting instead.
+                    nblocks = len(group_files)
+                    if self.max_read_tasks:
+                        nblocks = min(nblocks, self.max_read_tasks)
                     ds = rd.read_parquet(
                         group_files,
                         columns=cols,
-                        override_num_blocks=len(group_files),
+                        override_num_blocks=nblocks,
                     )
                     mapped = self._map_engine(ds, self._engine_kwargs(allowed_ref))
                     mapped.write_parquet(
