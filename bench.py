@@ -94,7 +94,7 @@ def _gen_corpus() -> int:
     return BENCH_PARTS * BENCH_ROWS
 
 
-def _pipe(snap_dir: str | None = None, num_cpus: int | None = None):
+def _pipe(snap_dir: str | None = None):
     from etl_data_validation_kio_ray.pipelines.validate import ValidationPipeline
 
     return ValidationPipeline(
@@ -126,7 +126,7 @@ def _warmup(num_cpus: int, snap_dir: str) -> None:
         os.symlink(f, os.path.join(wdir, os.path.basename(f)))
     out = f"/tmp/kio_bench_warm_out_{num_cpus}"
     shutil.rmtree(out, ignore_errors=True)
-    _pipe(snap_dir, num_cpus).run(wdir, out, resume=False)
+    _pipe(snap_dir).run(wdir, out, resume=False)
 
 
 def _headline(num_cpus: int) -> dict:
@@ -136,7 +136,7 @@ def _headline(num_cpus: int) -> dict:
     rows = _gen_corpus()
     snap_dir = os.path.join(TOKENS_DIR + "_state", "snapshot")
     if not os.path.exists(os.path.join(snap_dir, "snapshot.pkl")):
-        _pipe(num_cpus=num_cpus).build_snapshot(TOKENS_DIR, snap_dir)
+        _pipe().build_snapshot(TOKENS_DIR, snap_dir)
     _warmup(num_cpus, snap_dir)
     # host-level timing noise in shared sandboxes is large; report the
     # best of N identical runs (standard noisy-bench practice)
@@ -145,7 +145,7 @@ def _headline(num_cpus: int) -> dict:
     for r in range(max(1, repeats)):
         out_dir = f"/tmp/kio_bench_run_{num_cpus}"
         shutil.rmtree(out_dir, ignore_errors=True)
-        pipe = _pipe(snap_dir, num_cpus)
+        pipe = _pipe(snap_dir)
         t0 = time.perf_counter()
         res = pipe.run(TOKENS_DIR, out_dir, resume=False)
         sec = time.perf_counter() - t0

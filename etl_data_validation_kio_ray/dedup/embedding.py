@@ -127,7 +127,8 @@ def embedding_dup_pairs(
         return pa.array(_splitmix64(b.copy()).view(np.int64))
 
     gathered = gather_candidate_rows(
-        bucketed, mixed_key, id_col, what="embedding-lsh"
+        bucketed, mixed_key, id_col, what="embedding-lsh",
+        remedy="reduce n_tables or raise n_planes",
     )
     out = empty.copy()
     out.attrs["truncated_buckets"] = 0

@@ -17,6 +17,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.hashing import band_keys, hash_string_array, minhash_signatures
+from .scan import MAX_CANDIDATE_ROWS, gather_candidate_rows, gather_rows_by_id
 
 MAX_BUCKET = 200  # pairs per bucket cap: |bucket| above this is flagged, not exploded
 
@@ -105,8 +106,6 @@ def add_minhash_bands(ds, text_col="text", id_col="doc_id", *, num_perm=128, ban
         MinHasher(**hasher_kwargs), batch_format="pyarrow", zero_copy_batch=True
     )
 
-
-from .scan import MAX_CANDIDATE_ROWS, gather_candidate_rows, gather_rows_by_id
 
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
@@ -244,6 +243,7 @@ def minhash_dedup_pairs(
     gathered = gather_candidate_rows(
         banded, _combined_bucket_key, id_col,
         num_buckets=num_buckets, what="minhash",
+        remedy="raise bands/num_perm or dedup exactly first",
     )
     if gathered.empty:
         out = empty.copy()

@@ -25,6 +25,7 @@ def gather_candidate_rows(
     num_buckets: int = 256,
     max_rows: int = MAX_CANDIDATE_ROWS,
     what: str = "lsh",
+    remedy: str = "strengthen the LSH or dedup exactly first",
 ) -> pd.DataFrame:
     """Two-pass candidate scan. ``make_ds()`` builds the (lazily
     recomputed) exploded dataset; ``key_fn(table) -> pa.Array[int64]``
@@ -57,8 +58,7 @@ def gather_candidate_rows(
         raise RuntimeError(
             f"{len(gathered)} candidate bucket rows exceeds driver gather cap "
             f"{max_rows} in the {what} scan; the corpus looks pathologically "
-            "self-similar — strengthen the LSH (more bands/planes) or dedup "
-            "exactly first"
+            f"self-similar — {remedy}"
         )
     return gathered
 

@@ -51,7 +51,9 @@ def _sql_lit(v: Any) -> str:
     return str(v)
 
 
-def _gate_where(rules: dict[str, RuleSpec], engine_names: list[str]) -> str | None:
+def _gate_where(
+    rules: dict[str, RuleSpec], engine_names: list[str]
+) -> tuple[str | None, bool]:
     """SQL WHERE mirroring the engine's row_gate quarantine (rows the
     downstream rules actually see), or None when the gate is off.
     ``engine_names`` must be the columns the ENGINE sees (its pruned
@@ -59,17 +61,26 @@ def _gate_where(rules: dict[str, RuleSpec], engine_names: list[str]) -> str | No
     predicate column is outside them (the engine gates every row
     then). SQL NULL comparison semantics match the engine's
     fill_null(False); empty in/not_in sets match pc.is_in on an empty
-    value set (nothing / everything passes)."""
+    value set (nothing / everything passes).
+
+    Second return value ``null_gates``: True iff the WHERE also GATES
+    rows whose predicate columns are NULL — which is what a
+    union_by_name NULL-fill produces for files MISSING a predicate
+    column, the case the engine gates wholesale. False only for
+    clauses that pass NULLs (in-with-None membership, dropped empty
+    not_in), where a global NULL-filled query cannot mirror per-file
+    missing-column gating."""
     gate = rules.get("row_gate")
     if not gate or not gate.enabled:
-        return None
+        return None, True
     preds = gate.params.get("predicates", [])
     if not preds:
-        return None
+        return None, True
+    null_gates = True
     clauses = []
     for col, op, value in preds:
         if col not in engine_names:
-            return "FALSE"
+            return "FALSE", True
         q = f'"{col}"'
         if op == "not_null":
             clauses.append(f"{q} IS NOT NULL")
@@ -77,7 +88,9 @@ def _gate_where(rules: dict[str, RuleSpec], engine_names: list[str]) -> str | No
             # mirror pc.is_in semantics exactly: a None in the value
             # set MATCHES null column values (SQL IN/NOT IN would
             # instead yield NULL), so null membership splits out into
-            # an IS NULL / IS NOT NULL clause
+            # an IS NULL / IS NOT NULL clause. A None VALUE (vs [None])
+            # is an empty set, like the engine's falsy check.
+            value = value or []
             has_null = any(x is None for x in value)
             vals = [x for x in value if x is not None]
             inner = (
@@ -86,6 +99,8 @@ def _gate_where(rules: dict[str, RuleSpec], engine_names: list[str]) -> str | No
                 else "FALSE"
             )
             if op == "in":
+                if has_null:
+                    null_gates = False  # NULL-filled rows would PASS
                 clauses.append(
                     f"({inner} OR {q} IS NULL)" if has_null else inner
                 )
@@ -96,16 +111,20 @@ def _gate_where(rules: dict[str, RuleSpec], engine_names: list[str]) -> str | No
                 if has_null:
                     clauses.append(f"NOT ({inner} OR {q} IS NULL)")
                 elif vals:
+                    # NULLs pass this clause (as in the engine), so
+                    # NULL-filled missing columns are NOT gated
+                    null_gates = False
                     clauses.append(f"({q} NOT IN ({', '.join(_sql_lit(x) for x in vals)}) OR {q} IS NULL)")
-                # empty not_in set: every row (incl. nulls) passes —
-                # no clause; per-file missing-column divergence is
-                # handled by the caller's heterogeneity check
+                else:
+                    # empty not_in set: every row (incl. nulls)
+                    # passes — no clause
+                    null_gates = False
         elif op in ("==", "!=", "<", "<=", ">", ">="):
             sql_op = "=" if op == "==" else op
             clauses.append(f"{q} {sql_op} {_sql_lit(value)}")
         else:
             raise ValueError(f"row_gate: unknown op {op!r}")
-    return " AND ".join(clauses) if clauses else None
+    return (" AND ".join(clauses) if clauses else None), null_gates
 
 
 def _agree_row(
@@ -199,7 +218,7 @@ def cross_check_run(
             # gate predicates resolve against the ENGINE's pruned read,
             # not the physical file schema (a column outside ENGINE_COLS
             # is invisible to the engine even if the file has it)
-            gate = _gate_where(rules, [c for c in names if c in ENGINE_COLS])
+            gate, _ = _gate_where(rules, [c for c in names if c in ENGINE_COLS])
             # downstream twins see only rows surviving the gate, exactly
             # like the engine's quarantine-before-validate
             rel = (
@@ -341,15 +360,15 @@ def cross_check_run(
             # cannot mirror for every op (an empty not_in emits no
             # clause but the engine still gates missing-column rows) —
             # skip LOUDLY then, never silently diverge.
-            gate = _gate_where(rules, list(ENGINE_COLS))
-            if gate_cols and het_gate_files:
+            gate, null_gates = _gate_where(rules, list(ENGINE_COLS))
+            if gate_cols and het_gate_files and not null_gates:
                 import logging
 
                 logging.getLogger(__name__).warning(
                     "cross_check_run: skipping the global doc_id_unique "
                     "cross-check — some input files lack row_gate predicate "
-                    "column(s) %s and the engine's per-file gating cannot be "
-                    "mirrored by one union query",
+                    "column(s) %s and this gate passes NULL rows, so one "
+                    "union query cannot mirror per-file gating",
                     sorted(gate_cols),
                 )
                 return _finish(rows)

@@ -271,7 +271,12 @@ class RuleEngine:
         # full-array passes on clean data (the common case; bytes per
         # token is the scaling cost of this stage)
         tok_max_u = None
-        if flat_np is not None and len(flat_np) and flat_np.dtype == np.int32:
+        if (
+            flat_np is not None
+            and len(flat_np)
+            and flat_np.dtype == np.int32
+            and ("row_invariants" in self.rules or "column_stats" in self.rules)
+        ):
             tok_max_u = int(flat_np.view(np.uint32).max())
 
         # doc_id hashes: computed once, shared by the HLL stat and the
@@ -354,15 +359,21 @@ class RuleEngine:
                     # exact values, so 2.5 or out-of-range ints simply
                     # match nothing — forcing arr.type would truncate
                     # or overflow); empty sets need the column type
-                    # because pa.array([]) is null-typed
-                    vs = (
-                        pa.array(list(value))
-                        if value
-                        else pa.array([], type=arr.type)
-                    )
+                    # because pa.array([]) is null-typed. The whole
+                    # construction sits in the try so mixed-type value
+                    # lists also get the contextual error.
                     try:
+                        vs = (
+                            pa.array(list(value))
+                            if value
+                            else pa.array([], type=arr.type)
+                        )
                         m = pc.is_in(arr, value_set=vs)
-                    except (pa.ArrowTypeError, pa.ArrowNotImplementedError) as e:
+                    except (
+                        pa.ArrowTypeError,
+                        pa.ArrowInvalid,
+                        pa.ArrowNotImplementedError,
+                    ) as e:
                         raise ValueError(
                             f"row_gate: values {value!r} not comparable to "
                             f"column {col!r} of type {arr.type}: {e}"

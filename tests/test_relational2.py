@@ -778,8 +778,13 @@ def test_example_rules_config_loads_and_runs(ray_session, tmp_path):
     from etl_data_validation_kio_ray.pipelines.validate import ValidationPipeline
     from etl_data_validation_kio_ray.sources.synth import generate_token_table
 
+    import os as _os
+
+    cfg = _os.path.join(
+        _os.path.dirname(__file__), "..", "configs", "example_rules.yml"
+    )
     rules = load_rules(
-        "configs/example_rules.yml",
+        cfg,
         base=default_rules(allowed_sources=["web", "books", "code", "wiki"]),
     )
     assert rules["row_gate"].enabled
