@@ -803,6 +803,114 @@ def q_quality_filter(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_revenue_by_priority(sf_dir: str):
+    """LARGE×LARGE distributed equi-join: lineitem ⋈ orders on orderkey
+    via the hash-shuffle join (neither side broadcastable at warehouse
+    scale), with map-side pre-aggregation of lineitem revenue per
+    orderkey BEFORE the exchange so the shuffle carries one row per
+    (orderkey, batch) instead of one per lineitem. Money in exact 1e-4
+    dollar units: E·(100−D) is an exact int64 for 2-dp prices/discounts,
+    so Ray and DuckDB agree bit-for-bit."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        grouped_agg,
+        hash_join,
+    )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        e = np.round(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100)
+        d = np.round(t["l_discount"].to_numpy(zero_copy_only=False) * 100)
+        rev = e.astype(np.int64) * (100 - d.astype(np.int64))
+        order = np.argsort(ok, kind="stable")
+        ok_s, rev_s = ok[order], rev[order]
+        starts = np.flatnonzero(np.r_[True, ok_s[1:] != ok_s[:-1]])
+        return pa.table(
+            {
+                "l_orderkey": pa.array(ok_s[starts]),
+                "rev_c4": pa.array(np.add.reduceat(rev_s, starts)),
+                "n_items": pa.array(np.diff(np.r_[starts, len(ok_s)]).astype(np.int64)),
+            }
+        )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+    joined = hash_join(
+        li.map_batches(pre, batch_format="pyarrow"),
+        orders,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        num_partitions=16,
+    )
+    out = grouped_agg(
+        joined,
+        ["o_orderpriority"],
+        {"n_items": ("n_items", "sum"), "revenue_c4": ("rev_c4", "sum")},
+    )
+    out["n_items"] = out["n_items"].astype("int64")
+    out["revenue_c4"] = out["revenue_c4"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def q_asof_events(sf_dir: str):
+    """As-of join (no native Ray Data operator): each even-event_id
+    event matches the latest odd-event_id event of the SAME user at or
+    before its timestamp — one hash-bucketed co-group exchange, then a
+    vectorized per-bucket ``merge_asof`` (pipelines/relational.asof_join).
+    DuckDB twin is its native ASOF JOIN."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import asof_join
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+
+    def split(parity: int):
+        def fn(t: pa.Table) -> pa.Table:
+            keep = pc.equal(pc.bit_wise_and(t["event_id"], pa.scalar(1)), pa.scalar(parity))
+            t = t.filter(keep)
+            if parity == 0:
+                return t.select(["user_id", "ts", "event_id"])
+            cents = np.round(
+                t["value"].to_numpy(zero_copy_only=False) * 100
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "ts": t["ts"],
+                    "value_cents": pa.array(cents),
+                }
+            )
+
+        return fn
+
+    left = ev.map_batches(split(0), batch_format="pyarrow")
+    right = ev.map_batches(split(1), batch_format="pyarrow")
+    out = asof_join(
+        left,
+        right,
+        on="ts",
+        by="user_id",
+        right_values=["value_cents"],
+        direction="backward",
+        num_buckets=16,
+        inner=True,
+    )
+    out["event_id"] = out["event_id"].astype("int64")
+    out["matched_value_cents"] = out["matched_value_cents"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def q_cross_check_agreement(sf_dir: str):
     """Second-executor agreement: every enabled rule's SQL twin re-run
     in DuckDB over the same partition files must reproduce the engine's
@@ -857,6 +965,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows": q_session_windows,
         "cross_check_agreement": q_cross_check_agreement,
         "quality_filter": q_quality_filter,
+        "revenue_by_priority": q_revenue_by_priority,
+        "asof_events": q_asof_events,
     }
 
 
@@ -1087,6 +1197,32 @@ WITH f AS (
 SELECT doc_id FROM f
 WHERE n_words >= 40 AND mean_word_len >= 4.4 AND coalesce(punct_ratio, 0) <= 0.05
 ORDER BY doc_id
+""",
+        "revenue_by_priority": """
+WITH li AS (
+  SELECT l_orderkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_c4
+  FROM lineitem
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(rev_c4) AS BIGINT) AS revenue_c4
+FROM li JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+        "asof_events": """
+WITH ev AS (
+  SELECT event_id, ts, user_id,
+         CAST(round(value * 100) AS BIGINT) AS value_cents
+  FROM events
+),
+l AS (SELECT user_id, ts, event_id FROM ev WHERE event_id % 2 = 0),
+r AS (SELECT user_id, ts, value_cents FROM ev WHERE event_id % 2 = 1)
+SELECT l.user_id, l.ts, l.event_id,
+       r.ts AS matched_ts, r.value_cents AS matched_value_cents
+FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.user_id, l.ts
 """,
         "embedding_dups": """
 SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,

@@ -234,6 +234,256 @@ def hash_partitioned_anti_keys(
     return pa.table({left_key: rec["key"]})
 
 
+def hash_join(
+    left_ds,
+    right_ds,
+    *,
+    on: tuple[str, ...],
+    right_on: tuple[str, ...] | None = None,
+    join_type: str = "inner",
+    num_partitions: int = 32,
+):
+    """Distributed LARGE x LARGE equi-join: both sides hash-partition on
+    the key (one all-to-all exchange each) and matching partitions join
+    locally — Ray Data's native shuffle join (``Dataset.join``), wrapped
+    so callers state the partitioning decision explicitly.
+
+    Use :func:`broadcast_lookup_join` instead whenever ONE side fits in
+    the object store (no shuffle of the big side at all); this is the
+    tool for the fact ⋈ fact case where neither side can be broadcast
+    (reference's staging ⋈ staging reconciliation joins,
+    /root/reference/sql/initdb/mart_views.sql:62-95 at warehouse scale).
+    ``num_partitions`` sizes the exchange: at N nodes × C cores aim for
+    ~2-4 partitions per core so one straggler partition cannot dominate.
+    Shrink the exchanged bytes BEFORE calling (column-prune, pre-aggregate
+    to one row per key where semantics allow)."""
+    if join_type not in ("inner", "left_outer", "right_outer", "full_outer"):
+        raise ValueError(f"hash_join: unsupported join_type {join_type!r}")
+    return left_ds.join(
+        right_ds,
+        join_type=join_type,
+        num_partitions=num_partitions,
+        on=tuple(on),
+        right_on=tuple(right_on) if right_on is not None else None,
+    )
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    *,
+    on: str,
+    by: str,
+    right_on: str | None = None,
+    right_by: str | None = None,
+    right_values: list[str],
+    matched_prefix: str = "matched_",
+    direction: str = "backward",
+    tolerance: str | None = None,
+    right_tiebreak: str | None = None,
+    num_buckets: int = 64,
+    inner: bool = True,
+):
+    """As-of join: each LEFT row matches the RIGHT row of the same
+    ``by`` key with the greatest ``right_on`` <= left ``on``
+    (``direction="backward"``; ``"forward"`` mirrors). Ray Data has no
+    native as-of operator — composed here as the classic co-partitioned
+    merge join:
+
+      both sides project to (bucket = hash(by) % num_buckets, ...) and
+      meet in ONE hash-partitioned exchange (a tagged union co-group);
+      each bucket group then runs a vectorized ``pandas.merge_asof``
+      over its keys (sorted merge, no per-row Python).
+
+    Partitioning assumption (document per call site): every row of one
+    ``by`` key lands in one bucket, so a single key's full history must
+    fit one reducer — inherent to as-of semantics; raise ``num_buckets``
+    with cluster size to spread distinct keys. The RIGHT side is
+    deduplicated per (by, on): ties keep the row with the greatest
+    ``right_tiebreak`` (required for determinism when ties are
+    possible). ``tolerance``: a pandas timedelta string bounding the
+    match distance. ``inner=True`` drops unmatched left rows (keeps
+    output columns non-null, hash-stable types); ``inner=False`` keeps
+    them with null matched columns.
+
+    Returns a pandas DataFrame: left columns + ``matched_prefix + on``
+    + ``matched_prefix + v`` for each right value column, sorted by the
+    left columns. The OUTPUT is assumed small enough for the driver
+    (it is one row per matched left row — for a large result, adapt the
+    group fn into a ``write_parquet`` sink instead)."""
+    r_on = right_on or on
+    r_by = right_by or by
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
+    if right_tiebreak is not None and right_tiebreak not in right_values:
+        raise ValueError(
+            "asof_join: right_tiebreak must be one of right_values "
+            f"(got {right_tiebreak!r})"
+        )
+    tol = pd.to_timedelta(tolerance) if tolerance is not None else None
+    nb = np.int64(num_buckets)
+
+    def _pa_schema(ds) -> pa.Schema:
+        sch = ds.schema()
+        base = getattr(sch, "base_schema", sch)
+        if isinstance(base, pa.Schema):
+            return base
+        # PandasBlockSchema: parallel names/types
+        return pa.schema(
+            [
+                (n, t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(t))
+                for n, t in zip(base.names, base.types)
+            ]
+        )
+
+    lsch, rsch = _pa_schema(left_ds), _pa_schema(right_ds)
+    left_cols = list(lsch.names)
+    m_on = f"{matched_prefix}{on}"
+    m_vals = {v: f"{matched_prefix}{v}" for v in right_values}
+    out_cols = left_cols + [m_on] + list(m_vals.values())
+
+    # ONE target schema for both side projections so the tagged union is
+    # well-formed: left columns typed from the left, matched columns
+    # typed from the right (on/by cast to the LEFT's types so keys meet
+    # on one type).
+    union_fields = [(c, lsch.field(c).type) for c in left_cols]
+    union_fields += [("__b", pa.int32()), ("__side", pa.int8())]
+    union_fields += [(m_on, lsch.field(on).type)]
+    union_fields += [(mv, rsch.field(v).type) for v, mv in m_vals.items()]
+    union_schema = pa.schema(union_fields)
+
+    def _bucket(arr: pa.Array) -> pa.Array:
+        return pa.array((_key_hash(arr) % np.uint64(nb)).astype(np.int32))
+
+    def project_left(t: pa.Table) -> pa.Table:
+        # merge_asof rejects null merge keys: rows with a null on/by
+        # cannot match anything — drop them up front (they would be
+        # dropped by inner semantics anyway; for inner=False this means
+        # null-keyed left rows are NOT echoed through)
+        t = t.filter(
+            pc.and_(pc.is_valid(t[on]), pc.is_valid(t[by]))
+        )
+        k = t[by]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        n = t.num_rows
+        cols: dict[str, Any] = {c: t[c] for c in left_cols}
+        cols["__b"] = _bucket(k)
+        cols["__side"] = pa.array(np.zeros(n, dtype=np.int8))
+        cols[m_on] = pa.nulls(n, union_schema.field(m_on).type)
+        for v, mv in m_vals.items():
+            cols[mv] = pa.nulls(n, union_schema.field(mv).type)
+        return pa.table(cols, schema=union_schema)
+
+    def project_right(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t[r_on]), pc.is_valid(t[r_by]))
+        )
+        k = t[r_by]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        k = pc.cast(k, union_schema.field(by).type)
+        n = t.num_rows
+        cols = {}
+        for c in left_cols:
+            cols[c] = k if c == by else pa.nulls(n, union_schema.field(c).type)
+        cols["__b"] = _bucket(k)
+        cols["__side"] = pa.array(np.ones(n, dtype=np.int8))
+        cols[m_on] = pc.cast(
+            t[r_on].combine_chunks()
+            if isinstance(t[r_on], pa.ChunkedArray)
+            else t[r_on],
+            union_schema.field(m_on).type,
+        )
+        for v, mv in m_vals.items():
+            cols[mv] = t[v]
+        return pa.table(cols, schema=union_schema)
+
+    lp = left_ds.map_batches(project_left, batch_format="pyarrow")
+    rp = right_ds.map_batches(project_right, batch_format="pyarrow")
+
+    # pandas dtypes to restore after the arrow->pandas null upcast
+    # (int columns become float64 once the other side's null rows join
+    # the same block); restore is skipped where nulls remain.
+    restore = {
+        c: t.to_pandas_dtype()
+        for c, t in zip(union_schema.names, union_schema.types)
+        if pa.types.is_integer(t)
+    }
+
+    def _restore(df: pd.DataFrame) -> pd.DataFrame:
+        for c, dt in restore.items():
+            if c in df.columns and df[c].dtype != dt and df[c].notna().all():
+                df[c] = df[c].astype(dt)
+        return df
+
+    rcols = [by, m_on] + list(m_vals.values())
+
+    def _empty_out() -> pd.DataFrame:
+        cols = {}
+        for c in out_cols:
+            t = union_schema.field(c).type
+            try:
+                dt = np.dtype(t.to_pandas_dtype())
+            except (TypeError, NotImplementedError):
+                dt = np.dtype("object")
+            cols[c] = pd.Series(dtype=dt)
+        return pd.DataFrame(cols)
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        empty = _empty_out()
+        left = g.loc[g["__side"] == 0, left_cols].copy()
+        if left.empty:
+            return empty
+        right = g.loc[g["__side"] == 1, rcols].copy()
+        if right.empty:
+            if inner:
+                return empty
+            # all-left group: arrow->pandas may have left the null
+            # matched columns as object dtype, which merge_asof cannot
+            # sort — emit the nulls directly
+            out = left.copy()
+            out[m_on] = (
+                pd.NaT
+                if pa.types.is_temporal(union_schema.field(m_on).type)
+                else np.nan
+            )
+            for mv in m_vals.values():
+                out[mv] = np.nan
+            return out[out_cols]
+        left, right = _restore(left), _restore(right)
+        if right_tiebreak is not None and not right.empty:
+            tb = m_vals[right_tiebreak]
+            right = right.sort_values(
+                [by, m_on, tb], kind="mergesort"
+            ).drop_duplicates([by, m_on], keep="last")
+        out = pd.merge_asof(
+            left.sort_values(on, kind="mergesort"),
+            right.sort_values(m_on, kind="mergesort"),
+            left_on=on,
+            right_on=m_on,
+            by=by,
+            direction=direction,
+            tolerance=tol,
+        )
+        if inner:
+            out = out[out[m_on].notna()]
+        return out[out_cols] if len(out) else empty
+
+    parts = [
+        b if isinstance(b, pd.DataFrame) else b.to_pandas()
+        for b in lp.union(rp)
+        .groupby("__b")
+        .map_groups(join_group, batch_format="pandas")
+        .iter_batches(batch_format="pandas", batch_size=2**20)
+    ]
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return pd.DataFrame(columns=out_cols)
+    out = _restore(pd.concat(parts, ignore_index=True))
+    return out.sort_values(left_cols, kind="mergesort").reset_index(drop=True)
+
+
 def latest_per_key(ds, key: str, order_cols: list[str]):
     """One row per key: the row with the greatest ``order_cols`` tuple
     (the reference's latest-payload-per-entity ORDER BY id DESC LIMIT 1,

@@ -820,3 +820,163 @@ def test_aggregate_runs_summary_stats(ray_session, tmp_path):
     assert inv.runs == 2 and inv.rows_failed_mean > 0
     assert inv.duration_ms_mean > 0  # per-check durations recorded
     assert aggregate_runs([]).empty
+
+
+def test_hash_join_matches_pandas(ray_session):
+    """Distributed hash-shuffle join (large×large shape) against a
+    pandas merge oracle, including unmatched keys on both sides."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import hash_join
+
+    rng = np.random.Generator(np.random.Philox(key=[11, 3]))
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 50, 800).astype(np.int64),
+            "lv": np.arange(800, dtype=np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rk": np.arange(5, 45, dtype=np.int64),  # keys 0-4 and 45-49 unmatched
+            "rv": np.arange(40, dtype=np.int64) * 10,
+        }
+    )
+    got = (
+        hash_join(
+            rd.from_pandas(left).repartition(6),
+            rd.from_pandas(right).repartition(3),
+            on=("k",),
+            right_on=("rk",),
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, left_on="k", right_on="rk")
+        .sort_values(["k", "lv"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["k", "lv", "rv"]], want[["k", "lv", "rv"]]
+    )
+    with pytest.raises(ValueError):
+        hash_join(rd.from_pandas(left), rd.from_pandas(right), on=("k",), join_type="cross")
+
+
+def _asof_oracle(left, right, on, by, vals, direction, tolerance=None, inner=True):
+    out = pd.merge_asof(
+        left.sort_values(on, kind="mergesort"),
+        right.sort_values(on, kind="mergesort").rename(
+            columns={on: f"matched_{on}", **{v: f"matched_{v}" for v in vals}}
+        ),
+        left_on=on,
+        right_on=f"matched_{on}",
+        by=by,
+        direction=direction,
+        tolerance=pd.to_timedelta(tolerance) if tolerance else None,
+    )
+    if inner:
+        out = out[out[f"matched_{on}"].notna()]
+    return out.sort_values(list(left.columns), kind="mergesort").reset_index(drop=True)
+
+
+def test_asof_join_matches_merge_asof(ray_session):
+    """Hash-bucketed distributed as-of join == single-node merge_asof,
+    across directions, inner/outer, tolerance, and keys missing on one
+    side."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import asof_join
+
+    rng = np.random.Generator(np.random.Philox(key=[5, 9]))
+    nl, nr = 600, 400
+    base = pd.Timestamp("2026-02-01")
+    left = pd.DataFrame(
+        {
+            "uid": rng.integers(0, 25, nl).astype(np.int64),  # uids 20-24 absent right
+            "ts": base + pd.to_timedelta(rng.integers(0, 86_400, nl), unit="s"),
+            "lseq": np.arange(nl, dtype=np.int64),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "uid": rng.integers(0, 20, nr).astype(np.int64),
+            "ts": base + pd.to_timedelta(rng.integers(0, 86_400, nr), unit="s"),
+            "rv": rng.integers(0, 1000, nr).astype(np.int64),
+        }
+    ).drop_duplicates(["uid", "ts"])
+
+    for direction in ("backward", "forward"):
+        for inner in (True, False):
+            got = asof_join(
+                rd.from_pandas(left).repartition(5),
+                rd.from_pandas(right).repartition(4),
+                on="ts",
+                by="uid",
+                right_values=["rv"],
+                direction=direction,
+                num_buckets=7,
+                inner=inner,
+            ).reset_index(drop=True)
+            want = _asof_oracle(left, right, "ts", "uid", ["rv"], direction, inner=inner)
+            assert len(got) == len(want), (direction, inner)
+            pd.testing.assert_frame_equal(
+                got[["uid", "ts", "lseq", "matched_ts"]],
+                want[["uid", "ts", "lseq", "matched_ts"]],
+                check_dtype=False,
+            )
+            # value column: nullable when inner=False
+            pd.testing.assert_series_equal(
+                got["matched_rv"].astype("float64"),
+                want["matched_rv"].astype("float64"),
+                check_names=False,
+            )
+
+    # tolerance bounds the match distance
+    got = asof_join(
+        rd.from_pandas(left).repartition(3),
+        rd.from_pandas(right).repartition(2),
+        on="ts",
+        by="uid",
+        right_values=["rv"],
+        tolerance="30m",
+        num_buckets=4,
+    ).reset_index(drop=True)
+    want = _asof_oracle(left, right, "ts", "uid", ["rv"], "backward", tolerance="30m")
+    assert len(got) == len(want)
+    assert (got.ts - got.matched_ts <= pd.Timedelta("30m")).all()
+
+
+def test_asof_join_tiebreak_dedups_right(ray_session):
+    """Duplicate (by, on) right rows resolve by greatest tiebreak."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import asof_join
+
+    t0 = pd.Timestamp("2026-03-01")
+    left = pd.DataFrame({"k": [1, 1], "ts": [t0 + pd.Timedelta("2h"), t0 + pd.Timedelta("4h")]})
+    right = pd.DataFrame(
+        {
+            "k": [1, 1, 1],
+            "ts": [t0, t0, t0 + pd.Timedelta("3h")],
+            "rv": np.array([5, 9, 7], dtype=np.int64),
+        }
+    )
+    got = asof_join(
+        rd.from_pandas(left),
+        rd.from_pandas(right),
+        on="ts",
+        by="k",
+        right_values=["rv"],
+        right_tiebreak="rv",
+        num_buckets=2,
+    )
+    assert got.matched_rv.tolist() == [9, 7]
+    with pytest.raises(ValueError):
+        asof_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            on="ts", by="k", right_values=["rv"], right_tiebreak="nope",
+        )
