@@ -911,6 +911,22 @@ def q_asof_events(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def q_heavy_users(sf_dir: str):
+    """Heavy hitters — users contributing ≥ 0.75% of all events, EXACT
+    via the two-pass Misra-Gries → confirm operator (no row-level
+    shuffle; the naive twin is a full GROUP BY ... HAVING)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.sketches import heavy_hitters
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
+    out = heavy_hitters(ev, "user_id", support=0.0075)
+    out = out.rename(columns={"key": "user_id", "count": "n_events"})
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def q_cross_check_agreement(sf_dir: str):
     """Second-executor agreement: every enabled rule's SQL twin re-run
     in DuckDB over the same partition files must reproduce the engine's
@@ -967,6 +983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": q_quality_filter,
         "revenue_by_priority": q_revenue_by_priority,
         "asof_events": q_asof_events,
+        "heavy_users": q_heavy_users,
     }
 
 
@@ -1210,6 +1227,13 @@ SELECT o_orderpriority,
        CAST(sum(rev_c4) AS BIGINT) AS revenue_c4
 FROM li JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+        "heavy_users": """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+HAVING count(*) >= CAST(ceil(0.0075 * (SELECT count(*) FROM events)) AS BIGINT)
+ORDER BY user_id
 """,
         "asof_events": """
 WITH ev AS (

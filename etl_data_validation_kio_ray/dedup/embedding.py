@@ -17,6 +17,7 @@ import pandas as pd
 import pyarrow as pa
 
 
+from ..core.resources import clamp_actor_concurrency
 from ..functions.vectors import batch_vectors as _vectors
 
 
@@ -119,7 +120,7 @@ def embedding_dup_pairs(
             ),
             batch_format="pyarrow",
             zero_copy_batch=True,
-            concurrency=concurrency,
+            concurrency=clamp_actor_concurrency(concurrency),
         )
 
     def mixed_key(t: pa.Table) -> pa.Array:

@@ -14,6 +14,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from ..core.resources import clamp_actor_concurrency
 import pyarrow.compute as pc
 
 from ..functions.hashing import band_keys, hash_string_array, minhash_signatures
@@ -100,7 +102,7 @@ def add_minhash_bands(ds, text_col="text", id_col="doc_id", *, num_perm=128, ban
             fn_constructor_kwargs=hasher_kwargs,
             batch_format="pyarrow",
             zero_copy_batch=True,
-            concurrency=concurrency,
+            concurrency=clamp_actor_concurrency(concurrency),
         )
     return ds.map_batches(
         MinHasher(**hasher_kwargs), batch_format="pyarrow", zero_copy_batch=True

@@ -18,6 +18,7 @@ import pandas as pd
 import pyarrow as pa
 
 
+from ..core.resources import clamp_actor_concurrency
 from ..functions.vectors import batch_vectors as _vectors
 
 
@@ -72,7 +73,7 @@ def brute_force_topk(
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=concurrency,
+        concurrency=clamp_actor_concurrency(concurrency),
     ).to_pandas()
     return _merge_topk(partials, id_col, k)
 
@@ -161,6 +162,6 @@ def ivf_topk(
         CellScorer,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=concurrency,
+        concurrency=clamp_actor_concurrency(concurrency),
     ).to_pandas()
     return _merge_topk(partials, id_col, k)

@@ -326,3 +326,23 @@ def test_exact_dedup_no_materialize_equivalent(docs_ds):
     a = sorted(dedup_exact(ds, ["text"]).to_pandas().doc_id)
     b = sorted(dedup_exact(ds, ["text"], materialize=False).to_pandas().doc_id)
     assert a == b and len(a) == 39
+
+
+def test_ivf_fullprobe_equals_bruteforce(ray_session):
+    """Probing ALL cells makes IVF exact: must equal brute-force top-k
+    rank-for-rank (verifies the probe/merge machinery end to end)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.Generator(np.random.Philox(key=[21, 4]))
+    n, d = 600, 16
+    V = rng.normal(size=(n, d)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64), "embedding": list(V)})
+    ds = rd.from_pandas(df).repartition(6)
+    Q = V[:4]
+    bf = brute_force_topk(ds, Q, k=8, dtype=np.float32)
+    ivf = ivf_topk(ds, Q, k=8, n_cells=6, n_probe=6, concurrency=2)
+    a = bf.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = ivf.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a[["query_id", "rank", "vec_id"]].equals(b[["query_id", "rank", "vec_id"]])

@@ -255,3 +255,17 @@ def test_shingle_stats_vectorized_exact():
         assert shingle_stats(t, k=3)["n_shingles"].to_pylist() == oracle(texts, 3)
     finally:
         textmod._RADIX_LIMIT = old
+
+
+def test_clamp_actor_concurrency(ray_session):
+    """An actor pool must never claim every cluster CPU (observed
+    wedge: pool == num_cpus starves the upstream repartition)."""
+    import ray
+
+    from etl_data_validation_kio_ray.core.resources import clamp_actor_concurrency
+
+    total = int(ray.cluster_resources()["CPU"])
+    assert clamp_actor_concurrency(total) == total - 1
+    assert clamp_actor_concurrency(total + 10) == total - 1
+    assert clamp_actor_concurrency(2) == 2
+    assert clamp_actor_concurrency(0) == 1

@@ -1,6 +1,7 @@
 """Sketch unit tests — determinism, mergeability, accuracy."""
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from etl_data_validation_kio_ray.sketches import (
@@ -85,3 +86,50 @@ def test_serialization_roundtrip():
     assert np.array_equal(HyperLogLog.from_state(hll.to_state()).registers, hll.registers)
     td = TDigest().update(rng.normal(0, 1, 100))
     assert TDigest.from_state(td.to_state()).quantile(0.5) == td.quantile(0.5)
+
+
+def test_heavy_hitters_exact_on_zipf(ray_session):
+    """Two-pass MG heavy hitters == full value_counts HAVING, with key
+    cardinality far above the counter budget k."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.sketches import heavy_hitters
+
+    rng = np.random.Generator(np.random.Philox(key=[3, 7]))
+    v = rng.zipf(1.3, 100_000).astype(np.int64)
+    df = pd.DataFrame({"x": v})
+    ds = rd.from_pandas(df).repartition(12)
+    got = heavy_hitters(ds, "x", support=0.005, k=820)
+    vc = df.x.value_counts()
+    want = vc[vc >= int(np.ceil(0.005 * len(df)))].sort_index()
+    assert df.x.nunique() > 820  # candidate budget genuinely exceeded
+    assert got["key"].tolist() == want.index.tolist()
+    assert got["count"].tolist() == want.values.tolist()
+
+    # absolute threshold + list column flattening
+    lists = pd.DataFrame({"toks": [v[i : i + 50].tolist() for i in range(0, 5000, 50)]})
+    lds = rd.from_pandas(lists).repartition(4)
+    flat = np.concatenate(lists.toks.to_numpy())
+    vc2 = pd.Series(flat).value_counts()
+    got2 = heavy_hitters(lds, "toks", threshold_count=100, k=512, list_col=True)
+    want2 = vc2[vc2 >= 100].sort_index()
+    assert got2["key"].tolist() == want2.index.tolist()
+    assert got2["count"].tolist() == want2.values.tolist()
+
+
+def test_heavy_hitters_guarantee_is_loud(ray_session):
+    """A threshold inside the MG error bound must refuse, not silently
+    under-report; and an unmeetable threshold returns empty, not junk."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.sketches import heavy_hitters
+
+    ds = rd.from_pandas(
+        pd.DataFrame({"x": np.arange(10_000, dtype=np.int64) % 5000})
+    ).repartition(4)
+    with pytest.raises(ValueError, match="error bound"):
+        heavy_hitters(ds, "x", support=0.00001, k=8)
+    with pytest.raises(ValueError, match="exactly one"):
+        heavy_hitters(ds, "x")
+    out = heavy_hitters(ds, "x", threshold_count=9999, k=64)
+    assert out.empty
