@@ -911,6 +911,62 @@ def q_asof_events(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def q_events_in_windows(sf_dir: str):
+    """Range (interval) join: events against OVERLAPPING 3-hour windows
+    on a 2-hour cadence (each event lands in 1-2 windows) — the
+    inequality-join shape Ray Data lacks, via the broadcast
+    bounded-length interval probe. Window set derives from the event
+    span (distributed min/max partials, no driver column scan)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        grouped_agg,
+        interval_join,
+    )
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"])
+
+    def minmax(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"mn": [pc.min(t["ts"]).as_py()], "mx": [pc.max(t["ts"]).as_py()]}
+        )
+
+    mm = ev.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    t0 = pd.Timestamp(mm["mn"].min()).floor("D")
+    tmax = pd.Timestamp(mm["mx"].max())
+    step, width = pd.Timedelta("2h"), pd.Timedelta("3h")
+    n_win = int((tmax - t0) // step) + 1
+    win = pd.DataFrame(
+        {
+            "window_id": np.arange(n_win, dtype=np.int64),
+            "ws": t0 + step * np.arange(n_win),
+        }
+    )
+    win["we"] = win["ws"] + width
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.round(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({"ts": t["ts"], "value_cents": pa.array(v)})
+
+    joined = interval_join(
+        ev.map_batches(cents, batch_format="pyarrow"),
+        win,
+        ts_col="ts",
+        start_col="ws",
+        end_col="we",
+        payload_cols=["window_id"],
+    )
+    out = grouped_agg(
+        joined,
+        ["window_id"],
+        {"n_events": ("value_cents", "count"), "value_cents": ("value_cents", "sum")},
+    )
+    out["window_id"] = out["window_id"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    out["value_cents"] = out["value_cents"].astype("int64")
+    return out.sort_values("window_id").reset_index(drop=True)
+
+
 def q_heavy_users(sf_dir: str):
     """Heavy hitters — users contributing ≥ 0.75% of all events, EXACT
     via the two-pass Misra-Gries → confirm operator (no row-level
@@ -984,6 +1040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_priority": q_revenue_by_priority,
         "asof_events": q_asof_events,
         "heavy_users": q_heavy_users,
+        "events_in_windows": q_events_in_windows,
     }
 
 
@@ -1227,6 +1284,23 @@ SELECT o_orderpriority,
        CAST(sum(rev_c4) AS BIGINT) AS revenue_c4
 FROM li JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+        "events_in_windows": """
+WITH b AS (SELECT date_trunc('day', min(ts)) AS t0, max(ts) AS tmax FROM events),
+w AS (
+  SELECT CAST(i AS BIGINT) AS window_id,
+         t0 + i * INTERVAL 2 HOUR AS ws,
+         t0 + i * INTERVAL 2 HOUR + INTERVAL 3 HOUR AS we
+  FROM b, generate_series(0, 100000) s(i)
+  WHERE t0 + i * INTERVAL 2 HOUR <= tmax
+),
+j AS (
+  SELECT w.window_id, CAST(round(e.value * 100) AS BIGINT) AS value_cents
+  FROM events e JOIN w ON e.ts >= w.ws AND e.ts < w.we
+)
+SELECT window_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(value_cents) AS BIGINT) AS value_cents
+FROM j GROUP BY window_id ORDER BY window_id
 """,
         "heavy_users": """
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_events

@@ -8,6 +8,7 @@ from .relational import (
     grouped_agg,
     hash_join,
     hash_partitioned_anti_keys,
+    interval_join,
     key_set_reconcile,
     latest_per_key,
     session_window_agg,
@@ -25,6 +26,7 @@ __all__ = [
     "grouped_agg",
     "hash_join",
     "hash_partitioned_anti_keys",
+    "interval_join",
     "key_set_reconcile",
     "latest_per_key",
     "session_window_agg",

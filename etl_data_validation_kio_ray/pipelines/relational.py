@@ -484,6 +484,93 @@ def asof_join(
     return out.sort_values(left_cols, kind="mergesort").reset_index(drop=True)
 
 
+def interval_join(
+    points_ds,
+    intervals,
+    *,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    payload_cols: list[str],
+    closed: str = "left",
+):
+    """Range (interval) join: each point row matches EVERY interval row
+    with ``start <= ts < end`` (``closed="left"``; ``"both"`` makes the
+    end inclusive). One output row per (point, interval) pair, inner.
+
+    Ray Data has no native inequality join. The broadcast form here
+    covers the overwhelmingly common case — the interval side (windows,
+    maintenance periods, campaign ranges) is small; it is ``ray.put``
+    once and probed per batch with the bounded-length trick:
+
+      intervals sorted by start; for point t the candidate set is
+      intervals with start in (t − max_len, t], found with two
+      ``searchsorted`` calls; candidates expand vectorized
+      (``repeat``/``arange``) and are filtered on the end bound.
+      Per-batch cost O(n·c̄) where c̄ = mean candidates per point.
+
+    Partitioning assumption (document per call site): cost is driven by
+    the LONGEST interval — one giant interval makes every point a
+    candidate of it (c̄ grows by 1, harmless) but also widens the
+    search window to max_len for everyone, pulling unrelated intervals
+    into the candidate scan. For a LARGE interval side, pre-bucket both
+    sides on a coarse time grid (the :func:`asof_join` exchange shape)
+    instead of broadcasting.
+
+    ``intervals`` is a pyarrow Table or pandas DataFrame. Returns a
+    lazy Dataset: point columns + the named interval payload columns.
+    """
+    import ray
+
+    if closed not in ("left", "both"):
+        raise ValueError(f"interval_join: closed must be 'left'|'both', got {closed!r}")
+    it = pa.table(dict(intervals)) if isinstance(intervals, pd.DataFrame) else intervals
+    idf = it.to_pandas().sort_values(start_col, kind="mergesort").reset_index(drop=True)
+    if len(idf) and (idf[end_col] < idf[start_col]).any():
+        raise ValueError("interval_join: interval with end < start")
+    starts = idf[start_col].to_numpy()
+    ends = idf[end_col].to_numpy()
+    max_len = (ends - starts).max() if len(idf) else None
+    payload = {c: idf[c].to_numpy() for c in payload_cols}
+    ref = ray.put((starts, ends, max_len, payload))
+
+    def probe(t: pa.Table) -> pa.Table:
+        s, e, ml, pl = ray.get(ref)
+        ts = t[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        tv = ts.to_numpy(zero_copy_only=False)
+        n = len(tv)
+        if n == 0 or len(s) == 0:
+            cols = {c: t[c].slice(0, 0) for c in t.column_names}
+            for c, arr in pl.items():
+                cols[c] = pa.array(arr[:0])
+            return pa.table(cols)
+        # candidates: start in [ts - max_len, ts] (start bound is
+        # inclusive in both modes)
+        hi = np.searchsorted(s, tv, side="right")
+        lo = np.searchsorted(s, tv - ml, side="left")
+        counts = hi - lo
+        tot = int(counts.sum())
+        pt_idx = np.repeat(np.arange(n), counts)
+        # vectorized ragged-range expansion: position within each
+        # point's candidate run + that run's lo
+        run_start = np.repeat(np.cumsum(counts) - counts, counts)
+        iv_idx = np.arange(tot, dtype=np.int64) - run_start + np.repeat(lo, counts)
+        if closed == "both":
+            keep = tv[pt_idx] <= e[iv_idx]
+        else:
+            keep = tv[pt_idx] < e[iv_idx]
+        pt_idx, iv_idx = pt_idx[keep], iv_idx[keep]
+        out = t.take(pa.array(pt_idx))
+        cols = {c: out[c] for c in out.column_names}
+        for c, arr in pl.items():
+            cols[c] = pa.array(arr[iv_idx])
+        return pa.table(cols)
+
+    return points_ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def latest_per_key(ds, key: str, order_cols: list[str]):
     """One row per key: the row with the greatest ``order_cols`` tuple
     (the reference's latest-payload-per-entity ORDER BY id DESC LIMIT 1,

@@ -980,3 +980,75 @@ def test_asof_join_tiebreak_dedups_right(ray_session):
             rd.from_pandas(left), rd.from_pandas(right),
             on="ts", by="k", right_values=["rv"], right_tiebreak="nope",
         )
+
+
+def test_interval_join_matches_bruteforce(ray_session):
+    """Broadcast bounded-length interval join == O(n·m) pandas oracle,
+    incl. overlapping windows, a giant interval, exact-boundary points,
+    and both closedness modes."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import interval_join
+
+    rng = np.random.Generator(np.random.Philox(key=[2, 13]))
+    t0 = pd.Timestamp("2026-04-01")
+    pts = pd.DataFrame(
+        {
+            "ts": t0 + pd.to_timedelta(rng.integers(0, 72 * 3600, 500), unit="s"),
+            "pid": np.arange(500, dtype=np.int64),
+        }
+    )
+    # exact boundary probes
+    pts.loc[0, "ts"] = t0  # == first interval start
+    pts.loc[1, "ts"] = t0 + pd.Timedelta("3h")  # == first interval end
+    iv = pd.DataFrame(
+        {
+            "ws": t0 + pd.to_timedelta(np.arange(0, 72, 2), unit="h"),
+            "iid": np.arange(36, dtype=np.int64),
+        }
+    )
+    iv["we"] = iv["ws"] + pd.Timedelta("3h")
+    # giant interval spanning everything (max_len widener)
+    iv = pd.concat(
+        [iv, pd.DataFrame({"ws": [t0], "iid": [999], "we": [t0 + pd.Timedelta("10D")]})],
+        ignore_index=True,
+    )
+
+    for closed in ("left", "both"):
+        got = (
+            interval_join(
+                rd.from_pandas(pts).repartition(5),
+                iv,
+                ts_col="ts",
+                start_col="ws",
+                end_col="we",
+                payload_cols=["iid"],
+                closed=closed,
+            )
+            .to_pandas()
+            .sort_values(["pid", "iid"])
+            .reset_index(drop=True)
+        )
+        cross = pts.merge(iv, how="cross")
+        m = (cross.ts >= cross.ws) & (
+            (cross.ts <= cross.we) if closed == "both" else (cross.ts < cross.we)
+        )
+        want = cross[m].sort_values(["pid", "iid"]).reset_index(drop=True)
+        assert len(got) == len(want), closed
+        assert got["pid"].tolist() == want["pid"].tolist()
+        assert got["iid"].tolist() == want["iid"].tolist()
+
+    with pytest.raises(ValueError, match="end < start"):
+        bad = iv.copy()
+        bad.loc[0, "we"] = bad.loc[0, "ws"] - pd.Timedelta("1h")
+        interval_join(
+            rd.from_pandas(pts), bad,
+            ts_col="ts", start_col="ws", end_col="we", payload_cols=["iid"],
+        )
+    # empty interval side -> empty result (Ray may drop the schema
+    # with the empty blocks; row count is the contract)
+    out = interval_join(
+        rd.from_pandas(pts), iv.iloc[:0],
+        ts_col="ts", start_col="ws", end_col="we", payload_cols=["iid"],
+    ).to_pandas()
+    assert out.empty
