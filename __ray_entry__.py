@@ -824,18 +824,18 @@ def q_revenue_by_priority(sf_dir: str):
     )
 
     def pre(t: pa.Table) -> pa.Table:
+        from etl_data_validation_kio_ray.functions.grouping import group_reduce
+
         ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
         e = np.round(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100)
         d = np.round(t["l_discount"].to_numpy(zero_copy_only=False) * 100)
         rev = e.astype(np.int64) * (100 - d.astype(np.int64))
-        order = np.argsort(ok, kind="stable")
-        ok_s, rev_s = ok[order], rev[order]
-        starts = np.flatnonzero(np.r_[True, ok_s[1:] != ok_s[:-1]])
+        keys, rev_sum, n_items = group_reduce(ok, rev, return_counts=True)
         return pa.table(
             {
-                "l_orderkey": pa.array(ok_s[starts]),
-                "rev_c4": pa.array(np.add.reduceat(rev_s, starts)),
-                "n_items": pa.array(np.diff(np.r_[starts, len(ok_s)]).astype(np.int64)),
+                "l_orderkey": pa.array(keys),
+                "rev_c4": pa.array(rev_sum),
+                "n_items": pa.array(n_items),
             }
         )
 
@@ -905,10 +905,13 @@ def q_asof_events(sf_dir: str):
         direction="backward",
         num_buckets=16,
         inner=True,
+        # deterministic on (user_id, ts) ties in the right stream: keep
+        # the max value_cents (mirrored by max() in the SQL twin)
+        right_tiebreak="value_cents",
     )
     out["event_id"] = out["event_id"].astype("int64")
     out["matched_value_cents"] = out["matched_value_cents"].astype("int64")
-    return out.reset_index(drop=True)
+    return out.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
 
 
 def q_events_in_windows(sf_dir: str):
@@ -1316,11 +1319,19 @@ WITH ev AS (
   FROM events
 ),
 l AS (SELECT user_id, ts, event_id FROM ev WHERE event_id % 2 = 0),
-r AS (SELECT user_id, ts, value_cents FROM ev WHERE event_id % 2 = 1)
-SELECT l.user_id, l.ts, l.event_id,
-       r.ts AS matched_ts, r.value_cents AS matched_value_cents
-FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
-ORDER BY l.user_id, l.ts
+r AS (SELECT user_id, ts, value_cents FROM ev WHERE event_id % 2 = 1),
+-- ASOF JOIN picks the matched ts deterministically (max r.ts <= l.ts)
+-- but an ARBITRARY row among right rows tied on (user_id, ts); resolve
+-- the tie exactly like the Ray side's right_tiebreak: max(value_cents)
+pairs AS (
+  SELECT l.user_id, l.ts, l.event_id, r.ts AS matched_ts
+  FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+)
+SELECT p.user_id, p.ts, p.event_id, p.matched_ts,
+       max(r.value_cents) AS matched_value_cents
+FROM pairs p JOIN r ON r.user_id = p.user_id AND r.ts = p.matched_ts
+GROUP BY p.user_id, p.ts, p.event_id, p.matched_ts
+ORDER BY p.user_id, p.ts, p.event_id
 """,
         "embedding_dups": """
 SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,

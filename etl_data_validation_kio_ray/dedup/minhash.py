@@ -18,6 +18,7 @@ import pyarrow as pa
 from ..core.resources import clamp_actor_concurrency
 import pyarrow.compute as pc
 
+from ..functions.grouping import run_starts
 from ..functions.hashing import band_keys, hash_string_array, minhash_signatures
 from .scan import MAX_CANDIDATE_ROWS, gather_candidate_rows, gather_rows_by_id
 
@@ -146,7 +147,7 @@ def bucket_pairs_vectorized(
     n = len(bks)
     if n == 0:
         return pd.DataFrame({"id_a": [], "id_b": []}), 0
-    starts = np.flatnonzero(np.r_[True, bks[1:] != bks[:-1]])
+    starts = run_starts(bks)
     sizes = np.diff(np.r_[starts, n])
     truncated = int((sizes > max_bucket).sum())
     sizes = np.minimum(sizes, max_bucket)

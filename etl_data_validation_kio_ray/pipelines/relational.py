@@ -328,13 +328,18 @@ def asof_join(
         base = getattr(sch, "base_schema", sch)
         if isinstance(base, pa.Schema):
             return base
-        # PandasBlockSchema: parallel names/types
-        return pa.schema(
-            [
-                (n, t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(t))
-                for n, t in zip(base.names, base.types)
-            ]
-        )
+        # PandasBlockSchema: parallel names/types. pandas stores string
+        # columns as object dtype, which pa.from_numpy_dtype rejects —
+        # map it to pa.string() (the only object payload our tables
+        # carry across pandas blocks).
+        def to_pa(t):
+            if isinstance(t, pa.DataType):
+                return t
+            if np.dtype(t) == np.dtype("O"):
+                return pa.string()
+            return pa.from_numpy_dtype(t)
+
+        return pa.schema([(n, to_pa(t)) for n, t in zip(base.names, base.types)])
 
     lsch, rsch = _pa_schema(left_ds), _pa_schema(right_ds)
     left_cols = list(lsch.names)
@@ -443,13 +448,17 @@ def asof_join(
             # matched columns as object dtype, which merge_asof cannot
             # sort — emit the nulls directly
             out = left.copy()
-            out[m_on] = (
-                pd.NaT
-                if pa.types.is_temporal(union_schema.field(m_on).type)
-                else np.nan
-            )
+
+            def null_for(col: str):
+                return (
+                    pd.NaT
+                    if pa.types.is_temporal(union_schema.field(col).type)
+                    else np.nan
+                )
+
+            out[m_on] = null_for(m_on)
             for mv in m_vals.values():
-                out[mv] = np.nan
+                out[mv] = null_for(mv)
             return out[out_cols]
         left, right = _restore(left), _restore(right)
         if right_tiebreak is not None and not right.empty:
@@ -467,7 +476,9 @@ def asof_join(
             tolerance=tol,
         )
         if inner:
-            out = out[out[m_on].notna()]
+            # dropping the NaN-matched rows lets the int64 restore fire
+            # again — keeps per-block dtypes consistent across groups
+            out = _restore(out[out[m_on].notna()].copy())
         return out[out_cols] if len(out) else empty
 
     parts = [
@@ -524,18 +535,27 @@ def interval_join(
 
     if closed not in ("left", "both"):
         raise ValueError(f"interval_join: closed must be 'left'|'both', got {closed!r}")
-    it = pa.table(dict(intervals)) if isinstance(intervals, pd.DataFrame) else intervals
-    idf = it.to_pandas().sort_values(start_col, kind="mergesort").reset_index(drop=True)
+    idf = (
+        (intervals if isinstance(intervals, pd.DataFrame) else intervals.to_pandas())
+        .sort_values(start_col, kind="mergesort")
+        .reset_index(drop=True)
+    )
     if len(idf) and (idf[end_col] < idf[start_col]).any():
         raise ValueError("interval_join: interval with end < start")
     starts = idf[start_col].to_numpy()
     ends = idf[end_col].to_numpy()
     max_len = (ends - starts).max() if len(idf) else None
-    payload = {c: idf[c].to_numpy() for c in payload_cols}
-    ref = ray.put((starts, ends, max_len, payload))
+    # Arrow-typed payload columns so every emitted block (including
+    # empty ones) carries the SAME schema — inferring from an empty
+    # object array would yield null-typed columns and mixed block
+    # schemas downstream.
+    pa_payload = {c: pa.array(idf[c]) for c in payload_cols}
+    payload = {c: a.to_numpy(zero_copy_only=False) for c, a in pa_payload.items()}
+    ptypes = {c: a.type for c, a in pa_payload.items()}
+    ref = ray.put((starts, ends, max_len, payload, ptypes))
 
     def probe(t: pa.Table) -> pa.Table:
-        s, e, ml, pl = ray.get(ref)
+        s, e, ml, pl, pt = ray.get(ref)
         ts = t[ts_col]
         if isinstance(ts, pa.ChunkedArray):
             ts = ts.combine_chunks()
@@ -543,8 +563,8 @@ def interval_join(
         n = len(tv)
         if n == 0 or len(s) == 0:
             cols = {c: t[c].slice(0, 0) for c in t.column_names}
-            for c, arr in pl.items():
-                cols[c] = pa.array(arr[:0])
+            for c in pl:
+                cols[c] = pa.array([], type=pt[c])
             return pa.table(cols)
         # candidates: start in [ts - max_len, ts] (start bound is
         # inclusive in both modes)
@@ -565,7 +585,7 @@ def interval_join(
         out = t.take(pa.array(pt_idx))
         cols = {c: out[c] for c in out.column_names}
         for c, arr in pl.items():
-            cols[c] = pa.array(arr[iv_idx])
+            cols[c] = pa.array(arr[iv_idx], type=pt[c])
         return pa.table(cols)
 
     return points_ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)

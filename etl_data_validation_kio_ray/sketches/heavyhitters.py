@@ -34,20 +34,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-
-def _group_counts(keys: np.ndarray, weights: np.ndarray | None = None):
-    """Sorted distinct keys + summed weights (np.unique is pathologically
-    slow on this host for large int64 — see stages/uniqueness.dup_values)."""
-    if len(keys) == 0:
-        return keys, np.zeros(0, dtype=np.int64)
-    order = np.argsort(keys, kind="stable")
-    ks = keys[order]
-    starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
-    if weights is None:
-        cnt = np.diff(np.r_[starts, len(ks)]).astype(np.int64)
-    else:
-        cnt = np.add.reduceat(weights[order].astype(np.int64), starts)
-    return ks[starts], cnt
+from etl_data_validation_kio_ray.functions.grouping import group_reduce as _group_counts
 
 
 def mg_summary(keys: np.ndarray, k: int, weights: np.ndarray | None = None):

@@ -1052,3 +1052,129 @@ def test_interval_join_matches_bruteforce(ray_session):
         ts_col="ts", start_col="ws", end_col="we", payload_cols=["iid"],
     ).to_pandas()
     assert out.empty
+
+
+def test_asof_join_pandas_block_string_schema(ray_session):
+    """asof_join over pandas-block inputs with string columns: the
+    PandasBlockSchema path must map object dtype to pa.string(), not
+    crash in pa.from_numpy_dtype (review regression)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import asof_join
+
+    t0 = pd.Timestamp("2026-05-01")
+    left = pd.DataFrame(
+        {
+            "k": [1, 1, 2],
+            "ts": [t0 + pd.Timedelta(h, "h") for h in (1, 5, 2)],
+            "label": ["a", "b", "c"],  # string payload rides through
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": [1, 2],
+            "ts": [t0, t0 + pd.Timedelta("1h")],
+            "tag": ["x", "y"],  # string matched value
+        }
+    )
+
+    def ident(df: pd.DataFrame) -> pd.DataFrame:
+        return df
+
+    got = asof_join(
+        rd.from_pandas(left).map_batches(ident, batch_format="pandas"),
+        rd.from_pandas(right).map_batches(ident, batch_format="pandas"),
+        on="ts",
+        by="k",
+        right_values=["tag"],
+        num_buckets=2,
+    )
+    assert got.label.tolist() == ["a", "b", "c"]
+    assert got.matched_tag.tolist() == ["x", "x", "y"]
+
+
+def test_asof_join_outer_temporal_matched_value_dtype(ray_session):
+    """inner=False with a temporal right-value column: all-left buckets
+    must fill with NaT so the matched column stays datetime64 (review
+    regression: np.nan fill relied on deprecated pandas all-NA concat
+    coercion)."""
+    import warnings
+
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import asof_join
+
+    t0 = pd.Timestamp("2026-06-01")
+    left = pd.DataFrame(
+        {
+            # key 7 hashes to a bucket with NO right rows at all
+            "k": [1, 7],
+            "ts": [t0 + pd.Timedelta("2h"), t0 + pd.Timedelta("3h")],
+        }
+    )
+    right = pd.DataFrame(
+        {"k": [1], "ts": [t0], "created": [t0 - pd.Timedelta("1D")]}
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", FutureWarning)
+        got = asof_join(
+            rd.from_pandas(left),
+            rd.from_pandas(right),
+            on="ts",
+            by="k",
+            right_values=["created"],
+            num_buckets=8,
+            inner=False,
+        )
+    got = got.sort_values("k").reset_index(drop=True)
+    assert str(got["matched_created"].dtype).startswith("datetime64")
+    assert got.loc[0, "matched_created"] == t0 - pd.Timedelta("1D")
+    assert pd.isna(got.loc[1, "matched_created"])
+
+
+def test_interval_join_string_payload_with_empty_batches(ray_session):
+    """String payload columns keep ONE schema across empty and non-empty
+    probe batches (review regression: empty object arrays inferred as
+    null type -> mixed block schemas); downstream groupby still works."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import interval_join
+
+    t0 = pd.Timestamp("2026-07-01")
+    pts = pd.DataFrame(
+        {
+            "ts": [t0 + pd.Timedelta(h, "h") for h in range(8)],
+            "pid": np.arange(8, dtype=np.int64),
+        }
+    )
+    iv = pd.DataFrame(
+        {
+            "ws": [t0, t0 + pd.Timedelta("4h")],
+            "we": [t0 + pd.Timedelta("4h"), t0 + pd.Timedelta("8h")],
+            "wname": ["morning", "afternoon"],
+        }
+    )
+
+    def drop_late(t: pa.Table) -> pa.Table:
+        # empties some blocks entirely -> empty probe batches
+        import pyarrow.compute as pc
+
+        return t.filter(pc.less(t["pid"], pa.scalar(4)))
+
+    ds = (
+        rd.from_pandas(pts)
+        .repartition(4)
+        .map_batches(drop_late, batch_format="pyarrow")
+    )
+    joined = interval_join(
+        ds, iv, ts_col="ts", start_col="ws", end_col="we", payload_cols=["wname"]
+    )
+    out = (
+        joined.groupby("wname")
+        .count()
+        .to_pandas()
+        .sort_values("wname")
+        .reset_index(drop=True)
+    )
+    assert out["wname"].tolist() == ["morning"]
+    assert out["count()"].tolist() == [4]
