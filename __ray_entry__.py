@@ -970,6 +970,99 @@ def q_events_in_windows(sf_dir: str):
     return out.sort_values("window_id").reset_index(drop=True)
 
 
+def q_grouped_quantiles(sf_dir: str):
+    """EXACT per-source n_tok percentiles (p50/p90/p99) from
+    bounded-domain counting histograms — no sort, no row shuffle;
+    traffic O(batches x groups x distinct n_tok). Integer rank rule on
+    both sides (smallest v with cum*den >= num*n), so Ray and DuckDB
+    agree bit-for-bit with no float ceil ambiguity."""
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        grouped_quantiles_bounded,
+    )
+
+    ds = q_tokenize(sf_dir)
+    out = grouped_quantiles_bounded(
+        ds,
+        "source",
+        "n_tok",
+        [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)],
+        domain_max=1 << 15,
+    )
+    for c in ("p50", "p90", "p99"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def q_ntok_outliers(sf_dir: str):
+    """Statistical outlier check: docs whose n_tok deviates from their
+    source's mean by > 2 population stddevs, via EXACT integer
+    arithmetic ((n·x−S)² > 4(n·S2−S²)) so boundary rows can't flip
+    between numpy and DuckDB float paths. Two passes: tiny grouped-sums
+    exchange, then a broadcast probe filter."""
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        grouped_zscore_outliers,
+    )
+
+    ds = q_tokenize(sf_dir).map_batches(
+        lambda t: t.select(["doc_id", "source", "n_tok"]), batch_format="pyarrow"
+    )
+    out = grouped_zscore_outliers(
+        ds, "source", "n_tok", ["source", "doc_id", "n_tok"], z=2
+    )
+    out["n_tok"] = out["n_tok"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def q_top_docs_per_source(sf_dir: str):
+    """Top-3 longest documents per source (ROW_NUMBER PARTITION BY
+    shape): per-batch partial top-k bounds the exchange to k rows per
+    (source, batch). doc_id ascending is the deterministic tiebreak."""
+    from etl_data_validation_kio_ray.pipelines.relational import top_k_per_group
+
+    ds = q_tokenize(sf_dir).map_batches(
+        lambda t: t.select(["doc_id", "source", "n_tok"]), batch_format="pyarrow"
+    )
+    out = top_k_per_group(ds, "source", [("n_tok", True), ("doc_id", False)], 3)
+    out["n_tok"] = out["n_tok"].astype("int64")
+    return out[["source", "doc_id", "n_tok"]].reset_index(drop=True)
+
+
+def q_distinct_users_per_type(sf_dir: str):
+    """COUNT(DISTINCT user_id) per event_type — exact grouped
+    count-distinct: per-batch pair dedup, one pair-level exchange, no
+    per-key set ever held in one process."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        grouped_count_distinct,
+    )
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    return grouped_count_distinct(ev, "event_type", "user_id")
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: 10 docs per source, chosen by
+    smallest token fingerprint (a content hash both engines compute
+    identically) — the training-data 'sample N per stratum' op with a
+    reproducible, data-independent selection. Reuses top_k_per_group
+    ascending on (fingerprint, doc_id)."""
+    from etl_data_validation_kio_ray.functions.text import fingerprint_tokens
+    from etl_data_validation_kio_ray.pipelines.relational import top_k_per_group
+
+    ds = q_tokenize(sf_dir).map_batches(
+        lambda t: fingerprint_tokens(t).select(["doc_id", "source", "fingerprint"]),
+        batch_format="pyarrow",
+    )
+    out = top_k_per_group(
+        ds, "source", [("fingerprint", False), ("doc_id", False)], 10
+    )
+    out["fingerprint"] = out["fingerprint"].astype("int64")
+    return out[["source", "doc_id", "fingerprint"]].reset_index(drop=True)
+
+
 def q_heavy_users(sf_dir: str):
     """Heavy hitters — users contributing ≥ 0.75% of all events, EXACT
     via the two-pass Misra-Gries → confirm operator (no row-level
@@ -1044,6 +1137,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_events": q_asof_events,
         "heavy_users": q_heavy_users,
         "events_in_windows": q_events_in_windows,
+        "grouped_quantiles": q_grouped_quantiles,
+        "ntok_outliers": q_ntok_outliers,
+        "top_docs_per_source": q_top_docs_per_source,
+        "distinct_users_per_type": q_distinct_users_per_type,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1311,6 +1409,72 @@ FROM events
 GROUP BY user_id
 HAVING count(*) >= CAST(ceil(0.0075 * (SELECT count(*) FROM events)) AS BIGINT)
 ORDER BY user_id
+""",
+        # integer rank rule (cum*den >= num*n), NOT quantile_disc: the
+        # float ceil(q*n) rank differs between engines at
+        # representability boundaries
+        "grouped_quantiles": f"""
+WITH {TOKENIZE_CTE},
+c AS (SELECT source, n_tok, count(*) AS cnt FROM tok GROUP BY source, n_tok),
+w AS (
+  SELECT source, n_tok,
+         sum(cnt) OVER (PARTITION BY source ORDER BY n_tok) AS cum,
+         sum(cnt) OVER (PARTITION BY source) AS n
+  FROM c
+)
+SELECT source,
+       CAST(min(CASE WHEN cum * 2 >= 1 * n THEN n_tok END) AS BIGINT) AS p50,
+       CAST(min(CASE WHEN cum * 10 >= 9 * n THEN n_tok END) AS BIGINT) AS p90,
+       CAST(min(CASE WHEN cum * 100 >= 99 * n THEN n_tok END) AS BIGINT) AS p99
+FROM w GROUP BY source ORDER BY source
+""",
+        # exact-integer z-score: (n*x - S)^2 > 4*(n*S2 - S^2) in
+        # HUGEINT — boundary rows cannot flip on float mean/stddev
+        "ntok_outliers": f"""
+WITH {TOKENIZE_CTE},
+s AS (
+  SELECT source, count(*) AS n,
+         sum(CAST(n_tok AS HUGEINT)) AS s1,
+         sum(CAST(n_tok AS HUGEINT) * n_tok) AS s2
+  FROM tok GROUP BY source
+)
+SELECT t.source, t.doc_id, CAST(t.n_tok AS BIGINT) AS n_tok
+FROM tok t JOIN s ON t.source = s.source
+WHERE (CAST(s.n AS HUGEINT) * t.n_tok - s.s1) * (CAST(s.n AS HUGEINT) * t.n_tok - s.s1)
+      > 4 * (CAST(s.n AS HUGEINT) * s.s2 - s.s1 * s.s1)
+ORDER BY t.source, t.doc_id
+""",
+        "top_docs_per_source": f"""
+WITH {TOKENIZE_CTE},
+r AS (
+  SELECT source, doc_id, n_tok,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_tok DESC, doc_id) AS rn
+  FROM tok
+)
+SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok
+FROM r WHERE rn <= 3 ORDER BY source, n_tok DESC, doc_id
+""",
+        "distinct_users_per_type": """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+        "stratified_sample": f"""
+WITH {TOKENIZE_CTE},
+fp AS (
+  SELECT source, doc_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), tokens),
+                     (a, b) -> (a*31 + b) % 1000000007) AS fingerprint
+  FROM tok
+),
+r AS (
+  SELECT source, doc_id, fingerprint,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY fingerprint, doc_id) AS rn
+  FROM fp
+)
+SELECT source, doc_id, fingerprint
+FROM r WHERE rn <= 10 ORDER BY source, fingerprint, doc_id
 """,
         "asof_events": """
 WITH ev AS (

@@ -913,3 +913,243 @@ def tumbling_window_agg(
         .to_pandas()
     )
     return final.sort_values([key_col, "window_start"]).reset_index(drop=True)
+
+
+def top_k_per_group(
+    ds,
+    group_key: str,
+    order_cols: list[tuple[str, bool]],
+    k: int,
+):
+    """Top-k rows per group — the grouped analog of the reference's
+    violation sampling / ORDER BY ... LIMIT shapes
+    (/root/reference/src/app2/etl_validation/sql_runner.py:107-139's
+    per-check sample rows), i.e. SQL ``ROW_NUMBER() OVER (PARTITION BY
+    g ORDER BY ...) <= k``.
+
+    ``order_cols``: [(col, descending)], and must define a TOTAL order
+    within a group (include a unique tiebreak column) or the selection
+    is nondeterministic.
+
+    Scale shape: each batch first keeps its own per-group top-k (one
+    Arrow sort + run-position mask, no Python loop), so the shuffle
+    carries at most k rows per (group, batch) instead of the raw data;
+    the per-group finalizer re-applies the same kernel. A single
+    group's k x n_batches survivors must fit one reducer — bounded by
+    k, not by data size.
+    """
+    from ..functions.grouping import run_starts
+
+    sort_keys = [(group_key, "ascending")] + [
+        (c, "descending" if desc else "ascending") for c, desc in order_cols
+    ]
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        g = t[group_key]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        arr = g.to_numpy(zero_copy_only=False)
+        starts = run_starts(arr)
+        sizes = np.diff(np.r_[starts, len(arr)])
+        pos = np.arange(len(arr)) - np.repeat(starts, sizes)
+        return t.filter(pa.array(pos < k))
+
+    def final(g: pa.Table) -> pa.Table:
+        g = g.take(pc.sort_indices(g, sort_keys=sort_keys))
+        return g.slice(0, k)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(group_key)
+        .map_groups(final, batch_format="pyarrow")
+        .to_pandas()
+    )
+    by = [group_key] + [c for c, _ in order_cols]
+    asc = [True] + [not d for _, d in order_cols]
+    return out.sort_values(by, ascending=asc, kind="mergesort").reset_index(drop=True)
+
+
+def grouped_count_distinct(ds, key: str, value_col: str) -> pd.DataFrame:
+    """COUNT(DISTINCT value) per key — exact, two exchanges:
+
+    per-batch distinct (key, value) pairs (Arrow hash aggregate) bound
+    the first shuffle to the batch-local distinct count; a global
+    groupby on the PAIR dedups across batches; the second exchange then
+    carries one row per distinct pair and a tiny count-per-key finishes.
+    Never ships duplicate occurrences and never holds a per-key set in
+    one process (the failure mode of a naive set-union aggregate on a
+    hot key).
+
+    Reference analog: the distinct-entity reconciliation counts
+    (/root/reference/src/app2/dds/source_suite/matches_source.py:18-52).
+    """
+
+    def pairs(t: pa.Table) -> pa.Table:
+        return t.select([key, value_col]).group_by([key, value_col]).aggregate([])
+
+    distinct = (
+        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([key, value_col])
+        .count()
+    )
+    out = grouped_agg(distinct, [key], {"n_distinct": (value_col, "count")})
+    out["n_distinct"] = out["n_distinct"].astype("int64")
+    return out
+
+
+def grouped_quantiles_bounded(
+    ds,
+    key: str,
+    value_col: str,
+    quantiles: list[tuple[str, int, int]],
+    domain_max: int,
+) -> pd.DataFrame:
+    """EXACT grouped discrete quantiles for a BOUNDED non-negative
+    integer domain (e.g. n_tok <= max sequence length): per-batch
+    (key, value, count) partials via one combined-key sort, summed into
+    a dense per-group counts array driver-side. Traffic is
+    O(batches x groups x distinct-values); driver state is
+    groups x domain ints — both independent of row count, which is what
+    lets a 10^12-row table answer exact medians without any sort or
+    per-row shuffle. Requires a low-cardinality key (the skewed
+    ``source`` dimension — SURVEY.md §4) and values in [0, domain_max]
+    (loud ValueError otherwise, never silent clipping).
+
+    ``quantiles``: [(out_name, num, den)]; each output is
+    percentile_disc(num/den): the SMALLEST value whose cumulative count
+    satisfies cum * den >= num * n. Pure integer arithmetic — both this
+    and the SQL twin avoid float rank rules (ceil(q*n) differs between
+    engines at representability boundaries).
+
+    Reference analog: the metrics-layer summary percentiles
+    (/root/reference/src/app2/experiments/report.py:546-706).
+    """
+    from ..functions.grouping import group_reduce
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        vals = v.to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(vals) and (vals.min() < 0 or vals.max() > domain_max):
+            raise ValueError(
+                f"grouped_quantiles_bounded: {value_col} outside "
+                f"[0, {domain_max}] (got [{vals.min()}, {vals.max()}])"
+            )
+        g = t[key]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        codes, uniq = pd.factorize(pd.Series(g.to_numpy(zero_copy_only=False)))
+        combined = codes.astype(np.int64) * (domain_max + 1) + vals
+        ck, cnt = group_reduce(combined)
+        return pa.table(
+            {
+                key: pa.array(np.asarray(uniq)[(ck // (domain_max + 1))]),
+                value_col: pa.array(ck % (domain_max + 1)),
+                "cnt": pa.array(cnt),
+            }
+        )
+
+    counts: dict = {}
+    for b in ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow", batch_size=2**20):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        ks = t[key].to_numpy(zero_copy_only=False)
+        vs = t[value_col].to_numpy(zero_copy_only=False)
+        cs = t["cnt"].to_numpy(zero_copy_only=False)
+        for kk in pd.unique(ks):
+            m = ks == kk
+            arr = counts.setdefault(kk, np.zeros(domain_max + 1, dtype=np.int64))
+            np.add.at(arr, vs[m], cs[m])
+
+    rows = []
+    for kk in sorted(counts):
+        cum = np.cumsum(counts[kk])
+        n = int(cum[-1])
+        row = {key: kk}
+        for name, num, den in quantiles:
+            # smallest v with cum[v]*den >= num*n  (integer rank rule)
+            thresh = -(-num * n // den)  # ceil(num*n/den) in exact ints
+            row[name] = int(np.searchsorted(cum, thresh, side="left"))
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
+def grouped_zscore_outliers(
+    ds,
+    key: str,
+    value_col: str,
+    out_cols: list[str],
+    *,
+    z: int = 3,
+) -> pd.DataFrame:
+    """Rows whose ``value_col`` deviates from their group's mean by
+    more than z population standard deviations — the statistical
+    generalization of the reference's out-of-range scalar check
+    (/root/reference/src/app2/validators/dds/rules_suite/points_check.py:18-47).
+
+    EXACT integer arithmetic end to end: with per-group n, S=sum(x),
+    S2=sum(x^2), the criterion (x-mean)^2 > z^2 * var is equivalent to
+
+        (n*x - S)^2  >  z^2 * (n*S2 - S^2)
+        |n*x - S|    >  isqrt(z^2 * (n*S2 - S^2))      (ints both sides)
+
+    so no float mean/stddev ever enters a comparison and a SQL twin
+    (HUGEINT arithmetic) agrees bit-for-bit on boundary rows. Two
+    passes: a grouped-sums exchange (partial-aggregated, tiny), then a
+    broadcast probe filter — no second shuffle. int64 bound: n*x and S
+    stay exact while n * max(x) < 2^63 (~10^15 rows at x<=8192);
+    beyond that, shard the group stats pass.
+    """
+    import math
+
+    def add_sq(t: pa.Table) -> pa.Table:
+        v = t[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        x = v.to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("__sq", pa.array(x * x))
+
+    stats = grouped_agg(
+        ds.map_batches(add_sq, batch_format="pyarrow", zero_copy_batch=True),
+        [key],
+        {"n": (value_col, "count"), "s1": (value_col, "sum"), "s2": ("__sq", "sum")},
+    )
+    keys_out, nn, ss, bb = [], [], [], []
+    for r in stats.itertuples(index=False):
+        n, s1, s2 = int(r.n), int(r.s1), int(r.s2)
+        kvar = n * s2 - s1 * s1  # n^2 * population variance (exact int)
+        keys_out.append(getattr(r, key))
+        nn.append(n)
+        ss.append(s1)
+        bb.append(math.isqrt(z * z * kvar))
+    lkt = pa.table(
+        {
+            key: pa.array(keys_out),
+            "__n": pa.array(nn, pa.int64()),
+            "__s1": pa.array(ss, pa.int64()),
+            "__b": pa.array(bb, pa.int64()),
+        }
+    )
+
+    def probe(t: pa.Table) -> pa.Table:
+        c = t[key]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        # every key is present in the lookup (stats came from this ds)
+        idx = pc.index_in(c, value_set=lkt[key])
+        n_arr = lkt["__n"].take(idx).to_numpy(zero_copy_only=False)
+        s_arr = lkt["__s1"].take(idx).to_numpy(zero_copy_only=False)
+        b_arr = lkt["__b"].take(idx).to_numpy(zero_copy_only=False)
+        x = t[value_col]
+        if isinstance(x, pa.ChunkedArray):
+            x = x.combine_chunks()
+        d = n_arr * x.to_numpy(zero_copy_only=False).astype(np.int64) - s_arr
+        return t.select(out_cols).filter(pa.array(np.abs(d) > b_arr))
+
+    out = ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return out.sort_values(out_cols, kind="mergesort").reset_index(drop=True)

@@ -1178,3 +1178,127 @@ def test_interval_join_string_payload_with_empty_batches(ray_session):
     )
     assert out["wname"].tolist() == ["morning"]
     assert out["count()"].tolist() == [4]
+
+
+def test_top_k_per_group_matches_row_number(ray_session):
+    """Partial-top-k + per-group finalize == pandas ROW_NUMBER oracle,
+    with deterministic tiebreak and groups smaller than k."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import top_k_per_group
+
+    rng = np.random.Generator(np.random.Philox(key=[11, 3]))
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice([f"g{i}" for i in range(12)], n),
+            "score": rng.integers(0, 50, n).astype(np.int64),  # many ties
+            "rid": np.arange(n, dtype=np.int64),
+        }
+    )
+    # one tiny group (< k rows)
+    df.loc[df.index[:2], "g"] = "tiny"
+    df = df[(df.g != "g0") | (df.index < 2900)]
+
+    got = top_k_per_group(
+        rd.from_pandas(df).repartition(7), "g", [("score", True), ("rid", False)], 5
+    )
+    want = (
+        df.sort_values(["g", "score", "rid"], ascending=[True, False, True])
+        .groupby("g", sort=True)
+        .head(5)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["g", "score", "rid"]], want[["g", "score", "rid"]]
+    )
+
+
+def test_grouped_count_distinct_matches_nunique(ray_session):
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_count_distinct
+
+    rng = np.random.Generator(np.random.Philox(key=[4, 21]))
+    df = pd.DataFrame(
+        {
+            "t": rng.choice(["a", "b", "c"], 5000),
+            "u": rng.integers(0, 200, 5000).astype(np.int64),
+        }
+    )
+    got = grouped_count_distinct(rd.from_pandas(df).repartition(6), "t", "u")
+    want = df.groupby("t", sort=True)["u"].nunique()
+    assert got["t"].tolist() == list(want.index)
+    assert got["n_distinct"].tolist() == want.tolist()
+
+
+def test_grouped_quantiles_bounded_exact(ray_session):
+    """Counting-histogram quantiles == the integer rank rule computed
+    directly; domain violations raise loudly."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        grouped_quantiles_bounded,
+    )
+
+    rng = np.random.Generator(np.random.Philox(key=[9, 2]))
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["x", "y"], 4000),
+            "v": rng.integers(0, 1000, 4000).astype(np.int64),
+        }
+    )
+    qs = [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
+    got = grouped_quantiles_bounded(
+        rd.from_pandas(df).repartition(5), "g", "v", qs, domain_max=1023
+    )
+    for _, row in got.iterrows():
+        vals = np.sort(df.loc[df.g == row["g"], "v"].to_numpy())
+        n = len(vals)
+        for name, num, den in qs:
+            rank = -(-num * n // den)  # ceil
+            assert row[name] == vals[rank - 1], (row["g"], name)
+
+    bad = pd.DataFrame({"g": ["x"], "v": [5000]})
+    # the ValueError arrives wrapped in Ray's task-error envelope
+    with pytest.raises(Exception, match="outside"):
+        grouped_quantiles_bounded(
+            rd.from_pandas(bad), "g", "v", qs, domain_max=1023
+        )
+
+
+def test_grouped_zscore_outliers_planted(ray_session):
+    """A planted extreme value is flagged; boundary rows follow the
+    exact integer rule (no float flip)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        grouped_zscore_outliers,
+    )
+
+    rng = np.random.Generator(np.random.Philox(key=[6, 6]))
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 500 + ["b"] * 500,
+            "rid": np.arange(1000, dtype=np.int64),
+            "v": np.r_[
+                rng.integers(95, 106, 500), rng.integers(495, 506, 500)
+            ].astype(np.int64),
+        }
+    )
+    df.loc[3, "v"] = 100_000  # planted outlier in group a
+    got = grouped_zscore_outliers(
+        rd.from_pandas(df).repartition(4), "g", "v", ["g", "rid", "v"], z=3
+    )
+    assert 3 in got["rid"].tolist()
+    # oracle: exact integer criterion per group
+    import math
+
+    want = []
+    for g, sub in df.groupby("g"):
+        x = sub["v"].to_numpy()
+        n, s1, s2 = len(x), int(x.sum()), int((x.astype(object) ** 2).sum())
+        bound = math.isqrt(9 * (n * s2 - s1 * s1))
+        d = n * x.astype(np.int64) - s1
+        want.extend(sub.loc[np.abs(d) > bound, "rid"].tolist())
+    assert sorted(got["rid"].tolist()) == sorted(want)
