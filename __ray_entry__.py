@@ -1063,6 +1063,48 @@ def q_stratified_sample(sf_dir: str):
     return out[["source", "doc_id", "fingerprint"]].reset_index(drop=True)
 
 
+def q_user_rolling_24h(sf_dir: str):
+    """Per-event rolling 24h COUNT/SUM per user (SQL RANGE BETWEEN
+    INTERVAL PRECEDING window — no native Ray Data operator): one
+    hash-bucketed exchange co-locates each user's history, then
+    per-bucket prefix sums + two searchsorted probes per row. RANGE
+    (peer-inclusive) semantics make ties order-independent, so no
+    tiebreak is needed for determinism."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import rolling_window_agg
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        v = np.round(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "event_id": t["event_id"],
+                "value_cents": pa.array(v),
+            }
+        )
+
+    out = rolling_window_agg(
+        ev.map_batches(cents, batch_format="pyarrow"),
+        "user_id",
+        "ts",
+        "value_cents",
+        window_us=24 * 3600 * 1_000_000,
+        num_buckets=16,
+        out_cols=["event_id"],
+    )
+    out = out[["user_id", "ts", "event_id", "w_count", "w_sum"]]
+    out["w_count"] = out["w_count"].astype("int64")
+    out["w_sum"] = out["w_sum"].astype("int64")
+    return out.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+
+
 def q_heavy_users(sf_dir: str):
     """Heavy hitters — users contributing ≥ 0.75% of all events, EXACT
     via the two-pass Misra-Gries → confirm operator (no row-level
@@ -1137,6 +1179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_events": q_asof_events,
         "heavy_users": q_heavy_users,
         "events_in_windows": q_events_in_windows,
+        "user_rolling_24h": q_user_rolling_24h,
         "grouped_quantiles": q_grouped_quantiles,
         "ntok_outliers": q_ntok_outliers,
         "top_docs_per_source": q_top_docs_per_source,
@@ -1409,6 +1452,20 @@ FROM events
 GROUP BY user_id
 HAVING count(*) >= CAST(ceil(0.0075 * (SELECT count(*) FROM events)) AS BIGINT)
 ORDER BY user_id
+""",
+        "user_rolling_24h": """
+WITH ev AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS value_cents
+  FROM events
+)
+SELECT user_id, ts, event_id,
+       CAST(count(*) OVER w AS BIGINT) AS w_count,
+       CAST(sum(value_cents) OVER w AS BIGINT) AS w_sum
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+ORDER BY user_id, ts, event_id
 """,
         # integer rank rule (cum*den >= num*n), NOT quantile_disc: the
         # float ceil(q*n) rank differs between engines at

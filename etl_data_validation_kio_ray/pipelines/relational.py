@@ -1153,3 +1153,107 @@ def grouped_zscore_outliers(
 
     out = ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     return out.sort_values(out_cols, kind="mergesort").reset_index(drop=True)
+
+
+def rolling_window_agg(
+    ds,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    window_us: int,
+    *,
+    num_buckets: int = 64,
+    out_cols: list[str] | None = None,
+) -> pd.DataFrame:
+    """Per-row rolling aggregate over event time: for every row, the
+    COUNT and SUM of the SAME key's rows with ts in [ts - window, ts]
+    — SQL ``SUM(v) OVER (PARTITION BY key ORDER BY ts RANGE BETWEEN
+    <window> PRECEDING AND CURRENT ROW)``. Ray Data has no window
+    operator; composed as ONE hash-bucketed exchange (the
+    :func:`asof_join` partitioning shape) + per-bucket prefix sums:
+
+      bucket = hash(key) % num_buckets co-locates each key's history;
+      inside a bucket, rows sort once by (key, ts) and every row's
+      window becomes two ``searchsorted`` probes into a composite
+      (key_code, relative_ts) int64 axis — cum[hi] - cum[lo], no
+      per-row Python, no per-key loop.
+
+    RANGE (not ROWS) semantics: rows tied on (key, ts) all include
+    each other — the result is order-independent, hence deterministic
+    under shuffle, with no tiebreak needed. Null ts or key rows are
+    dropped (they belong to no window).
+
+    Partitioning assumption: one key's history fits one reducer
+    (inherent to per-key windowing; raise num_buckets to spread
+    distinct keys). The composite axis needs
+    n_keys_in_bucket * (span + window) < 2^62 microseconds — checked
+    loudly, never silently wrong.
+    """
+    from ..functions.grouping import run_starts
+
+    nb = np.int64(num_buckets)
+    keep = [key, ts_col, value_col] + [
+        c for c in (out_cols or []) if c not in (key, ts_col, value_col)
+    ]
+
+    def project(t: pa.Table) -> pa.Table:
+        t = t.select(keep).filter(
+            pc.and_(pc.is_valid(t[key]), pc.is_valid(t[ts_col]))
+        )
+        k = t[key]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        h = _key_hash(k)
+        return t.append_column(
+            "__b", pa.array((h % np.uint64(nb)).astype(np.int32))
+        )
+
+    def window_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        g = g.take(
+            pc.sort_indices(
+                g, sort_keys=[(key, "ascending"), (ts_col, "ascending")]
+            )
+        )
+        k = g[key]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        karr = k.to_numpy(zero_copy_only=False)
+        starts = run_starts(karr)
+        sizes = np.diff(np.r_[starts, len(karr)])
+        codes = np.repeat(np.arange(len(starts), dtype=np.int64), sizes)
+        tsv = g[ts_col]
+        if isinstance(tsv, pa.ChunkedArray):
+            tsv = tsv.combine_chunks()
+        t_us = tsv.to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        rel = t_us - (t_us.min() if len(t_us) else 0)
+        off = np.int64((rel.max() if len(rel) else 0) + window_us + 1)
+        if len(codes) and int(codes[-1]) * int(off) >= 1 << 62:
+            raise ValueError(
+                "rolling_window_agg: composite axis overflow "
+                f"({codes[-1]} keys x {off} us span in one bucket); "
+                "raise num_buckets or narrow the time span"
+            )
+        comp = codes * off + rel
+        v = g[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        vals = v.to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = np.r_[0, np.cumsum(vals)]
+        lo = np.searchsorted(comp, comp - window_us, side="left")
+        hi = np.searchsorted(comp, comp, side="right")
+        return pa.table(
+            {
+                **{c: g[c] for c in keep},
+                "w_count": pa.array(hi - lo),
+                "w_sum": pa.array(cum[hi] - cum[lo]),
+            }
+        )
+
+    out = (
+        ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(window_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values([key, ts_col], kind="mergesort").reset_index(drop=True)

@@ -1302,3 +1302,55 @@ def test_grouped_zscore_outliers_planted(ray_session):
         d = n * x.astype(np.int64) - s1
         want.extend(sub.loc[np.abs(d) > bound, "rid"].tolist())
     assert sorted(got["rid"].tolist()) == sorted(want)
+
+
+def test_rolling_window_agg_matches_pandas(ray_session):
+    """Bucketed prefix-sum rolling window == pandas RANGE-window oracle,
+    including (key, ts) ties (peer-inclusive) and exact 24h boundaries."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import rolling_window_agg
+
+    rng = np.random.Generator(np.random.Philox(key=[8, 15]))
+    n = 1500
+    t0 = pd.Timestamp("2026-08-01")
+    df = pd.DataFrame(
+        {
+            "uid": rng.integers(0, 30, n).astype(np.int64),
+            "ts": t0 + pd.to_timedelta(rng.integers(0, 5 * 86_400, n), unit="s"),
+            "v": rng.integers(1, 100, n).astype(np.int64),
+            "rid": np.arange(n, dtype=np.int64),
+        }
+    )
+    # planted ties: same (uid, ts), different values -> peers include
+    # each other under RANGE semantics
+    df.loc[1, ["uid", "ts"]] = df.loc[0, ["uid", "ts"]]
+    # exact boundary: an event exactly 24h after another
+    df.loc[2, "uid"] = 5
+    df.loc[2, "ts"] = t0
+    df.loc[3, "uid"] = 5
+    df.loc[3, "ts"] = t0 + pd.Timedelta("24h")
+
+    W = 24 * 3600 * 1_000_000
+    got = rolling_window_agg(
+        rd.from_pandas(df).repartition(6),
+        "uid",
+        "ts",
+        "v",
+        window_us=W,
+        num_buckets=5,
+        out_cols=["rid"],
+    ).sort_values("rid").reset_index(drop=True)
+
+    # O(n^2) oracle: peer-inclusive RANGE window
+    want_cnt, want_sum = [], []
+    for r in df.itertuples(index=False):
+        m = (df.uid == r.uid) & (df.ts <= r.ts) & (df.ts >= r.ts - pd.Timedelta(W, "us"))
+        want_cnt.append(int(m.sum()))
+        want_sum.append(int(df.loc[m, "v"].sum()))
+    want = df.assign(w_count=want_cnt, w_sum=want_sum).sort_values("rid").reset_index(drop=True)
+    assert got["w_count"].tolist() == want["w_count"].tolist()
+    assert got["w_sum"].tolist() == want["w_sum"].tolist()
+    # the exact-24h-boundary row includes its predecessor (inclusive)
+    b = got.loc[got.rid == 3].iloc[0]
+    assert b.w_count >= 2
