@@ -53,7 +53,8 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # queries() entries timed in default mode — the headline pipelines
 # (flagship validation + each distinct physical shape: shuffle dedup,
 # groupby agg, explode-histogram, hash-partitioned anti-join, tumbling
-# + session windows, ANN, minhash near-dup, quality filter).
+# + session windows, ANN, minhash near-dup, quality filter, hash-shuffle
+# equi-join, as-of join, rolling RANGE window, grouped quantiles).
 BENCH_QUERIES = [
     "validate_verdicts",
     "doc_id_unique_violations",
@@ -68,6 +69,10 @@ BENCH_QUERIES = [
     "ann_topk",
     "minhash_pairs",
     "quality_filter",
+    "revenue_by_priority",
+    "asof_events",
+    "user_rolling_24h",
+    "grouped_quantiles",
 ]
 
 
