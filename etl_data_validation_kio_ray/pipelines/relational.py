@@ -1033,26 +1033,35 @@ def grouped_quantiles_bounded(
         v = t[value_col]
         if isinstance(v, pa.ChunkedArray):
             v = v.combine_chunks()
-        vals = v.to_numpy(zero_copy_only=False).astype(np.int64)
+        g = t[key]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        # SQL aggregate semantics: null VALUES contribute nothing (a
+        # group with only nulls is omitted). Null KEYS form their own
+        # group, like SQL GROUP BY.
+        vmask = pc.is_valid(v).to_numpy(zero_copy_only=False)
+        vals = v.to_numpy(zero_copy_only=False)[vmask].astype(np.int64)
         if len(vals) and (vals.min() < 0 or vals.max() > domain_max):
             raise ValueError(
                 f"grouped_quantiles_bounded: {value_col} outside "
                 f"[0, {domain_max}] (got [{vals.min()}, {vals.max()}])"
             )
-        g = t[key]
-        if isinstance(g, pa.ChunkedArray):
-            g = g.combine_chunks()
-        codes, uniq = pd.factorize(pd.Series(g.to_numpy(zero_copy_only=False)))
+        gnp = g.to_numpy(zero_copy_only=False)[vmask]
+        codes, uniq = pd.factorize(pd.Series(gnp), use_na_sentinel=False)
         combined = codes.astype(np.int64) * (domain_max + 1) + vals
         ck, cnt = group_reduce(combined)
         return pa.table(
             {
-                key: pa.array(np.asarray(uniq)[(ck // (domain_max + 1))]),
+                key: pa.array(
+                    np.asarray(uniq, dtype=object)[(ck // (domain_max + 1))],
+                    from_pandas=True,
+                ),
                 value_col: pa.array(ck % (domain_max + 1)),
                 "cnt": pa.array(cnt),
             }
         )
 
+    _NULL_KEY = object()  # dict-safe stand-in for a null group key
     counts: dict = {}
     for b in ds.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
@@ -1061,14 +1070,24 @@ def grouped_quantiles_bounded(
         ks = t[key].to_numpy(zero_copy_only=False)
         vs = t[value_col].to_numpy(zero_copy_only=False)
         cs = t["cnt"].to_numpy(zero_copy_only=False)
-        for kk in pd.unique(ks):
+        null_m = pd.isna(ks)
+        for kk in pd.unique(ks[~null_m]):
             m = ks == kk
             arr = counts.setdefault(kk, np.zeros(domain_max + 1, dtype=np.int64))
             np.add.at(arr, vs[m], cs[m])
+        if null_m.any():
+            arr = counts.setdefault(
+                _NULL_KEY, np.zeros(domain_max + 1, dtype=np.int64)
+            )
+            np.add.at(arr, vs[null_m], cs[null_m])
 
     rows = []
-    for kk in sorted(counts):
-        cum = np.cumsum(counts[kk])
+    ordered = sorted(k for k in counts if k is not _NULL_KEY)
+    if _NULL_KEY in counts:
+        ordered.append(_NULL_KEY)  # NULLS LAST, like the SQL default
+    for kk_raw in ordered:
+        kk = None if kk_raw is _NULL_KEY else kk_raw
+        cum = np.cumsum(counts[kk_raw])
         n = int(cum[-1])
         row = {key: kk}
         for name, num, den in quantiles:
