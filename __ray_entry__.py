@@ -1121,6 +1121,47 @@ def q_heavy_users(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def q_revenue_deciles(sf_dir: str):
+    """Global NTILE(10) over order revenue — the global-rank operator
+    Ray Data lacks: range-partitioning sort + per-block prefix offsets
+    (O(blocks) on the driver, data never leaves the workers), then a
+    partial-aggregated decile rollup. (o_totalprice, o_orderkey) is the
+    total order, so NTILE tie-splitting matches SQL exactly."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        global_row_number,
+        grouped_agg,
+        ntile_from_rank,
+    )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"],
+    )
+    ranked, n_total = global_row_number(
+        orders, ["o_totalprice", "o_orderkey"], out_col="rn"
+    )
+
+    def tiles(t: pa.Table) -> pa.Table:
+        rn = t["rn"].to_numpy(zero_copy_only=False)
+        return t.append_column("tile", pa.array(ntile_from_rank(rn, n_total, 10)))
+
+    out = grouped_agg(
+        ranked.map_batches(tiles, batch_format="pyarrow", zero_copy_batch=True),
+        ["tile"],
+        {
+            "n_orders": ("o_orderkey", "count"),
+            "sum_price": ("o_totalprice", "sum"),
+            "min_price": ("o_totalprice", "min"),
+            "max_price": ("o_totalprice", "max"),
+        },
+    )
+    out["tile"] = out["tile"].astype("int64")
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("tile").reset_index(drop=True)
+
+
 def q_cross_check_agreement(sf_dir: str):
     """Second-executor agreement: every enabled rule's SQL twin re-run
     in DuckDB over the same partition files must reproduce the engine's
@@ -1185,6 +1226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_source": q_top_docs_per_source,
         "distinct_users_per_type": q_distinct_users_per_type,
         "stratified_sample": q_stratified_sample,
+        "revenue_deciles": q_revenue_deciles,
     }
 
 
@@ -1532,6 +1574,17 @@ r AS (
 )
 SELECT source, doc_id, fingerprint
 FROM r WHERE rn <= 10 ORDER BY source, fingerprint, doc_id
+""",
+        "revenue_deciles": """
+WITH t AS (
+  SELECT o_totalprice,
+         NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
+  FROM orders
+)
+SELECT CAST(tile AS BIGINT) AS tile, CAST(count(*) AS BIGINT) AS n_orders,
+       sum(o_totalprice) AS sum_price, min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price
+FROM t GROUP BY tile ORDER BY tile
 """,
         "asof_events": """
 WITH ev AS (

@@ -1276,3 +1276,101 @@ def rolling_window_agg(
         .to_pandas()
     )
     return out.sort_values([key, ts_col], kind="mergesort").reset_index(drop=True)
+
+
+def global_row_number(ds, keys: list[str], *, out_col: str = "rn"):
+    """Exact 1-based global ROW_NUMBER() OVER (ORDER BY keys) — the
+    global-rank primitive Ray Data lacks (``ds.sort`` orders blocks but
+    exposes no row index). ``keys`` must be a total order (include a
+    unique tiebreak column) with no nulls.
+
+    Scale shape: one range-partitioning sort, then two streaming
+    passes over the SAME materialized sorted blocks:
+
+      1. each block collapses to one (first-key, num_rows) summary row
+         — the driver holds O(blocks), never row data;
+      2. the driver turns the sorted summaries into prefix offsets,
+         broadcasts the offset map once via ``ray.put``, and each
+         block attaches ``offset + arange`` zero-copy.
+
+    Correctness rests on two Ray Data invariants: a sorted dataset's
+    blocks hold disjoint, globally ordered key ranges, and
+    ``map_batches(batch_size=None)`` yields whole blocks — so a
+    block's first-row key identifies it uniquely (total order) in both
+    passes. Lookup misses raise loudly rather than mis-rank.
+
+    Returns the sorted dataset with ``out_col`` appended (int64),
+    still a streaming Dataset.
+    """
+    import ray
+
+    sorted_ds = ds.sort(keys).materialize()
+
+    def summarize(t: pa.Table) -> pa.Table:
+        head = min(1, t.num_rows)
+        cols = {f"k{i}": t[k].slice(0, head) for i, k in enumerate(keys)}
+        cols["n"] = pa.array([t.num_rows] if head else [], pa.int64())
+        return pa.table(cols)
+
+    summaries = sorted_ds.map_batches(
+        summarize, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).to_pandas()
+    omap, total = _block_prefix_offsets(summaries, len(keys))
+    omap_ref = ray.put(omap)
+
+    def attach(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        omap = ray.get(omap_ref)
+        first = tuple(t[k][0].as_py() for k in keys)
+        off = omap.get(first)
+        if off is None:
+            raise RuntimeError(
+                "global_row_number: block first-key not found in offset "
+                "map — block/batch boundaries changed between passes"
+            )
+        rn = np.int64(off) + np.arange(1, t.num_rows + 1, dtype=np.int64)
+        return t.append_column(out_col, pa.array(rn))
+
+    ranked = sorted_ds.map_batches(
+        attach, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    return ranked, total
+
+
+def _block_prefix_offsets(
+    summaries: pd.DataFrame, n_keys: int
+) -> tuple[dict[tuple, np.int64], int]:
+    """Turn per-block (first-key, num_rows) summaries into a
+    first-key -> global-prefix-offset map. Duplicate first keys mean
+    the sort key was not a total order AND ties straddle blocks — the
+    offsets would be ambiguous, so fail loudly."""
+    key_cols = [f"k{i}" for i in range(n_keys)]
+    summaries = summaries.sort_values(key_cols, kind="mergesort").reset_index(
+        drop=True
+    )
+    firsts = [tuple(r) for r in summaries[key_cols].itertuples(index=False)]
+    if len(set(firsts)) != len(firsts):
+        raise ValueError(
+            "global_row_number: duplicate block-first keys — `keys` is "
+            "not a total order (add a unique tiebreak column)"
+        )
+    counts = summaries["n"].to_numpy(dtype=np.int64)
+    offsets = np.r_[np.int64(0), np.cumsum(counts)[:-1]]
+    return dict(zip(firsts, offsets)), int(counts.sum())
+
+
+def ntile_from_rank(rn: np.ndarray, n_total: int, k: int) -> np.ndarray:
+    """SQL NTILE(k) bucket for 1-based ranks over n_total rows: the
+    first ``n_total % k`` tiles get ``ceil(n/k)`` rows, the rest get
+    ``floor(n/k)`` — exactly DuckDB/ANSI semantics, vectorized."""
+    q, r = divmod(int(n_total), int(k))
+    big = r * (q + 1)
+    rn = np.asarray(rn, dtype=np.int64)
+    in_big = rn <= big
+    tile = np.where(
+        in_big,
+        (rn - 1) // max(q + 1, 1),
+        r + (rn - big - 1) // max(q, 1),
+    )
+    return (tile + 1).astype(np.int64)

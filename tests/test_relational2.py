@@ -1354,3 +1354,64 @@ def test_rolling_window_agg_matches_pandas(ray_session):
     # the exact-24h-boundary row includes its predecessor (inclusive)
     b = got.loc[got.rid == 3].iloc[0]
     assert b.w_count >= 2
+
+
+def test_global_row_number_and_ntile(ray_session):
+    """Block-offset global rank == pandas rank on a duplicate-heavy,
+    multi-block input; NTILE bucketing matches the SQL tile-size rule."""
+    import duckdb
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        global_row_number,
+        ntile_from_rank,
+    )
+
+    rng = np.random.Generator(np.random.Philox(key=[21, 4]))
+    n = 4003  # deliberately not divisible by k
+    df = pd.DataFrame(
+        {
+            "v": rng.integers(0, 50, n).astype(np.int64),  # heavy duplicates
+            "uid": rng.permutation(n).astype(np.int64),  # unique tiebreak
+        }
+    )
+    ranked, n_total = global_row_number(
+        rd.from_pandas(df).repartition(7), ["v", "uid"], out_col="rn"
+    )
+    got = ranked.to_pandas().sort_values(["v", "uid"]).reset_index(drop=True)
+    assert n_total == n
+    want = df.sort_values(["v", "uid"]).reset_index(drop=True)
+    assert got["rn"].tolist() == list(range(1, n + 1))
+    assert got["uid"].tolist() == want["uid"].tolist()
+
+    for k in (1, 7, 10, n, n + 5):
+        tiles = ntile_from_rank(got["rn"].to_numpy(), n, k)
+        sql = duckdb.sql(
+            f"SELECT NTILE({k}) OVER (ORDER BY v, uid) FROM df"
+        ).fetchnumpy()
+        assert tiles.tolist() == next(iter(sql.values())).tolist()
+
+
+def test_global_row_number_all_ties_still_a_permutation(ray_session):
+    """With a degenerate (non-total-order) key that collapses into one
+    sorted block, ranks are still a valid 1..n permutation; when ties
+    straddle blocks, the offset builder refuses instead of mis-ranking."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        _block_prefix_offsets,
+        global_row_number,
+    )
+
+    df = pd.DataFrame({"v": np.zeros(500, dtype=np.int64)})
+    ranked, n = global_row_number(rd.from_pandas(df).repartition(4), ["v"])
+    assert n == 500
+    assert sorted(ranked.to_pandas()["rn"].tolist()) == list(range(1, 501))
+
+    dup = pd.DataFrame({"k0": [0, 0, 1], "n": [10, 5, 3]})
+    with pytest.raises(ValueError, match="total order"):
+        _block_prefix_offsets(dup, 1)
+    omap, total = _block_prefix_offsets(
+        pd.DataFrame({"k0": [3, 0, 1], "n": [10, 5, 3]}), 1
+    )
+    assert total == 18 and omap == {(0,): 0, (1,): 5, (3,): 8}
