@@ -1162,6 +1162,27 @@ def q_revenue_deciles(sf_dir: str):
     return out.sort_values("tile").reset_index(drop=True)
 
 
+def q_user_interarrival(sf_dir: str):
+    """Per-user inter-arrival-time profile (SQL LAG window): count /
+    sum / max of gaps between consecutive events per user, one
+    hash-bucketed exchange + vectorized diff/reduceat — no per-key
+    loop, single-event users absent like WHERE gap IS NOT NULL."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        grouped_lag_delta_stats,
+    )
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id"],
+    )
+    out = grouped_lag_delta_stats(ev, "user_id", "ts", "event_id", num_buckets=32)
+    for c in ("n_gaps", "sum_gap_us", "max_gap_us"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def q_cross_check_agreement(sf_dir: str):
     """Second-executor agreement: every enabled rule's SQL twin re-run
     in DuckDB over the same partition files must reproduce the engine's
@@ -1227,6 +1248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_type": q_distinct_users_per_type,
         "stratified_sample": q_stratified_sample,
         "revenue_deciles": q_revenue_deciles,
+        "user_interarrival": q_user_interarrival,
     }
 
 
@@ -1585,6 +1607,20 @@ SELECT CAST(tile AS BIGINT) AS tile, CAST(count(*) AS BIGINT) AS n_orders,
        sum(o_totalprice) AS sum_price, min(o_totalprice) AS min_price,
        max(o_totalprice) AS max_price
 FROM t GROUP BY tile ORDER BY tile
+""",
+        "user_interarrival": """
+WITH d AS (
+  SELECT user_id,
+         date_diff('microsecond',
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap_us
+  FROM events
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us
+FROM d WHERE gap_us IS NOT NULL
+GROUP BY user_id ORDER BY user_id
 """,
         "asof_events": """
 WITH ev AS (

@@ -1278,6 +1278,111 @@ def rolling_window_agg(
     return out.sort_values([key, ts_col], kind="mergesort").reset_index(drop=True)
 
 
+def grouped_lag_delta_stats(
+    ds,
+    key: str,
+    ts_col: str,
+    tiebreak_col: str,
+    *,
+    num_buckets: int = 64,
+) -> pd.DataFrame:
+    """Per-key LAG() delta statistics: for each key, the count / sum /
+    max of ``ts - LAG(ts) OVER (PARTITION BY key ORDER BY ts,
+    tiebreak)`` in microseconds — the inter-arrival-time profile (SQL
+    LAG window; no native Ray Data operator). Keys with a single row
+    contribute no gap and are absent, exactly like ``WHERE gap IS NOT
+    NULL``.
+
+    Scale shape: ONE hash-bucketed exchange (``hash(key) %
+    num_buckets``) co-locates each key's history; inside a bucket one
+    sort by (key, ts, tiebreak), then ``np.diff`` masked at run starts
+    and per-run ``reduceat`` — no per-key loop, output is one row per
+    key. Partitioning assumption: one key's rows fit one reducer
+    (inherent to per-key windowing); raise num_buckets to spread keys.
+    Null key/ts rows are dropped (no position in the window order).
+    """
+    from ..functions.grouping import run_starts
+
+    nb = np.int64(num_buckets)
+
+    def project(t: pa.Table) -> pa.Table:
+        t = t.select([key, ts_col, tiebreak_col]).filter(
+            pc.and_(pc.is_valid(t[key]), pc.is_valid(t[ts_col]))
+        )
+        k = t[key]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        h = _key_hash(k)
+        return t.append_column(
+            "__b", pa.array((h % np.uint64(nb)).astype(np.int32))
+        )
+
+    empty = pa.table(
+        {
+            key: pa.array([], pa.int64()),
+            "n_gaps": pa.array([], pa.int64()),
+            "sum_gap_us": pa.array([], pa.int64()),
+            "max_gap_us": pa.array([], pa.int64()),
+        }
+    )
+
+    def bucket_stats(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        g = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[
+                    (key, "ascending"),
+                    (ts_col, "ascending"),
+                    (tiebreak_col, "ascending"),
+                ],
+            )
+        )
+        k = g[key]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        karr = k.to_numpy(zero_copy_only=False)
+        n = len(karr)
+        if n < 2:
+            return empty
+        tsv = g[ts_col]
+        if isinstance(tsv, pa.ChunkedArray):
+            tsv = tsv.combine_chunks()
+        t_us = (
+            tsv.to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        )
+        starts = run_starts(karr)
+        d = np.diff(t_us)
+        # position i of d is the gap ending at row i+1; row i+1 starts a
+        # new key run iff (i+1) in starts
+        is_start = np.zeros(n, dtype=bool)
+        is_start[starts] = True
+        valid = ~is_start[1:]
+        gaps = d[valid]
+        if not len(gaps):
+            return empty
+        gkeys = karr[1:][valid]
+        gstarts = run_starts(gkeys)
+        return pa.table(
+            {
+                key: pa.array(gkeys[gstarts], type=k.type),
+                "n_gaps": pa.array(
+                    np.diff(np.r_[gstarts, len(gkeys)]).astype(np.int64)
+                ),
+                "sum_gap_us": pa.array(np.add.reduceat(gaps, gstarts)),
+                "max_gap_us": pa.array(np.maximum.reduceat(gaps, gstarts)),
+            }
+        )
+
+    out = (
+        ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(bucket_stats, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values(key, kind="mergesort").reset_index(drop=True)
+
+
 def global_row_number(ds, keys: list[str], *, out_col: str = "rn"):
     """Exact 1-based global ROW_NUMBER() OVER (ORDER BY keys) — the
     global-rank primitive Ray Data lacks (``ds.sort`` orders blocks but

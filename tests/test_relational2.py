@@ -1415,3 +1415,41 @@ def test_global_row_number_all_ties_still_a_permutation(ray_session):
         pd.DataFrame({"k0": [3, 0, 1], "n": [10, 5, 3]}), 1
     )
     assert total == 18 and omap == {(0,): 0, (1,): 5, (3,): 8}
+
+
+def test_grouped_lag_delta_stats_matches_pandas(ray_session):
+    """Bucketed LAG-delta stats == pandas groupby-diff oracle, with
+    (key, ts) ties broken by event id and single-event keys absent."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        grouped_lag_delta_stats,
+    )
+
+    rng = np.random.Generator(np.random.Philox(key=[9, 33]))
+    n = 1200
+    df = pd.DataFrame(
+        {
+            "uid": rng.integers(0, 40, n).astype(np.int64),
+            "ts": pd.Timestamp("2026-02-01")
+            + pd.to_timedelta(rng.integers(0, 86_400, n), unit="s"),
+            "eid": np.arange(n, dtype=np.int64),
+        }
+    )
+    df.loc[5, ["uid", "ts"]] = df.loc[4, ["uid", "ts"]]  # tie -> gap 0
+    df.loc[6, "uid"] = 999  # single-event key -> absent
+
+    got = grouped_lag_delta_stats(
+        rd.from_pandas(df).repartition(6), "uid", "ts", "eid", num_buckets=7
+    )
+
+    o = df.sort_values(["uid", "ts", "eid"])
+    gaps = o.groupby("uid")["ts"].diff().dropna().dt.total_seconds() * 1_000_000
+    g = gaps.astype(np.int64).groupby(o.loc[gaps.index, "uid"])
+    want = pd.DataFrame(
+        {"n_gaps": g.count(), "sum_gap_us": g.sum(), "max_gap_us": g.max()}
+    ).reset_index()
+    assert 999 not in set(got["uid"])
+    pd.testing.assert_frame_equal(
+        got.astype({"n_gaps": np.int64}), want.astype(got.dtypes.to_dict())
+    )
