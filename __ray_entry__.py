@@ -1183,6 +1183,20 @@ def q_user_interarrival(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def q_top_words(sf_dir: str):
+    """Corpus document-frequency head: top-40 words by (df, tf) — the
+    TF-IDF building block. Exploded (doc, word) pairs are collapsed by
+    per-batch Arrow hash-aggregates before the word-level exchange."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.functions.text import word_doc_freq
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return word_doc_freq(docs, k=40)
+
+
 def q_cross_check_agreement(sf_dir: str):
     """Second-executor agreement: every enabled rule's SQL twin re-run
     in DuckDB over the same partition files must reproduce the engine's
@@ -1249,6 +1263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "revenue_deciles": q_revenue_deciles,
         "user_interarrival": q_user_interarrival,
+        "top_words": q_top_words,
     }
 
 
@@ -1607,6 +1622,17 @@ SELECT CAST(tile AS BIGINT) AS tile, CAST(count(*) AS BIGINT) AS n_orders,
        sum(o_totalprice) AS sum_price, min(o_totalprice) AS min_price,
        max(o_totalprice) AS max_price
 FROM t GROUP BY tile ORDER BY tile
+""",
+        "top_words": """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents
+),
+f AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS tf,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM w WHERE word <> '' GROUP BY word
+)
+SELECT word, df, tf FROM f ORDER BY df DESC, tf DESC, word LIMIT 40
 """,
         "user_interarrival": """
 WITH d AS (

@@ -225,3 +225,59 @@ def shingle_stats(batch: pa.Table, text_col: str = "text", k: int = 3) -> pa.Tab
             np.not_equal(s[1:], s[:-1], out=first[1:])
             counts = np.bincount(s[first] // kcard, minlength=n).astype(np.int64)
     return batch.append_column("n_shingles", pa.array(counts, pa.int64()))
+
+
+def word_doc_freq(ds, *, text_col: str = "text", doc_col: str = "doc_id", k: int = 40):
+    """Corpus-wide word statistics — the TF-IDF / document-frequency
+    building block: for each lowercased whitespace word, total term
+    frequency and document frequency, top-``k`` by (df DESC, tf DESC,
+    word ASC) — a total order, so the LIMIT boundary is deterministic.
+
+    Scale shape: the exploded (doc, word) pairs NEVER ride a shuffle —
+    each batch collapses them with two Arrow C++ hash-aggregates
+    (doc×word, then word), so the exchange carries per-batch word
+    partials only; df partials are mergeable by sum because a document
+    never spans batches. Final pass is a word-level groupby + sort +
+    limit. Dataset-level companion to the per-batch kernels above.
+    """
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = t[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        # NULL text yields no words (SQL: unnest(NULL) -> no rows)
+        words = pc.split_pattern(pc.utf8_lower(pc.fill_null(text, "")), " ")
+        flat = pc.list_flatten(words)
+        offsets = np.asarray(words.offsets, dtype=np.int64)
+        di = np.repeat(
+            np.arange(len(offsets) - 1, dtype=np.int64), np.diff(offsets)
+        )
+        pairs = pa.table({"di": pa.array(di), "word": flat}).filter(
+            pc.not_equal(flat, "")
+        )
+        per_doc = pairs.group_by(["di", "word"]).aggregate([("word", "count")])
+        per_word = per_doc.group_by("word").aggregate(
+            [("word_count", "sum"), ("word_count", "count")]
+        )
+        return pa.table(
+            {
+                "word": per_word["word"],
+                "tf": per_word["word_count_sum"],
+                "df": per_word["word_count_count"],
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    topk = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("word")
+        .aggregate(Sum("tf", alias_name="tf"), Sum("df", alias_name="df"))
+        .sort(["df", "tf", "word"], descending=[True, True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    topk["tf"] = topk["tf"].astype("int64")
+    topk["df"] = topk["df"].astype("int64")
+    return topk[["word", "df", "tf"]].reset_index(drop=True)

@@ -269,3 +269,40 @@ def test_clamp_actor_concurrency(ray_session):
     assert clamp_actor_concurrency(total + 10) == total - 1
     assert clamp_actor_concurrency(2) == 2
     assert clamp_actor_concurrency(0) == 1
+
+
+def test_word_doc_freq_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.functions.text import word_doc_freq
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(6)), pa.int64()),
+            "text": pa.array(
+                [
+                    "The cat and the DOG",
+                    "the  cat",  # double space -> empty word filtered
+                    None,  # null doc -> no words
+                    "dog dog dog",
+                    "",
+                    "cat überraschung cat",
+                ]
+            ),
+        }
+    )
+    got = word_doc_freq(rd.from_arrow(docs).repartition(3), k=3)
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.execute(
+        """
+        WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+                   FROM documents),
+        f AS (SELECT word, CAST(count(*) AS BIGINT) AS tf,
+                     CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM w WHERE word <> '' GROUP BY word)
+        SELECT word, df, tf FROM f ORDER BY df DESC, tf DESC, word LIMIT 3
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want)
