@@ -1197,6 +1197,66 @@ def q_top_words(sf_dir: str):
     return word_doc_freq(docs, k=40)
 
 
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _orders_with_year(sf_dir: str):
+    import ray.data as rd
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderdate", "o_orderpriority", "o_totalprice"],
+    )
+
+    def add_year(t: pa.Table) -> pa.Table:
+        yr = pc.year(t["o_orderdate"]).cast(pa.int64())
+        return pa.table(
+            {
+                "yr": yr,
+                "priority": t["o_orderpriority"],
+                "o_totalprice": t["o_totalprice"],
+            }
+        )
+
+    return orders.map_batches(add_year, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_orders_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(year, priority): all three aggregation levels
+    from ONE finest-grain partial exchange — coarser levels re-derived
+    from finest rows (sum/count re-aggregate exactly), rolled-up keys
+    labeled 'ALL' for engine-independent dtypes."""
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_rollup
+
+    out = grouped_rollup(
+        _orders_with_year(sf_dir),
+        ["yr", "priority"],
+        {"n_orders": ("o_totalprice", "count"), "sum_price": ("o_totalprice", "sum")},
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out
+
+
+def q_revenue_pivot(sf_dir: str):
+    """Pivot/wide aggregate: revenue by year x order priority as one
+    row per year (SQL conditional aggregation). One cell-level partial
+    exchange; the pivot itself is driver-side over #years x 5 cells.
+    pivot_values pins the schema even if a priority is absent."""
+    from etl_data_validation_kio_ray.pipelines.relational import pivot_agg
+
+    out = pivot_agg(
+        _orders_with_year(sf_dir),
+        "yr",
+        "priority",
+        "o_totalprice",
+        fn="sum",
+        pivot_values=_PRIORITIES,
+    )
+    out.columns = ["yr"] + [f"p{i+1}" for i in range(len(_PRIORITIES))]
+    out["yr"] = out["yr"].astype("int64")
+    return out
+
+
 def q_cross_check_agreement(sf_dir: str):
     """Second-executor agreement: every enabled rule's SQL twin re-run
     in DuckDB over the same partition files must reproduce the engine's
@@ -1264,6 +1324,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_deciles": q_revenue_deciles,
         "user_interarrival": q_user_interarrival,
         "top_words": q_top_words,
+        "orders_rollup": q_orders_rollup,
+        "revenue_pivot": q_revenue_pivot,
     }
 
 
@@ -1622,6 +1684,25 @@ SELECT CAST(tile AS BIGINT) AS tile, CAST(count(*) AS BIGINT) AS n_orders,
        sum(o_totalprice) AS sum_price, min(o_totalprice) AS min_price,
        max(o_totalprice) AS max_price
 FROM t GROUP BY tile ORDER BY tile
+""",
+        "orders_rollup": """
+WITH t AS (
+  SELECT CAST(year(o_orderdate) AS VARCHAR) AS yr,
+         o_orderpriority AS priority, o_totalprice
+  FROM orders
+)
+SELECT COALESCE(yr, 'ALL') AS yr, COALESCE(priority, 'ALL') AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders, sum(o_totalprice) AS sum_price
+FROM t GROUP BY ROLLUP(yr, priority) ORDER BY yr, priority
+""",
+        "revenue_pivot": """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END) AS p1,
+       sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END) AS p2,
+       sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END) AS p3,
+       sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END) AS p4,
+       sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END) AS p5
+FROM orders GROUP BY yr ORDER BY yr
 """,
         "top_words": """
 WITH w AS (

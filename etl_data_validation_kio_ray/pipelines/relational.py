@@ -1278,6 +1278,82 @@ def rolling_window_agg(
     return out.sort_values([key, ts_col], kind="mergesort").reset_index(drop=True)
 
 
+def grouped_rollup(
+    ds,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    *,
+    total_label: str = "ALL",
+) -> pd.DataFrame:
+    """GROUP BY ROLLUP(keys): aggregates at every prefix level of
+    ``keys`` plus the grand total, rolled-up key columns set to
+    ``total_label`` (strings, not NULL — deterministic dtypes across
+    engines). ``aggs``: out -> (col, fn), fn in sum|count|min|max —
+    the re-aggregable functions; coarser levels are derived from the
+    FINEST level's rows (aggregates of aggregates), so the cluster
+    does exactly ONE partial-aggregated exchange at the finest grain
+    and the rollup costs nothing more. mean is not re-aggregable from
+    means — request sum+count and divide.
+
+    Reference analog: the multi-level summary the mart report derives
+    per (season, team) and per season
+    (/root/reference/src/app2/experiments/report.py:546-706)."""
+    for out, (_c, fn) in aggs.items():
+        if fn not in ("sum", "count", "min", "max"):
+            raise ValueError(f"grouped_rollup: {fn!r} is not re-aggregable")
+    finest = grouped_agg(ds, keys, aggs)
+    for k in keys:
+        finest[k] = finest[k].astype(str)
+    refn = {out: ("sum" if fn == "count" else fn) for out, (_c, fn) in aggs.items()}
+    levels = [finest]
+    for depth in range(len(keys) - 1, -1, -1):
+        head = keys[:depth]
+        if head:
+            lvl = finest.groupby(head, as_index=False).agg(refn)
+        else:
+            lvl = finest.agg(refn).to_frame().T.reset_index(drop=True)
+        for k in keys[depth:]:
+            lvl[k] = total_label
+        levels.append(lvl[finest.columns])
+    out = pd.concat(levels, ignore_index=True)
+    for o, (_c, fn) in aggs.items():
+        if fn in ("sum", "count"):
+            out[o] = out[o].astype(finest[o].dtype)
+    return out.sort_values(keys, kind="mergesort").reset_index(drop=True)
+
+
+def pivot_agg(
+    ds,
+    index_key: str,
+    pivot_key: str,
+    value_col: str,
+    *,
+    fn: str = "sum",
+    pivot_values: list | None = None,
+) -> pd.DataFrame:
+    """Wide/pivot aggregate: one row per ``index_key``, one column per
+    ``pivot_key`` value (SQL conditional aggregation ``fn(CASE WHEN
+    pivot=v THEN value END)``). The cluster does one finest-grain
+    partial-aggregated exchange (index x pivot cells); the pivot into
+    wide form happens on the driver over the tiny cell table. Pass
+    ``pivot_values`` to pin the output schema regardless of which
+    values the data happens to contain (absent cells are NULL, like
+    SQL); unlisted values are dropped loudly."""
+    cells = grouped_agg(ds, [index_key, pivot_key], {"v": (value_col, fn)})
+    if pivot_values is not None:
+        extra = set(cells[pivot_key]) - set(pivot_values)
+        if extra:
+            raise ValueError(
+                f"pivot_agg: data contains {pivot_key} values not in "
+                f"pivot_values: {sorted(extra)}"
+            )
+    wide = cells.pivot(index=index_key, columns=pivot_key, values="v")
+    if pivot_values is not None:
+        wide = wide.reindex(columns=pivot_values)
+    wide.columns = [str(c) for c in wide.columns]
+    return wide.reset_index().sort_values(index_key).reset_index(drop=True)
+
+
 def grouped_lag_delta_stats(
     ds,
     key: str,

@@ -1453,3 +1453,70 @@ def test_grouped_lag_delta_stats_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(
         got.astype({"n_gaps": np.int64}), want.astype(got.dtypes.to_dict())
     )
+
+
+def test_grouped_rollup_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_rollup
+
+    rng = np.random.Generator(np.random.Philox(key=[14, 2]))
+    n = 900
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["x", "y", "z"], n),
+            "b": rng.integers(0, 4, n).astype(np.int64),
+            "v": rng.integers(-50, 50, n).astype(np.int64),
+        }
+    )
+    got = grouped_rollup(
+        rd.from_pandas(df).repartition(5),
+        ["a", "b"],
+        {
+            "n": ("v", "count"),
+            "s": ("v", "sum"),
+            "lo": ("v", "min"),
+            "hi": ("v", "max"),
+        },
+    )
+    want = duckdb.sql(
+        """
+        WITH t AS (SELECT a, CAST(b AS VARCHAR) AS b, v FROM df)
+        SELECT COALESCE(a, 'ALL') AS a, COALESCE(b, 'ALL') AS b,
+               CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s,
+               CAST(min(v) AS BIGINT) AS lo, CAST(max(v) AS BIGINT) AS hi
+        FROM t GROUP BY ROLLUP(a, b) ORDER BY a, b
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want)
+
+    with pytest.raises(ValueError, match="re-aggregable"):
+        grouped_rollup(rd.from_pandas(df), ["a"], {"m": ("v", "mean")})
+
+
+def test_pivot_agg_missing_cell_and_guard(ray_session):
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import pivot_agg
+
+    df = pd.DataFrame(
+        {
+            "idx": [1, 1, 2, 2, 2],
+            "cat": ["a", "b", "a", "a", "b"],
+            "v": [10.0, 20.0, 1.0, 2.0, 3.0],
+        }
+    )
+    got = pivot_agg(
+        rd.from_pandas(df).repartition(2),
+        "idx",
+        "cat",
+        "v",
+        pivot_values=["a", "b", "c"],  # 'c' absent everywhere -> NULL col
+    )
+    assert got.columns.tolist() == ["idx", "a", "b", "c"]
+    assert got["a"].tolist() == [10.0, 3.0]
+    assert got["c"].isna().all()
+
+    with pytest.raises(ValueError, match="not in"):
+        pivot_agg(rd.from_pandas(df), "idx", "cat", "v", pivot_values=["a"])
