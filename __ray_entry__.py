@@ -1257,6 +1257,20 @@ def q_revenue_pivot(sf_dir: str):
     return out
 
 
+def q_embedding_stats(sf_dir: str):
+    """Per-label embedding profile (count, mean L2 norm, centroid
+    norm): one partials-only exchange of (n, sum_norm, sum_vec) per
+    (label, batch) — vectors never ride a shuffle whole."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.functions.vectors import grouped_embedding_stats
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding", "label"]
+    )
+    return grouped_embedding_stats(emb, "embedding", "label")
+
+
 def q_cross_check_agreement(sf_dir: str):
     """Second-executor agreement: every enabled rule's SQL twin re-run
     in DuckDB over the same partition files must reproduce the engine's
@@ -1324,6 +1338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_deciles": q_revenue_deciles,
         "user_interarrival": q_user_interarrival,
         "top_words": q_top_words,
+        "embedding_stats": q_embedding_stats,
         "orders_rollup": q_orders_rollup,
         "revenue_pivot": q_revenue_pivot,
     }
@@ -1684,6 +1699,29 @@ SELECT CAST(tile AS BIGINT) AS tile, CAST(count(*) AS BIGINT) AS n_orders,
        sum(o_totalprice) AS sum_price, min(o_totalprice) AS min_price,
        max(o_totalprice) AS max_price
 FROM t GROUP BY tile ORDER BY tile
+""",
+        "embedding_stats": """
+WITH e AS (
+  SELECT label,
+         sqrt(list_aggregate(
+           list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+           'sum')) AS nrm
+  FROM embeddings
+),
+d AS (
+  SELECT label, unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+         unnest(range(len(embedding))) AS i
+  FROM embeddings
+),
+cent AS (
+  SELECT label, sqrt(sum(m * m)) AS centroid_norm
+  FROM (SELECT label, i, avg(v) AS m FROM d GROUP BY label, i)
+  GROUP BY label
+)
+SELECT CAST(e.label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n,
+       avg(e.nrm) AS avg_norm, max(cent.centroid_norm) AS centroid_norm
+FROM e JOIN cent ON e.label = cent.label
+GROUP BY e.label ORDER BY label
 """,
         "orders_rollup": """
 WITH t AS (

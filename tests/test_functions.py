@@ -306,3 +306,32 @@ def test_word_doc_freq_matches_duckdb(ray_session):
         """
     ).df()
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_grouped_embedding_stats_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.functions.vectors import grouped_embedding_stats
+
+    rng = np.random.Generator(np.random.Philox(key=[3, 77]))
+    n, d = 400, 16
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    labels = rng.integers(0, 5, n).astype(np.int32)
+    t = pa.table(
+        {
+            "embedding": pa.array([list(map(float, v)) for v in vecs], pa.list_(pa.float32())),
+            "label": pa.array(labels),
+        }
+    )
+    got = grouped_embedding_stats(rd.from_arrow(t).repartition(4), "embedding", "label")
+    v64 = vecs.astype(np.float64)
+    for row in got.itertuples(index=False):
+        m = labels == row.label
+        assert row.n == int(m.sum())
+        np.testing.assert_allclose(
+            row.avg_norm, np.linalg.norm(v64[m], axis=1).mean(), rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            row.centroid_norm, np.linalg.norm(v64[m].mean(axis=0)), rtol=1e-12
+        )
+    assert got["label"].tolist() == sorted(set(labels.tolist()))
