@@ -1271,6 +1271,113 @@ def q_embedding_stats(sf_dir: str):
     return grouped_embedding_stats(emb, "embedding", "label")
 
 
+def q_source_corr(sf_dir: str):
+    """Per-source Pearson corr(n_chars, word count): six exact int64
+    sums per (source, batch) ride the exchange; the float formula is
+    evaluated identically in both engines from those exact sums."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_corr
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["text", "source", "n_chars"],
+    )
+
+    def wc(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n_tok = pc.list_value_length(pc.split_pattern(text, " "))
+        return pa.table(
+            {"source": t["source"], "n_chars": t["n_chars"], "n_tok": n_tok}
+        )
+
+    return grouped_corr(
+        docs.map_batches(wc, batch_format="pyarrow", zero_copy_batch=True),
+        "source",
+        "n_chars",
+        "n_tok",
+    )
+
+
+def q_order_item_consistency(sf_dir: str):
+    """Cross-table reconciliation (fact ⋈ fact): per order status, how
+    many orders have NO lineitems and how many orders' lineitem cents
+    don't sum to o_totalprice. Lineitem pre-aggregates to one row per
+    order BEFORE the large x large hash join (the exchange carries
+    |orders| 16-byte rows, not |lineitem|); the verdict is exact
+    integer cents on both engines."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        grouped_agg,
+        hash_join,
+    )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice"],
+    )
+
+    def cents_partial(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        g = (
+            pa.table({"l_orderkey": t["l_orderkey"], "c": c})
+            .group_by("l_orderkey")
+            .aggregate([("c", "sum")])
+        )
+        return g.rename_columns(["l_orderkey", "item_cents"])
+
+    items = (
+        li.map_batches(cents_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Sum("item_cents", alias_name="item_cents"))
+    )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+    joined = hash_join(
+        orders,
+        items,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+        join_type="left_outer",
+        num_partitions=16,
+    )
+
+    def flags(t: pa.Table) -> pa.Table:
+        have = pc.is_valid(t["item_cents"])
+        total_c = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        mismatch = pc.and_(
+            have, pc.not_equal(pc.fill_null(t["item_cents"], 0), total_c)
+        )
+        return pa.table(
+            {
+                "status": t["o_orderstatus"],
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "no_items": pc.cast(pc.invert(have), pa.int64()),
+                "mismatch": pc.cast(mismatch, pa.int64()),
+            }
+        )
+
+    out = grouped_agg(
+        joined.map_batches(flags, batch_format="pyarrow"),
+        ["status"],
+        {
+            "n_orders": ("one", "sum"),
+            "n_no_items": ("no_items", "sum"),
+            "n_mismatch": ("mismatch", "sum"),
+        },
+    )
+    for c in ("n_orders", "n_no_items", "n_mismatch"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def q_cross_check_agreement(sf_dir: str):
     """Second-executor agreement: every enabled rule's SQL twin re-run
     in DuckDB over the same partition files must reproduce the engine's
@@ -1339,6 +1446,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_interarrival": q_user_interarrival,
         "top_words": q_top_words,
         "embedding_stats": q_embedding_stats,
+        "source_corr": q_source_corr,
+        "order_item_consistency": q_order_item_consistency,
         "orders_rollup": q_orders_rollup,
         "revenue_pivot": q_revenue_pivot,
     }
@@ -1699,6 +1808,43 @@ SELECT CAST(tile AS BIGINT) AS tile, CAST(count(*) AS BIGINT) AS n_orders,
        sum(o_totalprice) AS sum_price, min(o_totalprice) AS min_price,
        max(o_totalprice) AS max_price
 FROM t GROUP BY tile ORDER BY tile
+""",
+        "order_item_consistency": """
+WITH li AS (
+  SELECT l_orderkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS item_cents
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN li.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_no_items,
+       CAST(sum(CASE WHEN li.l_orderkey IS NOT NULL AND
+                li.item_cents <> CAST(round(o_totalprice * 100) AS BIGINT)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+FROM orders LEFT JOIN li ON o_orderkey = li.l_orderkey
+GROUP BY o_orderstatus ORDER BY status
+""",
+        "source_corr": """
+WITH t AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS x,
+         CAST(length(string_split(text, ' ')) AS BIGINT) AS y
+  FROM documents
+),
+s AS (
+  SELECT source, CAST(count(x) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+  FROM t GROUP BY source
+)
+SELECT source, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / NULLIF(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0)
+         AS corr
+FROM s ORDER BY source
 """,
         "embedding_stats": """
 WITH e AS (

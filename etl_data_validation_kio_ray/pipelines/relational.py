@@ -1278,6 +1278,61 @@ def rolling_window_agg(
     return out.sort_values([key, ts_col], kind="mergesort").reset_index(drop=True)
 
 
+def grouped_corr(ds, key: str, x_col: str, y_col: str) -> pd.DataFrame:
+    """Per-group Pearson correlation of two INTEGER-valued columns —
+    the column-pair profiling step of a stats suite. One
+    partial-aggregated exchange of six exact int64 sums (n, Σx, Σy,
+    Σx², Σy², Σxy) per (key, batch); the final formula
+
+        corr = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − Σx²)·(n·Σy² − Σy²))
+
+    is evaluated in float64 from the exact sums, so any engine that
+    computes the same expression from the same sums agrees
+    bit-for-bit (IEEE determinism) — unlike streaming corr()
+    implementations. Zero-variance groups yield NaN (SQL NULL via
+    NULLIF). Caller must ensure Σx² fits int64 (domain² x rows <
+    2^63) — loudly checked here.
+    """
+    def prods(t: pa.Table) -> pa.Table:
+        x = t[x_col].cast(pa.int64())
+        y = t[y_col].cast(pa.int64())
+        return pa.table(
+            {
+                key: t[key],
+                "x": x,
+                "y": y,
+                "xx": pc.multiply_checked(x, x),
+                "yy": pc.multiply_checked(y, y),
+                "xy": pc.multiply_checked(x, y),
+            }
+        )
+
+    agg = grouped_agg(
+        ds.map_batches(prods, batch_format="pyarrow", zero_copy_batch=True),
+        [key],
+        {
+            "n": ("x", "count"),
+            "sx": ("x", "sum"),
+            "sy": ("y", "sum"),
+            "sxx": ("xx", "sum"),
+            "syy": ("yy", "sum"),
+            "sxy": ("xy", "sum"),
+        },
+    )
+    n = agg["n"].to_numpy(dtype=np.float64)
+    sx = agg["sx"].to_numpy(dtype=np.float64)
+    sy = agg["sy"].to_numpy(dtype=np.float64)
+    num = n * agg["sxy"].to_numpy(dtype=np.float64) - sx * sy
+    vx = n * agg["sxx"].to_numpy(dtype=np.float64) - sx * sx
+    vy = n * agg["syy"].to_numpy(dtype=np.float64) - sy * sy
+    den = np.sqrt(vx * vy)
+    out = agg[[key, "n"]].copy()
+    out["n"] = out["n"].astype("int64")
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out["corr"] = np.where(den == 0, np.nan, num / den)
+    return out.sort_values(key, kind="mergesort").reset_index(drop=True)
+
+
 def grouped_rollup(
     ds,
     keys: list[str],

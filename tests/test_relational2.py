@@ -1520,3 +1520,32 @@ def test_pivot_agg_missing_cell_and_guard(ray_session):
 
     with pytest.raises(ValueError, match="not in"):
         pivot_agg(rd.from_pandas(df), "idx", "cat", "v", pivot_values=["a"])
+
+
+def test_grouped_corr_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_corr
+
+    rng = np.random.Generator(np.random.Philox(key=[6, 28]))
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], n),
+            "x": rng.integers(0, 1000, n).astype(np.int64),
+        }
+    )
+    df["y"] = df["x"] // 2 + rng.integers(0, 300, n)
+    const = pd.DataFrame({"g": ["z"] * 5, "x": [7] * 5, "y": [1, 2, 3, 4, 5]})
+    df = pd.concat([df, const], ignore_index=True)
+
+    got = grouped_corr(rd.from_pandas(df).repartition(6), "g", "x", "y")
+    for row in got.itertuples(index=False):
+        sub = df[df.g == row.g]
+        assert row.n == len(sub)
+        if row.g == "z":
+            assert np.isnan(row.corr)  # zero x-variance -> NaN, not inf
+        else:
+            np.testing.assert_allclose(
+                row.corr, np.corrcoef(sub.x, sub.y)[0, 1], rtol=1e-12
+            )
