@@ -1378,6 +1378,15 @@ def q_order_item_consistency(sf_dir: str):
     return out
 
 
+def q_token_bigrams(sf_dir: str):
+    """Top-40 adjacent token pairs over the tokenized corpus — bigram
+    codes built zero-copy on the flattened list buffer with boundary
+    masking; only (code, count) partials ride the exchange."""
+    from etl_data_validation_kio_ray.functions.text import token_bigram_topk
+
+    return token_bigram_topk(q_tokenize(sf_dir), k=40)
+
+
 def q_cross_check_agreement(sf_dir: str):
     """Second-executor agreement: every enabled rule's SQL twin re-run
     in DuckDB over the same partition files must reproduce the engine's
@@ -1448,6 +1457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_stats": q_embedding_stats,
         "source_corr": q_source_corr,
         "order_item_consistency": q_order_item_consistency,
+        "token_bigrams": q_token_bigrams,
         "orders_rollup": q_orders_rollup,
         "revenue_pivot": q_revenue_pivot,
     }
@@ -1808,6 +1818,17 @@ SELECT CAST(tile AS BIGINT) AS tile, CAST(count(*) AS BIGINT) AS n_orders,
        sum(o_totalprice) AS sum_price, min(o_totalprice) AS min_price,
        max(o_totalprice) AS max_price
 FROM t GROUP BY tile ORDER BY tile
+""",
+        "token_bigrams": f"""
+WITH {TOKENIZE_CTE},
+b AS (
+  SELECT unnest(list_transform(range(1, len(tokens)),
+                i -> CAST(tokens[i] AS BIGINT) * 50257 + tokens[i+1])) AS code
+  FROM tok WHERE len(tokens) >= 2
+)
+SELECT CAST(code // 50257 AS BIGINT) AS t1, CAST(code % 50257 AS BIGINT) AS t2,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM b GROUP BY code ORDER BY cnt DESC, code LIMIT 40
 """,
         "order_item_consistency": """
 WITH li AS (

@@ -281,3 +281,64 @@ def word_doc_freq(ds, *, text_col: str = "text", doc_col: str = "doc_id", k: int
     topk["tf"] = topk["tf"].astype("int64")
     topk["df"] = topk["df"].astype("int64")
     return topk[["word", "df", "tf"]].reset_index(drop=True)
+
+
+def token_bigram_topk(ds, *, token_col: str = "tokens", k: int = 40, vocab: int = 50257):
+    """Corpus-wide token-bigram head: the ``k`` most frequent adjacent
+    token pairs across all sequences, by (count DESC, t1, t2) — the
+    n-gram statistics pass an LLM-data pipeline runs over pre-tokenized
+    corpora (bigram LM priors, merge-rule audits, contamination
+    probes).
+
+    Scale shape: bigrams are encoded zero-copy from the flattened list
+    buffer (``t1 * vocab + t2`` on the child values, document
+    boundaries masked via the offsets — no per-row Python, no explode);
+    each batch collapses codes with one sort + run-length count, so the
+    exchange carries per-batch (code, count) partials, then a code-level
+    groupby and a top-k sort of the tiny aggregate.
+    """
+    import pandas as pd
+
+    from .grouping import run_starts
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[token_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(flat) < 2:
+            return pa.table(
+                {"code": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+            )
+        off = np.asarray(col.offsets, dtype=np.int64)
+        off = off - off[0]
+        codes = flat[:-1] * vocab + flat[1:]
+        valid = np.ones(len(flat) - 1, dtype=bool)
+        b = off[1:-1]
+        b = b[(b >= 1) & (b <= len(flat) - 1)]
+        valid[b - 1] = False  # pairs straddling a document boundary
+        codes = np.sort(codes[valid], kind="stable")
+        starts = run_starts(codes)
+        return pa.table(
+            {
+                "code": pa.array(codes[starts]),
+                "cnt": pa.array(np.diff(np.r_[starts, len(codes)]).astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    # code ASC == (t1, t2) ASC, so the distributed sort + limit is the
+    # full tiebreak; only k rows ever reach the driver
+    top = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("code")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .sort(["cnt", "code"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    top["t1"] = (top["code"] // vocab).astype("int64")
+    top["t2"] = (top["code"] % vocab).astype("int64")
+    top["cnt"] = top["cnt"].astype("int64")
+    return top[["t1", "t2", "cnt"]].reset_index(drop=True)

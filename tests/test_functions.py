@@ -335,3 +335,29 @@ def test_grouped_embedding_stats_matches_numpy(ray_session):
             row.centroid_norm, np.linalg.norm(v64[m].mean(axis=0)), rtol=1e-12
         )
     assert got["label"].tolist() == sorted(set(labels.tolist()))
+
+
+def test_token_bigram_topk_boundaries_and_ties(ray_session):
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.functions.text import token_bigram_topk
+
+    t = pa.table(
+        {
+            "tokens": pa.array(
+                [
+                    [1, 2, 1, 2],  # (1,2)x2, (2,1)x1
+                    [2],  # no bigram
+                    [],  # empty doc
+                    [2, 1],  # (2,1) again; (2),(2,1) must NOT bridge docs
+                    [9, 9, 9],  # (9,9)x2
+                ],
+                pa.list_(pa.int32()),
+            )
+        }
+    )
+    got = token_bigram_topk(rd.from_arrow(t).repartition(3), k=10, vocab=100)
+    rows = list(map(tuple, got.itertuples(index=False)))
+    assert rows == [(1, 2, 2), (2, 1, 2), (9, 9, 2)]  # tie broken by code asc
+    top1 = token_bigram_topk(rd.from_arrow(t), k=1, vocab=100)
+    assert list(map(tuple, top1.itertuples(index=False))) == [(1, 2, 2)]
