@@ -1387,6 +1387,46 @@ def q_token_bigrams(sf_dir: str):
     return token_bigram_topk(q_tokenize(sf_dir), k=40)
 
 
+def q_normalized_dups(sf_dir: str):
+    """Near-exact dedup after canonicalization: per source, docs vs
+    distinct canonical forms (case/punct/whitespace variants collapse).
+    One RE2 pass per batch, then the exact pair-dedup count-distinct —
+    no full-text shuffle beyond first-seen distinct pairs."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.functions.text import canonicalize_text
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        grouped_agg,
+        grouped_count_distinct,
+    )
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+
+    def canon(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"source": t["source"], "canon": canonicalize_text(t["text"])}
+        )
+
+    counts = grouped_agg(
+        docs.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"],
+        {"n_docs": ("canon", "count")},
+    )
+    distinct = grouped_count_distinct(
+        docs.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True),
+        "source",
+        "canon",
+    )
+    out = counts.merge(distinct, on="source")
+    out = out.rename(columns={"n_distinct": "n_canonical"})
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["n_canonical"] = out["n_canonical"].astype("int64")
+    out["n_dup_rows"] = out["n_docs"] - out["n_canonical"]
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def q_cross_check_agreement(sf_dir: str):
     """Second-executor agreement: every enabled rule's SQL twin re-run
     in DuckDB over the same partition files must reproduce the engine's
@@ -1458,6 +1498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_corr": q_source_corr,
         "order_item_consistency": q_order_item_consistency,
         "token_bigrams": q_token_bigrams,
+        "normalized_dups": q_normalized_dups,
         "orders_rollup": q_orders_rollup,
         "revenue_pivot": q_revenue_pivot,
     }
@@ -1818,6 +1859,17 @@ SELECT CAST(tile AS BIGINT) AS tile, CAST(count(*) AS BIGINT) AS n_orders,
        sum(o_totalprice) AS sum_price, min(o_totalprice) AS min_price,
        max(o_totalprice) AS max_price
 FROM t GROUP BY tile ORDER BY tile
+""",
+        "normalized_dups": """
+WITH c AS (
+  SELECT source,
+         trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS canon
+  FROM documents
+)
+SELECT source, CAST(count(canon) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT canon) AS BIGINT) AS n_canonical,
+       CAST(count(canon) - count(DISTINCT canon) AS BIGINT) AS n_dup_rows
+FROM c GROUP BY source ORDER BY source
 """,
         "token_bigrams": f"""
 WITH {TOKENIZE_CTE},

@@ -342,3 +342,17 @@ def token_bigram_topk(ds, *, token_col: str = "tokens", k: int = 40, vocab: int 
     top["t2"] = (top["code"] % vocab).astype("int64")
     top["cnt"] = top["cnt"].astype("int64")
     return top[["t1", "t2", "cnt"]].reset_index(drop=True)
+
+
+def canonicalize_text(text: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Canonical dedup key: lowercase, collapse every non-alphanumeric
+    run to one space, trim — the normalization step before near-exact
+    dedup (catches case/punctuation/whitespace variants of the same
+    document). One RE2 pass over the Arrow string buffer (Arrow and
+    DuckDB both use RE2, so the SQL twin `trim(regexp_replace(lower(x),
+    '[^a-z0-9]+', ' ', 'g'))` is bit-identical)."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    low = pc.utf8_lower(text)
+    spaced = pc.replace_substring_regex(low, "[^a-z0-9]+", " ")
+    return pc.utf8_trim_whitespace(spaced)

@@ -361,3 +361,29 @@ def test_token_bigram_topk_boundaries_and_ties(ray_session):
     assert rows == [(1, 2, 2), (2, 1, 2), (9, 9, 2)]  # tie broken by code asc
     top1 = token_bigram_topk(rd.from_arrow(t), k=1, vocab=100)
     assert list(map(tuple, top1.itertuples(index=False))) == [(1, 2, 2)]
+
+
+def test_canonicalize_text_matches_duckdb():
+    import duckdb
+
+    from etl_data_validation_kio_ray.functions.text import canonicalize_text
+
+    vals = [
+        "  Hello,   WORLD!! 42 ",
+        "a—b\tc\nd",
+        "ümlaut Ünd",
+        "",
+        None,
+        "UPPER lower 123",
+        "...",
+    ]
+    got = canonicalize_text(pa.array(vals)).to_pylist()
+    want = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT trim(regexp_replace(lower(t), '[^a-z0-9]+', ' ', 'g')) "
+            "FROM (SELECT unnest(?) AS t)",
+            params=[vals],
+        ).fetchall()
+    ]
+    assert got == want
