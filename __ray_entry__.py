@@ -1387,6 +1387,20 @@ def q_token_bigrams(sf_dir: str):
     return token_bigram_topk(q_tokenize(sf_dir), k=40)
 
 
+def q_winsorized_ntok(sf_dir: str):
+    """Robust scaling: per-source n_tok winsorized at the EXACT
+    [p01, p99] integer-rank percentiles — two streaming passes
+    (counting-histogram bounds, then broadcast clamp), all integer
+    arithmetic so both engines agree exactly."""
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        grouped_winsorized_sums,
+    )
+
+    return grouped_winsorized_sums(
+        q_tokenize(sf_dir), "source", "n_tok", domain_max=1 << 15
+    )
+
+
 def q_normalized_dups(sf_dir: str):
     """Near-exact dedup after canonicalization: per source, docs vs
     distinct canonical forms (case/punct/whitespace variants collapse).
@@ -1499,6 +1513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_item_consistency": q_order_item_consistency,
         "token_bigrams": q_token_bigrams,
         "normalized_dups": q_normalized_dups,
+        "winsorized_ntok": q_winsorized_ntok,
         "orders_rollup": q_orders_rollup,
         "revenue_pivot": q_revenue_pivot,
     }
@@ -1859,6 +1874,33 @@ SELECT CAST(tile AS BIGINT) AS tile, CAST(count(*) AS BIGINT) AS n_orders,
        sum(o_totalprice) AS sum_price, min(o_totalprice) AS min_price,
        max(o_totalprice) AS max_price
 FROM t GROUP BY tile ORDER BY tile
+""",
+        "winsorized_ntok": f"""
+WITH {TOKENIZE_CTE},
+c AS (SELECT source, n_tok, count(*) AS cnt FROM tok GROUP BY source, n_tok),
+w AS (
+  SELECT source, n_tok,
+         sum(cnt) OVER (PARTITION BY source ORDER BY n_tok) AS cum,
+         sum(cnt) OVER (PARTITION BY source) AS n
+  FROM c
+),
+b AS (
+  SELECT source,
+         min(CASE WHEN cum * 100 >= 1 * n THEN n_tok END) AS lo,
+         min(CASE WHEN cum * 100 >= 99 * n THEN n_tok END) AS hi
+  FROM w GROUP BY source
+)
+SELECT t.source, CAST(count(*) AS BIGINT) AS n,
+       CAST(max(b.lo) AS BIGINT) AS lo, CAST(max(b.hi) AS BIGINT) AS hi,
+       CAST(sum(CASE WHEN t.n_tok < b.lo THEN b.lo
+                     WHEN t.n_tok > b.hi THEN b.hi
+                     ELSE t.n_tok END) AS BIGINT) AS wsum,
+       CAST(sum(CASE WHEN t.n_tok < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_lo,
+       CAST(sum(CASE WHEN t.n_tok > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_hi
+FROM tok t JOIN b ON t.source = b.source
+GROUP BY t.source ORDER BY t.source
 """,
         "normalized_dups": """
 WITH c AS (

@@ -1098,6 +1098,111 @@ def grouped_quantiles_bounded(
     return pd.DataFrame(rows)
 
 
+def grouped_winsorized_sums(
+    ds,
+    key: str,
+    value_col: str,
+    domain_max: int,
+    *,
+    lo: tuple[int, int] = (1, 100),
+    hi: tuple[int, int] = (99, 100),
+) -> pd.DataFrame:
+    """Winsorized (clamped) normalization stats per key: values are
+    clipped to the key's EXACT [p_lo, p_hi] percentiles (the integer
+    rank rule of :func:`grouped_quantiles_bounded`), then reduced to
+    per-key (n, winsorized sum, clip counts) — the robust-scaling step
+    of a feature pipeline, all in exact integers so engines agree
+    bit-for-bit.
+
+    Two streaming passes (like its SQL twin's CTE + join): pass 1
+    computes boundaries (counting-histogram partials, driver state
+    groups x domain); pass 2 broadcasts the tiny bounds map in the
+    task closure and clamps each batch vectorized, exchanging one
+    partial row per (key, batch). Null values contribute nothing;
+    null keys are dropped (SQL JOIN-on-key semantics).
+    """
+    bounds = grouped_quantiles_bounded(
+        ds, key, value_col, [("lo", *lo), ("hi", *hi)], domain_max
+    )
+    bounds = bounds[bounds[key].notna()].reset_index(drop=True)
+    bmap = {
+        k: (int(l), int(h))
+        for k, l, h in zip(bounds[key], bounds["lo"], bounds["hi"])
+    }
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        g = t[key]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        m = pc.and_(pc.is_valid(v), pc.is_valid(g)).to_numpy(zero_copy_only=False)
+        vals = v.to_numpy(zero_copy_only=False)[m].astype(np.int64)
+        gnp = g.to_numpy(zero_copy_only=False)[m]
+        if not len(vals):
+            i64 = pa.array([], pa.int64())
+            return pa.table(
+                {
+                    key: pa.array([], g.type),
+                    "n": i64,
+                    "wsum": i64,
+                    "n_clip_lo": i64,
+                    "n_clip_hi": i64,
+                }
+            )
+        codes, uniq = pd.factorize(pd.Series(gnp))
+        try:
+            lo_a = np.array([bmap[u][0] for u in uniq], dtype=np.int64)
+            hi_a = np.array([bmap[u][1] for u in uniq], dtype=np.int64)
+        except KeyError as e:  # a key born between the two passes
+            raise RuntimeError(
+                f"grouped_winsorized_sums: key {e.args[0]!r} has no "
+                "bounds — input changed between passes"
+            ) from None
+        lo_r, hi_r = lo_a[codes], hi_a[codes]
+        clamped = np.clip(vals, lo_r, hi_r)
+        nk = len(uniq)
+        return pa.table(
+            {
+                key: pa.array(np.asarray(uniq, dtype=object), from_pandas=True),
+                "n": pa.array(np.bincount(codes, minlength=nk).astype(np.int64)),
+                "wsum": pa.array(
+                    np.bincount(codes, weights=clamped, minlength=nk).astype(
+                        np.int64
+                    )
+                ),
+                "n_clip_lo": pa.array(
+                    np.bincount(
+                        codes[vals < lo_r], minlength=nk
+                    ).astype(np.int64)
+                ),
+                "n_clip_hi": pa.array(
+                    np.bincount(
+                        codes[vals > hi_r], minlength=nk
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    sums = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        [key],
+        {
+            "n": ("n", "sum"),
+            "wsum": ("wsum", "sum"),
+            "n_clip_lo": ("n_clip_lo", "sum"),
+            "n_clip_hi": ("n_clip_hi", "sum"),
+        },
+    )
+    out = bounds.merge(sums, on=key)
+    for c in ("lo", "hi", "n", "wsum", "n_clip_lo", "n_clip_hi"):
+        out[c] = out[c].astype("int64")
+    return out[
+        [key, "n", "lo", "hi", "wsum", "n_clip_lo", "n_clip_hi"]
+    ].sort_values(key).reset_index(drop=True)
+
+
 def grouped_zscore_outliers(
     ds,
     key: str,

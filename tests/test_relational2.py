@@ -1549,3 +1549,34 @@ def test_grouped_corr_matches_numpy(ray_session):
             np.testing.assert_allclose(
                 row.corr, np.corrcoef(sub.x, sub.y)[0, 1], rtol=1e-12
             )
+
+
+def test_grouped_winsorized_sums_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        grouped_winsorized_sums,
+    )
+
+    rng = np.random.Generator(np.random.Philox(key=[11, 5]))
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b"], n),
+            "v": rng.integers(0, 1000, n).astype(np.int64),
+        }
+    )
+    got = grouped_winsorized_sums(
+        rd.from_pandas(df).repartition(5), "g", "v", domain_max=1000
+    )
+    for row in got.itertuples(index=False):
+        vals = np.sort(df.loc[df.g == row.g, "v"].to_numpy())
+        m = len(vals)
+        # integer rank rule: smallest v with cum*den >= num*n
+        lo = vals[int(np.ceil(1 * m / 100)) - 1]
+        hi = vals[int(np.ceil(99 * m / 100)) - 1]
+        assert (row.lo, row.hi) == (lo, hi)
+        assert row.n == m
+        assert row.wsum == int(np.clip(vals, lo, hi).sum())
+        assert row.n_clip_lo == int((vals < lo).sum())
+        assert row.n_clip_hi == int((vals > hi).sum())
