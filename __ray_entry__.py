@@ -1441,6 +1441,31 @@ def q_normalized_dups(sf_dir: str):
     return out.sort_values("source").reset_index(drop=True)
 
 
+def q_contamination(sf_dir: str):
+    """Train/test leakage screen: split documents by doc_id parity and
+    count test docs sharing any exact word-3-gram with the train half.
+    Per-batch distinct-gram collapse, then ONE hash-partitioned
+    semi-join on the gram — exact strings, no signature approximation."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.dedup.ngram import cross_corpus_contamination
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def side(train: bool):
+        def f(t: pa.Table) -> pa.Table:
+            par = pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0 if train else 1)
+            return t.filter(par)
+
+        return f
+
+    train = docs.map_batches(side(True), batch_format="pyarrow")
+    test = docs.map_batches(side(False), batch_format="pyarrow")
+    return cross_corpus_contamination(train, test, k=3)
+
+
 def q_cross_check_agreement(sf_dir: str):
     """Second-executor agreement: every enabled rule's SQL twin re-run
     in DuckDB over the same partition files must reproduce the engine's
@@ -1514,6 +1539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_bigrams": q_token_bigrams,
         "normalized_dups": q_normalized_dups,
         "winsorized_ntok": q_winsorized_ntok,
+        "contamination": q_contamination,
         "orders_rollup": q_orders_rollup,
         "revenue_pivot": q_revenue_pivot,
     }
@@ -1874,6 +1900,21 @@ SELECT CAST(tile AS BIGINT) AS tile, CAST(count(*) AS BIGINT) AS n_orders,
        sum(o_totalprice) AS sum_price, min(o_totalprice) AS min_price,
        max(o_totalprice) AS max_price
 FROM t GROUP BY tile ORDER BY tile
+""",
+        "contamination": """
+WITH d AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+  FROM d WHERE len(ws) >= 3
+),
+train AS (SELECT DISTINCT g FROM grams WHERE doc_id % 2 = 0),
+test AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 2 = 1)
+SELECT (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM test) AS n_test_docs,
+       CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_contaminated
+FROM test t WHERE t.g IN (SELECT g FROM train)
 """,
         "winsorized_ntok": f"""
 WITH {TOKENIZE_CTE},

@@ -73,6 +73,13 @@ BENCH_QUERIES = [
     "asof_events",
     "user_rolling_24h",
     "grouped_quantiles",
+    "top_words",
+    "token_bigrams",
+    "user_interarrival",
+    "revenue_deciles",
+    "order_item_consistency",
+    "normalized_dups",
+    "winsorized_ntok",
 ]
 
 

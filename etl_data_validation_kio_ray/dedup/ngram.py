@@ -31,3 +31,90 @@ def jaccard_pairs_exact(
             if j >= threshold:
                 rows.append((a, b, j))
     return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+
+
+def cross_corpus_contamination(
+    train_ds,
+    test_ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_partitions: int = 32,
+):
+    """Train/test contamination check: how many TEST documents share at
+    least one exact word-k-gram with the TRAIN corpus — the leakage
+    screen an LLM data pipeline runs before holding out an eval set.
+
+    Scale shape: each batch reduces to DISTINCT grams (train side) /
+    DISTINCT (doc, gram) pairs (test side) with one Arrow hash-aggregate
+    — raw text never rides the exchange, and within-batch repeats are
+    collapsed before the shuffle. The sides then meet in ONE
+    hash-partitioned semi-join on the gram (``hash_join``), and matched
+    test docs are counted with a distinct aggregate. Grams travel as
+    exact strings (bit-identical to the SQL twin); for corpora where
+    the distinct-gram exchange dominates, the hashed-signature path is
+    the MinHash family in this package (collision-free exactness is
+    this operator's contract; MinHash trades it for traffic).
+
+    Returns a one-row DataFrame (n_test_docs, n_contaminated): test
+    docs with at least one gram (< k words -> no grams, excluded), and
+    those sharing a gram with train.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..pipelines.relational import hash_join
+
+    def _grams(t: pa.Table, with_doc: bool) -> pa.Table:
+        text = t[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern(pc.utf8_lower(pc.fill_null(text, "")), " ")
+        flat = words.values if not isinstance(words, pa.ChunkedArray) else words.combine_chunks().values
+        off = np.asarray(words.offsets, dtype=np.int64)
+        off = off - off[0]
+        n = len(flat)
+        empty_cols = {"g": pa.array([], pa.string())}
+        if with_doc:
+            empty_cols[id_col] = pa.array([], t[id_col].type)
+        if n < k:
+            return pa.table(empty_cols)
+        parts = [flat.slice(i, n - k + 1) for i in range(k)]
+        grams = pc.binary_join_element_wise(*parts, " ")
+        valid = np.ones(n - k + 1, dtype=bool)
+        for s in off[1:-1]:  # windows straddling a doc boundary
+            lo = max(0, s - k + 1)
+            valid[lo : min(s, n - k + 1)] = False
+        cols = {"g": grams.filter(pa.array(valid))}
+        if with_doc:
+            counts = np.diff(off)
+            docidx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+            ids = t[id_col]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            cols[id_col] = ids.take(pa.array(docidx[: n - k + 1][valid]))
+        out = pa.table(cols)
+        keys = [id_col, "g"] if with_doc else ["g"]
+        return out.group_by(keys).aggregate([]).select(list(empty_cols))
+
+    train_grams = train_ds.map_batches(
+        lambda t: _grams(t, False), batch_format="pyarrow", zero_copy_batch=True
+    )
+    test_pairs = test_ds.map_batches(
+        lambda t: _grams(t, True), batch_format="pyarrow", zero_copy_batch=True
+    )
+    n_test = test_pairs.groupby(id_col).count().count()
+    matched = hash_join(
+        test_pairs,
+        train_grams,
+        on=("g",),
+        num_partitions=num_partitions,
+    )
+    n_contaminated = matched.groupby(id_col).count().count()
+    import pandas as pd
+
+    return pd.DataFrame(
+        {"n_test_docs": [int(n_test)], "n_contaminated": [int(n_contaminated)]}
+    )

@@ -259,10 +259,15 @@ def hash_join(
     to one row per key where semantics allow)."""
     if join_type not in ("inner", "left_outer", "right_outer", "full_outer"):
         raise ValueError(f"hash_join: unsupported join_type {join_type!r}")
+    from ..core.resources import clamp_actor_concurrency
+
+    # Ray's hash-shuffle join keeps one aggregator actor per partition
+    # alive for the whole exchange; more partitions than cores wedges a
+    # small session (core/resources.py). Treat the request as a maximum.
     return left_ds.join(
         right_ds,
         join_type=join_type,
-        num_partitions=num_partitions,
+        num_partitions=clamp_actor_concurrency(num_partitions),
         on=tuple(on),
         right_on=tuple(right_on) if right_on is not None else None,
     )

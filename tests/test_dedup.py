@@ -346,3 +346,45 @@ def test_ivf_fullprobe_equals_bruteforce(ray_session):
     a = bf.sort_values(["query_id", "rank"]).reset_index(drop=True)
     b = ivf.sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert a[["query_id", "rank", "vec_id"]].equals(b[["query_id", "rank", "vec_id"]])
+
+
+def test_cross_corpus_contamination_planted(ray_session):
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.dedup.ngram import cross_corpus_contamination
+
+    train = pa.table(
+        {
+            "doc_id": pa.array([0, 2, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha beta gamma delta",
+                    "one two",  # too short for a 3-gram
+                    "unique train only words here",
+                ]
+            ),
+        }
+    )
+    test = pa.table(
+        {
+            "doc_id": pa.array([1, 3, 5, 7], pa.int64()),
+            "text": pa.array(
+                [
+                    "ALPHA beta GAMMA extended",  # shares "alpha beta gamma" (case-folded)
+                    "completely different text entirely",
+                    "xx yy",  # no grams -> not a test doc
+                    "tail overlap beta gamma delta",  # shares "beta gamma delta"
+                ]
+            ),
+        }
+    )
+    out = cross_corpus_contamination(
+        rd.from_arrow(train).repartition(2), rd.from_arrow(test).repartition(3)
+    )
+    assert out.iloc[0].to_dict() == {"n_test_docs": 3, "n_contaminated": 2}
+
+    clean = cross_corpus_contamination(
+        rd.from_arrow(train),
+        rd.from_arrow(test.slice(1, 2)),  # the uncontaminated docs only
+    )
+    assert clean.iloc[0].to_dict() == {"n_test_docs": 1, "n_contaminated": 0}
