@@ -1423,16 +1423,12 @@ def q_normalized_dups(sf_dir: str):
             {"source": t["source"], "canon": canonicalize_text(t["text"])}
         )
 
-    counts = grouped_agg(
-        docs.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True),
-        ["source"],
-        {"n_docs": ("canon", "count")},
-    )
-    distinct = grouped_count_distinct(
-        docs.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True),
-        "source",
-        "canon",
-    )
+    # one parquet scan + one RE2 pass feeds both aggregates
+    canon_ds = docs.map_batches(
+        canon, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    counts = grouped_agg(canon_ds, ["source"], {"n_docs": ("canon", "count")})
+    distinct = grouped_count_distinct(canon_ds, "source", "canon")
     out = counts.merge(distinct, on="source")
     out = out.rename(columns={"n_distinct": "n_canonical"})
     out["n_docs"] = out["n_docs"].astype("int64")
@@ -1918,7 +1914,10 @@ FROM test t WHERE t.g IN (SELECT g FROM train)
 """,
         "winsorized_ntok": f"""
 WITH {TOKENIZE_CTE},
-c AS (SELECT source, n_tok, count(*) AS cnt FROM tok GROUP BY source, n_tok),
+-- null n_tok contributes nothing (engine drops null values before
+-- both the percentile histogram and the clamp pass)
+c AS (SELECT source, n_tok, count(*) AS cnt FROM tok
+      WHERE n_tok IS NOT NULL GROUP BY source, n_tok),
 w AS (
   SELECT source, n_tok,
          sum(cnt) OVER (PARTITION BY source ORDER BY n_tok) AS cum,
@@ -1941,6 +1940,7 @@ SELECT t.source, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CASE WHEN t.n_tok > b.hi THEN 1 ELSE 0 END) AS BIGINT)
          AS n_clip_hi
 FROM tok t JOIN b ON t.source = b.source
+WHERE t.n_tok IS NOT NULL
 GROUP BY t.source ORDER BY t.source
 """,
         "normalized_dups": """

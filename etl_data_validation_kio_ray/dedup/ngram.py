@@ -84,9 +84,12 @@ def cross_corpus_contamination(
         parts = [flat.slice(i, n - k + 1) for i in range(k)]
         grams = pc.binary_join_element_wise(*parts, " ")
         valid = np.ones(n - k + 1, dtype=bool)
-        for s in off[1:-1]:  # windows straddling a doc boundary
-            lo = max(0, s - k + 1)
-            valid[lo : min(s, n - k + 1)] = False
+        # windows straddling a doc boundary: starts s-j for j in 1..k-1
+        # (vectorized over boundaries; k-1 passes, never per-document)
+        for j in range(1, k):
+            b = off[1:-1] - j
+            b = b[(b >= 0) & (b <= n - k)]
+            valid[b] = False
         cols = {"g": grams.filter(pa.array(valid))}
         if with_doc:
             counts = np.diff(off)
@@ -102,9 +105,11 @@ def cross_corpus_contamination(
     train_grams = train_ds.map_batches(
         lambda t: _grams(t, False), batch_format="pyarrow", zero_copy_batch=True
     )
+    # materialized: both the doc count and the join consume it, and the
+    # gram extraction is the expensive stage
     test_pairs = test_ds.map_batches(
         lambda t: _grams(t, True), batch_format="pyarrow", zero_copy_batch=True
-    )
+    ).materialize()
     n_test = test_pairs.groupby(id_col).count().count()
     matched = hash_join(
         test_pairs,

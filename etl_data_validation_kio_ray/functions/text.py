@@ -297,9 +297,7 @@ def token_bigram_topk(ds, *, token_col: str = "tokens", k: int = 40, vocab: int 
     exchange carries per-batch (code, count) partials, then a code-level
     groupby and a top-k sort of the tiny aggregate.
     """
-    import pandas as pd
-
-    from .grouping import run_starts
+    from .grouping import group_reduce
 
     def partial(t: pa.Table) -> pa.Table:
         col = t[token_col]
@@ -317,14 +315,8 @@ def token_bigram_topk(ds, *, token_col: str = "tokens", k: int = 40, vocab: int 
         b = off[1:-1]
         b = b[(b >= 1) & (b <= len(flat) - 1)]
         valid[b - 1] = False  # pairs straddling a document boundary
-        codes = np.sort(codes[valid], kind="stable")
-        starts = run_starts(codes)
-        return pa.table(
-            {
-                "code": pa.array(codes[starts]),
-                "cnt": pa.array(np.diff(np.r_[starts, len(codes)]).astype(np.int64)),
-            }
-        )
+        ck, cnt = group_reduce(codes[valid])
+        return pa.table({"code": pa.array(ck), "cnt": pa.array(cnt)})
 
     from ray.data.aggregate import Sum
 

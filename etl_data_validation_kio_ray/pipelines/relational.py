@@ -1170,7 +1170,11 @@ def grouped_winsorized_sums(
         nk = len(uniq)
         return pa.table(
             {
-                key: pa.array(np.asarray(uniq, dtype=object), from_pandas=True),
+                # match the empty-batch path's dtype exactly (object
+                # inference would promote e.g. int32 keys to int64)
+                key: pa.array(
+                    np.asarray(uniq, dtype=object), type=g.type, from_pandas=True
+                ),
                 "n": pa.array(np.bincount(codes, minlength=nk).astype(np.int64)),
                 "wsum": pa.array(
                     np.bincount(codes, weights=clamped, minlength=nk).astype(
@@ -1400,8 +1404,11 @@ def grouped_corr(ds, key: str, x_col: str, y_col: str) -> pd.DataFrame:
     computes the same expression from the same sums agrees
     bit-for-bit (IEEE determinism) — unlike streaming corr()
     implementations. Zero-variance groups yield NaN (SQL NULL via
-    NULLIF). Caller must ensure Σx² fits int64 (domain² x rows <
-    2^63) — loudly checked here.
+    NULLIF). Per-element products are overflow-checked
+    (``multiply_checked``); the group SUMS are not (Arrow's sum
+    aggregate wraps silently), so the caller must ensure domain² x
+    group rows < 2^63 — a wrap that drives a variance negative is
+    still caught below, loudly.
     """
     def prods(t: pa.Table) -> pa.Table:
         x = t[x_col].cast(pa.int64())
@@ -1435,6 +1442,11 @@ def grouped_corr(ds, key: str, x_col: str, y_col: str) -> pd.DataFrame:
     num = n * agg["sxy"].to_numpy(dtype=np.float64) - sx * sy
     vx = n * agg["sxx"].to_numpy(dtype=np.float64) - sx * sx
     vy = n * agg["syy"].to_numpy(dtype=np.float64) - sy * sy
+    if (vx < 0).any() or (vy < 0).any():
+        raise OverflowError(
+            "grouped_corr: negative variance — an int64 sum wrapped; "
+            "the value domain is too large for this group size"
+        )
     den = np.sqrt(vx * vy)
     out = agg[[key, "n"]].copy()
     out["n"] = out["n"].astype("int64")
@@ -1558,14 +1570,16 @@ def grouped_lag_delta_stats(
             "__b", pa.array((h % np.uint64(nb)).astype(np.int32))
         )
 
-    empty = pa.table(
-        {
-            key: pa.array([], pa.int64()),
-            "n_gaps": pa.array([], pa.int64()),
-            "sum_gap_us": pa.array([], pa.int64()),
-            "max_gap_us": pa.array([], pa.int64()),
-        }
-    )
+    def _empty(key_type: pa.DataType) -> pa.Table:
+        i64 = pa.array([], pa.int64())
+        return pa.table(
+            {
+                key: pa.array([], key_type),
+                "n_gaps": i64,
+                "sum_gap_us": i64,
+                "max_gap_us": i64,
+            }
+        )
 
     def bucket_stats(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["__b"])
@@ -1585,7 +1599,7 @@ def grouped_lag_delta_stats(
         karr = k.to_numpy(zero_copy_only=False)
         n = len(karr)
         if n < 2:
-            return empty
+            return _empty(k.type)
         tsv = g[ts_col]
         if isinstance(tsv, pa.ChunkedArray):
             tsv = tsv.combine_chunks()
@@ -1601,7 +1615,7 @@ def grouped_lag_delta_stats(
         valid = ~is_start[1:]
         gaps = d[valid]
         if not len(gaps):
-            return empty
+            return _empty(k.type)
         gkeys = karr[1:][valid]
         gstarts = run_starts(gkeys)
         return pa.table(

@@ -1580,3 +1580,26 @@ def test_grouped_winsorized_sums_matches_pandas(ray_session):
         assert row.wsum == int(np.clip(vals, lo, hi).sum())
         assert row.n_clip_lo == int((vals < lo).sum())
         assert row.n_clip_hi == int((vals > hi).sum())
+
+
+def test_grouped_lag_delta_stats_string_key_sparse_buckets(ray_session):
+    """String group keys must survive buckets whose partial is empty
+    (the empty-table schema used to hardcode int64 keys)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        grouped_lag_delta_stats,
+    )
+
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "b"],  # many buckets will see <2 rows
+            "ts": pd.to_datetime([0, 5, 9], unit="s"),
+            "id": np.arange(3, dtype=np.int64),
+        }
+    )
+    got = grouped_lag_delta_stats(
+        rd.from_pandas(df).repartition(2), "k", "ts", "id", num_buckets=8
+    )
+    assert got["k"].tolist() == ["a"]
+    assert got["sum_gap_us"].tolist() == [5_000_000]
