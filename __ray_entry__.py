@@ -1304,16 +1304,19 @@ def q_source_corr(sf_dir: str):
 def q_order_item_consistency(sf_dir: str):
     """Cross-table reconciliation (fact ⋈ fact): per order status, how
     many orders have NO lineitems and how many orders' lineitem cents
-    don't sum to o_totalprice. Lineitem pre-aggregates to one row per
-    order BEFORE the large x large hash join (the exchange carries
-    |orders| 16-byte rows, not |lineitem|); the verdict is exact
-    integer cents on both engines."""
+    don't sum to o_totalprice (exact integer cents on both engines).
+
+    Join elimination: both sides share the key, so instead of a
+    hash-shuffle JOIN (whose per-partition aggregator actors cost more
+    than the data here) the sides are tagged, UNIONed, and co-grouped
+    in ONE groupby exchange — lineitem pre-collapsed per batch, orders
+    contributing (status, total_cents) via null-skipping Max. The
+    LEFT-JOIN shape survives: keys absent from orders are dropped."""
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
     from etl_data_validation_kio_ray.pipelines.relational import (
+        bucketed_group_agg,
         grouped_agg,
-        hash_join,
     )
 
     li = rd.read_parquet(
@@ -1321,51 +1324,76 @@ def q_order_item_consistency(sf_dir: str):
         columns=["l_orderkey", "l_extendedprice"],
     )
 
-    def cents_partial(t: pa.Table) -> pa.Table:
+    def li_partial(t: pa.Table) -> pa.Table:
         c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
         g = (
-            pa.table({"l_orderkey": t["l_orderkey"], "c": c})
-            .group_by("l_orderkey")
-            .aggregate([("c", "sum")])
+            pa.table({"okey": t["l_orderkey"], "c": c})
+            .group_by("okey")
+            .aggregate([("c", "sum"), ("c", "count")])
         )
-        return g.rename_columns(["l_orderkey", "item_cents"])
-
-    items = (
-        li.map_batches(cents_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("l_orderkey")
-        .aggregate(Sum("item_cents", alias_name="item_cents"))
-    )
+        n = g.num_rows
+        return pa.table(
+            {
+                "okey": g["okey"],
+                "item_cents": g["c_sum"],
+                "n_items": g["c_count"].cast(pa.int64()),
+                "total_cents": pa.nulls(n, pa.int64()),
+                "status": pa.nulls(n, pa.string()),
+            }
+        )
 
     orders = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
     )
-    joined = hash_join(
-        orders,
-        items,
-        on=("o_orderkey",),
-        right_on=("l_orderkey",),
-        join_type="left_outer",
-        num_partitions=16,
-    )
+
+    def o_partial(t: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(t.num_rows, dtype=np.int64))
+        return pa.table(
+            {
+                "okey": t["o_orderkey"],
+                "item_cents": z,
+                "n_items": z,
+                "total_cents": pc.cast(
+                    pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
+                ),
+                "status": t["o_orderstatus"],
+            }
+        )
+
+    both = li.map_batches(
+        li_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).union(orders.map_batches(o_partial, batch_format="pyarrow"))
 
     def flags(t: pa.Table) -> pa.Table:
-        have = pc.is_valid(t["item_cents"])
-        total_c = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        t = t.filter(pc.is_valid(t["status"]))  # LEFT-join shape
+        have = pc.greater(t["n_items"], 0)
         mismatch = pc.and_(
-            have, pc.not_equal(pc.fill_null(t["item_cents"], 0), total_c)
+            have, pc.not_equal(t["item_cents"], t["total_cents"])
         )
         return pa.table(
             {
-                "status": t["o_orderstatus"],
+                "status": t["status"],
                 "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
                 "no_items": pc.cast(pc.invert(have), pa.int64()),
                 "mismatch": pc.cast(mismatch, pa.int64()),
             }
         )
 
+    per_order = bucketed_group_agg(
+        both,
+        "okey",
+        [
+            ("item_cents", "sum"),
+            ("n_items", "sum"),
+            ("total_cents", "max"),
+            ("status", "max"),
+        ],
+        num_buckets=32,
+        post=flags,  # key-complete inside a bucket: flag and shrink there
+    )
     out = grouped_agg(
-        joined.map_batches(flags, batch_format="pyarrow"),
+        per_order,
         ["status"],
         {
             "n_orders": ("one", "sum"),

@@ -110,14 +110,36 @@ def cross_corpus_contamination(
     test_pairs = test_ds.map_batches(
         lambda t: _grams(t, True), batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
-    n_test = test_pairs.groupby(id_col).count().count()
+
+    # a document never spans batches, so distinct docs per batch sum to
+    # the global count — no doc-level exchange needed
+    def _ndocs(t: pa.Table) -> pa.Table:
+        nd = t.select([id_col]).group_by(id_col).aggregate([]).num_rows
+        return pa.table({"nd": pa.array([nd], pa.int64())})
+
+    n_test = sum(
+        pc.sum(b["nd"]).as_py() or 0
+        for b in test_pairs.map_batches(
+            _ndocs,
+            batch_format="pyarrow",
+            batch_size=None,  # whole blocks: a doc's pairs share a block
+            zero_copy_batch=True,
+        ).iter_batches(batch_format="pyarrow")
+    )
     matched = hash_join(
         test_pairs,
         train_grams,
         on=("g",),
         num_partitions=num_partitions,
     )
-    n_contaminated = matched.groupby(id_col).count().count()
+    # shrink to per-batch distinct doc ids before the doc-level distinct
+    # (a doc's grams match across many partitions)
+    matched_docs = matched.map_batches(
+        lambda t: t.select([id_col]).group_by(id_col).aggregate([]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    n_contaminated = matched_docs.groupby(id_col).count().count()
     import pandas as pd
 
     return pd.DataFrame(

@@ -268,12 +268,14 @@ def word_doc_freq(ds, *, text_col: str = "text", doc_col: str = "doc_id", k: int
             }
         )
 
-    from ray.data.aggregate import Sum
+    from ..pipelines.relational import bucketed_group_agg
 
     topk = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("word")
-        .aggregate(Sum("tf", alias_name="tf"), Sum("df", alias_name="df"))
+        bucketed_group_agg(
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            "word",
+            [("tf", "sum"), ("df", "sum")],
+        )
         .sort(["df", "tf", "word"], descending=[True, True, False])
         .limit(k)
         .to_pandas()
@@ -318,14 +320,16 @@ def token_bigram_topk(ds, *, token_col: str = "tokens", k: int = 40, vocab: int 
         ck, cnt = group_reduce(codes[valid])
         return pa.table({"code": pa.array(ck), "cnt": pa.array(cnt)})
 
-    from ray.data.aggregate import Sum
+    from ..pipelines.relational import bucketed_group_agg
 
     # code ASC == (t1, t2) ASC, so the distributed sort + limit is the
     # full tiebreak; only k rows ever reach the driver
     top = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("code")
-        .aggregate(Sum("cnt", alias_name="cnt"))
+        bucketed_group_agg(
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            "code",
+            [("cnt", "sum")],
+        )
         .sort(["cnt", "code"], descending=[True, False])
         .limit(k)
         .to_pandas()

