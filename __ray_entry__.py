@@ -1490,6 +1490,20 @@ def q_contamination(sf_dir: str):
     return cross_corpus_contamination(train, test, k=3)
 
 
+def q_lm_scores(sf_dir: str):
+    """Unigram-LM quality scoring (perplexity proxy): train word
+    frequencies over the corpus, broadcast the top-V vocabulary, score
+    each doc's mean -ln p(word) + OOV ratio, reduce per source."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.functions.text import unigram_logprob_scores
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text", "source"]
+    )
+    return unigram_logprob_scores(docs, vocab_size=1 << 16)
+
+
 def q_cross_check_agreement(sf_dir: str):
     """Second-executor agreement: every enabled rule's SQL twin re-run
     in DuckDB over the same partition files must reproduce the engine's
@@ -1564,6 +1578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalized_dups": q_normalized_dups,
         "winsorized_ntok": q_winsorized_ntok,
         "contamination": q_contamination,
+        "lm_scores": q_lm_scores,
         "orders_rollup": q_orders_rollup,
         "revenue_pivot": q_revenue_pivot,
     }
@@ -1924,6 +1939,27 @@ SELECT CAST(tile AS BIGINT) AS tile, CAST(count(*) AS BIGINT) AS n_orders,
        sum(o_totalprice) AS sum_price, min(o_totalprice) AS min_price,
        max(o_totalprice) AS max_price
 FROM t GROUP BY tile ORDER BY tile
+""",
+        "lm_scores": """
+WITH w AS (
+  SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS word
+  FROM documents
+),
+ww AS (SELECT * FROM w WHERE word <> ''),
+f AS (SELECT word, CAST(count(*) AS BIGINT) AS tf FROM ww GROUP BY word),
+tot AS (SELECT sum(tf) AS total FROM f),
+v AS (SELECT word, tf FROM f ORDER BY tf DESC, word LIMIT 65536),
+s AS (
+  SELECT ww.doc_id, ww.source,
+         avg(CASE WHEN v.word IS NOT NULL
+             THEN -ln(CAST(v.tf AS DOUBLE) / tot.total) END) AS lp,
+         avg(CASE WHEN v.word IS NULL THEN 1.0 ELSE 0.0 END) AS oov
+  FROM ww LEFT JOIN v ON ww.word = v.word CROSS JOIN tot
+  GROUP BY ww.doc_id, ww.source
+)
+SELECT source, CAST(count(lp) AS BIGINT) AS n_scored,
+       avg(lp) AS avg_logprob, avg(oov) AS avg_oov
+FROM s GROUP BY source ORDER BY source
 """,
         "contamination": """
 WITH d AS (

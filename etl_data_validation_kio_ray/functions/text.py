@@ -352,3 +352,104 @@ def canonicalize_text(text: pa.Array | pa.ChunkedArray) -> pa.Array:
     low = pc.utf8_lower(text)
     spaced = pc.replace_substring_regex(low, "[^a-z0-9]+", " ")
     return pc.utf8_trim_whitespace(spaced)
+
+
+def unigram_logprob_scores(
+    ds,
+    *,
+    text_col: str = "text",
+    group_col: str = "source",
+    vocab_size: int = 1 << 16,
+) -> "pd.DataFrame":
+    """Model-based quality scoring with a self-trained unigram LM — the
+    cheap perplexity-proxy filter of an LLM data pipeline: pass 1
+    counts word frequencies over the WHOLE corpus (bucketed partials,
+    top-``vocab_size`` by (tf DESC, word ASC) kept as the vocabulary);
+    pass 2 broadcasts the tiny vocab once (``ray.put``) and scores each
+    document vectorized: mean over in-vocab words of -ln(tf/total) and
+    the OOV word ratio, reduced to per-``group_col`` means via exact
+    integer/float partials.
+
+    Partitioning assumption: the top-V vocabulary fits the object
+    store (V rows); the corpus itself never leaves the workers. Docs
+    with no words are absent (SQL: no unnested rows); docs with no
+    in-vocab words have NULL score and count only toward OOV.
+    """
+    import pandas as pd
+    import ray
+
+    from ..pipelines.relational import bucketed_group_agg, grouped_agg
+
+    def counts(t: pa.Table) -> pa.Table:
+        text = t[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern(pc.utf8_lower(pc.fill_null(text, "")), " ")
+        flat = pc.list_flatten(words)
+        g = (
+            pa.table({"word": flat})
+            .filter(pc.not_equal(flat, ""))
+            .group_by("word")
+            .aggregate([("word", "count")])
+        )
+        return pa.table({"word": g["word"], "tf": g["word_count"].cast(pa.int64())})
+
+    freqs = bucketed_group_agg(
+        ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True),
+        "word",
+        [("tf", "sum")],
+    ).materialize()
+    total = int(freqs.sum("tf") or 0)
+    vocab = freqs.sort(["tf", "word"], descending=[True, False]).limit(
+        vocab_size
+    ).to_pandas()
+    vmap_ref = ray.put(dict(zip(vocab["word"], vocab["tf"].astype(np.int64))))
+
+    def score(t: pa.Table) -> pa.Table:
+        vmap = ray.get(vmap_ref)
+        text = t[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern(pc.utf8_lower(pc.fill_null(text, "")), " ")
+        flat = pc.list_flatten(words)
+        off = np.asarray(words.offsets, dtype=np.int64)
+        off = off - off[0]
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        wl = pd.Series(flat.to_numpy(zero_copy_only=False))
+        tf = wl.map(vmap).to_numpy(dtype=np.float64, na_value=np.nan)
+        tf[~keep] = np.nan
+        lp = -np.log(tf / float(total))
+        doc = np.repeat(np.arange(len(off) - 1, dtype=np.int64), np.diff(off))
+        nwords = np.bincount(doc[keep], minlength=len(off) - 1)
+        iv = ~np.isnan(lp)
+        n_iv = np.bincount(doc[iv], minlength=len(off) - 1)
+        s_lp = np.bincount(doc[iv], weights=lp[iv], minlength=len(off) - 1)
+        has_words = nwords > 0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            doc_lp = np.where(n_iv > 0, s_lp / np.maximum(n_iv, 1), np.nan)
+            doc_oov = (nwords - n_iv) / np.maximum(nwords, 1)
+        src = t[group_col]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        return pa.table(
+            {
+                group_col: src.filter(pa.array(has_words)),
+                # from_pandas: NaN (no in-vocab words) -> NULL so the
+                # grouped mean skips it exactly like SQL avg()
+                "lp": pa.array(doc_lp[has_words], from_pandas=True),
+                "oov": pa.array(doc_oov[has_words]),
+                "scored": pa.array((n_iv > 0)[has_words].astype(np.int64)),
+            }
+        )
+
+    out = grouped_agg(
+        ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True),
+        [group_col],
+        {
+            "n_scored": ("scored", "sum"),
+            "avg_logprob": ("lp", "mean"),
+            "avg_oov": ("oov", "mean"),
+        },
+    )
+    out["n_scored"] = out["n_scored"].astype("int64")
+    return out.sort_values(group_col).reset_index(drop=True)

@@ -387,3 +387,52 @@ def test_canonicalize_text_matches_duckdb():
         ).fetchall()
     ]
     assert got == want
+
+
+def test_unigram_logprob_scores_small_vocab_oov(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.functions.text import unigram_logprob_scores
+
+    docs = pa.table(
+        {
+            "source": pa.array(["a", "a", "b", "b", "b"]),
+            "text": pa.array(
+                [
+                    "the cat the dog",
+                    "rare words only",  # fully OOV at V=2 -> NULL score
+                    "the the the cat",
+                    "",  # no words -> absent everywhere
+                    "cat unknown",
+                ]
+            ),
+        }
+    )
+    got = unigram_logprob_scores(
+        rd.from_arrow(docs).repartition(3), vocab_size=2
+    )
+    con = duckdb.connect()
+    con.register("documents", pa.table({**{c: docs[c] for c in docs.column_names},
+                                        "doc_id": pa.array(range(5), pa.int64())}))
+    want = con.execute(
+        """
+        WITH w AS (SELECT doc_id, source,
+                          unnest(string_split(lower(text), ' ')) AS word
+                   FROM documents),
+        ww AS (SELECT * FROM w WHERE word <> ''),
+        f AS (SELECT word, CAST(count(*) AS BIGINT) AS tf FROM ww GROUP BY word),
+        tot AS (SELECT sum(tf) AS total FROM f),
+        v AS (SELECT word, tf FROM f ORDER BY tf DESC, word LIMIT 2),
+        s AS (SELECT ww.doc_id, ww.source,
+                     avg(CASE WHEN v.word IS NOT NULL
+                         THEN -ln(CAST(v.tf AS DOUBLE) / tot.total) END) AS lp,
+                     avg(CASE WHEN v.word IS NULL THEN 1.0 ELSE 0.0 END) AS oov
+              FROM ww LEFT JOIN v ON ww.word = v.word CROSS JOIN tot
+              GROUP BY ww.doc_id, ww.source)
+        SELECT source, CAST(count(lp) AS BIGINT) AS n_scored,
+               avg(lp) AS avg_logprob, avg(oov) AS avg_oov
+        FROM s GROUP BY source ORDER BY source
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want, rtol=1e-12)
