@@ -403,10 +403,15 @@ def unigram_logprob_scores(
     vocab = freqs.sort(["tf", "word"], descending=[True, False]).limit(
         vocab_size
     ).to_pandas()
-    vmap_ref = ray.put(dict(zip(vocab["word"], vocab["tf"].astype(np.int64))))
+    vocab_ref = ray.put(
+        (
+            pa.array(vocab["word"], pa.string()),
+            vocab["tf"].to_numpy(dtype=np.float64),
+        )
+    )
 
     def score(t: pa.Table) -> pa.Table:
-        vmap = ray.get(vmap_ref)
+        vwords, vtf = ray.get(vocab_ref)
         text = t[text_col]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
@@ -415,8 +420,15 @@ def unigram_logprob_scores(
         off = np.asarray(words.offsets, dtype=np.int64)
         off = off - off[0]
         keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        wl = pd.Series(flat.to_numpy(zero_copy_only=False))
-        tf = wl.map(vmap).to_numpy(dtype=np.float64, na_value=np.nan)
+        # Arrow C++ hash lookup (index_in), never a per-object dict probe
+        idxf = (
+            pc.index_in(flat, value_set=vwords)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)  # nullable ints surface as NaN
+        )
+        hit = ~np.isnan(idxf)
+        tf = np.full(len(idxf), np.nan)
+        tf[hit] = vtf[idxf[hit].astype(np.int64)]
         tf[~keep] = np.nan
         lp = -np.log(tf / float(total))
         doc = np.repeat(np.arange(len(off) - 1, dtype=np.int64), np.diff(off))
