@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "order_item_consistency",
     "normalized_dups",
     "winsorized_ntok",
+    "contamination",
+    "lm_scores",
 ]
 
 

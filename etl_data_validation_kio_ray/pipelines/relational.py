@@ -1440,6 +1440,13 @@ def bucketed_group_agg(
     there and shrinks what leaves the bucket. Returns a Dataset.
     """
     nb = np.int64(num_buckets)
+    cols = [c for c, _f in aggs]
+    if len(set(cols)) != len(cols):
+        raise ValueError(
+            "bucketed_group_agg: output columns keep their input names, "
+            "so aggregating one column twice collides — alias the column "
+            f"first (got {cols})"
+        )
 
     def tag(t: pa.Table) -> pa.Table:
         k = t[key]

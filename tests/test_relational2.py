@@ -1603,3 +1603,60 @@ def test_grouped_lag_delta_stats_string_key_sparse_buckets(ray_session):
     )
     assert got["k"].tolist() == ["a"]
     assert got["sum_gap_us"].tolist() == [5_000_000]
+
+
+def test_bucketed_group_agg_matches_pandas(ray_session):
+    """One bucket exchange + in-bucket Arrow aggregate == pandas
+    groupby, including the post hook (key-complete per bucket) and
+    string keys spread across many buckets."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import bucketed_group_agg
+
+    rng = np.random.Generator(np.random.Philox(key=[19, 7]))
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "k": [f"key{i}" for i in rng.integers(0, 700, n)],
+            "v": rng.integers(-100, 100, n).astype(np.int64),
+        }
+    )
+    df2 = df.assign(v_sum=df.v, v_max=df.v)
+    got = (
+        bucketed_group_agg(
+            rd.from_pandas(df2).repartition(6),
+            "k",
+            [("v_sum", "sum"), ("v_max", "max")],
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby("k", as_index=False)
+        .agg(v_sum=("v", "sum"), v_max=("v", "max"))
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+    # aggregating one column twice must fail loudly, not collide
+    with pytest.raises(ValueError, match="collides"):
+        bucketed_group_agg(rd.from_pandas(df), "k", [("v", "sum"), ("v", "max")])
+
+    def post(t: pa.Table) -> pa.Table:  # key-level filter inside the bucket
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater(t[t.column_names[1]], 0))
+
+    filtered = (
+        bucketed_group_agg(
+            rd.from_pandas(df).repartition(6), "k", [("v", "sum")], post=post
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want_f = want[want.v_sum > 0].reset_index(drop=True)
+    assert filtered["k"].tolist() == want_f["k"].tolist()
