@@ -144,3 +144,54 @@ def test_shingle_stats_property(word_lists, k):
             else 0
         )
         assert g == want, (text, k, g, want)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=500),
+    k=st.integers(min_value=1, max_value=37),
+)
+@settings(max_examples=60, deadline=None)
+def test_ntile_from_rank_property(n, k):
+    """ntile_from_rank reproduces SQL NTILE for any (n, k): first n%k
+    tiles hold ceil(n/k) rows, the rest floor(n/k), monotone over rank."""
+    from etl_data_validation_kio_ray.pipelines.relational import ntile_from_rank
+
+    tiles = ntile_from_rank(np.arange(1, n + 1), n, k)
+    assert tiles.min() == 1 and tiles.max() == min(k, n)
+    assert (np.diff(tiles) >= 0).all()
+    sizes = np.bincount(tiles)[1:]
+    q, r = divmod(n, k)
+    expect = [q + 1] * r + [q] * (k - r)
+    assert sizes.tolist() == [s for s in expect if s > 0]
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40
+        ),
+        max_size=20,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_canonicalize_text_property_matches_duckdb(texts):
+    """RE2 canonicalization is bit-identical to the DuckDB twin for
+    arbitrary unicode input (both engines are RE2)."""
+    import duckdb
+    import pyarrow as pa
+
+    from etl_data_validation_kio_ray.functions.text import canonicalize_text
+
+    got = canonicalize_text(pa.array(texts, pa.string())).to_pylist()
+    if not texts:
+        assert got == []
+        return
+    want = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT trim(regexp_replace(lower(t), '[^a-z0-9]+', ' ', 'g')) "
+            "FROM (SELECT unnest(?) AS t)",
+            params=[texts],
+        ).fetchall()
+    ]
+    assert got == want
