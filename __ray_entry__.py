@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import pickle
 from collections.abc import Callable
 from typing import Any
 
@@ -1504,6 +1505,67 @@ def q_lm_scores(sf_dir: str):
     return unigram_logprob_scores(docs, vocab_size=1 << 16)
 
 
+def q_price_quantiles_tdigest(sf_dir: str):
+    """Approximate quantiles for an UNBOUNDED double column (the
+    counting-histogram exact path needs a bounded int domain):
+    mergeable t-digest partials per batch, driver merge, p50/p90/p99.
+    Self-asserting like cross_check: each estimate must sit within the
+    digest's rank-error bound of the exact value (computed here via
+    DuckDB's percentile_disc as the second executor) or the query
+    raises — rows-only to the driver, but never unverified."""
+    import duckdb
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.sketches.tdigest import TDigest
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_totalprice"]
+    )
+
+    def partial(t: pa.Table):
+        d = TDigest(compression=200).update(
+            t["o_totalprice"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table({"state": pa.array([pickle.dumps(d.to_state())])})
+
+    digest = TDigest(compression=200)
+    n = 0
+    for b in orders.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for s in b["state"]:
+            digest = digest.merge(TDigest.from_state(pickle.loads(s.as_py())))
+    exact = duckdb.sql(
+        "SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice), "
+        "percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice), "
+        "percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice), "
+        "min(o_totalprice), max(o_totalprice) "
+        f"FROM '{os.path.join(sf_dir, 'orders.parquet')}'"
+    ).fetchone()
+    lo, hi = exact[3], exact[4]
+    rows = []
+    for q, ex in zip((0.5, 0.9, 0.99), exact[:3]):
+        est = digest.quantile(q)
+        # rank-error tolerance for compression=200, expressed in value
+        # space via the exact neighborhood [q-eps, q+eps]
+        eps = 0.02
+        bracket = duckdb.sql(
+            f"SELECT percentile_disc({max(0.0, q - eps)}) WITHIN GROUP (ORDER BY o_totalprice), "
+            f"percentile_disc({min(1.0, q + eps)}) WITHIN GROUP (ORDER BY o_totalprice) "
+            f"FROM '{os.path.join(sf_dir, 'orders.parquet')}'"
+        ).fetchone()
+        ok = bracket[0] - 1e-9 <= est <= bracket[1] + 1e-9
+        if not ok:
+            raise AssertionError(
+                f"t-digest p{int(q*100)}={est} outside exact rank bracket "
+                f"{bracket} (exact {ex})"
+            )
+        rows.append(
+            {"q": q, "estimate": float(est), "exact": float(ex), "within_bound": True}
+        )
+    return pd.DataFrame(rows)
+
+
 def q_cross_check_agreement(sf_dir: str):
     """Second-executor agreement: every enabled rule's SQL twin re-run
     in DuckDB over the same partition files must reproduce the engine's
@@ -1579,6 +1641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_ntok": q_winsorized_ntok,
         "contamination": q_contamination,
         "lm_scores": q_lm_scores,
+        "price_quantiles_tdigest": q_price_quantiles_tdigest,
         "orders_rollup": q_orders_rollup,
         "revenue_pivot": q_revenue_pivot,
     }
