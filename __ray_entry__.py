@@ -1529,36 +1529,31 @@ def q_price_quantiles_tdigest(sf_dir: str):
         return pa.table({"state": pa.array([pickle.dumps(d.to_state())])})
 
     digest = TDigest(compression=200)
-    n = 0
     for b in orders.map_batches(partial, batch_format="pyarrow").iter_batches(
         batch_format="pyarrow"
     ):
         for s in b["state"]:
             digest = digest.merge(TDigest.from_state(pickle.loads(s.as_py())))
+    # rank-error tolerance for compression=200, expressed in value
+    # space via the exact [q-eps, q+eps] neighborhood — all nine
+    # percentiles come from ONE DuckDB scan
+    qs, eps = (0.5, 0.9, 0.99), 0.02
+    wanted = [p for q in qs for p in (q, max(0.0, q - eps), min(1.0, q + eps))]
+    cols = ", ".join(
+        f"percentile_disc({p}) WITHIN GROUP (ORDER BY o_totalprice)"
+        for p in wanted
+    )
     exact = duckdb.sql(
-        "SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice), "
-        "percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice), "
-        "percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice), "
-        "min(o_totalprice), max(o_totalprice) "
-        f"FROM '{os.path.join(sf_dir, 'orders.parquet')}'"
+        f"SELECT {cols} FROM '{os.path.join(sf_dir, 'orders.parquet')}'"
     ).fetchone()
-    lo, hi = exact[3], exact[4]
     rows = []
-    for q, ex in zip((0.5, 0.9, 0.99), exact[:3]):
+    for i, q in enumerate(qs):
+        ex, blo, bhi = exact[3 * i : 3 * i + 3]
         est = digest.quantile(q)
-        # rank-error tolerance for compression=200, expressed in value
-        # space via the exact neighborhood [q-eps, q+eps]
-        eps = 0.02
-        bracket = duckdb.sql(
-            f"SELECT percentile_disc({max(0.0, q - eps)}) WITHIN GROUP (ORDER BY o_totalprice), "
-            f"percentile_disc({min(1.0, q + eps)}) WITHIN GROUP (ORDER BY o_totalprice) "
-            f"FROM '{os.path.join(sf_dir, 'orders.parquet')}'"
-        ).fetchone()
-        ok = bracket[0] - 1e-9 <= est <= bracket[1] + 1e-9
-        if not ok:
+        if not (blo - 1e-9 <= est <= bhi + 1e-9):
             raise AssertionError(
                 f"t-digest p{int(q*100)}={est} outside exact rank bracket "
-                f"{bracket} (exact {ex})"
+                f"[{blo}, {bhi}] (exact {ex})"
             )
         rows.append(
             {"q": q, "estimate": float(est), "exact": float(ex), "within_bound": True}

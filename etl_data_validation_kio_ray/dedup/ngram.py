@@ -111,20 +111,20 @@ def cross_corpus_contamination(
         lambda t: _grams(t, True), batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
-    # a document never spans batches, so distinct docs per batch sum to
-    # the global count — no doc-level exchange needed
-    def _ndocs(t: pa.Table) -> pa.Table:
-        nd = t.select([id_col]).group_by(id_col).aggregate([]).num_rows
-        return pa.table({"nd": pa.array([nd], pa.int64())})
+    # per-batch shrink to distinct doc ids, then a global distinct —
+    # NOT a per-block count-and-sum: Ray splits large map outputs at
+    # arbitrary row offsets (target_max_block_size), so one doc's pairs
+    # can straddle blocks and a per-block count would double-count
+    def _docs_only(t: pa.Table) -> pa.Table:
+        return t.select([id_col]).group_by(id_col).aggregate([])
 
-    n_test = sum(
-        pc.sum(b["nd"]).as_py() or 0
-        for b in test_pairs.map_batches(
-            _ndocs,
-            batch_format="pyarrow",
-            batch_size=None,  # whole blocks: a doc's pairs share a block
-            zero_copy_batch=True,
-        ).iter_batches(batch_format="pyarrow")
+    n_test = (
+        test_pairs.map_batches(
+            _docs_only, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(id_col)
+        .count()
+        .count()
     )
     matched = hash_join(
         test_pairs,
@@ -135,9 +135,7 @@ def cross_corpus_contamination(
     # shrink to per-batch distinct doc ids before the doc-level distinct
     # (a doc's grams match across many partitions)
     matched_docs = matched.map_batches(
-        lambda t: t.select([id_col]).group_by(id_col).aggregate([]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+        _docs_only, batch_format="pyarrow", zero_copy_batch=True
     )
     n_contaminated = matched_docs.groupby(id_col).count().count()
     import pandas as pd
