@@ -454,10 +454,35 @@ def q_lang_id(sf_dir: str):
 
 
 def q_hll_cardinality(sf_dir: str):
-    """HLL estimate vs exact (rows-only; sketch value is approximate)."""
+    """HLL estimate, SELF-ASSERTED against the exact COUNT(DISTINCT)
+    from a DuckDB second-executor scan: p=14 registers give a 1.04/√m
+    standard error (~0.81%); the query raises if the estimate strays
+    beyond 5σ, so rows-only never means unverified."""
+    import duckdb
+
     res = _flagship_run(sf_dir)
-    est = res.metrics["global"]["doc_id_cardinality_est"]
-    return pd.DataFrame([{"cardinality_est": float(est)}])
+    est = float(res.metrics["global"]["doc_id_cardinality_est"])
+    exact = duckdb.sql(
+        "SELECT count(DISTINCT doc_id) FROM "
+        f"read_parquet('{os.path.join(_token_table_dir(sf_dir), '*.parquet')}')"
+    ).fetchone()[0]
+    rel_err = abs(est - exact) / max(exact, 1)
+    bound = 5 * 1.04 / (1 << 7)  # 5 sigma at m = 2^14 registers
+    if rel_err > bound:
+        raise AssertionError(
+            f"HLL estimate {est} vs exact {exact}: rel_err {rel_err:.4f} "
+            f"exceeds the 5-sigma bound {bound:.4f}"
+        )
+    return pd.DataFrame(
+        [
+            {
+                "cardinality_est": est,
+                "cardinality_exact": float(exact),
+                "rel_err": rel_err,
+                "within_bound": True,
+            }
+        ]
+    )
 
 
 def q_drift_scores(sf_dir: str):
@@ -686,11 +711,13 @@ def q_embedding_dups(sf_dir: str):
 
 
 def q_ivf_topk(sf_dir: str):
-    """IVF-bucketed approximate ANN (scale path of ann_topk; rows-only —
-    approximate by construction, recall checked in tests)."""
+    """IVF-bucketed approximate ANN (scale path of ann_topk),
+    SELF-ASSERTED: recall@10 against the exact brute-force top-k must
+    clear a floor or the query raises — rows-only never means
+    unverified. (Approximate by construction: n_probe=3 of 8 cells.)"""
     import ray.data as rd
 
-    from etl_data_validation_kio_ray.similarity import ivf_topk
+    from etl_data_validation_kio_ray.similarity import brute_force_topk, ivf_topk
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     qt = pq.read_table(emb_path, columns=["vec_id", "embedding"])
@@ -698,6 +725,17 @@ def q_ivf_topk(sf_dir: str):
     Q = np.stack([np.asarray(v, np.float32) for v in qdf["embedding"]])
     ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
     top = ivf_topk(ds, Q, k=10, n_cells=8, n_probe=3, concurrency=2)
+    exact = brute_force_topk(
+        rd.read_parquet(emb_path, columns=["vec_id", "embedding"]), Q, k=10
+    )
+    for qid in range(len(Q)):
+        got_ids = set(top.loc[top.query_id == qid, "vec_id"])
+        want_ids = set(exact.loc[exact.query_id == qid, "vec_id"])
+        recall = len(got_ids & want_ids) / max(len(want_ids), 1)
+        if recall < 0.5:
+            raise AssertionError(
+                f"IVF recall@10 for query {qid} = {recall:.2f} < 0.5 floor"
+            )
     top = top[["query_id", "vec_id", "rank"]].astype("int64")
     return top.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
@@ -1505,6 +1543,75 @@ def q_lm_scores(sf_dir: str):
     return unigram_logprob_scores(docs, vocab_size=1 << 16)
 
 
+def q_top_words_per_source(sf_dir: str):
+    """Per-group frequent items: top-5 words per source by (tf DESC,
+    word ASC). (source, word) totals complete inside one value-hash
+    bucket, then the partial-top-k-per-group operator bounds the final
+    exchange to k rows per (source, batch)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import top_k_per_group
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+    nb = np.int64(32)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern(pc.utf8_lower(pc.fill_null(text, "")), " ")
+        flat = pc.list_flatten(words)
+        counts = np.diff(np.asarray(words.offsets, dtype=np.int64))
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        srcw = src.take(
+            pa.array(np.repeat(np.arange(len(counts), dtype=np.int64), counts))
+        )
+        g = (
+            pa.table({"source": srcw, "word": flat})
+            .filter(pc.not_equal(flat, ""))
+            .group_by(["source", "word"])
+            .aggregate([("word", "count")])
+        )
+        w = g["word"]
+        if isinstance(w, pa.ChunkedArray):
+            w = w.combine_chunks()
+        from etl_data_validation_kio_ray.pipelines.relational import _key_hash
+
+        b = (_key_hash(w) % np.uint64(nb)).astype(np.int32)
+        return pa.table(
+            {
+                "source": g["source"],
+                "word": g["word"],
+                "tf": g["word_count"].cast(pa.int64()),
+                "__b": pa.array(b),
+            }
+        )
+
+    def totals(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        out = g.group_by(["source", "word"]).aggregate([("tf", "sum")])
+        return pa.table(
+            {
+                "source": out["source"],
+                "word": out["word"],
+                "tf": out["tf_sum"],
+            }
+        )
+
+    agg = (
+        docs.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(totals, batch_format="pyarrow")
+    )
+    out = top_k_per_group(agg, "source", [("tf", True), ("word", False)], 5)
+    out["tf"] = out["tf"].astype("int64")
+    return out[["source", "word", "tf"]].reset_index(drop=True)
+
+
 def q_price_quantiles_tdigest(sf_dir: str):
     """Approximate quantiles for an UNBOUNDED double column (the
     counting-histogram exact path needs a bounded int domain):
@@ -1637,6 +1744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination": q_contamination,
         "lm_scores": q_lm_scores,
         "price_quantiles_tdigest": q_price_quantiles_tdigest,
+        "top_words_per_source": q_top_words_per_source,
         "orders_rollup": q_orders_rollup,
         "revenue_pivot": q_revenue_pivot,
     }
@@ -2165,6 +2273,22 @@ SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
        sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END) AS p4,
        sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END) AS p5
 FROM orders GROUP BY yr ORDER BY yr
+""",
+        "top_words_per_source": """
+WITH w AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS word FROM documents
+),
+f AS (
+  SELECT source, word, CAST(count(*) AS BIGINT) AS tf
+  FROM w WHERE word <> '' GROUP BY source, word
+),
+r AS (
+  SELECT source, word, tf,
+         row_number() OVER (PARTITION BY source ORDER BY tf DESC, word) AS rn
+  FROM f
+)
+SELECT source, word, tf FROM r WHERE rn <= 5
+ORDER BY source, tf DESC, word
 """,
         "top_words": """
 WITH w AS (
