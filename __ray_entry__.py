@@ -504,7 +504,14 @@ def q_drift_scores(sf_dir: str):
          "drifted": bool(s["drifted"])}
         for p, s in sorted(res.drift.items())
     ]
-    return pd.DataFrame(rows)
+    out = pd.DataFrame(rows)
+    # self-assert: a snapshot built from the SAME data must not drift
+    # (the statistical analog of an exact-match oracle)
+    if out["drifted"].any():
+        raise AssertionError(
+            "self-drift flagged partitions:\n" + out[out.drifted].to_string()
+        )
+    return out
 
 
 def q_minhash_pairs(sf_dir: str):
@@ -521,15 +528,32 @@ def q_minhash_pairs(sf_dir: str):
 
 
 def q_simhash_signatures(sf_dir: str):
-    """Per-doc 64-bit SimHash (rows-only; deterministic but the siphash
-    word hashing is not SQL-expressible)."""
+    """Per-doc 64-bit SimHash (rows-only; the siphash word hashing is
+    not SQL-expressible). SELF-ASSERTED on the defining invariant:
+    documents with byte-identical text must hash to the same signature
+    — checked via a DuckDB group-over-text second pass."""
+    import duckdb
+
     from etl_data_validation_kio_ray.dedup.simhash import add_simhash
 
     ds = _docs(sf_dir, ["doc_id", "text"])
-    out = add_simhash(ds).map_batches(
-        lambda t: t.select(["doc_id", "simhash"]), batch_format="pyarrow"
+    out = (
+        add_simhash(ds)
+        .map_batches(
+            lambda t: t.select(["doc_id", "text", "simhash"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
     )
-    return out
+    bad = duckdb.sql(
+        "SELECT text, count(DISTINCT simhash) AS n_sigs, count(*) AS n_docs "
+        "FROM out GROUP BY text HAVING count(DISTINCT simhash) > 1"
+    ).df()
+    if len(bad):
+        raise AssertionError(
+            "identical texts with differing simhash:\n" + bad.to_string()
+        )
+    return out[["doc_id", "simhash"]].sort_values("doc_id").reset_index(drop=True)
 
 
 def q_orders_by_nation(sf_dir: str):
@@ -679,7 +703,40 @@ def q_multimodal_features(sf_dir: str):
         ),
         batch_format="pyarrow",
     ).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    # self-assert: payloads are doc_id-deterministic, so a second run of
+    # the same actor-pool stage must reproduce the features exactly
+    redo = (
+        ds.map_batches(synthesize_image_batch, batch_format="pyarrow")
+        .map_batches(
+            ImageFeatureStage,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=2,
+            batch_size=256,
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "feat_mean": pa.array(
+                        np.stack(t["features"].to_pylist())
+                        .mean(axis=1)
+                        .astype(np.float64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    if not np.array_equal(
+        out["feat_mean"].to_numpy(), redo["feat_mean"].to_numpy()
+    ):
+        raise AssertionError("multimodal feature stage is not deterministic")
+    return out
 
 
 def q_embedding_dups(sf_dir: str):
@@ -804,7 +861,7 @@ def q_mutation_experiment(sf_dir: str):
         ],
         pipeline_factory=factory,
     )
-    return pd.DataFrame(
+    out = pd.DataFrame(
         [
             {
                 "action": i.action,
@@ -814,6 +871,12 @@ def q_mutation_experiment(sf_dir: str):
             for i in res.iterations
         ]
     ).sort_values("action").reset_index(drop=True)
+    # self-assert: every planted corruption with an expected rule must
+    # be detected — this is the experiment's pass criterion, enforced
+    missed = out[(out.expected_rule != "") & ~out.detected]
+    if len(missed):
+        raise AssertionError("undetected mutations:\n" + missed.to_string())
+    return out
 
 
 def q_quality_filter(sf_dir: str):
