@@ -1675,6 +1675,70 @@ def q_top_words_per_source(sf_dir: str):
     return out[["source", "word", "tf"]].reset_index(drop=True)
 
 
+def q_dup_clusters(sf_dir: str):
+    """Duplicate-CLUSTER resolution: chain-shaped edges link
+    consecutive doc_ids inside each (source, word-count) group, then
+    generic connected components (union-find / distributed min-label
+    propagation with pointer jumping) recovers each group's full
+    extent through multi-hop edges — the step that turns pairwise
+    dedup output into keep-one-per-cluster decisions."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.dedup.cluster import connected_components
+    from etl_data_validation_kio_ray.pipelines.relational import _key_hash
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "text"],
+    )
+    nb = np.int64(32)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n_tok = pc.list_value_length(pc.split_pattern(text, " "))
+        key = pc.binary_join_element_wise(
+            t["source"].combine_chunks()
+            if isinstance(t["source"], pa.ChunkedArray)
+            else t["source"],
+            pc.cast(n_tok, pa.string()),
+            ":",
+        )
+        out = pa.table({"key": key, "doc_id": t["doc_id"]})
+        k = out["key"]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        b = (_key_hash(k) % np.uint64(nb)).astype(np.int32)
+        return out.append_column("__b", pa.array(b))
+
+    def chain_edges(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        g = g.take(
+            pc.sort_indices(
+                g, sort_keys=[("key", "ascending"), ("doc_id", "ascending")]
+            )
+        )
+        keys = g["key"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) < 2:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            )
+        same = keys[1:] == keys[:-1]
+        return pa.table({"a": pa.array(ids[:-1][same]), "b": pa.array(ids[1:][same])})
+
+    edges = (
+        docs.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(chain_edges, batch_format="pyarrow")
+    )
+    out = connected_components(edges, "a", "b")
+    out["node"] = out["node"].astype("int64")
+    out["component"] = out["component"].astype("int64")
+    return out
+
+
 def q_price_quantiles_tdigest(sf_dir: str):
     """Approximate quantiles for an UNBOUNDED double column (the
     counting-histogram exact path needs a bounded int domain):
@@ -1808,6 +1872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_scores": q_lm_scores,
         "price_quantiles_tdigest": q_price_quantiles_tdigest,
         "top_words_per_source": q_top_words_per_source,
+        "dup_clusters": q_dup_clusters,
         "orders_rollup": q_orders_rollup,
         "revenue_pivot": q_revenue_pivot,
     }
@@ -2336,6 +2401,19 @@ SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
        sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END) AS p4,
        sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END) AS p5
 FROM orders GROUP BY yr ORDER BY yr
+""",
+        "dup_clusters": """
+WITH d AS (
+  SELECT doc_id,
+         source || ':' || CAST(length(string_split(text, ' ')) AS VARCHAR) AS key
+  FROM documents
+),
+m AS (
+  SELECT key, CAST(min(doc_id) AS BIGINT) AS component, count(*) AS n
+  FROM d GROUP BY key
+)
+SELECT CAST(d.doc_id AS BIGINT) AS node, m.component
+FROM d JOIN m USING (key) WHERE m.n > 1 ORDER BY node
 """,
         "top_words_per_source": """
 WITH w AS (

@@ -388,3 +388,55 @@ def test_cross_corpus_contamination_planted(ray_session):
         rd.from_arrow(test.slice(1, 2)),  # the uncontaminated docs only
     )
     assert clean.iloc[0].to_dict() == {"n_test_docs": 1, "n_contaminated": 0}
+
+
+def test_connected_components_both_paths(ray_session):
+    """Driver union-find and distributed pointer-jumping label
+    propagation agree with a networkx-free BFS oracle on a graph with
+    a LONG path (exercises the log-rounds jumping), cliques, and
+    isolated edges."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.dedup.cluster import connected_components
+
+    rng = np.random.Generator(np.random.Philox(key=[5, 99]))
+    # long path 0..60 (multi-hop: needs the pointer jumping), plus
+    # random small components in 1000..1200
+    a = list(range(60))
+    b = list(range(1, 61))
+    extra = rng.integers(1000, 1200, size=(80, 2))
+    a += extra[:, 0].tolist()
+    b += extra[:, 1].tolist()
+    edges = pd.DataFrame({"a": np.array(a, np.int64), "b": np.array(b, np.int64)})
+    edges = edges[edges.a != edges.b].reset_index(drop=True)
+
+    # BFS oracle
+    adj: dict = {}
+    for u, v in zip(edges.a, edges.b):
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want = {}
+    for start in sorted(adj):
+        if start in want:
+            continue
+        comp, stack = [], [start]
+        seen = {start}
+        while stack:
+            x = stack.pop()
+            comp.append(x)
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        m = min(comp)
+        for x in comp:
+            want[x] = m
+
+    ds = rd.from_pandas(edges).repartition(4)
+    drv = connected_components(ds, "a", "b")
+    assert dict(zip(drv.node, drv.component)) == want
+
+    dist = connected_components(
+        ds, "a", "b", driver_max_edges=0, num_buckets=5, max_rounds=12
+    )
+    pd.testing.assert_frame_equal(drv, dist)
