@@ -466,8 +466,11 @@ def q_hll_cardinality(sf_dir: str):
         "SELECT count(DISTINCT doc_id) FROM "
         f"read_parquet('{os.path.join(_token_table_dir(sf_dir), '*.parquet')}')"
     ).fetchone()[0]
+    from etl_data_validation_kio_ray.sketches.hll import HyperLogLog
+
     rel_err = abs(est - exact) / max(exact, 1)
-    bound = 5 * 1.04 / (1 << 7)  # 5 sigma at m = 2^14 registers
+    # 5 sigma at the sketch's own precision (1.04/sqrt(m) std error)
+    bound = 5 * 1.04 / float(np.sqrt(HyperLogLog().m))
     if rel_err > bound:
         raise AssertionError(
             f"HLL estimate {est} vs exact {exact}: rel_err {rel_err:.4f} "
@@ -530,30 +533,45 @@ def q_minhash_pairs(sf_dir: str):
 def q_simhash_signatures(sf_dir: str):
     """Per-doc 64-bit SimHash (rows-only; the siphash word hashing is
     not SQL-expressible). SELF-ASSERTED on the defining invariant:
-    documents with byte-identical text must hash to the same signature
-    — checked via a DuckDB group-over-text second pass."""
-    import duckdb
-
+    documents with identical text must hash to the same signature —
+    checked DISTRIBUTED via count-distinct signatures per 64-bit text
+    hash (the raw text never lands on the driver; a text-hash
+    collision pairing different texts is ~2^-64 per pair and would
+    only make the check stricter)."""
     from etl_data_validation_kio_ray.dedup.simhash import add_simhash
+    from etl_data_validation_kio_ray.functions.hashing import hash_string_array
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        grouped_count_distinct,
+    )
 
     ds = _docs(sf_dir, ["doc_id", "text"])
-    out = (
-        add_simhash(ds)
-        .map_batches(
-            lambda t: t.select(["doc_id", "text", "simhash"]),
-            batch_format="pyarrow",
+
+    def with_text_hash(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        th = hash_string_array(text).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "simhash": t["simhash"],
+                "text_hash": pa.array(th),
+            }
         )
-        .to_pandas()
-    )
-    bad = duckdb.sql(
-        "SELECT text, count(DISTINCT simhash) AS n_sigs, count(*) AS n_docs "
-        "FROM out GROUP BY text HAVING count(DISTINCT simhash) > 1"
-    ).df()
+
+    sigs = add_simhash(ds).map_batches(
+        with_text_hash, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    per_text = grouped_count_distinct(sigs, "text_hash", "simhash")
+    bad = per_text[per_text.n_distinct > 1]
     if len(bad):
         raise AssertionError(
             "identical texts with differing simhash:\n" + bad.to_string()
         )
-    return out[["doc_id", "simhash"]].sort_values("doc_id").reset_index(drop=True)
+    out = sigs.map_batches(
+        lambda t: t.select(["doc_id", "simhash"]), batch_format="pyarrow"
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def q_orders_by_nation(sf_dir: str):
@@ -1639,20 +1657,16 @@ def q_top_words_per_source(sf_dir: str):
             .group_by(["source", "word"])
             .aggregate([("word", "count")])
         )
-        w = g["word"]
-        if isinstance(w, pa.ChunkedArray):
-            w = w.combine_chunks()
-        from etl_data_validation_kio_ray.pipelines.relational import _key_hash
+        from etl_data_validation_kio_ray.pipelines.relational import tag_bucket
 
-        b = (_key_hash(w) % np.uint64(nb)).astype(np.int32)
-        return pa.table(
+        out = pa.table(
             {
                 "source": g["source"],
                 "word": g["word"],
                 "tf": g["word_count"].cast(pa.int64()),
-                "__b": pa.array(b),
             }
         )
+        return tag_bucket(out, "word", int(nb))
 
     def totals(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["__b"])
@@ -1685,7 +1699,7 @@ def q_dup_clusters(sf_dir: str):
     import ray.data as rd
 
     from etl_data_validation_kio_ray.dedup.cluster import connected_components
-    from etl_data_validation_kio_ray.pipelines.relational import _key_hash
+    from etl_data_validation_kio_ray.pipelines.relational import tag_bucket
 
     docs = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
@@ -1694,6 +1708,9 @@ def q_dup_clusters(sf_dir: str):
     nb = np.int64(32)
 
     def keyed(t: pa.Table) -> pa.Table:
+        # null text/source -> null key; the SQL twin's JOIN USING(key)
+        # drops those rows, so drop them here too (null-parity)
+        t = t.filter(pc.and_(pc.is_valid(t["text"]), pc.is_valid(t["source"])))
         text = t["text"]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
@@ -1706,11 +1723,7 @@ def q_dup_clusters(sf_dir: str):
             ":",
         )
         out = pa.table({"key": key, "doc_id": t["doc_id"]})
-        k = out["key"]
-        if isinstance(k, pa.ChunkedArray):
-            k = k.combine_chunks()
-        b = (_key_hash(k) % np.uint64(nb)).astype(np.int32)
-        return out.append_column("__b", pa.array(b))
+        return tag_bucket(out, "key", int(nb))
 
     def chain_edges(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["__b"])

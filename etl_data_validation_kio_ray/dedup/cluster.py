@@ -29,31 +29,21 @@ DRIVER_MAX_EDGES = 5_000_000
 
 
 def _union_find(a: np.ndarray, b: np.ndarray) -> pd.DataFrame:
-    """Exact driver-side components: (node, component=min node id)."""
+    """Exact driver-side components: (node, component=min node id).
+    Vectorized min-label propagation with pointer jumping — no
+    per-edge Python loop; O(E log D) numpy passes for diameter D."""
     nodes = np.unique(np.concatenate([a, b]))
-    idx_a = np.searchsorted(nodes, a)
-    idx_b = np.searchsorted(nodes, b)
-    parent = np.arange(len(nodes), dtype=np.int64)
-
-    def find(i: int) -> int:
-        root = i
-        while parent[root] != root:
-            root = parent[root]
-        while parent[i] != root:  # path compression
-            parent[i], i = root, parent[i]
-        return root
-
-    for i, j in zip(idx_a, idx_b):
-        ri, rj = find(int(i)), find(int(j))
-        if ri != rj:
-            # union by smaller ROOT VALUE so the final root is the
-            # minimum node index of the component
-            if ri < rj:
-                parent[rj] = ri
-            else:
-                parent[ri] = rj
-    roots = np.array([find(int(i)) for i in range(len(nodes))], dtype=np.int64)
-    return pd.DataFrame({"node": nodes, "component": nodes[roots]})
+    ia = np.searchsorted(nodes, a)
+    ib = np.searchsorted(nodes, b)
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        prev = label.copy()
+        np.minimum.at(label, ia, label[ib])
+        np.minimum.at(label, ib, label[ia])
+        label = np.minimum(label, label[label])  # pointer jump
+        if np.array_equal(label, prev):
+            break
+    return pd.DataFrame({"node": nodes, "component": nodes[label]})
 
 
 def _bucketed_lookup_min(labels_ds, probes_ds, *, num_buckets: int):
@@ -62,19 +52,11 @@ def _bucketed_lookup_min(labels_ds, probes_ds, *, num_buckets: int):
     labels and reduced by per-node min in a second bucketed exchange.
     Both exchanges are plain hash-bucket groupbys (house pattern) —
     no join aggregator actors per round."""
-    from ..pipelines.relational import _key_hash
-
-    nb = np.int64(num_buckets)
+    from ..pipelines.relational import tag_bucket
 
     def tag_by(col):
         def f(t: pa.Table) -> pa.Table:
-            k = t[col]
-            if isinstance(k, pa.ChunkedArray):
-                k = k.combine_chunks()
-            h = _key_hash(k)
-            return t.append_column(
-                "__b", pa.array((h % np.uint64(nb)).astype(np.int32))
-            )
+            return tag_bucket(t, col, num_buckets)
 
         return f
 
@@ -141,6 +123,30 @@ def _bucketed_lookup_min(labels_ds, probes_ds, *, num_buckets: int):
     )
 
 
+def _exact_label_sum(labels_ds) -> int:
+    """Overflow-proof Σlabel for the fixpoint test: per-batch split
+    into low/high 32-bit halves (each int64 sum exact for < 2^31 rows
+    per batch), combined as arbitrary-precision Python ints — an int64
+    Σ of large node ids could wrap and fake a fixpoint."""
+    lo = hi = 0
+    for b in labels_ds.map_batches(
+        lambda t: pa.table(
+            {
+                "lo": pa.array(
+                    [int((t["label"].to_numpy(zero_copy_only=False) & 0xFFFFFFFF).sum())]
+                ),
+                "hi": pa.array(
+                    [int((t["label"].to_numpy(zero_copy_only=False) >> 32).sum())]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
+        lo += int(pc.sum(b["lo"]).as_py() or 0)
+        hi += int(pc.sum(b["hi"]).as_py() or 0)
+    return (hi << 32) + lo
+
+
 def connected_components(
     edges_ds,
     a_col: str,
@@ -155,6 +161,7 @@ def connected_components(
     exact union-find on the driver below ``driver_max_edges``, else
     distributed min-label propagation with pointer jumping (see module
     docstring). Returns pandas sorted by node."""
+    edges_ds = edges_ds.materialize()  # count + consume: one execution
     n_edges = edges_ds.count()
     if n_edges <= driver_max_edges:
         df = edges_ds.to_pandas()
@@ -236,7 +243,7 @@ def connected_components(
         labels = _pin(
             _bucketed_lookup_min(labels, jump_probes, num_buckets=num_buckets)
         )
-        s = labels.sum("label")
+        s = _exact_label_sum(labels)
         if s == prev_sum:  # monotone labels: equal sum == fixpoint
             out = labels.to_pandas().rename(columns={"label": "component"})
             return out.sort_values("node").reset_index(drop=True)

@@ -1414,6 +1414,20 @@ def rolling_window_agg(
     return out.sort_values([key, ts_col], kind="mergesort").reset_index(drop=True)
 
 
+def tag_bucket(t: pa.Table, col: str, num_buckets: int, *, out_col: str = "__b") -> pa.Table:
+    """Append the hash-bucket column ``out_col`` = hash(t[col]) %
+    num_buckets (int32). The one shared implementation of the bucket
+    idiom — note the np.uint64 modulus: uint64 % int64 silently
+    promotes to float64 in numpy, which would make fractional buckets."""
+    k = t[col]
+    if isinstance(k, pa.ChunkedArray):
+        k = k.combine_chunks()
+    h = _key_hash(k)
+    return t.append_column(
+        out_col, pa.array((h % np.uint64(np.int64(num_buckets))).astype(np.int32))
+    )
+
+
 def bucketed_group_agg(
     ds,
     key: str,
@@ -1439,7 +1453,6 @@ def bucketed_group_agg(
     post-processing (filters, flags, second-stage partials) is correct
     there and shrinks what leaves the bucket. Returns a Dataset.
     """
-    nb = np.int64(num_buckets)
     cols = [c for c, _f in aggs]
     if len(set(cols)) != len(cols):
         raise ValueError(
@@ -1449,13 +1462,7 @@ def bucketed_group_agg(
         )
 
     def tag(t: pa.Table) -> pa.Table:
-        k = t[key]
-        if isinstance(k, pa.ChunkedArray):
-            k = k.combine_chunks()
-        h = _key_hash(k)
-        return t.append_column(
-            "__b", pa.array((h % np.uint64(nb)).astype(np.int32))
-        )
+        return tag_bucket(t, key, num_buckets)
 
     def reduce_bucket(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["__b"])
