@@ -82,6 +82,10 @@ BENCH_QUERIES = [
     "winsorized_ntok",
     "contamination",
     "lm_scores",
+    "dup_clusters",
+    "top_words_per_source",
+    "source_corr",
+    "embedding_stats",
 ]
 
 
