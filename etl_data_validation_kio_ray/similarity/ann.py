@@ -41,7 +41,10 @@ class _TopKScorer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         v = _normalize(_vectors(batch, self.vec_col).astype(self.dtype))  # (n, dim)
         sims = self.q @ v.T  # (nq, n)
-        ids = np.asarray(batch[self.id_col].to_pylist())
+        idc = batch[self.id_col]
+        if isinstance(idc, pa.ChunkedArray):
+            idc = idc.combine_chunks()
+        ids = idc.to_numpy(zero_copy_only=False)
         k = min(self.k, sims.shape[1])
         part = np.argpartition(-sims, k - 1, axis=1)[:, :k]  # local top-k per query
         nq = sims.shape[0]
@@ -137,7 +140,10 @@ def ivf_topk(
         def __call__(self, batch: pa.Table) -> pa.Table:
             v = _normalize(_vectors(batch, vec_col))
             cell = (v @ self.c.T).argmax(axis=1)  # (n,)
-            ids = np.asarray(batch[id_col].to_pylist())
+            idc = batch[id_col]
+            if isinstance(idc, pa.ChunkedArray):
+                idc = idc.combine_chunks()
+            ids = idc.to_numpy(zero_copy_only=False)
             outs = {"query_id": [], id_col: [], "score": []}
             probed = self.probe  # (nq, n_probe)
             for qi in range(len(self.q)):  # nq-bounded
