@@ -1689,6 +1689,42 @@ def q_top_words_per_source(sf_dir: str):
     return out[["source", "word", "tf"]].reset_index(drop=True)
 
 
+def q_distinct_users_hll(sf_dir: str):
+    """Approximate grouped COUNT(DISTINCT): per-event-type HLL(p=12)
+    register partials are the only exchange — the sketch path for
+    high-volume keys. SELF-ASSERTED against the exact pair-dedup
+    operator within 5σ of the sketch's standard error."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        grouped_count_distinct,
+    )
+    from etl_data_validation_kio_ray.sketches.hll import grouped_hll
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    sketches = grouped_hll(ev, "event_type", "user_id", p=12)
+    exact = grouped_count_distinct(ev, "event_type", "user_id").set_index(
+        "event_type"
+    )["n_distinct"]
+    bound = 5 * 1.04 / float(np.sqrt(1 << 12))
+    rows = []
+    for k in sorted(sketches):
+        est = float(sketches[k].estimate())
+        ex = int(exact[k])
+        rel = abs(est - ex) / max(ex, 1)
+        if rel > bound:
+            raise AssertionError(
+                f"grouped HLL for {k!r}: est {est} vs exact {ex} "
+                f"(rel_err {rel:.4f} > {bound:.4f})"
+            )
+        rows.append(
+            {"event_type": k, "est": est, "exact": ex, "rel_err": rel}
+        )
+    return pd.DataFrame(rows)
+
+
 def q_dup_clusters(sf_dir: str):
     """Duplicate-CLUSTER resolution: chain-shaped edges link
     consecutive doc_ids inside each (source, word-count) group, then
@@ -1886,6 +1922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles_tdigest": q_price_quantiles_tdigest,
         "top_words_per_source": q_top_words_per_source,
         "dup_clusters": q_dup_clusters,
+        "distinct_users_hll": q_distinct_users_hll,
         "orders_rollup": q_orders_rollup,
         "revenue_pivot": q_revenue_pivot,
     }

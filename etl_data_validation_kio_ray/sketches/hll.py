@@ -80,3 +80,50 @@ class HyperLogLog:
     @classmethod
     def from_state(cls, s: dict) -> "HyperLogLog":
         return cls(s["p"], np.array(s["registers"], dtype=np.uint8, copy=True))
+
+
+def grouped_hll(ds, key: str, value_col: str, *, p: int = 12):
+    """Approximate COUNT(DISTINCT value) per key — the sketch path for
+    when the exact pair-dedup exchange
+    (pipelines.relational.grouped_count_distinct) is too expensive:
+    per-batch per-group HLL registers (2^p bytes each) are the ONLY
+    exchange, merged by elementwise max on the driver (order
+    independent). Works for low-cardinality keys (registers x keys x
+    batches must be cheap); the exact operator remains the tool for
+    high-cardinality keys.
+
+    Returns {key_value: HyperLogLog} merged across all batches.
+    """
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = t[key]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        v = t[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        codes, uniq = pd.factorize(pd.Series(k.to_numpy(zero_copy_only=False)))
+        vals = v.to_numpy(zero_copy_only=False)
+        keys_out, regs_out = [], []
+        for c, u in enumerate(uniq):  # low-cardinality key: tiny loop
+            h = HyperLogLog(p).update(vals[codes == c])
+            keys_out.append(u)
+            regs_out.append(h.registers.tobytes())
+        return pa.table(
+            {key: pa.array(keys_out), "regs": pa.array(regs_out, pa.binary())}
+        )
+
+    merged: dict = {}
+    for b in ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        for kk, blob in zip(
+            b[key].to_pylist(), b["regs"].to_pylist()
+        ):  # rows = keys x batches: tiny
+            regs = np.frombuffer(blob, dtype=np.uint8)
+            if kk in merged:
+                merged[kk].registers = np.maximum(merged[kk].registers, regs)
+            else:
+                merged[kk] = HyperLogLog(p, registers=regs.copy())
+    return merged

@@ -133,3 +133,23 @@ def test_heavy_hitters_guarantee_is_loud(ray_session):
         heavy_hitters(ds, "x")
     out = heavy_hitters(ds, "x", threshold_count=9999, k=64)
     assert out.empty
+
+
+def test_grouped_hll_close_to_exact(ray_session):
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.sketches.hll import grouped_hll
+
+    rng = np.random.Generator(np.random.Philox(key=[2, 41]))
+    n = 20_000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], n),
+            "v": rng.integers(0, 5000, n).astype(np.int64),
+        }
+    )
+    sketches = grouped_hll(rd.from_pandas(df).repartition(6), "g", "v", p=12)
+    for g, sub in df.groupby("g"):
+        exact = sub["v"].nunique()
+        est = sketches[g].estimate()
+        assert abs(est - exact) / exact < 5 * 1.04 / np.sqrt(1 << 12)
