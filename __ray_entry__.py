@@ -1689,6 +1689,29 @@ def q_top_words_per_source(sf_dir: str):
     return out[["source", "word", "tf"]].reset_index(drop=True)
 
 
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd's k-means over the embedding column (semantic
+    clustering for dedup/curation): one streaming pass per iteration,
+    k x dim driver state, deterministic seeding. SELF-ASSERTED: the
+    operator raises if inertia ever increases (Lloyd's invariant)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.similarity.ann import kmeans
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    cent, history, sizes = kmeans(emb, k=8, iters=8)
+    return pd.DataFrame(
+        {
+            "cluster": np.arange(len(sizes), dtype=np.int64),
+            "size": sizes.astype(np.int64),
+            "final_inertia": float(history[-1]),
+            "n_iters": len(history),
+        }
+    )
+
+
 def q_distinct_users_hll(sf_dir: str):
     """Approximate grouped COUNT(DISTINCT): per-event-type HLL(p=12)
     register partials are the only exchange — the sketch path for
@@ -1923,6 +1946,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_words_per_source": q_top_words_per_source,
         "dup_clusters": q_dup_clusters,
         "distinct_users_hll": q_distinct_users_hll,
+        "kmeans_embeddings": q_kmeans_embeddings,
         "orders_rollup": q_orders_rollup,
         "revenue_pivot": q_revenue_pivot,
     }

@@ -171,3 +171,104 @@ def ivf_topk(
         concurrency=clamp_actor_concurrency(concurrency),
     ).to_pandas()
     return _merge_topk(partials, id_col, k)
+
+
+def kmeans(
+    ds,
+    *,
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 10,
+    seed_ids: list | None = None,
+    id_col: str = "vec_id",
+):
+    """Distributed Lloyd's k-means over an embedding column — the
+    clustering step of semantic dedup / corpus curation (and the
+    full-data refinement of :func:`ivf_topk`'s sample-trained cells).
+
+    Each iteration is ONE streaming pass: every batch assigns its
+    vectors to the nearest centroid (matmul against the broadcast
+    centroid matrix) and emits per-cluster mergeable partials
+    (n, Σvec, Σ||x-c||²); the driver folds partials into new centroids
+    — O(k x dim) driver state, no vector ever leaves its worker twice.
+    Initial centroids are the k smallest ``id_col`` rows
+    (deterministic, no RNG). Empty clusters keep their previous
+    centroid. Lloyd's invariant — inertia never increases — is checked
+    every iteration (1e-6 relative tolerance for float reduction
+    order) and violations raise.
+
+    Returns (centroids ndarray (k, dim), history list of inertia,
+    sizes ndarray (k,)).
+    """
+    import pyarrow as pa
+
+    import ray
+
+    head = (
+        ds.sort(id_col).limit(k).to_pandas()
+        if seed_ids is None
+        else ds.filter(lambda r: r[id_col] in seed_ids).to_pandas()
+    )
+    cent = np.stack(
+        [np.asarray(v, np.float64) for v in head[vec_col]]
+    )  # (k, dim)
+
+    history: list[float] = []
+    sizes = np.zeros(k, dtype=np.int64)
+    for it in range(iters):
+        cref = ray.put(cent)
+
+        def partial(t: pa.Table) -> pa.Table:
+            c = ray.get(cref)  # (k, dim)
+            v = _vectors(t, vec_col).astype(np.float64)  # (n, dim)
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2, argmin over c
+            d = (
+                (v * v).sum(axis=1)[:, None]
+                - 2.0 * (v @ c.T)
+                + (c * c).sum(axis=1)[None, :]
+            )
+            a = d.argmin(axis=1)
+            nk = c.shape[0]
+            n = np.bincount(a, minlength=nk).astype(np.int64)
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, v)
+            inertia = np.bincount(a, weights=d[np.arange(len(a)), a], minlength=nk)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(nk, dtype=np.int64)),
+                    "n": pa.array(n),
+                    "inertia": pa.array(inertia),
+                    "sumvec": pa.array(list(sums)),
+                }
+            )
+
+        agg: dict[int, list] = {}
+        for b in ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow"):
+            for c_, n_, i_, s_ in zip(
+                b["cluster"].to_pylist(),
+                b["n"].to_pylist(),
+                b["inertia"].to_pylist(),
+                b["sumvec"].to_pylist(),
+            ):  # k rows per batch: tiny
+                cur = agg.setdefault(c_, [0, 0.0, np.zeros(cent.shape[1])])
+                cur[0] += n_
+                cur[1] += i_
+                cur[2] = cur[2] + np.asarray(s_)
+        sizes = np.array([agg.get(i, [0])[0] for i in range(k)], dtype=np.int64)
+        inertia = float(sum(v[1] for v in agg.values()))
+        if history and inertia > history[-1] * (1 + 1e-6):
+            raise AssertionError(
+                f"k-means inertia increased at iter {it}: "
+                f"{history[-1]} -> {inertia}"
+            )
+        history.append(inertia)
+        new_cent = cent.copy()  # empty clusters keep their centroid
+        for i in range(k):
+            if i in agg and agg[i][0] > 0:
+                new_cent[i] = agg[i][2] / agg[i][0]
+        if np.allclose(new_cent, cent, rtol=0, atol=0):
+            break
+        cent = new_cent
+    return cent, history, sizes

@@ -440,3 +440,46 @@ def test_connected_components_both_paths(ray_session):
         ds, "a", "b", driver_max_edges=0, num_buckets=5, max_rounds=12
     )
     pd.testing.assert_frame_equal(drv, dist)
+
+
+def test_kmeans_matches_numpy_lloyds(ray_session):
+    """Distributed k-means == an in-memory Lloyd's with the same
+    deterministic init; inertia history is non-increasing."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.similarity.ann import kmeans
+
+    rng = np.random.Generator(np.random.Philox(key=[31, 8]))
+    n, d, k = 600, 8, 4
+    vecs = rng.normal(size=(n, d)) + np.repeat(
+        rng.normal(scale=4.0, size=(k, d)), n // k, axis=0
+    )
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+            ),
+        }
+    )
+    cent, hist, sizes = kmeans(
+        rd.from_arrow(t).repartition(5), k=k, iters=6
+    )
+    assert sizes.sum() == n
+    assert all(b <= a * (1 + 1e-9) for a, b in zip(hist, hist[1:]))
+
+    # same algorithm in numpy from the same init (vec_id 0..k-1),
+    # remembering the engine reads float32-stored vectors
+    v64 = np.stack([np.asarray(r, np.float32) for r in t["embedding"].to_pylist()]).astype(np.float64)
+    c = v64[:k].copy()
+    for _ in range(6):
+        dists = ((v64[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = dists.argmin(axis=1)
+        new_c = c.copy()
+        for i in range(k):
+            if (a == i).any():
+                new_c[i] = v64[a == i].mean(axis=0)
+        if np.allclose(new_c, c, rtol=0, atol=0):
+            break
+        c = new_c
+    np.testing.assert_allclose(cent, c, rtol=1e-9)
