@@ -1265,6 +1265,11 @@ def q_revenue_deciles(sf_dir: str):
 
     def tiles(t: pa.Table) -> pa.Table:
         rn = t["rn"].to_numpy(zero_copy_only=False)
+        # Money in exact int64 cents (2-dp prices, like
+        # q_revenue_by_priority): partial sums associate freely without
+        # float drift, so Ray and DuckDB hash bit-for-bit.
+        price_c = pc.round(pc.multiply(t["o_totalprice"], 100.0)).cast(pa.int64())
+        t = t.append_column("price_c", price_c)
         return t.append_column("tile", pa.array(ntile_from_rank(rn, n_total, 10)))
 
     out = grouped_agg(
@@ -1272,13 +1277,13 @@ def q_revenue_deciles(sf_dir: str):
         ["tile"],
         {
             "n_orders": ("o_orderkey", "count"),
-            "sum_price": ("o_totalprice", "sum"),
-            "min_price": ("o_totalprice", "min"),
-            "max_price": ("o_totalprice", "max"),
+            "sum_price_c": ("price_c", "sum"),
+            "min_price_c": ("price_c", "min"),
+            "max_price_c": ("price_c", "max"),
         },
     )
-    out["tile"] = out["tile"].astype("int64")
-    out["n_orders"] = out["n_orders"].astype("int64")
+    for c in ("tile", "n_orders", "sum_price_c", "min_price_c", "max_price_c"):
+        out[c] = out[c].astype("int64")
     return out.sort_values("tile").reset_index(drop=True)
 
 
@@ -1330,11 +1335,14 @@ def _orders_with_year(sf_dir: str):
 
     def add_year(t: pa.Table) -> pa.Table:
         yr = pc.year(t["o_orderdate"]).cast(pa.int64())
+        # exact int64 cents — partial sums are order-free (bit-exact
+        # under the driver's byte hash, like q_revenue_by_priority)
+        price_c = pc.round(pc.multiply(t["o_totalprice"], 100.0)).cast(pa.int64())
         return pa.table(
             {
                 "yr": yr,
                 "priority": t["o_orderpriority"],
-                "o_totalprice": t["o_totalprice"],
+                "price_c": price_c,
             }
         )
 
@@ -1351,9 +1359,10 @@ def q_orders_rollup(sf_dir: str):
     out = grouped_rollup(
         _orders_with_year(sf_dir),
         ["yr", "priority"],
-        {"n_orders": ("o_totalprice", "count"), "sum_price": ("o_totalprice", "sum")},
+        {"n_orders": ("price_c", "count"), "sum_price_c": ("price_c", "sum")},
     )
     out["n_orders"] = out["n_orders"].astype("int64")
+    out["sum_price_c"] = out["sum_price_c"].astype("int64")
     return out
 
 
@@ -1368,12 +1377,16 @@ def q_revenue_pivot(sf_dir: str):
         _orders_with_year(sf_dir),
         "yr",
         "priority",
-        "o_totalprice",
+        "price_c",
         fn="sum",
         pivot_values=_PRIORITIES,
     )
     out.columns = ["yr"] + [f"p{i+1}" for i in range(len(_PRIORITIES))]
     out["yr"] = out["yr"].astype("int64")
+    for i in range(len(_PRIORITIES)):
+        # absent cells -> exact 0 (oracle COALESCEs the same way) so
+        # every pivot column is plain int64 cents, never float
+        out[f"p{i+1}"] = out[f"p{i+1}"].fillna(0).astype("int64")
     return out
 
 
@@ -1388,7 +1401,13 @@ def q_embedding_stats(sf_dir: str):
     emb = rd.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding", "label"]
     )
-    return grouped_embedding_stats(emb, "embedding", "label")
+    out = grouped_embedding_stats(emb, "embedding", "label")
+    # quantize to exact int64 micro-units: partial float sums associate
+    # in batch-arrival order (~1e-15 drift), far below the 5e-7
+    # rounding boundary, so the integers hash bit-for-bit vs DuckDB
+    out["avg_norm_q6"] = np.round(out["avg_norm"] * 1e6).astype("int64")
+    out["centroid_norm_q6"] = np.round(out["centroid_norm"] * 1e6).astype("int64")
+    return out.drop(columns=["avg_norm", "centroid_norm"])
 
 
 def q_source_corr(sf_dir: str):
@@ -2299,13 +2318,14 @@ FROM r WHERE rn <= 10 ORDER BY source, fingerprint, doc_id
 """,
         "revenue_deciles": """
 WITH t AS (
-  SELECT o_totalprice,
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
          NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
   FROM orders
 )
 SELECT CAST(tile AS BIGINT) AS tile, CAST(count(*) AS BIGINT) AS n_orders,
-       sum(o_totalprice) AS sum_price, min(o_totalprice) AS min_price,
-       max(o_totalprice) AS max_price
+       CAST(sum(price_c) AS BIGINT) AS sum_price_c,
+       CAST(min(price_c) AS BIGINT) AS min_price_c,
+       CAST(max(price_c) AS BIGINT) AS max_price_c
 FROM t GROUP BY tile ORDER BY tile
 """,
         "lm_scores": """
@@ -2326,7 +2346,8 @@ s AS (
   GROUP BY ww.doc_id, ww.source
 )
 SELECT source, CAST(count(lp) AS BIGINT) AS n_scored,
-       avg(lp) AS avg_logprob, avg(oov) AS avg_oov
+       CAST(round(avg(lp) * 1000000) AS BIGINT) AS avg_logprob_q6,
+       CAST(round(avg(oov) * 1000000) AS BIGINT) AS avg_oov_q6
 FROM s GROUP BY source ORDER BY source
 """,
         "contamination": """
@@ -2453,28 +2474,36 @@ cent AS (
   GROUP BY label
 )
 SELECT CAST(e.label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n,
-       avg(e.nrm) AS avg_norm, max(cent.centroid_norm) AS centroid_norm
+       CAST(round(avg(e.nrm) * 1000000) AS BIGINT) AS avg_norm_q6,
+       CAST(round(max(cent.centroid_norm) * 1000000) AS BIGINT) AS centroid_norm_q6
 FROM e JOIN cent ON e.label = cent.label
 GROUP BY e.label ORDER BY label
 """,
         "orders_rollup": """
 WITH t AS (
   SELECT CAST(year(o_orderdate) AS VARCHAR) AS yr,
-         o_orderpriority AS priority, o_totalprice
+         o_orderpriority AS priority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
   FROM orders
 )
 SELECT COALESCE(yr, 'ALL') AS yr, COALESCE(priority, 'ALL') AS priority,
-       CAST(count(*) AS BIGINT) AS n_orders, sum(o_totalprice) AS sum_price
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(price_c) AS BIGINT) AS sum_price_c
 FROM t GROUP BY ROLLUP(yr, priority) ORDER BY yr, priority
 """,
         "revenue_pivot": """
-SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
-       sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END) AS p1,
-       sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END) AS p2,
-       sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END) AS p3,
-       sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END) AS p4,
-       sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END) AS p5
-FROM orders GROUP BY yr ORDER BY yr
+WITH t AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders
+)
+SELECT yr,
+       CAST(COALESCE(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN price_c END), 0) AS BIGINT) AS p1,
+       CAST(COALESCE(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN price_c END), 0) AS BIGINT) AS p2,
+       CAST(COALESCE(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN price_c END), 0) AS BIGINT) AS p3,
+       CAST(COALESCE(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN price_c END), 0) AS BIGINT) AS p4,
+       CAST(COALESCE(sum(CASE WHEN o_orderpriority = '5-LOW' THEN price_c END), 0) AS BIGINT) AS p5
+FROM t GROUP BY yr ORDER BY yr
 """,
         "dup_clusters": """
 WITH d AS (

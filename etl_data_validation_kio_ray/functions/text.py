@@ -464,4 +464,12 @@ def unigram_logprob_scores(
         },
     )
     out["n_scored"] = out["n_scored"].astype("int64")
+    # Quantize the transcendental outputs to exact int64 micro-units:
+    # numpy SIMD log and DuckDB/libm ln() are not guaranteed the same
+    # in the last ULP, and float-mean association adds ~1e-12 — both
+    # orders of magnitude below the 5e-7 rounding boundary, so the
+    # quantized integers hash bit-for-bit across engines.
+    out["avg_logprob_q6"] = np.round(out["avg_logprob"] * 1e6).astype("int64")
+    out["avg_oov_q6"] = np.round(out["avg_oov"] * 1e6).astype("int64")
+    out = out.drop(columns=["avg_logprob", "avg_oov"])
     return out.sort_values(group_col).reset_index(drop=True)

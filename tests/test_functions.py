@@ -431,8 +431,9 @@ def test_unigram_logprob_scores_small_vocab_oov(ray_session):
               FROM ww LEFT JOIN v ON ww.word = v.word CROSS JOIN tot
               GROUP BY ww.doc_id, ww.source)
         SELECT source, CAST(count(lp) AS BIGINT) AS n_scored,
-               avg(lp) AS avg_logprob, avg(oov) AS avg_oov
+               CAST(round(avg(lp) * 1000000) AS BIGINT) AS avg_logprob_q6,
+               CAST(round(avg(oov) * 1000000) AS BIGINT) AS avg_oov_q6
         FROM s GROUP BY source ORDER BY source
         """
     ).df()
-    pd.testing.assert_frame_equal(got, want, rtol=1e-12)
+    pd.testing.assert_frame_equal(got, want)

@@ -44,9 +44,23 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
     for c in a.columns:
         av, bv = a[c], b[c]
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
-            ok = np.allclose(
-                av.astype(float), bv.astype(float), rtol=1e-9, atol=1e-12, equal_nan=True
-            )
+            # BIT-EXACT, like the driver's byte hash (the old
+            # allclose(rtol=1e-9) gate let revenue_deciles pass locally
+            # and fail upstream). NaNs compare equal via the uint64
+            # view only if they are the same NaN bit pattern — also
+            # what a byte hash does.
+            fa = av.astype(float).to_numpy()
+            fb = bv.astype(float).to_numpy()
+            ok = bool(np.array_equal(fa.view(np.uint64), fb.view(np.uint64)))
+            if not ok:
+                close = np.allclose(fa, fb, rtol=1e-9, atol=1e-12, equal_nan=True)
+                with np.errstate(invalid="ignore"):
+                    mad = float(np.nanmax(np.abs(fa - fb))) if len(fa) else 0.0
+                problems.append(
+                    f"column {c!r} not BIT-exact (allclose={close}, "
+                    f"max_abs_diff={mad:.3e}) — driver hash would fail"
+                )
+                continue
         else:
             ok = av.tolist() == bv.tolist()
         if not ok:
