@@ -22,6 +22,12 @@ def jaccard_pairs_exact(
 ) -> pd.DataFrame:
     """All-pairs exact n-gram Jaccard (driver-side; for tests and small
     candidate sets — the scale path is minhash_dedup_pairs)."""
+    if len(df) > 20_000:
+        raise ValueError(
+            f"jaccard_pairs_exact is an O(n^2) driver-side verifier for "
+            f"SMALL candidate sets (got {len(df)} rows); use "
+            f"minhash_dedup_pairs for the distributed scale path"
+        )
     sets = {r[id_col]: shingles(r[text_col], k) for _, r in df.iterrows()}
     ids = sorted(sets)
     rows = []
@@ -31,6 +37,71 @@ def jaccard_pairs_exact(
             if j >= threshold:
                 rows.append((a, b, j))
     return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+
+
+def semi_join_docs(
+    probe_ds,
+    build_ds,
+    *,
+    id_col: str,
+    key_col: str = "g",
+    num_partitions: int = 32,
+):
+    """Distributed SEMI-join: the ``id_col`` values of probe rows whose
+    ``key_col`` appears anywhere in the build side. One hash-bucketed
+    co-group (tagged union on hash(key) % num_partitions), then a
+    per-bucket MEMBERSHIP test (``pc.is_in``) of probe keys against the
+    bucket's build keys. Because membership is idempotent, duplicate
+    build keys — e.g. a Zipfian-hot gram that survives per-batch dedup
+    in B different build batches — cannot amplify a probe row B× the
+    way an inner join on the key would (the skewed-key join blow-up at
+    corpus scale). The build side never needs a global distinct: the
+    one exchange here IS the distinct's exchange, minus its reduce.
+
+    Returns a lazy Dataset of per-bucket-distinct ``id_col`` rows: a
+    given id appears at most once per bucket (its keys may hash to
+    several buckets), so callers do the cheap global distinct.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..pipelines.relational import tag_bucket
+
+    id_type = probe_ds.schema().base_schema.field(id_col).type
+
+    def _tag(t: pa.Table, is_probe: bool) -> pa.Table:
+        ids = t[id_col] if is_probe else pa.nulls(t.num_rows, id_type)
+        cols = pa.table(
+            {
+                key_col: t[key_col],
+                id_col: ids,
+                "__p": pa.array(np.full(t.num_rows, is_probe)),
+            }
+        )
+        return tag_bucket(cols, key_col, num_partitions)
+
+    both = build_ds.map_batches(
+        lambda t: _tag(t, False), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        probe_ds.map_batches(
+            lambda t: _tag(t, True), batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def _semi(g: pa.Table) -> pa.Table:
+        p = g["__p"]
+        if isinstance(p, pa.ChunkedArray):
+            p = p.combine_chunks()
+        probe = g.filter(p)
+        build_keys = g.filter(pc.invert(p))[key_col]
+        if isinstance(build_keys, pa.ChunkedArray):
+            build_keys = build_keys.combine_chunks()
+        hit = pc.is_in(probe[key_col], value_set=build_keys)
+        out = probe.filter(hit).select([id_col])
+        return out.group_by(id_col).aggregate([])
+
+    return both.groupby("__b").map_groups(_semi, batch_format="pyarrow")
 
 
 def cross_corpus_contamination(
@@ -50,12 +121,17 @@ def cross_corpus_contamination(
     DISTINCT (doc, gram) pairs (test side) with one Arrow hash-aggregate
     — raw text never rides the exchange, and within-batch repeats are
     collapsed before the shuffle. The sides then meet in ONE
-    hash-partitioned semi-join on the gram (``hash_join``), and matched
-    test docs are counted with a distinct aggregate. Grams travel as
-    exact strings (bit-identical to the SQL twin); for corpora where
-    the distinct-gram exchange dominates, the hashed-signature path is
-    the MinHash family in this package (collision-free exactness is
-    this operator's contract; MinHash trades it for traffic).
+    hash-bucketed co-group (tagged union on hash(g) % num_partitions)
+    where the test rows are filtered by MEMBERSHIP (``pc.is_in``)
+    against the bucket's train grams — a true semi-join, so a gram
+    that survives per-batch dedup in B train batches can never
+    multiply a matching test row B× the way an inner join would
+    (Zipfian hot grams at corpus scale made that a skewed-key blow-up).
+    Grams travel as exact strings (bit-identical to the SQL twin); for
+    corpora where the distinct-gram exchange dominates, the
+    hashed-signature path is the MinHash family in this package
+    (collision-free exactness is this operator's contract; MinHash
+    trades it for traffic).
 
     Returns a one-row DataFrame (n_test_docs, n_contaminated): test
     docs with at least one gram (< k words -> no grams, excluded), and
@@ -64,8 +140,6 @@ def cross_corpus_contamination(
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
-
-    from ..pipelines.relational import hash_join
 
     def _grams(t: pa.Table, with_doc: bool) -> pa.Table:
         text = t[text_col]
@@ -126,16 +200,12 @@ def cross_corpus_contamination(
         .count()
         .count()
     )
-    matched = hash_join(
+    matched_docs = semi_join_docs(
         test_pairs,
         train_grams,
-        on=("g",),
+        id_col=id_col,
+        key_col="g",
         num_partitions=num_partitions,
-    )
-    # shrink to per-batch distinct doc ids before the doc-level distinct
-    # (a doc's grams match across many partitions)
-    matched_docs = matched.map_batches(
-        _docs_only, batch_format="pyarrow", zero_copy_batch=True
     )
     n_contaminated = matched_docs.groupby(id_col).count().count()
     import pandas as pd

@@ -390,6 +390,40 @@ def test_cross_corpus_contamination_planted(ray_session):
     assert clean.iloc[0].to_dict() == {"n_test_docs": 1, "n_contaminated": 0}
 
 
+def test_semi_join_docs_hot_key_no_amplification(ray_session):
+    """A build key present in MANY build batches must not multiply the
+    matching probe rows (membership semi-join, not an inner join): the
+    output carries at most one row per (id, bucket) no matter how hot
+    the key is."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.dedup.ngram import semi_join_docs
+
+    # the same gram survives per-batch dedup in 40 separate build blocks
+    build = rd.from_arrow(
+        pa.table({"g": pa.array(["hot gram here"] * 40 + ["cold one two"])})
+    ).repartition(40)
+    probe = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 1, 2, 3], pa.int64()),
+                "g": pa.array(
+                    ["hot gram here", "cold one two", "hot gram here", "miss x y"]
+                ),
+            }
+        )
+    ).repartition(2)
+    out = semi_join_docs(probe, build, id_col="doc_id", num_partitions=8).to_pandas()
+    # doc 1 matches via two grams (possibly two buckets), doc 2 via the
+    # hot gram exactly once, doc 3 not at all — an inner join would have
+    # produced 40 rows for each hot-gram match
+    assert sorted(set(out["doc_id"])) == [1, 2]
+    # doc 2's only gram is the hot one: exactly ONE row, not 40
+    assert (out["doc_id"] == 2).sum() == 1
+    # doc 1 may appear once per bucket its two grams hash to, never more
+    assert (out["doc_id"] == 1).sum() <= 2
+
+
 def test_connected_components_both_paths(ray_session):
     """Driver union-find and distributed pointer-jumping label
     propagation agree with a networkx-free BFS oracle on a graph with
