@@ -988,7 +988,10 @@ def q_asof_events(sf_dir: str):
     DuckDB twin is its native ASOF JOIN."""
     import ray.data as rd
 
-    from etl_data_validation_kio_ray.pipelines.relational import asof_join
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        asof_join,
+        collect_sorted,
+    )
 
     ev = rd.read_parquet(
         os.path.join(sf_dir, "events.parquet"),
@@ -1029,9 +1032,11 @@ def q_asof_events(sf_dir: str):
         # the max value_cents (mirrored by max() in the SQL twin)
         right_tiebreak="value_cents",
     )
+    # operator is lazy; the driver contract is the one place we collect
+    out = collect_sorted(out, ["user_id", "ts", "event_id"])
     out["event_id"] = out["event_id"].astype("int64")
     out["matched_value_cents"] = out["matched_value_cents"].astype("int64")
-    return out.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    return out
 
 
 def q_events_in_windows(sf_dir: str):
@@ -1120,14 +1125,18 @@ def q_ntok_outliers(sf_dir: str):
     between numpy and DuckDB float paths. Two passes: tiny grouped-sums
     exchange, then a broadcast probe filter."""
     from etl_data_validation_kio_ray.pipelines.relational import (
+        collect_sorted,
         grouped_zscore_outliers,
     )
 
     ds = q_tokenize(sf_dir).map_batches(
         lambda t: t.select(["doc_id", "source", "n_tok"]), batch_format="pyarrow"
     )
-    out = grouped_zscore_outliers(
-        ds, "source", "n_tok", ["source", "doc_id", "n_tok"], z=2
+    out = collect_sorted(
+        grouped_zscore_outliers(
+            ds, "source", "n_tok", ["source", "doc_id", "n_tok"], z=2
+        ),
+        ["source", "doc_id", "n_tok"],
     )
     out["n_tok"] = out["n_tok"].astype("int64")
     return out.reset_index(drop=True)
@@ -1192,7 +1201,10 @@ def q_user_rolling_24h(sf_dir: str):
     tiebreak is needed for determinism."""
     import ray.data as rd
 
-    from etl_data_validation_kio_ray.pipelines.relational import rolling_window_agg
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        collect_sorted,
+        rolling_window_agg,
+    )
 
     ev = rd.read_parquet(
         os.path.join(sf_dir, "events.parquet"),
@@ -1219,10 +1231,11 @@ def q_user_rolling_24h(sf_dir: str):
         num_buckets=16,
         out_cols=["event_id"],
     )
+    out = collect_sorted(out, ["user_id", "ts", "event_id"])
     out = out[["user_id", "ts", "event_id", "w_count", "w_sum"]]
     out["w_count"] = out["w_count"].astype("int64")
     out["w_sum"] = out["w_sum"].astype("int64")
-    return out.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    return out.reset_index(drop=True)
 
 
 def q_heavy_users(sf_dir: str):
@@ -1295,6 +1308,7 @@ def q_user_interarrival(sf_dir: str):
     import ray.data as rd
 
     from etl_data_validation_kio_ray.pipelines.relational import (
+        collect_sorted,
         grouped_lag_delta_stats,
     )
 
@@ -1302,7 +1316,10 @@ def q_user_interarrival(sf_dir: str):
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "ts", "user_id"],
     )
-    out = grouped_lag_delta_stats(ev, "user_id", "ts", "event_id", num_buckets=32)
+    out = collect_sorted(
+        grouped_lag_delta_stats(ev, "user_id", "ts", "event_id", num_buckets=32),
+        ["user_id"],
+    )
     for c in ("n_gaps", "sum_gap_us", "max_gap_us"):
         out[c] = out[c].astype("int64")
     return out.reset_index(drop=True)

@@ -18,6 +18,18 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def collect_sorted(ds, sort_cols: list[str]) -> pd.DataFrame:
+    """Driver-side gather of a SMALL operator result: collect the lazy
+    Dataset to pandas and impose the deterministic (sort_cols,
+    mergesort) row order the driver-contract hash expects. This is the
+    ONLY sanctioned place a per-row operator result crosses to the
+    driver — operators themselves return lazy Datasets so production
+    callers can ``write_parquet`` them instead (a 100x-scale result
+    must never ride the driver)."""
+    out = ds if isinstance(ds, pd.DataFrame) else ds.to_pandas()
+    return out.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+
+
 def broadcast_anti_join(left_ds, right_keys, left_key: str):
     """Rows of ``left_ds`` whose ``left_key`` has NO match in the small
     ``right_keys`` iterable — the reference's NOT EXISTS FK shape
@@ -311,11 +323,13 @@ def asof_join(
     output columns non-null, hash-stable types); ``inner=False`` keeps
     them with null matched columns.
 
-    Returns a pandas DataFrame: left columns + ``matched_prefix + on``
-    + ``matched_prefix + v`` for each right value column, sorted by the
-    left columns. The OUTPUT is assumed small enough for the driver
-    (it is one row per matched left row — for a large result, adapt the
-    group fn into a ``write_parquet`` sink instead)."""
+    Returns a LAZY Dataset with a pinned Arrow schema: left columns +
+    ``matched_prefix + on`` + ``matched_prefix + v`` for each right
+    value column — one row per matched left row, streaming out of the
+    bucket reducers. Consume with ``write_parquet`` / ``iter_batches``
+    at scale; small results collect via :func:`collect_sorted` (the
+    driver queries do), so only the harness ever drives rows through
+    the driver."""
     r_on = right_on or on
     r_by = right_by or by
     if direction not in ("backward", "forward"):
@@ -486,18 +500,29 @@ def asof_join(
             out = _restore(out[out[m_on].notna()].copy())
         return out[out_cols] if len(out) else empty
 
-    parts = [
-        b if isinstance(b, pd.DataFrame) else b.to_pandas()
-        for b in lp.union(rp)
+    # pin ONE Arrow output schema across bucket groups: inner matches
+    # carry the right types exactly; outer nulls live as Arrow nulls in
+    # the typed columns (never a float64/object upcast leaking across
+    # blocks). NaN/NaT from the pandas group fn convert to nulls here.
+    out_schema = pa.schema(
+        [(c, lsch.field(c).type) for c in left_cols]
+        + [(m_on, lsch.field(on).type)]
+        + [(mv, rsch.field(v).type) for v, mv in m_vals.items()]
+    )
+
+    def _canon(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return out_schema.empty_table()
+        return pa.Table.from_pandas(
+            df[out_cols], schema=out_schema, preserve_index=False
+        )
+
+    return (
+        lp.union(rp)
         .groupby("__b")
         .map_groups(join_group, batch_format="pandas")
-        .iter_batches(batch_format="pandas", batch_size=2**20)
-    ]
-    parts = [p for p in parts if len(p)]
-    if not parts:
-        return pd.DataFrame(columns=out_cols)
-    out = _restore(pd.concat(parts, ignore_index=True))
-    return out.sort_values(left_cols, kind="mergesort").reset_index(drop=True)
+        .map_batches(_canon, batch_format="pandas", batch_size=None)
+    )
 
 
 def interval_join(
@@ -1241,7 +1266,7 @@ def grouped_zscore_outliers(
     out_cols: list[str],
     *,
     z: int = 3,
-) -> pd.DataFrame:
+):
     """Rows whose ``value_col`` deviates from their group's mean by
     more than z population standard deviations — the statistical
     generalization of the reference's out-of-range scalar check
@@ -1306,8 +1331,9 @@ def grouped_zscore_outliers(
         d = n_arr * x.to_numpy(zero_copy_only=False).astype(np.int64) - s_arr
         return t.select(out_cols).filter(pa.array(np.abs(d) > b_arr))
 
-    out = ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
-    return out.sort_values(out_cols, kind="mergesort").reset_index(drop=True)
+    # LAZY: the violation stream never rides the driver — consume with
+    # write_parquet at scale, or collect_sorted() for small results.
+    return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def rolling_window_agg(
@@ -1319,7 +1345,7 @@ def rolling_window_agg(
     *,
     num_buckets: int = 64,
     out_cols: list[str] | None = None,
-) -> pd.DataFrame:
+):
     """Per-row rolling aggregate over event time: for every row, the
     COUNT and SUM of the SAME key's rows with ts in [ts - window, ts]
     — SQL ``SUM(v) OVER (PARTITION BY key ORDER BY ts RANGE BETWEEN
@@ -1405,13 +1431,13 @@ def rolling_window_agg(
             }
         )
 
-    out = (
+    # LAZY: one output row per input row — never collect this on the
+    # driver at scale; write_parquet it, or collect_sorted() small ones.
+    return (
         ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__b")
         .map_groups(window_bucket, batch_format="pyarrow")
-        .to_pandas()
     )
-    return out.sort_values([key, ts_col], kind="mergesort").reset_index(drop=True)
 
 
 def tag_bucket(t: pa.Table, col: str, num_buckets: int, *, out_col: str = "__b") -> pa.Table:
@@ -1626,7 +1652,7 @@ def grouped_lag_delta_stats(
     tiebreak_col: str,
     *,
     num_buckets: int = 64,
-) -> pd.DataFrame:
+):
     """Per-key LAG() delta statistics: for each key, the count / sum /
     max of ``ts - LAG(ts) OVER (PARTITION BY key ORDER BY ts,
     tiebreak)`` in microseconds — the inter-arrival-time profile (SQL
@@ -1717,13 +1743,13 @@ def grouped_lag_delta_stats(
             }
         )
 
-    out = (
+    # LAZY (one row per key): collect_sorted() for small results,
+    # write_parquet when the key domain is large.
+    return (
         ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__b")
         .map_groups(bucket_stats, batch_format="pyarrow")
-        .to_pandas()
     )
-    return out.sort_values(key, kind="mergesort").reset_index(drop=True)
 
 
 def global_row_number(ds, keys: list[str], *, out_col: str = "rn"):

@@ -889,7 +889,10 @@ def test_asof_join_matches_merge_asof(ray_session):
     side."""
     import ray.data as rd
 
-    from etl_data_validation_kio_ray.pipelines.relational import asof_join
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        asof_join,
+        collect_sorted,
+    )
 
     rng = np.random.Generator(np.random.Philox(key=[5, 9]))
     nl, nr = 600, 400
@@ -911,16 +914,19 @@ def test_asof_join_matches_merge_asof(ray_session):
 
     for direction in ("backward", "forward"):
         for inner in (True, False):
-            got = asof_join(
-                rd.from_pandas(left).repartition(5),
-                rd.from_pandas(right).repartition(4),
-                on="ts",
-                by="uid",
-                right_values=["rv"],
-                direction=direction,
-                num_buckets=7,
-                inner=inner,
-            ).reset_index(drop=True)
+            got = collect_sorted(
+                asof_join(
+                    rd.from_pandas(left).repartition(5),
+                    rd.from_pandas(right).repartition(4),
+                    on="ts",
+                    by="uid",
+                    right_values=["rv"],
+                    direction=direction,
+                    num_buckets=7,
+                    inner=inner,
+                ),
+                ["uid", "ts", "lseq"],
+            )
             want = _asof_oracle(left, right, "ts", "uid", ["rv"], direction, inner=inner)
             assert len(got) == len(want), (direction, inner)
             pd.testing.assert_frame_equal(
@@ -936,15 +942,18 @@ def test_asof_join_matches_merge_asof(ray_session):
             )
 
     # tolerance bounds the match distance
-    got = asof_join(
-        rd.from_pandas(left).repartition(3),
-        rd.from_pandas(right).repartition(2),
-        on="ts",
-        by="uid",
-        right_values=["rv"],
-        tolerance="30m",
-        num_buckets=4,
-    ).reset_index(drop=True)
+    got = collect_sorted(
+        asof_join(
+            rd.from_pandas(left).repartition(3),
+            rd.from_pandas(right).repartition(2),
+            on="ts",
+            by="uid",
+            right_values=["rv"],
+            tolerance="30m",
+            num_buckets=4,
+        ),
+        ["uid", "ts", "lseq"],
+    )
     want = _asof_oracle(left, right, "ts", "uid", ["rv"], "backward", tolerance="30m")
     assert len(got) == len(want)
     assert (got.ts - got.matched_ts <= pd.Timedelta("30m")).all()
@@ -965,14 +974,19 @@ def test_asof_join_tiebreak_dedups_right(ray_session):
             "rv": np.array([5, 9, 7], dtype=np.int64),
         }
     )
-    got = asof_join(
-        rd.from_pandas(left),
-        rd.from_pandas(right),
-        on="ts",
-        by="k",
-        right_values=["rv"],
-        right_tiebreak="rv",
-        num_buckets=2,
+    from etl_data_validation_kio_ray.pipelines.relational import collect_sorted
+
+    got = collect_sorted(
+        asof_join(
+            rd.from_pandas(left),
+            rd.from_pandas(right),
+            on="ts",
+            by="k",
+            right_values=["rv"],
+            right_tiebreak="rv",
+            num_buckets=2,
+        ),
+        ["k", "ts"],
     )
     assert got.matched_rv.tolist() == [9, 7]
     with pytest.raises(ValueError):
@@ -1081,13 +1095,18 @@ def test_asof_join_pandas_block_string_schema(ray_session):
     def ident(df: pd.DataFrame) -> pd.DataFrame:
         return df
 
-    got = asof_join(
-        rd.from_pandas(left).map_batches(ident, batch_format="pandas"),
-        rd.from_pandas(right).map_batches(ident, batch_format="pandas"),
-        on="ts",
-        by="k",
-        right_values=["tag"],
-        num_buckets=2,
+    from etl_data_validation_kio_ray.pipelines.relational import collect_sorted
+
+    got = collect_sorted(
+        asof_join(
+            rd.from_pandas(left).map_batches(ident, batch_format="pandas"),
+            rd.from_pandas(right).map_batches(ident, batch_format="pandas"),
+            on="ts",
+            by="k",
+            right_values=["tag"],
+            num_buckets=2,
+        ),
+        ["k", "ts", "label"],
     )
     assert got.label.tolist() == ["a", "b", "c"]
     assert got.matched_tag.tolist() == ["x", "x", "y"]
@@ -1115,18 +1134,22 @@ def test_asof_join_outer_temporal_matched_value_dtype(ray_session):
     right = pd.DataFrame(
         {"k": [1], "ts": [t0], "created": [t0 - pd.Timedelta("1D")]}
     )
+    from etl_data_validation_kio_ray.pipelines.relational import collect_sorted
+
     with warnings.catch_warnings():
         warnings.simplefilter("error", FutureWarning)
-        got = asof_join(
-            rd.from_pandas(left),
-            rd.from_pandas(right),
-            on="ts",
-            by="k",
-            right_values=["created"],
-            num_buckets=8,
-            inner=False,
+        got = collect_sorted(
+            asof_join(
+                rd.from_pandas(left),
+                rd.from_pandas(right),
+                on="ts",
+                by="k",
+                right_values=["created"],
+                num_buckets=8,
+                inner=False,
+            ),
+            ["k", "ts"],
         )
-    got = got.sort_values("k").reset_index(drop=True)
     assert str(got["matched_created"].dtype).startswith("datetime64")
     assert got.loc[0, "matched_created"] == t0 - pd.Timedelta("1D")
     assert pd.isna(got.loc[1, "matched_created"])
@@ -1287,8 +1310,13 @@ def test_grouped_zscore_outliers_planted(ray_session):
         }
     )
     df.loc[3, "v"] = 100_000  # planted outlier in group a
-    got = grouped_zscore_outliers(
-        rd.from_pandas(df).repartition(4), "g", "v", ["g", "rid", "v"], z=3
+    from etl_data_validation_kio_ray.pipelines.relational import collect_sorted
+
+    got = collect_sorted(
+        grouped_zscore_outliers(
+            rd.from_pandas(df).repartition(4), "g", "v", ["g", "rid", "v"], z=3
+        ),
+        ["g", "rid", "v"],
     )
     assert 3 in got["rid"].tolist()
     # oracle: exact integer criterion per group
@@ -1332,15 +1360,20 @@ def test_rolling_window_agg_matches_pandas(ray_session):
     df.loc[3, "ts"] = t0 + pd.Timedelta("24h")
 
     W = 24 * 3600 * 1_000_000
-    got = rolling_window_agg(
-        rd.from_pandas(df).repartition(6),
-        "uid",
-        "ts",
-        "v",
-        window_us=W,
-        num_buckets=5,
-        out_cols=["rid"],
-    ).sort_values("rid").reset_index(drop=True)
+    from etl_data_validation_kio_ray.pipelines.relational import collect_sorted
+
+    got = collect_sorted(
+        rolling_window_agg(
+            rd.from_pandas(df).repartition(6),
+            "uid",
+            "ts",
+            "v",
+            window_us=W,
+            num_buckets=5,
+            out_cols=["rid"],
+        ),
+        ["rid"],
+    )
 
     # O(n^2) oracle: peer-inclusive RANGE window
     want_cnt, want_sum = [], []
@@ -1439,8 +1472,13 @@ def test_grouped_lag_delta_stats_matches_pandas(ray_session):
     df.loc[5, ["uid", "ts"]] = df.loc[4, ["uid", "ts"]]  # tie -> gap 0
     df.loc[6, "uid"] = 999  # single-event key -> absent
 
-    got = grouped_lag_delta_stats(
-        rd.from_pandas(df).repartition(6), "uid", "ts", "eid", num_buckets=7
+    from etl_data_validation_kio_ray.pipelines.relational import collect_sorted
+
+    got = collect_sorted(
+        grouped_lag_delta_stats(
+            rd.from_pandas(df).repartition(6), "uid", "ts", "eid", num_buckets=7
+        ),
+        ["uid"],
     )
 
     o = df.sort_values(["uid", "ts", "eid"])
@@ -1598,8 +1636,13 @@ def test_grouped_lag_delta_stats_string_key_sparse_buckets(ray_session):
             "id": np.arange(3, dtype=np.int64),
         }
     )
-    got = grouped_lag_delta_stats(
-        rd.from_pandas(df).repartition(2), "k", "ts", "id", num_buckets=8
+    from etl_data_validation_kio_ray.pipelines.relational import collect_sorted
+
+    got = collect_sorted(
+        grouped_lag_delta_stats(
+            rd.from_pandas(df).repartition(2), "k", "ts", "id", num_buckets=8
+        ),
+        ["k"],
     )
     assert got["k"].tolist() == ["a"]
     assert got["sum_gap_us"].tolist() == [5_000_000]
