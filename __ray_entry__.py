@@ -1742,7 +1742,9 @@ def q_kmeans_embeddings(sf_dir: str):
         {
             "cluster": np.arange(len(sizes), dtype=np.int64),
             "size": sizes.astype(np.int64),
-            "final_inertia": float(history[-1]),
+            # fsum-folded partials make this reproducible; the round is
+            # belt-and-braces for the byte hash
+            "final_inertia": np.round(float(history[-1]), 6),
             "n_iters": len(history),
         }
     )
@@ -1768,6 +1770,15 @@ def q_distinct_users_hll(sf_dir: str):
         "event_type"
     )["n_distinct"]
     bound = 5 * 1.04 / float(np.sqrt(1 << 12))
+    # verify over the UNION of key sets: a key present on one side only
+    # (e.g. dropped by either operator) must fail loudly, not go
+    # unverified
+    if set(sketches) != set(exact.index):
+        raise AssertionError(
+            f"grouped HLL key set mismatch: sketch-only "
+            f"{set(sketches) - set(exact.index)!r}, exact-only "
+            f"{set(exact.index) - set(sketches)!r}"
+        )
     rows = []
     for k in sorted(sketches):
         est = float(sketches[k].estimate())

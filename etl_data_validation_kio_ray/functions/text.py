@@ -285,6 +285,37 @@ def word_doc_freq(ds, *, text_col: str = "text", doc_col: str = "doc_id", k: int
     return topk[["word", "df", "tf"]].reset_index(drop=True)
 
 
+def _bigram_partial(
+    t: pa.Table, *, token_col: str = "tokens", vocab: int = 50257
+) -> pa.Table:
+    """Per-batch bigram kernel of :func:`token_bigram_topk`: encode
+    adjacent token pairs as ``t1 * vocab + t2`` zero-copy from the
+    flattened list buffer, mask pairs that straddle a document
+    boundary (vectorized over the list offsets), and collapse codes to
+    (code, cnt) partials with one sort + run-length count. Extracted
+    so the property-test suite exercises the PRODUCTION boundary
+    masking, not a re-implementation."""
+    from .grouping import group_reduce
+
+    col = t[token_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(flat) < 2:
+        return pa.table(
+            {"code": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+        )
+    off = np.asarray(col.offsets, dtype=np.int64)
+    off = off - off[0]
+    codes = flat[:-1] * vocab + flat[1:]
+    valid = np.ones(len(flat) - 1, dtype=bool)
+    b = off[1:-1]
+    b = b[(b >= 1) & (b <= len(flat) - 1)]
+    valid[b - 1] = False  # pairs straddling a document boundary
+    ck, cnt = group_reduce(codes[valid])
+    return pa.table({"code": pa.array(ck), "cnt": pa.array(cnt)})
+
+
 def token_bigram_topk(ds, *, token_col: str = "tokens", k: int = 40, vocab: int = 50257):
     """Corpus-wide token-bigram head: the ``k`` most frequent adjacent
     token pairs across all sequences, by (count DESC, t1, t2) — the
@@ -299,26 +330,8 @@ def token_bigram_topk(ds, *, token_col: str = "tokens", k: int = 40, vocab: int 
     exchange carries per-batch (code, count) partials, then a code-level
     groupby and a top-k sort of the tiny aggregate.
     """
-    from .grouping import group_reduce
-
     def partial(t: pa.Table) -> pa.Table:
-        col = t[token_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.int64)
-        if len(flat) < 2:
-            return pa.table(
-                {"code": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
-            )
-        off = np.asarray(col.offsets, dtype=np.int64)
-        off = off - off[0]
-        codes = flat[:-1] * vocab + flat[1:]
-        valid = np.ones(len(flat) - 1, dtype=bool)
-        b = off[1:-1]
-        b = b[(b >= 1) & (b <= len(flat) - 1)]
-        valid[b - 1] = False  # pairs straddling a document boundary
-        ck, cnt = group_reduce(codes[valid])
-        return pa.table({"code": pa.array(ck), "cnt": pa.array(cnt)})
+        return _bigram_partial(t, token_col=token_col, vocab=vocab)
 
     from ..pipelines.relational import bucketed_group_agg
 

@@ -242,7 +242,16 @@ def kmeans(
                 }
             )
 
-        agg: dict[int, list] = {}
+        # Fold partials with math.fsum (exactly-rounded summation):
+        # the result is IDENTICAL for every block-arrival order, so
+        # centroids, inertia and assignments are bit-reproducible
+        # across runs — a plain += fold drifted in the low-order bits
+        # with the streaming executor's nondeterministic batch order.
+        import math
+
+        ns: dict[int, int] = {}
+        inert_parts: list[float] = []
+        sum_parts: dict[int, list[np.ndarray]] = {}
         for b in ds.map_batches(
             partial, batch_format="pyarrow", zero_copy_batch=True
         ).iter_batches(batch_format="pyarrow"):
@@ -252,12 +261,11 @@ def kmeans(
                 b["inertia"].to_pylist(),
                 b["sumvec"].to_pylist(),
             ):  # k rows per batch: tiny
-                cur = agg.setdefault(c_, [0, 0.0, np.zeros(cent.shape[1])])
-                cur[0] += n_
-                cur[1] += i_
-                cur[2] = cur[2] + np.asarray(s_)
-        sizes = np.array([agg.get(i, [0])[0] for i in range(k)], dtype=np.int64)
-        inertia = float(sum(v[1] for v in agg.values()))
+                ns[c_] = ns.get(c_, 0) + n_
+                inert_parts.append(i_)
+                sum_parts.setdefault(c_, []).append(np.asarray(s_))
+        sizes = np.array([ns.get(i, 0) for i in range(k)], dtype=np.int64)
+        inertia = math.fsum(inert_parts)
         if history and inertia > history[-1] * (1 + 1e-6):
             raise AssertionError(
                 f"k-means inertia increased at iter {it}: "
@@ -266,8 +274,11 @@ def kmeans(
         history.append(inertia)
         new_cent = cent.copy()  # empty clusters keep their centroid
         for i in range(k):
-            if i in agg and agg[i][0] > 0:
-                new_cent[i] = agg[i][2] / agg[i][0]
+            if ns.get(i, 0) > 0:
+                parts = sum_parts[i]
+                new_cent[i] = np.array(
+                    [math.fsum(p[d] for p in parts) for d in range(cent.shape[1])]
+                ) / ns[i]
         if np.allclose(new_cent, cent, rtol=0, atol=0):
             break
         cent = new_cent

@@ -103,6 +103,15 @@ def grouped_hll(ds, key: str, value_col: str, *, p: int = 12):
         v = t[value_col]
         if isinstance(v, pa.ChunkedArray):
             v = v.combine_chunks()
+        if k.null_count:
+            # pd.factorize assigns code -1 to nulls, which the group
+            # loop below would silently DROP — a NULL group must either
+            # be modeled by the caller or rejected loudly, never lost
+            raise ValueError(
+                f"grouped_hll: key column {key!r} contains "
+                f"{k.null_count} null(s); fill or filter them first "
+                "(a silent drop would under-count the NULL group)"
+            )
         codes, uniq = pd.factorize(pd.Series(k.to_numpy(zero_copy_only=False)))
         vals = v.to_numpy(zero_copy_only=False)
         keys_out, regs_out = [], []

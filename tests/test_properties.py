@@ -204,41 +204,23 @@ def test_canonicalize_text_property_matches_duckdb(texts):
 )
 @settings(max_examples=30, deadline=None)
 def test_token_bigram_partial_property(docs):
-    """The bigram batch kernel (boundary masking + run-length count)
-    equals a per-document Python brute force for arbitrary lists,
-    including empty and single-token documents."""
+    """The PRODUCTION bigram batch kernel (text._bigram_partial:
+    boundary masking + run-length count) equals a per-document Python
+    brute force for arbitrary lists, including empty and single-token
+    documents."""
     import pyarrow as pa
 
-    import etl_data_validation_kio_ray.functions.text as tx
+    from etl_data_validation_kio_ray.functions.text import _bigram_partial
 
     t = pa.table({"tokens": pa.array(docs, pa.list_(pa.int32()))})
-    # reach the inner kernel through the public operator on a local
-    # Dataset-free path: replicate partial() by calling through the
-    # module's group_reduce the same way
-    from etl_data_validation_kio_ray.functions.grouping import group_reduce
-
-    import numpy as np
-
-    flat = np.array([x for d in docs for x in d], dtype=np.int64)
     want: dict = {}
     for d in docs:
         for a, b in zip(d, d[1:]):
             want[(a, b)] = want.get((a, b), 0) + 1
 
-    col = t["tokens"].combine_chunks()
-    import pyarrow.compute as pc
-
-    fl = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.int64)
-    if len(fl) < 2:
-        assert not want
-        return
-    off = np.asarray(col.offsets, dtype=np.int64)
-    off = off - off[0]
-    codes = fl[:-1] * 100 + fl[1:]
-    valid = np.ones(len(fl) - 1, dtype=bool)
-    bnd = off[1:-1]
-    bnd = bnd[(bnd >= 1) & (bnd <= len(fl) - 1)]
-    valid[bnd - 1] = False
-    ck, cnt = group_reduce(codes[valid])
-    got = {(int(c) // 100, int(c) % 100): int(n) for c, n in zip(ck, cnt)}
+    out = _bigram_partial(t, vocab=100)
+    got = {
+        (int(c) // 100, int(c) % 100): int(n)
+        for c, n in zip(out["code"].to_pylist(), out["cnt"].to_pylist())
+    }
     assert got == want
