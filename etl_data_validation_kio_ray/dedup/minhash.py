@@ -203,6 +203,7 @@ def minhash_dedup_pairs(
     concurrency=4,
     num_buckets=256,
     report: dict | None = None,
+    sink_dir: str | None = None,
 ) -> pd.DataFrame:
     """Verified near-dup pairs (id_a < id_b, jaccard >= threshold).
 
@@ -229,7 +230,14 @@ def minhash_dedup_pairs(
     returned in ``report['truncated_buckets']`` (also set on the result
     DataFrame's ``.attrs``) and logged. Final verification recomputes
     exact shingle Jaccard for candidate docs, so reported pairs are
-    never hash-approximate."""
+    never hash-approximate.
+
+    ``sink_dir``: also write the verified pairs as Parquet there
+    (atomic per-file), so at extreme duplicate rates a caller can
+    consume the output from storage instead of the returned DataFrame
+    — the candidate CAP still bounds the driver, but downstream stages
+    (e.g. connected components over the pair list) should read the
+    sink, not hold the frame."""
     import logging
 
     empty = pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
@@ -275,4 +283,14 @@ def minhash_dedup_pairs(
         .reset_index(drop=True)
     )
     out.attrs["truncated_buckets"] = truncated
+    if sink_dir is not None:
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(sink_dir, exist_ok=True)
+        tmp = os.path.join(sink_dir, f"pairs.parquet.tmp.{os.getpid()}")
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), tmp)
+        os.replace(tmp, os.path.join(sink_dir, "pairs.parquet"))
     return out

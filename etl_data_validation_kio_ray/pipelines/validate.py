@@ -414,6 +414,17 @@ class ValidationPipeline:
         all_parts = sorted(files)
         done = state.completed() if resume else set()
         pending = [p for p in all_parts if p not in done]
+        state.audit.append(
+            "run_start",
+            input=input_path,
+            partitions=len(all_parts),
+            pending=len(pending),
+            resume=resume,
+        )
+        if done:
+            state.audit.append(
+                "resume_skip", partitions=sorted(done), n=len(done)
+            )
 
         allowed_ref = self._allowed_ref()
 
@@ -753,6 +764,12 @@ class ValidationPipeline:
         os.replace(tmp, os.path.join(out_dir, "summary.json"))
         with open(os.path.join(out_dir, "metrics.json"), "w") as f:
             json.dump(metrics, f, indent=2, default=str)
+        state.audit.append(
+            "run_end",
+            run_verdict=run_verdict,
+            partitions=len(processed),
+            duration_s=round(result.duration_s, 3),
+        )
         return result
 
 

@@ -29,6 +29,52 @@ from typing import Any
 NEW, PROCESSING, SUCCESS, FAILED = "NEW", "PROCESSING", "SUCCESS", "FAILED"
 
 
+class AuditLog:
+    """Append-only chronological event journal for one run — the
+    Ray-native analog of the reference's ``tech.etl_load_audit`` table
+    (/root/reference/sql/initdb/tech_tables.sql:9-40): one JSON line
+    per lifecycle event (``run_start``, ``claim``, ``finish``,
+    ``fail``, ``resume_skip``, ``run_end``), each stamped with wall
+    time. Unlike the per-partition manifests (current state, atomically
+    replaced), this file only ever grows, so a crash-resume leaves the
+    full history of every attempt readable in order.
+
+    Appends are driver-side only (manifest lifecycle runs on the
+    driver), guarded by a process-local lock for the thread-pooled
+    claim_many/finish_many paths, O_APPEND for crash-interleaving
+    safety across resumed processes.
+    """
+
+    def __init__(self, run_dir: str):
+        self.path = os.path.join(run_dir, "_audit.jsonl")
+        import threading
+
+        self._lock = threading.Lock()
+
+    def append(self, event: str, **fields: Any) -> None:
+        rec = {"ts": time.time(), "event": event, **fields}
+        line = json.dumps(rec, sort_keys=True) + "\n"
+        with self._lock:
+            with open(self.path, "a") as f:
+                f.write(line)
+
+    def events(self, *, event: str | None = None) -> list[dict[str, Any]]:
+        """All events in append order (optionally one event kind).
+        Tolerates a torn final line from a crash mid-append."""
+        if not os.path.exists(self.path):
+            return []
+        out = []
+        with open(self.path) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue  # torn tail line of a crashed writer
+                if event is None or rec.get("event") == event:
+                    out.append(rec)
+        return out
+
+
 @dataclass
 class PartitionManifest:
     partition: str
@@ -56,6 +102,7 @@ class RunState:
         self.run_dir = run_dir
         self.manifest_dir = os.path.join(run_dir, "_manifests")
         os.makedirs(self.manifest_dir, exist_ok=True)
+        self.audit = AuditLog(run_dir)
 
     def _path(self, partition: str) -> str:
         return os.path.join(self.manifest_dir, f"{partition}.json")
@@ -82,6 +129,7 @@ class RunState:
         m.started_at = time.time()
         m.error = None
         self.save(m)
+        self.audit.append("claim", partition=partition, attempts=m.attempts)
         return m
 
     def finish(
@@ -102,6 +150,14 @@ class RunState:
         if shard is not None:
             m.shard = shard
         self.save(m)
+        self.audit.append(
+            "finish",
+            partition=partition,
+            verdict=verdict,
+            rows_total=rows_total,
+            attempts=m.attempts,
+            shard=m.shard,
+        )
         return m
 
     def shard_owners(self) -> dict[str, str]:
@@ -133,6 +189,9 @@ class RunState:
         m.finished_at = time.time()
         m.error = error
         self.save(m)
+        self.audit.append(
+            "fail", partition=partition, attempts=m.attempts, error=error
+        )
         return m
 
     def completed(self) -> set[str]:

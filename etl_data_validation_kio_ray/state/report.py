@@ -115,6 +115,21 @@ def run_report(run_dir: str) -> str:
         lines += ["", "global metrics:"]
         for k, v in sorted(g.items()):
             lines.append(f"  {k}: {v}")
+    events = state.audit.events()
+    if events:
+        # the chronological journal (tech.etl_load_audit analog): every
+        # attempt across crashed + resumed runs, in append order
+        lines += ["", f"audit trail ({len(events)} events):"]
+        from datetime import datetime, timezone
+
+        for e in events:
+            ts = datetime.fromtimestamp(e["ts"], tz=timezone.utc).strftime(
+                "%Y-%m-%d %H:%M:%S"
+            )
+            detail = {
+                k: v for k, v in e.items() if k not in ("ts", "event")
+            }
+            lines.append(f"  {ts} {e['event']}: {detail}")
     return "\n".join(lines)
 
 

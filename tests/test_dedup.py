@@ -40,18 +40,26 @@ def test_exact_dedup(docs_ds):
     assert groups.iloc[0].doc_id == "doc-003" and groups.iloc[0].dup_count == 2
 
 
-def test_minhash_dedup_finds_planted_pairs(docs_ds):
+def test_minhash_dedup_finds_planted_pairs(docs_ds, tmp_path):
+    import pyarrow.parquet as pq
+
     from etl_data_validation_kio_ray.dedup import minhash_dedup_pairs
     from etl_data_validation_kio_ray.dedup.ngram import jaccard_pairs_exact
 
     ds, df = docs_ds
-    pairs = minhash_dedup_pairs(ds, jaccard_threshold=0.5, concurrency=2)
+    sink = str(tmp_path / "pairs_out")
+    pairs = minhash_dedup_pairs(
+        ds, jaccard_threshold=0.5, concurrency=2, sink_dir=sink
+    )
     got = set(zip(pairs.id_a, pairs.id_b))
     assert ("doc-003", "doc-010") in got  # exact dup => J=1
     assert ("doc-005", "doc-020") in got  # near dup
     # agrees with brute-force oracle at the same threshold
     oracle = jaccard_pairs_exact(df, threshold=0.5)
     assert got == set(zip(oracle.id_a, oracle.id_b))
+    # the parquet sink carries the same verified pairs
+    sunk = pq.read_table(f"{sink}/pairs.parquet").to_pandas()
+    assert set(zip(sunk.id_a, sunk.id_b)) == got
 
 
 def test_simhash_pairs(docs_ds):

@@ -104,6 +104,48 @@ def test_resume_skips_completed(ray_session, tiny_table, tmp_path):
     assert res2.metrics["global"]["rows_total"] == res1.metrics["global"]["rows_total"]
 
 
+def test_audit_trail_survives_crash_resume(ray_session, tiny_table, tmp_path):
+    """The append-only audit journal (tech.etl_load_audit analog) keeps
+    the FULL chronological event history across a crash + resume: both
+    run_start/run_end pairs, the resume's skip event, and a second
+    claim/finish for the re-validated partition — nothing overwritten."""
+    from etl_data_validation_kio_ray.state.checkpoint import RunState
+    from etl_data_validation_kio_ray.state.report import run_report
+
+    out = str(tmp_path / "run")
+    pipe = ValidationPipeline(allowed_sources=ALLOWED, shard_size=2)
+    pipe.run(tiny_table, out)
+    state = RunState(out)
+    parts = sorted(m.partition for m in state.all_manifests())
+    # simulate a crash that lost one partition's manifest commit
+    lost = parts[0]
+    os.remove(os.path.join(out, "_manifests", f"{lost}.json"))
+    pipe.run(tiny_table, out, resume=True)
+
+    ev = state.audit.events()
+    kinds = [e["event"] for e in ev]
+    assert kinds.count("run_start") == 2
+    assert kinds.count("run_end") == 2
+    # the lost partition was claimed in BOTH runs, the others only once
+    claim_parts = [e["partition"] for e in ev if e["event"] == "claim"]
+    assert claim_parts.count(lost) == 2
+    assert all(claim_parts.count(p) == 1 for p in parts[1:])
+    # the resume logged exactly the completed partitions as skipped
+    skips = [e for e in ev if e["event"] == "resume_skip"]
+    assert len(skips) == 1 and sorted(skips[0]["partitions"]) == parts[1:]
+    # after the second run_start, the lost partition was re-finished
+    second_start = max(i for i, k in enumerate(kinds) if k == "run_start")
+    refinished = {
+        e["partition"] for e in ev[second_start:] if e["event"] == "finish"
+    }
+    assert lost in refinished
+    # chronological: timestamps never decrease
+    ts = [e["ts"] for e in ev]
+    assert ts == sorted(ts)
+    # the journal surfaces in the run report
+    assert "audit trail" in run_report(out)
+
+
 def test_batching_invariance(ray_session, tiny_table, tmp_path):
     """Violations identical regardless of batch size / shard grouping."""
     a = ValidationPipeline(allowed_sources=ALLOWED, shard_size=1, batch_size=64).run(
