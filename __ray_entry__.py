@@ -1932,6 +1932,405 @@ def q_cross_check_agreement(sf_dir: str):
     return out
 
 
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped pricing summary over lineitem: per (returnflag,
+    linestatus), row count plus EXACT integer sums of quantity (cents),
+    base price (cents), discounted price (1e-4 $) and charge (1e-6 $) —
+    E·(100−D) and E·(100−D)·(100+T) are exact int64 for 2-dp inputs, so
+    partial sums associate freely and both engines hash bit-for-bit.
+    Shipdate predicate applied at the batch kernel (column-pruned read,
+    one partial-aggregated exchange of 6 ints per (group, batch))."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    cutoff = np.datetime64("2001-09-02T00:00:00", "us")
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        ],
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(cutoff)))
+        q = np.round(t["l_quantity"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        e = np.round(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        d = np.round(t["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        x = np.round(t["l_tax"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        disc = e * (100 - d)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_c": pa.array(q),
+                "base_c": pa.array(e),
+                "disc_c4": pa.array(disc),
+                "charge_c6": pa.array(disc * (100 + x)),
+            }
+        )
+
+    out = grouped_agg(
+        li.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "n_rows": ("qty_c", "count"),
+            "sum_qty_c": ("qty_c", "sum"),
+            "sum_base_c": ("base_c", "sum"),
+            "sum_disc_c4": ("disc_c4", "sum"),
+            "sum_charge_c6": ("charge_c6", "sum"),
+        },
+    )
+    for c in ("n_rows", "sum_qty_c", "sum_base_c", "sum_disc_c4", "sum_charge_c6"):
+        out[c] = out[c].astype("int64")
+    return (
+        out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    )
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3-shaped shipping priority: BUILDING-segment customers'
+    orders placed before the date, revenue from lineitems shipped after
+    it, top 10 orders by revenue. Composition: the filtered customer
+    KEY SET broadcasts once (map-side semi-join — the small side after
+    a 1/5 selectivity filter); lineitem pre-aggregates revenue per
+    (orderkey, batch) BEFORE its one hash-join exchange with orders;
+    the per-order rollup happens in hash buckets and only the top-10
+    rows ever reach the driver (distributed sort + limit)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        broadcast_semi_join,
+        bucketed_group_agg,
+        hash_join,
+    )
+
+    cut = np.datetime64("1998-06-30T00:00:00", "us")
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    keys = (
+        cust.map_batches(
+            lambda t: t.filter(
+                pc.equal(t["c_mktsegment"], pa.scalar("BUILDING"))
+            ).select(["c_custkey"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["c_custkey"]
+        .tolist()
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+    orders = broadcast_semi_join(
+        orders.map_batches(
+            lambda t: t.filter(pc.less(t["o_orderdate"], pa.scalar(cut))),
+            batch_format="pyarrow",
+        ),
+        keys,
+        "o_custkey",
+    )
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        from etl_data_validation_kio_ray.functions.grouping import group_reduce
+
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cut)))
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        e = np.round(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100)
+        d = np.round(t["l_discount"].to_numpy(zero_copy_only=False) * 100)
+        rev = e.astype(np.int64) * (100 - d.astype(np.int64))
+        k, s = group_reduce(ok, rev)
+        return pa.table({"l_orderkey": pa.array(k), "rev_c4": pa.array(s)})
+
+    joined = hash_join(
+        li.map_batches(pre, batch_format="pyarrow"),
+        orders.map_batches(
+            lambda t: t.select(["o_orderkey", "o_orderdate", "o_orderpriority"]),
+            batch_format="pyarrow",
+        ),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        num_partitions=16,
+    )
+    top = (
+        bucketed_group_agg(
+            joined,
+            "l_orderkey",
+            [("rev_c4", "sum"), ("o_orderdate", "min"), ("o_orderpriority", "min")],
+        )
+        .sort(["rev_c4", "l_orderkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    top = top.rename(
+        columns={"o_orderdate": "orderdate", "o_orderpriority": "priority"}
+    )
+    top["rev_c4"] = top["rev_c4"].astype("int64")
+    top["l_orderkey"] = top["l_orderkey"].astype("int64")
+    return top[["l_orderkey", "orderdate", "priority", "rev_c4"]].reset_index(
+        drop=True
+    )
+
+
+def q_revenue_by_region(sf_dir: str):
+    """TPC-H Q5-shaped star join: revenue per REGION — lineitem
+    revenue pre-aggregated per (orderkey, batch) map-side, ONE
+    hash-join exchange with orders, then a broadcast probe of the
+    customer→region dimension chain (nation ⋈ region folded driver-side
+    — dozens of rows — and customer enriched via the broadcast lookup,
+    so only the two fact tables ever shuffle)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        broadcast_lookup_join,
+        grouped_agg,
+        hash_join,
+    )
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_regionkey"]
+    ).to_pandas()
+    region = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    n2r = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    dim = pa.table(
+        {
+            "n_nationkey": pa.array(n2r["n_nationkey"].astype("int32")),
+            "r_name": pa.array(n2r["r_name"]),
+        }
+    )
+    cust = broadcast_lookup_join(
+        rd.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_nationkey"],
+        ),
+        dim,
+        "c_nationkey",
+        "n_nationkey",
+        ["r_name"],
+    )
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        from etl_data_validation_kio_ray.functions.grouping import group_reduce
+
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        e = np.round(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100)
+        d = np.round(t["l_discount"].to_numpy(zero_copy_only=False) * 100)
+        rev = e.astype(np.int64) * (100 - d.astype(np.int64))
+        k, s = group_reduce(ok, rev)
+        return pa.table({"l_orderkey": pa.array(k), "rev_c4": pa.array(s)})
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+    )
+    j1 = hash_join(
+        li.map_batches(pre, batch_format="pyarrow"),
+        orders,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        num_partitions=16,
+    )
+    j2 = hash_join(
+        j1,
+        cust.map_batches(
+            lambda t: t.select(["c_custkey", "r_name"]), batch_format="pyarrow"
+        ),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+        num_partitions=16,
+    )
+    # roll the per-(orderkey, batch) partials up to ONE row per order
+    # first (bucketed exchange), so n_orders counts orders, not the
+    # map-side partial rows an order split across input blocks produced
+    from etl_data_validation_kio_ray.pipelines.relational import bucketed_group_agg
+
+    per_order = bucketed_group_agg(
+        j2.map_batches(
+            lambda t: t.select(["l_orderkey", "rev_c4", "r_name"]),
+            batch_format="pyarrow",
+        ),
+        "l_orderkey",
+        [("rev_c4", "sum"), ("r_name", "min")],
+    )
+    out = grouped_agg(
+        per_order,
+        ["r_name"],
+        {"n_orders": ("rev_c4", "count"), "rev_c4": ("rev_c4", "sum")},
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["rev_c4"] = out["rev_c4"].astype("int64")
+    return out.sort_values("r_name").reset_index(drop=True)
+
+
+def q_monthly_order_deltas(sf_dir: str):
+    """Month-over-month deltas (LAG over an aggregate): orders and
+    exact revenue cents per calendar month, plus the delta vs the
+    previous month — one finest-grain partial exchange; the LAG runs
+    driver-side over the tiny month table (#months rows), exactly like
+    the SQL window over the grouped CTE."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderdate", "o_totalprice"],
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        yr = pc.year(t["o_orderdate"]).cast(pa.int64())
+        mo = pc.month(t["o_orderdate"]).cast(pa.int64())
+        price_c = pc.round(pc.multiply(t["o_totalprice"], 100.0)).cast(pa.int64())
+        return pa.table({"yr": yr, "mo": mo, "price_c": price_c})
+
+    m = grouped_agg(
+        orders.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True),
+        ["yr", "mo"],
+        {"n_orders": ("price_c", "count"), "rev_c": ("price_c", "sum")},
+    ).sort_values(["yr", "mo"])
+    for c in ("yr", "mo", "n_orders", "rev_c"):
+        m[c] = m[c].astype("int64")
+    m["delta_n"] = m["n_orders"].diff().fillna(0).astype("int64")
+    m["delta_rev_c"] = m["rev_c"].diff().fillna(0).astype("int64")
+    return m.reset_index(drop=True)
+
+
+def q_part_brand_stats(sf_dir: str):
+    """Vectorized regex filter + grouped profile: parts whose name
+    matches 'widget|gizmo' (one RE2 pass over the Arrow string buffer —
+    Arrow and DuckDB share RE2 semantics), aggregated per brand with
+    exact retail-price cents."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    part = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_name", "p_brand", "p_size", "p_retailprice"],
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        name = t["p_name"]
+        if isinstance(name, pa.ChunkedArray):
+            name = name.combine_chunks()
+        t = t.filter(pc.match_substring_regex(name, "widget|gizmo"))
+        price_c = pc.round(pc.multiply(t["p_retailprice"], 100.0)).cast(pa.int64())
+        return pa.table(
+            {
+                "p_brand": t["p_brand"],
+                "p_size": t["p_size"].cast(pa.int64()),
+                "price_c": price_c,
+            }
+        )
+
+    out = grouped_agg(
+        part.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True),
+        ["p_brand"],
+        {
+            "n_parts": ("price_c", "count"),
+            "sum_retail_c": ("price_c", "sum"),
+            "min_size": ("p_size", "min"),
+            "max_size": ("p_size", "max"),
+        },
+    )
+    for c in ("n_parts", "sum_retail_c", "min_size", "max_size"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+def q_customer_segment_stats(sf_dir: str):
+    """Per-market-segment account-balance profile in exact cents
+    (negative balances round away from zero identically in numpy and
+    DuckDB for 2-dp inputs) — the grouped scalar-stats shape over a
+    dimension table."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_mktsegment", "c_acctbal"],
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        bal_c = pc.round(pc.multiply(t["c_acctbal"], 100.0)).cast(pa.int64())
+        return pa.table({"c_mktsegment": t["c_mktsegment"], "bal_c": bal_c})
+
+    out = grouped_agg(
+        cust.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True),
+        ["c_mktsegment"],
+        {
+            "n_customers": ("bal_c", "count"),
+            "sum_bal_c": ("bal_c", "sum"),
+            "min_bal_c": ("bal_c", "min"),
+            "max_bal_c": ("bal_c", "max"),
+        },
+    )
+    for c in ("n_customers", "sum_bal_c", "min_bal_c", "max_bal_c"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def q_mode_ntok_per_source(sf_dir: str):
+    """Per-source MODE of document token count with the deterministic
+    (count DESC, value ASC) tiebreak — per-batch (key, value, cnt)
+    cells, one hash-bucket exchange, per-key winner picked inside the
+    bucket (pipelines/relational.grouped_mode)."""
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_mode
+
+    ds = q_tokenize(sf_dir).map_batches(
+        lambda t: t.select(["source", "n_tok"]), batch_format="pyarrow"
+    )
+    out = grouped_mode(ds, "source", "n_tok")
+    out = out.rename(columns={"mode": "mode_ntok"})
+    out["mode_ntok"] = out["mode_ntok"].astype("int64")
+    out["mode_count"] = out["mode_count"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def q_token_repetition(sf_dir: str):
+    """Within-document repetition profile per source: documents, total
+    tokens, and total DISTINCT tokens per doc (vectorized lexsort +
+    run-start count per batch; only exact int64 partials ride the
+    exchange) — the degenerate-generation filter signal."""
+    from etl_data_validation_kio_ray.functions.text import token_repetition_stats
+
+    return token_repetition_stats(q_tokenize(sf_dir))
+
+
+def q_vocab_coverage(sf_dir: str):
+    """Per-source coverage of the corpus' own top-1024 token
+    vocabulary (two streaming passes: bucketed global token counts →
+    top-V; broadcast sorted vocab ids → np.isin membership partials) —
+    all exact integers."""
+    from etl_data_validation_kio_ray.functions.text import token_vocab_coverage
+
+    return token_vocab_coverage(q_tokenize(sf_dir), vocab_size=1024)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tokenize": q_tokenize,
@@ -1996,6 +2395,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": q_kmeans_embeddings,
         "orders_rollup": q_orders_rollup,
         "revenue_pivot": q_revenue_pivot,
+        "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
+        "revenue_by_region": q_revenue_by_region,
+        "monthly_order_deltas": q_monthly_order_deltas,
+        "part_brand_stats": q_part_brand_stats,
+        "customer_segment_stats": q_customer_segment_stats,
+        "mode_ntok_per_source": q_mode_ntok_per_source,
+        "token_repetition": q_token_repetition,
+        "vocab_coverage": q_vocab_coverage,
     }
 
 
@@ -2638,5 +3046,123 @@ SELECT doc_id,
                    i -> ws[i] || chr(31) || ws[i+1] || chr(31) || ws[i+2])
   )) END AS BIGINT) AS n_shingles
 FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents)
+""",
+        "pricing_summary": """
+WITH li AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS base_c,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS disc_c4,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))
+           * (100 + CAST(round(l_tax * 100) AS BIGINT)) AS charge_c6
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+)
+SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(qty_c) AS BIGINT) AS sum_qty_c,
+       CAST(sum(base_c) AS BIGINT) AS sum_base_c,
+       CAST(sum(disc_c4) AS BIGINT) AS sum_disc_c4,
+       CAST(sum(charge_c6) AS BIGINT) AS sum_charge_c6
+FROM li GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+        "shipping_priority": """
+WITH rev AS (
+  SELECT l_orderkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_c4
+  FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-06-30'
+  GROUP BY l_orderkey
+)
+SELECT o_orderkey AS l_orderkey, o_orderdate AS orderdate,
+       o_orderpriority AS priority, CAST(rev_c4 AS BIGINT) AS rev_c4
+FROM rev
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-06-30'
+ORDER BY rev_c4 DESC, l_orderkey LIMIT 10
+""",
+        "revenue_by_region": """
+WITH rev AS (
+  SELECT l_orderkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS o_rev
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT r_name, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(o_rev) AS BIGINT) AS rev_c4
+FROM rev
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+""",
+        "monthly_order_deltas": """
+WITH m AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(month(o_orderdate) AS BIGINT) AS mo,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+  FROM orders GROUP BY yr, mo
+)
+SELECT yr, mo, n_orders, rev_c,
+       CAST(COALESCE(n_orders - LAG(n_orders) OVER w, 0) AS BIGINT) AS delta_n,
+       CAST(COALESCE(rev_c - LAG(rev_c) OVER w, 0) AS BIGINT) AS delta_rev_c
+FROM m WINDOW w AS (ORDER BY yr, mo) ORDER BY yr, mo
+""",
+        "part_brand_stats": """
+WITH p AS (
+  SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS price_c
+  FROM part WHERE regexp_matches(p_name, 'widget|gizmo')
+)
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(price_c) AS BIGINT) AS sum_retail_c,
+       CAST(min(p_size) AS BIGINT) AS min_size,
+       CAST(max(p_size) AS BIGINT) AS max_size
+FROM p GROUP BY p_brand ORDER BY p_brand
+""",
+        "customer_segment_stats": """
+WITH c AS (
+  SELECT c_mktsegment, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer
+)
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(bal_c) AS BIGINT) AS sum_bal_c,
+       CAST(min(bal_c) AS BIGINT) AS min_bal_c,
+       CAST(max(bal_c) AS BIGINT) AS max_bal_c
+FROM c GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+        "mode_ntok_per_source": f"""
+WITH {TOKENIZE_CTE},
+c AS (SELECT source, n_tok, count(*) AS cnt FROM tok GROUP BY source, n_tok),
+r AS (
+  SELECT source, n_tok, cnt,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY cnt DESC, n_tok) AS rn
+  FROM c
+)
+SELECT source, CAST(n_tok AS BIGINT) AS mode_ntok,
+       CAST(cnt AS BIGINT) AS mode_count
+FROM r WHERE rn = 1 ORDER BY source
+""",
+        "token_repetition": f"""
+WITH {TOKENIZE_CTE}
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS sum_ntok,
+       CAST(sum(len(list_distinct(tokens))) AS BIGINT) AS sum_distinct
+FROM tok GROUP BY source ORDER BY source
+""",
+        "vocab_coverage": f"""
+WITH {TOKENIZE_CTE},
+fl AS (SELECT source, unnest(tokens) AS t FROM tok),
+f AS (SELECT t, count(*) AS c FROM fl GROUP BY t),
+v AS (SELECT t FROM f ORDER BY c DESC, t LIMIT 1024)
+SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN fl.t IN (SELECT t FROM v) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_in_vocab
+FROM fl GROUP BY source ORDER BY source
 """,
     }

@@ -486,3 +486,131 @@ def unigram_logprob_scores(
     out["avg_oov_q6"] = np.round(out["avg_oov"] * 1e6).astype("int64")
     out = out.drop(columns=["avg_logprob", "avg_oov"])
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+def token_repetition_stats(ds, *, token_col: str = "tokens", group_col: str = "source"):
+    """Per-group repetition profile of a pre-tokenized corpus: number
+    of documents, total tokens, and total DISTINCT tokens per document
+    — the distinct/total ratio is the cheap within-document repetition
+    signal an LLM data pipeline uses to drop degenerate (looping)
+    generations before training.
+
+    Scale shape: per batch, the per-document distinct count is fully
+    vectorized from the flattened list buffer — lexsort by (doc,
+    token), count run starts per doc via one diff — and the batch
+    collapses to one partial row per group; only exact int64 partials
+    ride the exchange (bit-identical to the SQL twin
+    ``len(list_distinct(tokens))``).
+
+    Returns a pandas DataFrame (group, n_docs, sum_ntok, sum_distinct)
+    sorted by group.
+    """
+    from ..pipelines.relational import grouped_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[token_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        off = np.asarray(col.offsets, dtype=np.int64)
+        off = off - off[0]
+        counts = np.diff(off)
+        doc = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        if len(flat):
+            order = np.lexsort((flat, doc))
+            d, f = doc[order], flat[order]
+            new_run = np.r_[True, (d[1:] != d[:-1]) | (f[1:] != f[:-1])]
+            distinct = np.bincount(d[new_run], minlength=len(counts))
+        else:
+            distinct = np.zeros(len(counts), dtype=np.int64)
+        return pa.table(
+            {
+                group_col: t[group_col],
+                "ntok": pa.array(counts),
+                "distinct": pa.array(distinct.astype(np.int64)),
+            }
+        )
+
+    out = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        [group_col],
+        {
+            "n_docs": ("ntok", "count"),
+            "sum_ntok": ("ntok", "sum"),
+            "sum_distinct": ("distinct", "sum"),
+        },
+    )
+    for c in ("n_docs", "sum_ntok", "sum_distinct"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(group_col).reset_index(drop=True)
+
+
+def token_vocab_coverage(
+    ds,
+    *,
+    token_col: str = "tokens",
+    group_col: str = "source",
+    vocab_size: int = 1024,
+):
+    """Per-group coverage of the corpus' own top-``vocab_size`` token
+    vocabulary: total tokens and tokens inside the vocabulary — the
+    integer-exact vocabulary-fit check (a low in-vocab ratio flags a
+    source whose token distribution diverges from the corpus head).
+
+    Two streaming passes: (1) global token frequencies as per-batch
+    ``group_reduce`` partials + one hash-bucket exchange, top-V by
+    (count DESC, token ASC); (2) the tiny sorted vocab id array ships
+    in the task closure once and each batch counts membership with one
+    ``np.isin`` (sorted int path) — only (group, batch) int64 partials
+    ride the second exchange. All outputs are exact integers.
+    """
+    from ..functions.grouping import group_reduce
+    from ..pipelines.relational import bucketed_group_agg, grouped_agg
+
+    def counts(t: pa.Table) -> pa.Table:
+        col = t[token_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        k, c = group_reduce(flat)
+        return pa.table({"tok": pa.array(k), "cnt": pa.array(c)})
+
+    top = (
+        bucketed_group_agg(
+            ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True),
+            "tok",
+            [("cnt", "sum")],
+        )
+        .sort(["cnt", "tok"], descending=[True, False])
+        .limit(vocab_size)
+        .to_pandas()
+    )
+    vocab = np.sort(top["tok"].to_numpy(dtype=np.int64))
+
+    def member(t: pa.Table) -> pa.Table:
+        col = t[token_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        off = np.asarray(col.offsets, dtype=np.int64)
+        off = off - off[0]
+        counts_ = np.diff(off)
+        doc = np.repeat(np.arange(len(counts_), dtype=np.int64), counts_)
+        inv = np.isin(flat, vocab, assume_unique=False)
+        n_in = np.bincount(doc[inv], minlength=len(counts_)).astype(np.int64)
+        return pa.table(
+            {
+                group_col: t[group_col],
+                "ntok": pa.array(counts_),
+                "n_in": pa.array(n_in),
+            }
+        )
+
+    out = grouped_agg(
+        ds.map_batches(member, batch_format="pyarrow", zero_copy_batch=True),
+        [group_col],
+        {"n_tokens": ("ntok", "sum"), "n_in_vocab": ("n_in", "sum")},
+    )
+    for c in ("n_tokens", "n_in_vocab"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(group_col).reset_index(drop=True)

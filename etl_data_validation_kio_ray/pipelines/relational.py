@@ -1506,6 +1506,76 @@ def bucketed_group_agg(
     )
 
 
+def grouped_mode(
+    ds, key: str, value_col: str, *, num_buckets: int = 32
+) -> pd.DataFrame:
+    """Per-group MODE of ``value_col`` with the deterministic SQL
+    tiebreak (highest count, then smallest value) — the most-frequent-
+    value profiling statistic (SQL ``row_number() OVER (PARTITION BY
+    key ORDER BY cnt DESC, value)`` = 1).
+
+    Scale shape: each batch collapses to (key, value, cnt) partials
+    with one Arrow hash-aggregate; ONE hash-bucket exchange on the key
+    co-locates each key's cells; inside a bucket a second hash-
+    aggregate merges cells and a vectorized sort + run-start pick takes
+    each key's winner — the exchange carries distinct (key, value)
+    cells per batch, never rows, and only one row per key leaves the
+    reducers. Nulls in ``value_col`` are ignored (SQL count semantics);
+    null keys are retained as their own group is NOT supported — filter
+    them first (tag_bucket hashes them into one bucket but the Arrow
+    group carries them; keep the contract explicit).
+
+    Returns a pandas DataFrame (key, mode, mode_count) sorted by key.
+    """
+    from ..functions.grouping import run_starts
+
+    def cells(t: pa.Table) -> pa.Table:
+        t = t.select([key, value_col]).filter(pc.is_valid(t[value_col]))
+        g = t.group_by([key, value_col]).aggregate([(value_col, "count")])
+        out = pa.table(
+            {
+                key: g[key],
+                value_col: g[value_col],
+                "cnt": g[f"{value_col}_count"].cast(pa.int64()),
+            }
+        )
+        return tag_bucket(out, key, num_buckets)
+
+    def pick(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        m = g.group_by([key, value_col]).aggregate([("cnt", "sum")])
+        m = m.take(
+            pc.sort_indices(
+                m,
+                sort_keys=[
+                    (key, "ascending"),
+                    ("cnt_sum", "descending"),
+                    (value_col, "ascending"),
+                ],
+            )
+        )
+        karr = m[key]
+        if isinstance(karr, pa.ChunkedArray):
+            karr = karr.combine_chunks()
+        starts = run_starts(karr.to_numpy(zero_copy_only=False))
+        idx = pa.array(starts)
+        return pa.table(
+            {
+                key: karr.take(idx),
+                "mode": m[value_col].take(idx),
+                "mode_count": m["cnt_sum"].take(idx),
+            }
+        )
+
+    out = (
+        ds.map_batches(cells, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(pick, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values(key, kind="mergesort").reset_index(drop=True)
+
+
 def grouped_corr(ds, key: str, x_col: str, y_col: str) -> pd.DataFrame:
     """Per-group Pearson correlation of two INTEGER-valued columns —
     the column-pair profiling step of a stats suite. One

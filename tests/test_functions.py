@@ -437,3 +437,63 @@ def test_unigram_logprob_scores_small_vocab_oov(ray_session):
         """
     ).df()
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_token_repetition_stats_vs_bruteforce(ray_session):
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.functions.text import token_repetition_stats
+
+    docs = [
+        ("a", [1, 1, 1, 2]),
+        ("a", [3]),
+        ("b", []),
+        ("b", [4, 5, 4, 5, 4]),
+    ]
+    t = pa.table(
+        {
+            "source": pa.array([s for s, _ in docs]),
+            "tokens": pa.array([d for _, d in docs], pa.list_(pa.int32())),
+        }
+    )
+    got = token_repetition_stats(rd.from_arrow(t).repartition(3))
+    want = pd.DataFrame(
+        {
+            "source": ["a", "b"],
+            "n_docs": [2, 2],
+            "sum_ntok": [5, 5],
+            "sum_distinct": [3, 2],  # {1,2}+{3}; {}+{4,5}
+        }
+    )
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_token_vocab_coverage_topv(ray_session):
+    """Top-V vocabulary by (count DESC, token ASC); membership counts
+    per group are exact."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.functions.text import token_vocab_coverage
+
+    t = pa.table(
+        {
+            "source": pa.array(["x", "x", "y"]),
+            "tokens": pa.array(
+                [[7, 7, 7, 1], [1, 2], [9, 9, 2, 3]], pa.list_(pa.int32())
+            ),
+        }
+    )
+    # counts: 7->3, 1->2, 2->2, 9->2, 3->1; V=2 keeps {7} then the
+    # count-2 tie breaks to the smallest token -> {7, 1}
+    got = token_vocab_coverage(
+        rd.from_arrow(t).repartition(2), vocab_size=2
+    )
+    want = pd.DataFrame(
+        {
+            "source": ["x", "y"],
+            "n_tokens": [6, 4],
+            # x: [7,7,7,1,1,2] -> 5 in vocab; y: [9,9,2,3] -> 0
+            "n_in_vocab": [5, 0],
+        }
+    )
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))

@@ -1703,3 +1703,28 @@ def test_bucketed_group_agg_matches_pandas(ray_session):
     )
     want_f = want[want.v_sum > 0].reset_index(drop=True)
     assert filtered["k"].tolist() == want_f["k"].tolist()
+
+
+def test_grouped_mode_tiebreak_and_nulls(ray_session):
+    """Mode per group with (count DESC, value ASC) tiebreak; null
+    values ignored, single-value groups fine, string keys spread over
+    sparse buckets."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_mode
+
+    df = pd.DataFrame(
+        {
+            "k": ["a"] * 6 + ["b"] * 4 + ["c"],
+            "v": pd.array(
+                [5, 5, 3, 3, 9, None, 7, 7, 2, 2, 1], dtype="Int64"
+            ),
+        }
+    )
+    got = grouped_mode(
+        rd.from_pandas(df).repartition(3), "k", "v", num_buckets=8
+    )
+    # a: 5 and 3 tie at 2 -> smaller value 3; b: 7 and 2 tie -> 2
+    assert got["k"].tolist() == ["a", "b", "c"]
+    assert got["mode"].tolist() == [3, 2, 1]
+    assert got["mode_count"].tolist() == [2, 2, 1]
