@@ -86,6 +86,14 @@ BENCH_QUERIES = [
     "top_words_per_source",
     "source_corr",
     "embedding_stats",
+    # round 3: multi-join stars, pricing rollup, token analytics
+    "pricing_summary",
+    "shipping_priority",
+    "revenue_by_region",
+    "monthly_order_deltas",
+    "mode_ntok_per_source",
+    "token_repetition",
+    "vocab_coverage",
 ]
 
 
