@@ -2417,6 +2417,101 @@ def q_vocab_coverage(sf_dir: str):
     return token_vocab_coverage(q_tokenize(sf_dir), vocab_size=1024)
 
 
+def q_event_funnel(sf_dir: str):
+    """Ordered funnel over the event stream: users who viewed, then
+    clicked at-or-after their first view, then purchased at-or-after
+    that click — one hash-bucket exchange of the 3 projected columns,
+    per-bucket vectorized step resolution (relational.funnel_counts)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import funnel_counts
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+    )
+    return funnel_counts(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+
+
+def q_overpriced_orders(sf_dir: str):
+    """Correlated group filter: orders costing more than 2× their
+    priority group's mean price — EXACT integer cross-multiplication
+    (price·n > 2·sum, no float mean ever compared), two passes: a tiny
+    grouped-sums exchange, then a broadcast probe filter + grouped
+    count. The group-relative outlier shape of the reference's
+    points/range checks."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderpriority", "o_totalprice"],
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        c = pc.round(pc.multiply(t["o_totalprice"], 100.0)).cast(pa.int64())
+        return pa.table({"priority": t["o_orderpriority"], "price_c": c})
+
+    cents = orders.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+    stats = grouped_agg(
+        cents, ["priority"], {"n": ("price_c", "count"), "s": ("price_c", "sum")}
+    )
+    lkt = pa.table(
+        {
+            "priority": pa.array(stats["priority"]),
+            "n": pa.array(stats["n"].astype("int64")),
+            "s": pa.array(stats["s"].astype("int64")),
+        }
+    )
+
+    def probe(t: pa.Table) -> pa.Table:
+        p = t["priority"]
+        if isinstance(p, pa.ChunkedArray):
+            p = p.combine_chunks()
+        idx = pc.index_in(p, value_set=lkt["priority"])
+        n = lkt["n"].take(idx).to_numpy(zero_copy_only=False)
+        s = lkt["s"].take(idx).to_numpy(zero_copy_only=False)
+        c = t["price_c"].to_numpy(zero_copy_only=False)
+        keep = c * n > 2 * s
+        return pa.table(
+            {
+                "priority": p.filter(pa.array(keep)),
+                "one": pa.array(np.ones(int(keep.sum()), dtype=np.int64)),
+            }
+        )
+
+    out = grouped_agg(
+        cents.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True),
+        ["priority"],
+        {"n_over": ("one", "sum")},
+    )
+    out["n_over"] = out["n_over"].astype("int64")
+    return out.sort_values("priority").reset_index(drop=True)
+
+
+def q_bigram_vocab(sf_dir: str):
+    """Corpus bigram-vocabulary size: distinct adjacent token pairs and
+    total pairs — the vocabulary-growth statistic. Per-batch boundary-
+    masked bigram partials, one hash-bucket exchange, distinct + totals
+    from streaming aggregates (nothing row-shaped hits the driver)."""
+    from etl_data_validation_kio_ray.functions.text import _bigram_partial
+    from etl_data_validation_kio_ray.pipelines.relational import bucketed_group_agg
+
+    ds = q_tokenize(sf_dir).map_batches(
+        lambda t: _bigram_partial(t), batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = bucketed_group_agg(ds, "code", [("cnt", "sum")]).materialize()
+    return pd.DataFrame(
+        {
+            "n_distinct_bigrams": [np.int64(agg.count())],
+            "n_bigrams": [np.int64(agg.sum("cnt"))],
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tokenize": q_tokenize,
@@ -2490,6 +2585,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_ntok_per_source": q_mode_ntok_per_source,
         "token_repetition": q_token_repetition,
         "vocab_coverage": q_vocab_coverage,
+        "event_funnel": q_event_funnel,
+        "overpriced_orders": q_overpriced_orders,
+        "bigram_vocab": q_bigram_vocab,
     }
 
 
@@ -3250,5 +3348,55 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
        CAST(sum(CASE WHEN fl.t IN (SELECT t FROM v) THEN 1 ELSE 0 END)
             AS BIGINT) AS n_in_vocab
 FROM fl GROUP BY source ORDER BY source
+""",
+        "event_funnel": """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+  GROUP BY e.user_id
+)
+SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+       (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users
+UNION ALL
+SELECT 2, 'click', (SELECT count(*) FROM s2)
+UNION ALL
+SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+ORDER BY step
+""",
+        "overpriced_orders": """
+WITH o AS (
+  SELECT o_orderpriority AS priority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+  FROM orders
+),
+s AS (SELECT priority, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(price_c) AS BIGINT) AS sc
+      FROM o GROUP BY priority)
+SELECT o.priority, CAST(count(*) AS BIGINT) AS n_over
+FROM o JOIN s ON o.priority = s.priority
+WHERE o.price_c * s.n > 2 * s.sc
+GROUP BY o.priority ORDER BY o.priority
+""",
+        "bigram_vocab": f"""
+WITH {TOKENIZE_CTE},
+b AS (
+  SELECT unnest(list_transform(range(1, len(tokens)),
+                i -> CAST(tokens[i] AS BIGINT) * 50257 + tokens[i+1])) AS code
+  FROM tok WHERE len(tokens) >= 2
+)
+SELECT CAST(count(DISTINCT code) AS BIGINT) AS n_distinct_bigrams,
+       CAST(count(*) AS BIGINT) AS n_bigrams
+FROM b
 """,
     }

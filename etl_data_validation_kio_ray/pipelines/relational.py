@@ -1506,6 +1506,87 @@ def bucketed_group_agg(
     )
 
 
+def funnel_counts(
+    ds,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    *,
+    num_buckets: int = 32,
+) -> pd.DataFrame:
+    """Ordered funnel / sequence-pattern counts: how many users
+    performed step 1, then step 2 at-or-after their FIRST step-1 event,
+    then step 3 at-or-after that, … — the event-sequence analytic SQL
+    expresses as a chain of grouped-min self-joins and a streaming
+    engine as a per-key pattern match.
+
+    Scale shape: only rows of the ``steps`` event types are projected
+    (3 columns); ONE hash-bucket exchange on the user co-locates each
+    user's (tiny) funnel history; inside a bucket the per-user
+    thresholds resolve step-by-step with vectorized grouped mins
+    (len(steps) passes, no per-user loop), and each bucket emits just
+    len(steps) partial counts. Ties: a single event can satisfy
+    consecutive steps only if its type differs (>= comparison, SQL
+    twin identical).
+
+    Returns a DataFrame (step int64 1-based, step_name, n_users).
+    """
+    step_idx = {s: i for i, s in enumerate(steps)}
+    if len(step_idx) != len(steps):
+        raise ValueError("funnel_counts: steps must be distinct")
+    steps_arr = pa.array(steps, pa.string())
+
+    def project(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.is_in(t[type_col], value_set=steps_arr),
+                pc.and_(pc.is_valid(t[user_col]), pc.is_valid(t[ts_col])),
+            )
+        )
+        typ = t[type_col]
+        if isinstance(typ, pa.ChunkedArray):
+            typ = typ.combine_chunks()
+        sidx = pc.index_in(typ, value_set=steps_arr).cast(pa.int8())
+        out = pa.table(
+            {user_col: t[user_col], ts_col: t[ts_col], "__s": sidx}
+        )
+        return tag_bucket(out, user_col, num_buckets)
+
+    def bucket_counts(g: pa.Table) -> pa.Table:
+        df = g.drop_columns(["__b"]).to_pandas()
+        counts = []
+        # per-user running threshold; step i keeps users whose first
+        # qualifying event exists at-or-after their step-(i-1) time
+        thresh = None  # Series: user -> ts threshold
+        for i in range(len(steps)):
+            rows = df[df["__s"] == i]
+            if thresh is not None:
+                t = rows[user_col].map(thresh)
+                rows = rows[t.notna() & (rows[ts_col] >= t)]
+            thresh = rows.groupby(user_col)[ts_col].min()
+            counts.append(len(thresh))
+        return pa.table(
+            {
+                "step": pa.array(np.arange(1, len(steps) + 1, dtype=np.int64)),
+                "n_users": pa.array(np.asarray(counts, dtype=np.int64)),
+            }
+        )
+
+    parts = (
+        ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(bucket_counts, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = parts.groupby("step", as_index=False)["n_users"].sum()
+    out["step_name"] = [steps[i - 1] for i in out["step"]]
+    out["n_users"] = out["n_users"].astype("int64")
+    return out[["step", "step_name", "n_users"]].sort_values("step").reset_index(
+        drop=True
+    )
+
+
 def grouped_mode(
     ds, key: str, value_col: str, *, num_buckets: int = 32
 ) -> pd.DataFrame:

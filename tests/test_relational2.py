@@ -1728,3 +1728,35 @@ def test_grouped_mode_tiebreak_and_nulls(ray_session):
     assert got["k"].tolist() == ["a", "b", "c"]
     assert got["mode"].tolist() == [3, 2, 1]
     assert got["mode_count"].tolist() == [2, 2, 1]
+
+
+def test_funnel_counts_ordering_rules(ray_session):
+    """Step events BEFORE the prior step's first event don't count; a
+    same-timestamp event does (>=); users split across buckets sum."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import funnel_counts
+
+    t0 = pd.Timestamp("2026-01-01")
+    rows = [
+        # u1: view -> click -> purchase, in order: all 3 steps
+        (1, t0, "view"), (1, t0 + pd.Timedelta("1h"), "click"),
+        (1, t0 + pd.Timedelta("2h"), "purchase"),
+        # u2: clicked BEFORE first view -> stops after step 1
+        (2, t0 + pd.Timedelta("1h"), "view"), (2, t0, "click"),
+        # u3: click at the SAME ts as the view counts (>=), no purchase
+        (3, t0, "view"), (3, t0, "click"),
+        # u4: never viewed -> counts nowhere even with click+purchase
+        (4, t0, "click"), (4, t0 + pd.Timedelta("1h"), "purchase"),
+        # noise event type ignored
+        (1, t0, "error"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    got = funnel_counts(
+        rd.from_pandas(df).repartition(3),
+        "user_id", "ts", "event_type",
+        ["view", "click", "purchase"],
+        num_buckets=8,
+    )
+    assert got["step_name"].tolist() == ["view", "click", "purchase"]
+    assert got["n_users"].tolist() == [3, 2, 1]
