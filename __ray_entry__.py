@@ -273,7 +273,7 @@ def q_token_histogram(sf_dir: str):
         counts = np.bincount(flat // 197, minlength=256)[:256]
         return pa.table(
             {
-                "bin": pa.array(np.arange(256), pa.int32()),
+                "bin": pa.array(np.arange(256), pa.int64()),
                 "cnt": pa.array(counts, pa.int64()),
             }
         )
@@ -396,6 +396,8 @@ def q_events_window(sf_dir: str):
     out = tumbling_window_agg(ev.map_batches(cents, batch_format="pandas"))
     out["n_events"] = out["n_events"].astype("int64")
     out["value_sum"] = out["value_sum"].astype("int64")
+    # microsecond resolution, matching the oracle's timestamp[us]
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
     return out.rename(columns={"value_sum": "value_cents"})
 
 
@@ -527,7 +529,8 @@ def q_minhash_pairs(sf_dir: str):
 
     ds = _docs(sf_dir, ["doc_id", "text"])
     pairs = minhash_dedup_pairs(ds, jaccard_threshold=0.8, concurrency=2)
-    return pairs.astype({"id_a": "object", "id_b": "object", "jaccard": "float64"})
+    # int64 ids, matching the oracle's BIGINT doc_id exactly
+    return pairs.astype({"id_a": "int64", "id_b": "int64", "jaccard": "float64"})
 
 
 def q_simhash_signatures(sf_dir: str):
@@ -2698,7 +2701,7 @@ FROM tok GROUP BY source ORDER BY source
 """,
         "token_histogram": f"""
 WITH {TOKENIZE_CTE}
-SELECT CAST(t // 197 AS INTEGER) AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+SELECT CAST(t // 197 AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM (SELECT unnest(tokens) AS t FROM tok)
 GROUP BY 1 ORDER BY 1
 """,

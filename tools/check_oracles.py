@@ -37,6 +37,14 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
     problems = []
     if sorted(ray_df.columns) != sorted(sql_df.columns):
         return [f"columns differ: {sorted(ray_df.columns)} vs {sorted(sql_df.columns)}"]
+    for c in ray_df.columns:
+        # mirror the driver's schema_match: dtype must agree, not just
+        # the values after coercion (int32 vs BIGINT would fail there)
+        a, b = ray_df[c].dtype, sql_df[c].dtype
+        if a != b:
+            problems.append(f"dtype mismatch in {c!r}: {a} vs {b}")
+    if problems:
+        return problems
     if len(ray_df) != len(sql_df):
         problems.append(f"row count {len(ray_df)} vs {len(sql_df)}")
         return problems
