@@ -2515,6 +2515,39 @@ def q_bigram_vocab(sf_dir: str):
     )
 
 
+def q_near_dedup_keep(sf_dir: str):
+    """END-TO-END near-dedup decision — the full LLM-pipeline chain in
+    one query: MinHash-LSH candidates → EXACT shingle-Jaccard verify →
+    connected components over the verified pair graph → keep the
+    smallest doc_id per cluster. Output: the REMOVED docs with their
+    canonical survivor. Oracle: exact all-pairs Jaccard + a recursive
+    transitive-closure CTE (tractable at oracle scale; the engine path
+    is the bucketed LSH scan + pointer-jumping components)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.dedup import minhash_dedup_pairs
+    from etl_data_validation_kio_ray.dedup.cluster import connected_components
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    pairs = minhash_dedup_pairs(ds, jaccard_threshold=0.8, concurrency=2)
+    if not len(pairs):
+        return pd.DataFrame(
+            {
+                "node": pd.Series(dtype="int64"),
+                "canonical": pd.Series(dtype="int64"),
+            }
+        )
+    comp = connected_components(
+        rd.from_pandas(pairs[["id_a", "id_b"]]), "id_a", "id_b"
+    )
+    out = comp[comp["node"] != comp["component"]].rename(
+        columns={"component": "canonical"}
+    )
+    out["node"] = out["node"].astype("int64")
+    out["canonical"] = out["canonical"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tokenize": q_tokenize,
@@ -2591,6 +2624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_funnel": q_event_funnel,
         "overpriced_orders": q_overpriced_orders,
         "bigram_vocab": q_bigram_vocab,
+        "near_dedup_keep": q_near_dedup_keep,
     }
 
 
@@ -3401,5 +3435,34 @@ b AS (
 SELECT CAST(count(DISTINCT code) AS BIGINT) AS n_distinct_bigrams,
        CAST(count(*) AS BIGINT) AS n_bigrams
 FROM b
+""",
+        "near_dedup_keep": """
+WITH RECURSIVE sh AS (
+  SELECT doc_id, list_distinct(
+    list_transform(range(1, len(ws) - 1),
+                   i -> ws[i] || chr(31) || ws[i+1] || chr(31) || ws[i+2])) AS s
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents)
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+    AND len(list_intersect(a.s, b.s)) * 1.0
+        / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+),
+d AS (
+  SELECT id_a AS x, id_b AS y FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach (x, y) AS (
+  SELECT x, y FROM d
+  UNION
+  SELECT r.x, d.y FROM reach r JOIN d ON r.y = d.x
+)
+SELECT CAST(x AS BIGINT) AS node,
+       CAST(least(x, min(y)) AS BIGINT) AS canonical
+FROM reach GROUP BY x
+HAVING least(x, min(y)) <> x
+ORDER BY node
 """,
     }
