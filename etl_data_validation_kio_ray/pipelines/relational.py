@@ -1593,7 +1593,9 @@ def grouped_mode(
     """Per-group MODE of ``value_col`` with the deterministic SQL
     tiebreak (highest count, then smallest value) — the most-frequent-
     value profiling statistic (SQL ``row_number() OVER (PARTITION BY
-    key ORDER BY cnt DESC, value)`` = 1).
+    key ORDER BY cnt DESC, value)`` = 1; the reference's
+    most-frequent-entity lookup is the ungrouped special case,
+    /root/reference/src/app2/mutators/dds_mutations.py:39-52).
 
     Scale shape: each batch collapses to (key, value, cnt) partials
     with one Arrow hash-aggregate; ONE hash-bucket exchange on the key
