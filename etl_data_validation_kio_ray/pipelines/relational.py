@@ -1579,6 +1579,14 @@ def funnel_counts(
         .map_groups(bucket_counts, batch_format="pyarrow")
         .to_pandas()
     )
+    if not len(parts):  # no step-typed events at all -> all-zero funnel
+        return pd.DataFrame(
+            {
+                "step": np.arange(1, len(steps) + 1, dtype=np.int64),
+                "step_name": steps,
+                "n_users": np.zeros(len(steps), dtype=np.int64),
+            }
+        )
     out = parts.groupby("step", as_index=False)["n_users"].sum()
     out["step_name"] = [steps[i - 1] for i in out["step"]]
     out["n_users"] = out["n_users"].astype("int64")

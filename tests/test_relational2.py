@@ -1760,3 +1760,21 @@ def test_funnel_counts_ordering_rules(ray_session):
     )
     assert got["step_name"].tolist() == ["view", "click", "purchase"]
     assert got["n_users"].tolist() == [3, 2, 1]
+
+
+def test_funnel_counts_no_matching_events(ray_session):
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import funnel_counts
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 2],
+            "ts": pd.to_datetime([0, 1], unit="s"),
+            "event_type": ["error", "signup"],  # none of the funnel steps
+        }
+    )
+    got = funnel_counts(
+        rd.from_pandas(df), "user_id", "ts", "event_type", ["view", "click"]
+    )
+    assert got["n_users"].tolist() in ([0, 0], [])  # empty-safe

@@ -374,3 +374,18 @@ def test_cross_check_gate_null_in_set(ray_session, tmp_path):
         res = pipe.run(clean, str(tmp_path / f"o{i}"))
         a = cross_check_run(clean, res, pipe.rules)
         assert a.agree.all(), (preds, a[~a.agree])
+
+
+def test_audit_log_filter_and_torn_tail(tmp_path):
+    """events(event=...) filters; a torn final line (crash mid-append)
+    is skipped, not fatal."""
+    from etl_data_validation_kio_ray.state.checkpoint import AuditLog
+
+    log = AuditLog(str(tmp_path))
+    log.append("claim", partition="p0", attempts=1)
+    log.append("finish", partition="p0", verdict="PASS")
+    log.append("claim", partition="p1", attempts=1)
+    with open(log.path, "a") as f:
+        f.write('{"ts": 1, "event": "fai')  # torn write
+    assert [e["partition"] for e in log.events(event="claim")] == ["p0", "p1"]
+    assert len(log.events()) == 3
