@@ -2548,6 +2548,52 @@ def q_near_dedup_keep(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def q_global_price_ranks(sf_dir: str):
+    """EXACT global quantiles of an unbounded double column by rank
+    selection: the row at rank ceil(q·n) of ORDER BY (price, orderkey)
+    for q ∈ {0.5, 0.9, 0.99} — the exact counterpart of the t-digest
+    sketch, via the same range-partitioned sort + block prefix offsets
+    as revenue_deciles (rows never leave the workers; three rank
+    probes stream out)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import global_row_number
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"],
+    )
+    ranked, n_total = global_row_number(
+        orders, ["o_totalprice", "o_orderkey"], out_col="rn"
+    )
+    ranks = {q: (n_total * qn + qd - 1) // qd for q, (qn, qd) in
+             {"p50": (1, 2), "p90": (9, 10), "p99": (99, 100)}.items()}
+    want = pa.array(sorted(set(ranks.values())), pa.int64())
+
+    def probe(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["rn"], value_set=want))
+        price_c = pc.round(pc.multiply(t["o_totalprice"], 100.0)).cast(pa.int64())
+        return pa.table(
+            {"rn": t["rn"], "o_orderkey": t["o_orderkey"], "price_c": price_c}
+        )
+
+    hits = (
+        ranked.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .set_index("rn")
+    )
+    rows = [
+        {
+            "q": name,
+            "rank": np.int64(rk),
+            "o_orderkey": np.int64(hits.loc[rk, "o_orderkey"]),
+            "price_c": np.int64(hits.loc[rk, "price_c"]),
+        }
+        for name, rk in sorted(ranks.items())
+    ]
+    return pd.DataFrame(rows)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tokenize": q_tokenize,
@@ -2625,6 +2671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "overpriced_orders": q_overpriced_orders,
         "bigram_vocab": q_bigram_vocab,
         "near_dedup_keep": q_near_dedup_keep,
+        "global_price_ranks": q_global_price_ranks,
     }
 
 
@@ -3464,5 +3511,22 @@ SELECT CAST(x AS BIGINT) AS node,
 FROM reach GROUP BY x
 HAVING least(x, min(y)) <> x
 ORDER BY node
+""",
+        "global_price_ranks": """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+  FROM orders
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM orders),
+r AS (
+  SELECT 'p50' AS q, (c * 1 + 1) // 2 AS rank FROM n
+  UNION ALL SELECT 'p90', (c * 9 + 9) // 10 FROM n
+  UNION ALL SELECT 'p99', (c * 99 + 99) // 100 FROM n
+)
+SELECT r.q, CAST(r.rank AS BIGINT) AS rank,
+       CAST(o.o_orderkey AS BIGINT) AS o_orderkey, o.price_c
+FROM r JOIN o ON o.rn = r.rank ORDER BY r.q
 """,
     }
