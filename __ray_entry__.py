@@ -939,7 +939,7 @@ def q_revenue_by_priority(sf_dir: str):
     import ray.data as rd
 
     from etl_data_validation_kio_ray.pipelines.relational import (
-        bucketed_group_agg,
+        fact_dim_cogroup,
         grouped_agg,
     )
 
@@ -959,45 +959,24 @@ def q_revenue_by_priority(sf_dir: str):
         return pa.table(
             {
                 "okey": pa.array(keys),
-                "rev_c4": pa.array(rev_sum),
                 "n_items": pa.array(n_items),
-                "priority": pa.nulls(len(keys), pa.string()),
+                "rev_c4": pa.array(rev_sum),
             }
         )
 
     orders = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_orderpriority"],
+    ).map_batches(
+        lambda t: pa.table({"okey": t["o_orderkey"], "priority": t["o_orderpriority"]}),
+        batch_format="pyarrow",
     )
-
-    def o_partial(t: pa.Table) -> pa.Table:
-        z = pa.array(np.zeros(t.num_rows, dtype=np.int64))
-        return pa.table(
-            {
-                "okey": t["o_orderkey"],
-                "rev_c4": z,
-                "n_items": z,
-                "priority": t["o_orderpriority"],
-            }
-        )
-
-    both = li.map_batches(
-        li_partial, batch_format="pyarrow", zero_copy_batch=True
-    ).union(orders.map_batches(o_partial, batch_format="pyarrow"))
-
-    def inner(t: pa.Table) -> pa.Table:
-        # inner-join shape: need BOTH an order row (priority) and items
-        t = t.filter(
-            pc.and_(pc.is_valid(t["priority"]), pc.greater(t["n_items"], 0))
-        )
-        return t.select(["priority", "rev_c4", "n_items"])
-
-    per_order = bucketed_group_agg(
-        both,
-        "okey",
-        [("rev_c4", "sum"), ("n_items", "sum"), ("priority", "max")],
-        num_buckets=32,
-        post=inner,
+    per_order = fact_dim_cogroup(
+        li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True),
+        orders,
+        key="okey",
+        fact_cols=["n_items", "rev_c4"],
+        dim_cols=["priority"],
     )
     out = grouped_agg(
         per_order,
@@ -2043,7 +2022,7 @@ def q_shipping_priority(sf_dir: str):
 
     from etl_data_validation_kio_ray.pipelines.relational import (
         broadcast_semi_join,
-        bucketed_group_agg,
+        fact_dim_cogroup,
     )
 
     cut = np.datetime64("1998-06-30T00:00:00", "us")
@@ -2090,47 +2069,28 @@ def q_shipping_priority(sf_dir: str):
         return pa.table(
             {
                 "l_orderkey": pa.array(k),
-                "rev_c4": pa.array(s),
                 "n_li": pa.array(n),
-                "orderdate": pa.nulls(len(k), pa.timestamp("us")),
-                "priority": pa.nulls(len(k), pa.string()),
+                "rev_c4": pa.array(s),
             }
         )
 
-    def o_partial(t: pa.Table) -> pa.Table:
-        t = t.select(["o_orderkey", "o_orderdate", "o_orderpriority"])
-        z = pa.array(np.zeros(t.num_rows, dtype=np.int64))
-        return pa.table(
+    dim = orders.map_batches(
+        lambda t: pa.table(
             {
                 "l_orderkey": t["o_orderkey"],
-                "rev_c4": z,
-                "n_li": z,
                 "orderdate": t["o_orderdate"],
                 "priority": t["o_orderpriority"],
             }
-        )
-
-    # join elimination: tagged union + ONE co-grouped bucket exchange
-    # (see q_revenue_by_priority), inner shape inside the bucket
-    def inner(t: pa.Table) -> pa.Table:
-        t = t.filter(
-            pc.and_(pc.is_valid(t["priority"]), pc.greater(t["n_li"], 0))
-        )
-        return t.select(["l_orderkey", "orderdate", "priority", "rev_c4"])
-
+        ),
+        batch_format="pyarrow",
+    )
     top = (
-        bucketed_group_agg(
-            li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
-            .union(orders.map_batches(o_partial, batch_format="pyarrow")),
-            "l_orderkey",
-            [
-                ("rev_c4", "sum"),
-                ("n_li", "sum"),
-                ("orderdate", "max"),
-                ("priority", "max"),
-            ],
-            num_buckets=32,
-            post=inner,
+        fact_dim_cogroup(
+            li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True),
+            dim,
+            key="l_orderkey",
+            fact_cols=["n_li", "rev_c4"],
+            dim_cols=["orderdate", "priority"],
         )
         .sort(["rev_c4", "l_orderkey"], descending=[True, False])
         .limit(10)
@@ -2156,7 +2116,7 @@ def q_revenue_by_region(sf_dir: str):
 
     from etl_data_validation_kio_ray.pipelines.relational import (
         broadcast_lookup_join,
-        bucketed_group_agg,
+        fact_dim_cogroup,
         grouped_agg,
     )
 
@@ -2199,70 +2159,53 @@ def q_revenue_by_region(sf_dir: str):
         return pa.table(
             {
                 "okey": pa.array(k),
-                "rev_c4": pa.array(s),
                 "n_li": pa.array(n),
-                "ckey": pa.nulls(len(k), pa.int64()),
+                "rev_c4": pa.array(s),
             }
         )
 
     orders = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"okey": t["o_orderkey"], "ckey": t["o_custkey"].cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
     )
 
-    def o_partial(t: pa.Table) -> pa.Table:
-        z = pa.array(np.zeros(t.num_rows, dtype=np.int64))
-        return pa.table(
-            {
-                "okey": t["o_orderkey"],
-                "rev_c4": z,
-                "n_li": z,
-                "ckey": t["o_custkey"].cast(pa.int64()),
-            }
-        )
-
-    # co-group 1 (orderkey): per-order revenue + its custkey, inner
+    # co-group 1 (orderkey): per-order revenue + its custkey, re-keyed
+    # to the customer for the second co-group (n_orders = 1 per order)
     def to_cust(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.and_(pc.is_valid(t["ckey"]), pc.greater(t["n_li"], 0)))
         return pa.table(
             {
                 "ckey": t["ckey"],
-                "rev_c4": t["rev_c4"],
                 "n_orders": pa.array(np.ones(t.num_rows, dtype=np.int64)),
-                "r_name": pa.nulls(t.num_rows, pa.string()),
+                "rev_c4": t["rev_c4"],
             }
         )
 
-    per_order = bucketed_group_agg(
-        li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .union(orders.map_batches(o_partial, batch_format="pyarrow")),
-        "okey",
-        [("rev_c4", "sum"), ("n_li", "sum"), ("ckey", "max")],
-        num_buckets=32,
+    per_order = fact_dim_cogroup(
+        li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True),
+        orders,
+        key="okey",
+        fact_cols=["n_li", "rev_c4"],
+        dim_cols=["ckey"],
         post=to_cust,
     )
 
-    def c_partial(t: pa.Table) -> pa.Table:
-        z = pa.array(np.zeros(t.num_rows, dtype=np.int64))
-        return pa.table(
-            {
-                "ckey": t["c_custkey"].cast(pa.int64()),
-                "rev_c4": z,
-                "n_orders": z,
-                "r_name": t["r_name"],
-            }
-        )
-
-    # co-group 2 (custkey): attach the region, collapse to region cells
-    def to_region(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.and_(pc.is_valid(t["r_name"]), pc.greater(t["n_orders"], 0)))
-        return t.select(["r_name", "rev_c4", "n_orders"])
-
-    per_region = bucketed_group_agg(
-        per_order.union(cust.map_batches(c_partial, batch_format="pyarrow")),
-        "ckey",
-        [("rev_c4", "sum"), ("n_orders", "sum"), ("r_name", "max")],
-        num_buckets=32,
-        post=to_region,
+    # co-group 2 (custkey): attach the region, collapse per customer
+    per_region = fact_dim_cogroup(
+        per_order,
+        cust.map_batches(
+            lambda t: pa.table(
+                {"ckey": t["c_custkey"].cast(pa.int64()), "r_name": t["r_name"]}
+            ),
+            batch_format="pyarrow",
+        ),
+        key="ckey",
+        fact_cols=["n_orders", "rev_c4"],
+        dim_cols=["r_name"],
+        post=lambda t: t.select(["r_name", "n_orders", "rev_c4"]),
     )
     out = grouped_agg(
         per_region,
@@ -2507,10 +2450,11 @@ def q_bigram_vocab(sf_dir: str):
         lambda t: _bigram_partial(t), batch_format="pyarrow", zero_copy_batch=True
     )
     agg = bucketed_group_agg(ds, "code", [("cnt", "sum")]).materialize()
+    # Dataset.sum of an empty dataset is None; the SQL twin yields (0,0)
     return pd.DataFrame(
         {
             "n_distinct_bigrams": [np.int64(agg.count())],
-            "n_bigrams": [np.int64(agg.sum("cnt"))],
+            "n_bigrams": [np.int64(agg.sum("cnt") or 0)],
         }
     )
 
@@ -2566,6 +2510,10 @@ def q_global_price_ranks(sf_dir: str):
     ranked, n_total = global_row_number(
         orders, ["o_totalprice", "o_orderkey"], out_col="rn"
     )
+    cols = ["q", "rank", "o_orderkey", "price_c"]
+    if n_total == 0:  # SQL twin's rank join returns zero rows
+        return pd.DataFrame({c: pd.Series(dtype="int64" if c != "q" else "object")
+                             for c in cols})
     ranks = {q: (n_total * qn + qd - 1) // qd for q, (qn, qd) in
              {"p50": (1, 2), "p90": (9, 10), "p99": (99, 100)}.items()}
     want = pa.array(sorted(set(ranks.values())), pa.int64())

@@ -232,18 +232,35 @@ def minhash_dedup_pairs(
     exact shingle Jaccard for candidate docs, so reported pairs are
     never hash-approximate.
 
-    ``sink_dir``: also write the verified pairs as Parquet there
-    (atomic per-file), so at extreme duplicate rates a caller can
-    consume the output from storage instead of the returned DataFrame
-    — the candidate CAP still bounds the driver, but downstream stages
-    (e.g. connected components over the pair list) should read the
-    sink, not hold the frame."""
+    ``sink_dir``: also publish the verified pairs as Parquet there
+    (atomic replace, written on EVERY return path so a re-run can never
+    leave a stale previous result behind). This is a durability /
+    handoff convenience — downstream stages (connected components,
+    keep-list jobs) can re-read the pairs without re-running the scan —
+    NOT a memory valve: pair formation is driver-side by design, hard-
+    bounded by MAX_CANDIDATE_ROWS/MAX_BUCKET, so the frame always fits
+    the driver or the scan raises loudly first."""
     import logging
 
     empty = pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
     if report is None:
         report = {}
     report["truncated_buckets"] = 0  # assigned, not setdefault: never stale
+
+    def publish(out: pd.DataFrame) -> pd.DataFrame:
+        # written on EVERY return path: an empty result REPLACES any
+        # previous run's pairs rather than leaving them stale
+        if sink_dir is not None:
+            import os
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            os.makedirs(sink_dir, exist_ok=True)
+            tmp = os.path.join(sink_dir, f"pairs.parquet.tmp.{os.getpid()}")
+            pq.write_table(pa.Table.from_pandas(out, preserve_index=False), tmp)
+            os.replace(tmp, os.path.join(sink_dir, "pairs.parquet"))
+        return out
 
     def banded():
         return add_minhash_bands(
@@ -259,7 +276,7 @@ def minhash_dedup_pairs(
     if gathered.empty:
         out = empty.copy()
         out.attrs["truncated_buckets"] = 0
-        return out
+        return publish(out)
     pairs, truncated = bucket_pairs_vectorized(
         gathered["bk"].to_numpy(), gathered[id_col].to_numpy(), max_bucket=MAX_BUCKET
     )
@@ -274,7 +291,7 @@ def minhash_dedup_pairs(
     if pairs.empty:
         out = empty.copy()
         out.attrs["truncated_buckets"] = truncated
-        return out
+        return publish(out)
 
     pairs = exact_jaccard_for_pairs(ds, pairs, text_col, id_col, k)
     out = (
@@ -283,14 +300,4 @@ def minhash_dedup_pairs(
         .reset_index(drop=True)
     )
     out.attrs["truncated_buckets"] = truncated
-    if sink_dir is not None:
-        import os
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        os.makedirs(sink_dir, exist_ok=True)
-        tmp = os.path.join(sink_dir, f"pairs.parquet.tmp.{os.getpid()}")
-        pq.write_table(pa.Table.from_pandas(out, preserve_index=False), tmp)
-        os.replace(tmp, os.path.join(sink_dir, "pairs.parquet"))
-    return out
+    return publish(out)

@@ -66,9 +66,9 @@ def semi_join_docs(
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from ..pipelines.relational import tag_bucket
+    from ..pipelines.relational import dataset_arrow_schema, tag_bucket
 
-    id_type = probe_ds.schema().base_schema.field(id_col).type
+    id_type = dataset_arrow_schema(probe_ds).field(id_col).type
 
     def _tag(t: pa.Table, is_probe: bool) -> pa.Table:
         ids = t[id_col] if is_probe else pa.nulls(t.num_rows, id_type)

@@ -18,6 +18,27 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def dataset_arrow_schema(ds) -> pa.Schema:
+    """The Arrow schema of a Dataset, tolerant of pandas blocks: a
+    PandasBlockSchema exposes parallel names/types instead of .field(),
+    and pandas stores strings as object dtype, which pa.from_numpy_dtype
+    rejects — map it to pa.string() (the only object payload our tables
+    carry across pandas blocks)."""
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", sch)
+    if isinstance(base, pa.Schema):
+        return base
+
+    def to_pa(t):
+        if isinstance(t, pa.DataType):
+            return t
+        if np.dtype(t) == np.dtype("O"):
+            return pa.string()
+        return pa.from_numpy_dtype(t)
+
+    return pa.schema([(n, to_pa(t)) for n, t in zip(base.names, base.types)])
+
+
 def collect_sorted(ds, sort_cols: list[str]) -> pd.DataFrame:
     """Driver-side gather of a SMALL operator result: collect the lazy
     Dataset to pandas and impose the deterministic (sort_cols,
@@ -342,25 +363,7 @@ def asof_join(
     tol = pd.to_timedelta(tolerance) if tolerance is not None else None
     nb = np.int64(num_buckets)
 
-    def _pa_schema(ds) -> pa.Schema:
-        sch = ds.schema()
-        base = getattr(sch, "base_schema", sch)
-        if isinstance(base, pa.Schema):
-            return base
-        # PandasBlockSchema: parallel names/types. pandas stores string
-        # columns as object dtype, which pa.from_numpy_dtype rejects —
-        # map it to pa.string() (the only object payload our tables
-        # carry across pandas blocks).
-        def to_pa(t):
-            if isinstance(t, pa.DataType):
-                return t
-            if np.dtype(t) == np.dtype("O"):
-                return pa.string()
-            return pa.from_numpy_dtype(t)
-
-        return pa.schema([(n, to_pa(t)) for n, t in zip(base.names, base.types)])
-
-    lsch, rsch = _pa_schema(left_ds), _pa_schema(right_ds)
+    lsch, rsch = dataset_arrow_schema(left_ds), dataset_arrow_schema(right_ds)
     left_cols = list(lsch.names)
     m_on = f"{matched_prefix}{on}"
     m_vals = {v: f"{matched_prefix}{v}" for v in right_values}
@@ -1506,6 +1509,76 @@ def bucketed_group_agg(
     )
 
 
+def fact_dim_cogroup(
+    fact_parts_ds,
+    dim_ds,
+    *,
+    key: str,
+    fact_cols: list[str],
+    dim_cols: list[str],
+    num_buckets: int = 32,
+    post=None,
+):
+    """INNER fact ⋈ unique-key dim by JOIN ELIMINATION: tag both sides,
+    UNION, and co-group in ONE ``bucketed_group_agg`` exchange instead
+    of Dataset.join's per-partition aggregator actors (measured ~8×
+    cheaper on the order-revenue queries; the order_item_consistency
+    pattern, generalized).
+
+    ``fact_parts_ds``: map-side partials — one row per (key, batch)
+    with int64 measure columns ``fact_cols``; ``fact_cols[0]`` must be
+    a count-like column (> 0 marks the key as present on the fact
+    side — the inner-join test). ``dim_ds``: ONE row per key carrying
+    ``dim_cols`` (strings/timestamps/ints; nulls in a dim col would be
+    indistinguishable from 'absent', so dim values must be non-null).
+    Inside each bucket the fact measures SUM and the dim columns MAX
+    (null-skipping — exactly the one non-null value); keys missing on
+    either side are dropped (inner). ``post`` runs on the in-bucket
+    result AFTER the inner filter (key-complete, so key-level logic is
+    correct there).
+
+    Returns a lazy Dataset with one row per matched key:
+    (key, *fact_cols summed, *dim_cols).
+    """
+    dsch = dataset_arrow_schema(dim_ds)
+    dim_types = {c: dsch.field(c).type for c in dim_cols}
+
+    def pad_fact(t: pa.Table) -> pa.Table:
+        cols = {key: t[key]}
+        for c in fact_cols:
+            cols[c] = t[c]
+        for c in dim_cols:
+            cols[c] = pa.nulls(t.num_rows, dim_types[c])
+        return pa.table(cols)
+
+    def pad_dim(t: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(t.num_rows, dtype=np.int64))
+        cols = {key: t[key]}
+        for c in fact_cols:
+            cols[c] = z
+        for c in dim_cols:
+            cols[c] = t[c]
+        return pa.table(cols)
+
+    def inner(t: pa.Table) -> pa.Table:
+        present = pc.greater(t[fact_cols[0]], 0)
+        for c in dim_cols:
+            present = pc.and_(present, pc.is_valid(t[c]))
+        t = t.filter(present)
+        return post(t) if post is not None else t
+
+    both = fact_parts_ds.map_batches(
+        pad_fact, batch_format="pyarrow", zero_copy_batch=True
+    ).union(dim_ds.map_batches(pad_dim, batch_format="pyarrow"))
+    return bucketed_group_agg(
+        both,
+        key,
+        [(c, "sum") for c in fact_cols] + [(c, "max") for c in dim_cols],
+        num_buckets=num_buckets,
+        post=inner,
+    )
+
+
 def funnel_counts(
     ds,
     user_col: str,
@@ -1528,7 +1601,10 @@ def funnel_counts(
     (len(steps) passes, no per-user loop), and each bucket emits just
     len(steps) partial counts. Ties: a single event can satisfy
     consecutive steps only if its type differs (>= comparison, SQL
-    twin identical).
+    twin identical). NULL handling: rows with a null user or ts are
+    DROPPED up front (they have no position in the per-user order) —
+    an SQL twin whose GROUP BY would form a NULL-user group counts
+    step 1 differently on null-keyed data; keep keys non-null.
 
     Returns a DataFrame (step int64 1-based, step_name, n_users).
     """
@@ -1612,15 +1688,23 @@ def grouped_mode(
     each key's winner — the exchange carries distinct (key, value)
     cells per batch, never rows, and only one row per key leaves the
     reducers. Nulls in ``value_col`` are ignored (SQL count semantics);
-    null keys are retained as their own group is NOT supported — filter
-    them first (tag_bucket hashes them into one bucket but the Arrow
-    group carries them; keep the contract explicit).
+    null KEYS are rejected loudly (the run-start pick can't treat a
+    null as one group — fill or filter them first, same contract as
+    grouped_hll).
 
     Returns a pandas DataFrame (key, mode, mode_count) sorted by key.
     """
     from ..functions.grouping import run_starts
 
     def cells(t: pa.Table) -> pa.Table:
+        k = t[key]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        if k.null_count:
+            raise ValueError(
+                f"grouped_mode: key column {key!r} contains "
+                f"{k.null_count} null(s); fill or filter them first"
+            )
         t = t.select([key, value_col]).filter(pc.is_valid(t[value_col]))
         g = t.group_by([key, value_col]).aggregate([(value_col, "count")])
         out = pa.table(
