@@ -94,6 +94,11 @@ BENCH_QUERIES = [
     "mode_ntok_per_source",
     "token_repetition",
     "vocab_coverage",
+    "event_funnel",
+    "overpriced_orders",
+    "bigram_vocab",
+    "near_dedup_keep",
+    "global_price_ranks",
 ]
 
 
