@@ -224,3 +224,54 @@ def test_token_bigram_partial_property(docs):
         for c, n in zip(out["code"].to_pylist(), out["cnt"].to_pylist())
     }
     assert got == want
+
+
+@given(
+    ev=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # user
+            st.integers(min_value=0, max_value=50),  # ts seconds
+            st.integers(min_value=0, max_value=3),   # event kind (0,1,2 = steps)
+        ),
+        max_size=60,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_funnel_counts_property(ray_session, ev):
+    """funnel_counts == per-user brute-force step resolution for random
+    event streams (ties, repeats, missing steps, noise types)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import funnel_counts
+
+    steps = ["s0", "s1", "s2"]
+    df = pd.DataFrame(
+        {
+            "u": [u for u, _, _ in ev],
+            "ts": pd.to_datetime([t for _, t, _ in ev], unit="s"),
+            "k": [f"s{k}" if k < 3 else "noise" for _, _, k in ev],
+        }
+    )
+    got = funnel_counts(
+        rd.from_pandas(df) if len(df) else rd.from_items([{"u": 0, "ts": pd.Timestamp(0), "k": "noise"}]),
+        "u", "ts", "k", steps, num_buckets=4,
+    )
+
+    # brute force
+    want = []
+    users = sorted(set(df["u"])) if len(df) else []
+    thresh = {u: None for u in users}
+    alive = set(users)
+    for s in steps:
+        nxt = {}
+        for u in sorted(alive):
+            sub = df[(df["u"] == u) & (df["k"] == s)]
+            if thresh[u] is not None:
+                sub = sub[sub["ts"] >= thresh[u]]
+            if len(sub):
+                nxt[u] = sub["ts"].min()
+        thresh = nxt
+        alive = set(nxt)
+        want.append(len(nxt))
+    assert got["n_users"].tolist() == want

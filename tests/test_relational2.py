@@ -1778,3 +1778,35 @@ def test_funnel_counts_no_matching_events(ray_session):
         rd.from_pandas(df), "user_id", "ts", "event_type", ["view", "click"]
     )
     assert got["n_users"].tolist() in ([0, 0], [])  # empty-safe
+
+
+def test_fact_dim_cogroup_inner_semantics(ray_session):
+    """Keys present on only one side drop; fact partials split across
+    batches sum; dim columns ride through; post hook runs key-complete."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import fact_dim_cogroup
+
+    fact = pd.DataFrame(
+        {
+            "k": [1, 1, 2, 3],       # key 3 has no dim row
+            "n": [1, 2, 1, 5],
+            "v": [10, 20, 7, 9],
+        }
+    )
+    dim = pd.DataFrame({"k": [1, 2, 4], "name": ["a", "b", "c"]})  # key 4 no facts
+    out = (
+        fact_dim_cogroup(
+            rd.from_pandas(fact).repartition(3),
+            rd.from_pandas(dim),
+            key="k",
+            fact_cols=["n", "v"],
+            dim_cols=["name"],
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame({"k": [1, 2], "n": [3, 1], "v": [30, 7], "name": ["a", "b"]})
+    pd.testing.assert_frame_equal(out, want.astype(out.dtypes.to_dict()))
