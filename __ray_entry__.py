@@ -2542,6 +2542,77 @@ def q_global_price_ranks(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_supplier_by_nation(sf_dir: str):
+    """Dimension-enriched supplier profile: suppliers per nation name
+    with exact account-balance cents — broadcast probe of the tiny
+    nation table (ray.put once), one partial-aggregated exchange.
+    Covers the last source table (supplier) end-to-end."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        broadcast_lookup_join,
+        grouped_agg,
+    )
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    sup = broadcast_lookup_join(
+        rd.read_parquet(
+            os.path.join(sf_dir, "supplier.parquet"),
+            columns=["s_suppkey", "s_nationkey", "s_acctbal"],
+        ),
+        nation,
+        "s_nationkey",
+        "n_nationkey",
+        ["n_name"],
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        bal_c = pc.round(pc.multiply(t["s_acctbal"], 100.0)).cast(pa.int64())
+        return pa.table({"n_name": t["n_name"], "bal_c": bal_c})
+
+    out = grouped_agg(
+        sup.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True),
+        ["n_name"],
+        {
+            "n_suppliers": ("bal_c", "count"),
+            "sum_bal_c": ("bal_c", "sum"),
+            "max_bal_c": ("bal_c", "max"),
+        },
+    )
+    for c in ("n_suppliers", "sum_bal_c", "max_bal_c"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+def q_events_by_hour(sf_dir: str):
+    """Hour-of-day activity profile: events and exact value cents per
+    UTC hour — the date-part grouped aggregate (pc.hour kernel), one
+    partial exchange of 24 cells per batch."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"]
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        hr = pc.hour(t["ts"]).cast(pa.int64())
+        cents = pc.round(pc.multiply(t["value"], 100.0)).cast(pa.int64())
+        return pa.table({"hr": hr, "value_cents": cents})
+
+    out = grouped_agg(
+        ev.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True),
+        ["hr"],
+        {"n_events": ("value_cents", "count"), "value_cents": ("value_cents", "sum")},
+    )
+    for c in ("hr", "n_events", "value_cents"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("hr").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "tokenize": q_tokenize,
@@ -2620,6 +2691,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_vocab": q_bigram_vocab,
         "near_dedup_keep": q_near_dedup_keep,
         "global_price_ranks": q_global_price_ranks,
+        "supplier_by_nation": q_supplier_by_nation,
+        "events_by_hour": q_events_by_hour,
     }
 
 
@@ -3476,5 +3549,25 @@ r AS (
 SELECT r.q, CAST(r.rank AS BIGINT) AS rank,
        CAST(o.o_orderkey AS BIGINT) AS o_orderkey, o.price_c
 FROM r JOIN o ON o.rn = r.rank ORDER BY r.q
+""",
+        "supplier_by_nation": """
+WITH s AS (
+  SELECT n_name, CAST(round(s_acctbal * 100) AS BIGINT) AS bal_c
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(sum(bal_c) AS BIGINT) AS sum_bal_c,
+       CAST(max(bal_c) AS BIGINT) AS max_bal_c
+FROM s GROUP BY n_name ORDER BY n_name
+""",
+        "events_by_hour": """
+WITH e AS (
+  SELECT CAST(hour(ts) AS BIGINT) AS hr,
+         CAST(round(value * 100) AS BIGINT) AS value_cents
+  FROM events
+)
+SELECT hr, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(value_cents) AS BIGINT) AS value_cents
+FROM e GROUP BY hr ORDER BY hr
 """,
     }
