@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "bigram_vocab",
     "near_dedup_keep",
     "global_price_ranks",
+    "supplier_by_nation",
+    "events_by_hour",
 ]
 
 
