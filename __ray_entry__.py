@@ -2614,57 +2614,15 @@ def q_events_by_hour(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Dict ORDER is driver-visible: the correctness driver snapshots the
+    # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
+    # queries never driver-scored in rounds 1-3 come FIRST, followed by
+    # 22 previously-green rows (incl. minhash_pairs — the r3 watch item —
+    # and drift_scores/simhash_signatures, which gained SQL oracles this
+    # round).  The remaining 28 previously-green rows sit at the tail and
+    # rotate back into the window in round 5.
     return {
-        "tokenize": q_tokenize,
-        "validate_verdicts": q_validate_verdicts,
-        "row_invariants_violations": q_row_invariants_violations,
-        "source_ref_violations": q_source_ref_violations,
-        "column_stats_ntok": q_column_stats_ntok,
-        "doc_id_unique_violations": q_doc_id_unique_violations,
-        "completeness_nulls": q_completeness_nulls,
-        "grouped_stats_by_source": q_grouped_stats_by_source,
-        "token_histogram": q_token_histogram,
-        "fingerprint": q_fingerprint,
-        "exact_dedup": q_exact_dedup,
-        "customers_without_orders": q_customers_without_orders,
-        "top_sources": q_top_sources,
-        "mart_kpi_lineitem": q_mart_kpi_lineitem,
-        "events_window": q_events_window,
-        "text_quality": q_text_quality,
-        "unique_sources": q_unique_sources,
-        "ann_topk": q_ann_topk,
-        "lang_id": q_lang_id,
-        "hll_cardinality": q_hll_cardinality,
-        "drift_scores": q_drift_scores,
-        "minhash_pairs": q_minhash_pairs,
-        "simhash_signatures": q_simhash_signatures,
-        "orders_by_nation": q_orders_by_nation,
-        "key_reconciliation": q_key_reconciliation,
-        "latest_event_per_type": q_latest_event_per_type,
-        "shingle_stats": q_shingle_stats,
-        "multimodal_features": q_multimodal_features,
-        "embedding_dups": q_embedding_dups,
-        "ivf_topk": q_ivf_topk,
-        "mutation_experiment": q_mutation_experiment,
-        "session_windows": q_session_windows,
-        "cross_check_agreement": q_cross_check_agreement,
-        "quality_filter": q_quality_filter,
-        "revenue_by_priority": q_revenue_by_priority,
-        "asof_events": q_asof_events,
-        "heavy_users": q_heavy_users,
-        "events_in_windows": q_events_in_windows,
-        "user_rolling_24h": q_user_rolling_24h,
-        "grouped_quantiles": q_grouped_quantiles,
-        "ntok_outliers": q_ntok_outliers,
-        "top_docs_per_source": q_top_docs_per_source,
-        "distinct_users_per_type": q_distinct_users_per_type,
-        "stratified_sample": q_stratified_sample,
-        "revenue_deciles": q_revenue_deciles,
-        "user_interarrival": q_user_interarrival,
-        "top_words": q_top_words,
-        "embedding_stats": q_embedding_stats,
-        "source_corr": q_source_corr,
-        "order_item_consistency": q_order_item_consistency,
+        # --- never driver-scored before round 4 (28) ---
         "token_bigrams": q_token_bigrams,
         "normalized_dups": q_normalized_dups,
         "winsorized_ntok": q_winsorized_ntok,
@@ -2693,6 +2651,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_price_ranks": q_global_price_ranks,
         "supplier_by_nation": q_supplier_by_nation,
         "events_by_hour": q_events_by_hour,
+        # --- previously green, kept in the scored window (22) ---
+        "tokenize": q_tokenize,
+        "validate_verdicts": q_validate_verdicts,
+        "minhash_pairs": q_minhash_pairs,
+        "exact_dedup": q_exact_dedup,
+        "doc_id_unique_violations": q_doc_id_unique_violations,
+        "revenue_deciles": q_revenue_deciles,
+        "ann_topk": q_ann_topk,
+        "top_words": q_top_words,
+        "source_corr": q_source_corr,
+        "order_item_consistency": q_order_item_consistency,
+        "grouped_quantiles": q_grouped_quantiles,
+        "key_reconciliation": q_key_reconciliation,
+        "mart_kpi_lineitem": q_mart_kpi_lineitem,
+        "events_window": q_events_window,
+        "heavy_users": q_heavy_users,
+        "stratified_sample": q_stratified_sample,
+        "drift_scores": q_drift_scores,
+        "simhash_signatures": q_simhash_signatures,
+        "quality_filter": q_quality_filter,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "top_docs_per_source": q_top_docs_per_source,
+        # --- previously green, rotated out this round (28) ---
+        "row_invariants_violations": q_row_invariants_violations,
+        "source_ref_violations": q_source_ref_violations,
+        "column_stats_ntok": q_column_stats_ntok,
+        "completeness_nulls": q_completeness_nulls,
+        "grouped_stats_by_source": q_grouped_stats_by_source,
+        "token_histogram": q_token_histogram,
+        "fingerprint": q_fingerprint,
+        "customers_without_orders": q_customers_without_orders,
+        "top_sources": q_top_sources,
+        "unique_sources": q_unique_sources,
+        "hll_cardinality": q_hll_cardinality,
+        "orders_by_nation": q_orders_by_nation,
+        "latest_event_per_type": q_latest_event_per_type,
+        "shingle_stats": q_shingle_stats,
+        "multimodal_features": q_multimodal_features,
+        "embedding_dups": q_embedding_dups,
+        "ivf_topk": q_ivf_topk,
+        "mutation_experiment": q_mutation_experiment,
+        "session_windows": q_session_windows,
+        "cross_check_agreement": q_cross_check_agreement,
+        "revenue_by_priority": q_revenue_by_priority,
+        "asof_events": q_asof_events,
+        "events_in_windows": q_events_in_windows,
+        "user_rolling_24h": q_user_rolling_24h,
+        "ntok_outliers": q_ntok_outliers,
+        "distinct_users_per_type": q_distinct_users_per_type,
+        "user_interarrival": q_user_interarrival,
+        "embedding_stats": q_embedding_stats,
     }
 
 
