@@ -2023,6 +2023,7 @@ def q_shipping_priority(sf_dir: str):
     from etl_data_validation_kio_ray.pipelines.relational import (
         broadcast_semi_join,
         fact_dim_cogroup,
+        gather_key_array,
     )
 
     cut = np.datetime64("1998-06-30T00:00:00", "us")
@@ -2030,15 +2031,14 @@ def q_shipping_priority(sf_dir: str):
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_custkey", "c_mktsegment"],
     )
-    keys = (
+    keys = gather_key_array(
         cust.map_batches(
             lambda t: t.filter(
                 pc.equal(t["c_mktsegment"], pa.scalar("BUILDING"))
             ).select(["c_custkey"]),
             batch_format="pyarrow",
-        )
-        .to_pandas()["c_custkey"]
-        .tolist()
+        ),
+        "c_custkey",
     )
     orders = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),

@@ -25,6 +25,12 @@ def dataset_arrow_schema(ds) -> pa.Schema:
     rejects — map it to pa.string() (the only object payload our tables
     carry across pandas blocks)."""
     sch = ds.schema()
+    if sch is None:
+        raise ValueError(
+            "dataset_arrow_schema: dataset has no resolvable schema "
+            "(empty or unmaterializable lazy input) — cannot co-group; "
+            f"dataset: {ds!r}"
+        )
     base = getattr(sch, "base_schema", sch)
     if isinstance(base, pa.Schema):
         return base
@@ -72,11 +78,36 @@ def broadcast_anti_join(left_ds, right_keys, left_key: str):
     return left_ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def broadcast_semi_join(left_ds, right_keys, left_key: str):
-    """Rows of ``left_ds`` WITH a match — same broadcast shape."""
+def gather_key_array(ds, col: str) -> pa.Array:
+    """Collect ONE key column of an (already filtered, broadcast-sized)
+    Dataset to the driver as a deduplicated Arrow array — block refs are
+    fetched and concatenated as Arrow, never round-tripped through
+    pandas / Python objects. Use only on small sides destined for a
+    ``ray.put`` broadcast."""
     import ray
 
-    ref = ray.put(pa.array(sorted(set(right_keys))))
+    refs = ds.select_columns([col]).to_arrow_refs()
+    blocks = [b for b in ray.get(list(refs)) if b.num_rows]
+    if not blocks:
+        return pa.array([], type=pa.int64())
+    arr = pa.concat_tables(blocks)[col].combine_chunks()
+    return pc.unique(arr)
+
+
+def broadcast_semi_join(left_ds, right_keys, left_key: str):
+    """Rows of ``left_ds`` WITH a match — same broadcast shape.
+
+    ``right_keys`` may be a Python iterable or an Arrow array (e.g. from
+    :func:`gather_key_array`); either way it ships once via ``ray.put``."""
+    import ray
+
+    if isinstance(right_keys, pa.ChunkedArray):
+        right_keys = right_keys.combine_chunks()
+    if isinstance(right_keys, pa.Array):
+        keys_arr = pc.unique(right_keys)
+    else:
+        keys_arr = pa.array(sorted(set(right_keys)))
+    ref = ray.put(keys_arr)
 
     def probe(batch: pa.Table) -> pa.Table:
         keys = ray.get(ref)
@@ -1457,12 +1488,33 @@ def tag_bucket(t: pa.Table, col: str, num_buckets: int, *, out_col: str = "__b")
     )
 
 
+def resolve_num_buckets(ds, requested=None, *, floor: int = 32) -> int:
+    """Bucket count for a hash-bucket exchange: the caller's explicit
+    ``requested`` wins; otherwise scale with the plan's input block
+    count (``max(floor, num_blocks)``) so reduce-stage parallelism and
+    per-bucket memory track the data instead of a fixed constant —
+    at 100× the input the exchange fans out 100× wider, not deeper."""
+    if requested is not None:
+        return int(requested)
+    # Dataset.num_blocks() raises for lazy plans; the plan's initial
+    # block estimate is available without executing and propagates
+    # through map_batches / union / repartition.
+    try:
+        n = ds._plan.initial_num_blocks()
+    except Exception:
+        try:
+            n = ds.num_blocks()
+        except Exception:
+            n = 0
+    return max(floor, int(n or 0))
+
+
 def bucketed_group_agg(
     ds,
     key: str,
     aggs: list[tuple[str, str]],
     *,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
     post=None,
 ):
     """High-cardinality grouped aggregate as ONE hash-bucket exchange +
@@ -1470,8 +1522,10 @@ def bucketed_group_agg(
     has millions of distinct values (Ray's native per-key
     ``groupby(key).aggregate`` pays its sort-based machinery per
     distinct key; bucketing by ``hash(key) % num_buckets`` turns that
-    into a 32-value groupby plus vectorized kernels; measured 13.4 s →
-    ~2 s on a 580k-row co-group in this sandbox).
+    into a num_buckets-value groupby plus vectorized kernels; measured
+    13.4 s → ~2 s on a 580k-row co-group in this sandbox).
+    ``num_buckets=None`` (default) auto-scales with the input block
+    count via :func:`resolve_num_buckets`.
 
     ``aggs``: Arrow aggregate specs [(col, fn)] with fn in
     sum|count|min|max|mean; null-skipping, so tagged-union co-grouping
@@ -1489,6 +1543,7 @@ def bucketed_group_agg(
             "so aggregating one column twice collides — alias the column "
             f"first (got {cols})"
         )
+    num_buckets = resolve_num_buckets(ds, num_buckets)
 
     def tag(t: pa.Table) -> pa.Table:
         return tag_bucket(t, key, num_buckets)
@@ -1516,7 +1571,7 @@ def fact_dim_cogroup(
     key: str,
     fact_cols: list[str],
     dim_cols: list[str],
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
     post=None,
 ):
     """INNER fact ⋈ unique-key dim by JOIN ELIMINATION: tag both sides,
@@ -1542,9 +1597,20 @@ def fact_dim_cogroup(
     """
     dsch = dataset_arrow_schema(dim_ds)
     dim_types = {c: dsch.field(c).type for c in dim_cols}
+    # Canonical key type for BOTH sides: _key_hash lands e.g. an int32
+    # fact key and an int64 dim key in the same bucket, but the in-bucket
+    # concat/group_by needs one Arrow type. Integers canonicalize to
+    # int64; otherwise the dim side's declared type wins.
+    key_type = dsch.field(key).type
+    if pa.types.is_integer(key_type):
+        key_type = pa.int64()
+
+    def _key_col(t: pa.Table) -> pa.Array | pa.ChunkedArray:
+        col = t[key]
+        return col if col.type == key_type else pc.cast(col, key_type)
 
     def pad_fact(t: pa.Table) -> pa.Table:
-        cols = {key: t[key]}
+        cols = {key: _key_col(t)}
         for c in fact_cols:
             cols[c] = t[c]
         for c in dim_cols:
@@ -1553,7 +1619,7 @@ def fact_dim_cogroup(
 
     def pad_dim(t: pa.Table) -> pa.Table:
         z = pa.array(np.zeros(t.num_rows, dtype=np.int64))
-        cols = {key: t[key]}
+        cols = {key: _key_col(t)}
         for c in fact_cols:
             cols[c] = z
         for c in dim_cols:

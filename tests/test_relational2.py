@@ -1810,3 +1810,58 @@ def test_fact_dim_cogroup_inner_semantics(ray_session):
     )
     want = pd.DataFrame({"k": [1, 2], "n": [3, 1], "v": [30, 7], "name": ["a", "b"]})
     pd.testing.assert_frame_equal(out, want.astype(out.dtypes.to_dict()))
+
+
+def test_resolve_num_buckets_scales_with_blocks(ray_session):
+    """Default bucket count tracks the plan's block count (VERDICT r3 #4):
+    more input blocks -> at least proportionally more buckets, floored at
+    32 for small inputs; an explicit request always wins."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        resolve_num_buckets,
+    )
+
+    small = rd.range(100).repartition(4)
+    big = rd.range(100).repartition(96)
+    assert resolve_num_buckets(small) == 32          # floor
+    assert resolve_num_buckets(big) >= 96            # grows with blocks
+    assert resolve_num_buckets(big) > resolve_num_buckets(small)
+    assert resolve_num_buckets(big, 8) == 8          # explicit wins
+
+
+def test_fact_dim_cogroup_normalizes_key_dtype(ray_session):
+    """An int32 fact key joins an int64 dim key without caller-side
+    casts: both sides canonicalize to int64 inside pad_fact/pad_dim
+    (ADVICE r3)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import fact_dim_cogroup
+
+    fact = pa.table(
+        {
+            "k": pa.array([1, 1, 2], type=pa.int32()),
+            "n": pa.array([1, 2, 1], type=pa.int64()),
+        }
+    )
+    dim = pa.table(
+        {
+            "k": pa.array([1, 2], type=pa.int64()),
+            "name": pa.array(["a", "b"]),
+        }
+    )
+    out = (
+        fact_dim_cogroup(
+            rd.from_arrow(fact),
+            rd.from_arrow(dim),
+            key="k",
+            fact_cols=["n"],
+            dim_cols=["name"],
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [1, 2]
+    assert out["n"].tolist() == [3, 1]
+    assert out["name"].tolist() == ["a", "b"]
