@@ -191,8 +191,12 @@ def kmeans(
     centroid matrix) and emits per-cluster mergeable partials
     (n, Σvec, Σ||x-c||²); the driver folds partials into new centroids
     — O(k x dim) driver state, no vector ever leaves its worker twice.
-    Initial centroids are the k smallest ``id_col`` rows
-    (deterministic, no RNG). Empty clusters keep their previous
+    Initial centroids are the k smallest ``id_col`` rows (or the
+    ``seed_ids`` rows, ordered by ``id_col``) — deterministic, no RNG.
+    Both seed paths are vectorized batch scans: a per-batch k-smallest
+    partial (never a global sort) or a broadcast ``pc.is_in`` filter
+    (never a per-row Python predicate); only k (or k×blocks bounded)
+    candidate rows reach the driver. Empty clusters keep their previous
     centroid. Lloyd's invariant — inertia never increases — is checked
     every iteration (1e-6 relative tolerance for float reduction
     order) and violations raise.
@@ -201,14 +205,40 @@ def kmeans(
     sizes ndarray (k,)).
     """
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     import ray
 
+    if seed_ids is None:
+        # Partial top-k: each batch keeps its k smallest ids; the
+        # driver merges k×num_batches bounded candidates.
+        def k_smallest(t: pa.Table) -> pa.Table:
+            t = t.select([id_col, vec_col])
+            idx = pc.sort_indices(t, sort_keys=[(id_col, "ascending")])
+            return t.take(idx.slice(0, k))
+
+        cand = ds.map_batches(
+            k_smallest, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        sref = ray.put(pa.array(list(seed_ids)))
+
+        def pick(t: pa.Table) -> pa.Table:
+            col = t[id_col]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            mask = pc.fill_null(pc.is_in(col, value_set=ray.get(sref)), False)
+            return t.select([id_col, vec_col]).filter(mask)
+
+        cand = ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
     head = (
-        ds.sort(id_col).limit(k).to_pandas()
-        if seed_ids is None
-        else ds.filter(lambda r: r[id_col] in seed_ids).to_pandas()
+        cand.to_pandas().sort_values(id_col).head(k).reset_index(drop=True)
     )
+    if len(head) < k:
+        raise ValueError(
+            f"kmeans: only {len(head)} seed rows found for k={k} "
+            f"(id_col={id_col!r}, seed_ids={'<given>' if seed_ids is not None else None})"
+        )
     cent = np.stack(
         [np.asarray(v, np.float64) for v in head[vec_col]]
     )  # (k, dim)
