@@ -491,8 +491,11 @@ def q_hll_cardinality(sf_dir: str):
 
 
 def q_drift_scores(sf_dir: str):
-    """Self-drift (snapshot built from the same data -> ~0 scores);
-    rows-only — sketch/statistical, not SQL-expressible."""
+    """Self-drift (snapshot built from the same data): KS over
+    identical integer-count histograms and PSI over identical pdfs are
+    EXACTLY +0.0, so this is hash-oracled against a constant-zero
+    DuckDB twin (one row per source partition + '__global__'); the
+    self-assert below additionally fails loudly on any drift flag."""
     from etl_data_validation_kio_ray.pipelines.validate import ValidationPipeline
 
     tok_dir = _token_table_dir(sf_dir)
@@ -534,8 +537,11 @@ def q_minhash_pairs(sf_dir: str):
 
 
 def q_simhash_signatures(sf_dir: str):
-    """Per-doc 64-bit SimHash (rows-only; the siphash word hashing is
-    not SQL-expressible). SELF-ASSERTED on the defining invariant:
+    """Per-doc 64-bit SimHash, hash-oracled against a DuckDB twin that
+    re-expresses the char-buffer word hash (byte/block Horner + length
+    mix + splitmix64) in UHUGEINT modular arithmetic and takes the
+    per-bit majority vote in SQL — see :func:`_simhash_sql`.
+    Additionally SELF-ASSERTED on the defining invariant:
     documents with identical text must hash to the same signature —
     checked DISTRIBUTED via count-distinct signatures per 64-bit text
     hash (the raw text never lands on the driver; a text-hash
@@ -2709,6 +2715,90 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # -------------------------------------------------------------------- oracle
 
 
+def _simhash_sql() -> str:
+    """DuckDB twin of dedup/simhash.add_simhash: per-word 64-bit hash
+    (functions/hashing.hash_string_array — byte-Horner for words <= 32
+    bytes, 8-byte little-endian block-Horner above, length mix, seed
+    mix, splitmix64 finalizer) re-expressed with UHUGEINT modular
+    arithmetic, then per-doc bit-majority vote (bit b set iff strictly
+    more word hashes have bit b set than clear). Distinct words hash
+    once; the hex(encode(w)) byte extraction matches the engine's
+    UTF-8 char-buffer path exactly (verified bit-exact incl. CJK)."""
+    base = 0x100000001B3 ^ 1  # seed=0 -> base ^ 1
+    lenk = 0x9E3779B97F4A7C15
+    seedmix = 0xD1B54A32D192ED03  # (seed*2+1) * 0xD1B54A32D192ED03 mod 2^64
+    c1, c2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    m = 1 << 64
+    fold = (
+        "(h, x) -> CAST((CAST(h AS UHUGEINT) * {b} + CAST(x AS UHUGEINT)) "
+        "% {m} AS UBIGINT)"
+    ).format(b=base, m=m)
+    sums = ",\n    ".join(
+        f"SUM(CASE WHEN (h >> CAST({b} AS UBIGINT)) & CAST(1 AS UBIGINT) "
+        f"= CAST(1 AS UBIGINT) THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(64)
+    )
+    low_bits = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(63)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+),
+dw AS (SELECT DISTINCT w FROM words),
+db AS (
+  SELECT w, hex(encode(w)) AS hx, octet_length(encode(w)) AS len FROM dw
+),
+dbytes AS (
+  SELECT w, len,
+    list_transform(range(0, len), i ->
+      CAST((strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INT), 1))-1)*16
+         + (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INT), 1))-1)
+        AS UBIGINT)) AS bl
+  FROM db
+),
+horner AS (
+  SELECT w, len,
+    CASE WHEN len <= 32 THEN
+      list_reduce(list_prepend(CAST(0 AS UBIGINT), bl), {fold})
+    ELSE
+      list_reduce(list_prepend(CAST(0 AS UBIGINT),
+        list_transform(range(0, CAST(ceil(len/8.0) AS BIGINT)), blk ->
+          CAST(list_reduce(list_prepend(CAST(0 AS UHUGEINT),
+            list_transform(range(0, 8), j ->
+              CASE WHEN blk*8+j < len
+                THEN CAST(bl[CAST(blk*8+j+1 AS INT)] AS UHUGEINT)
+                     * (CAST(1 AS UHUGEINT) << CAST(8*j AS UHUGEINT))
+                ELSE CAST(0 AS UHUGEINT) END)),
+            (a, c) -> a + c) % {m} AS UBIGINT))), {fold})
+    END AS h0
+  FROM dbytes
+),
+mixed AS (
+  SELECT w, xor(xor(h0,
+      CAST((CAST(len AS UHUGEINT) * {lenk}) % {m} AS UBIGINT)),
+    CAST({seedmix} AS UBIGINT)) AS h1
+  FROM horner
+),
+sm0 AS (SELECT w, CAST((CAST(h1 AS UHUGEINT) + {lenk}) % {m} AS UBIGINT) AS z FROM mixed),
+sm1 AS (SELECT w, CAST((CAST(xor(z, z >> CAST(30 AS UBIGINT)) AS UHUGEINT) * {c1}) % {m} AS UBIGINT) AS z FROM sm0),
+sm2 AS (SELECT w, CAST((CAST(xor(z, z >> CAST(27 AS UBIGINT)) AS UHUGEINT) * {c2}) % {m} AS UBIGINT) AS z FROM sm1),
+wh AS (SELECT w, xor(z, z >> CAST(31 AS UBIGINT)) AS h FROM sm2),
+bitsums AS (
+  SELECT doc_id,
+    {sums}
+  FROM words JOIN wh USING (w)
+  GROUP BY doc_id
+)
+SELECT doc_id,
+  CAST((CASE WHEN s63 > 0 THEN CAST(-9223372036854775807 AS BIGINT) - 1
+        ELSE 0 END) + {low_bits} AS BIGINT) AS simhash
+FROM bitsums
+ORDER BY doc_id
+"""
+
+
 def _lang_id_sql() -> str:
     """DuckDB twin of functions/text.lang_id_batch: per-word stopword
     hits per language, argmax with first-max tie-breaking in dict
@@ -2744,6 +2834,22 @@ FROM s GROUP BY lang ORDER BY lang
 def oracle_sql() -> dict[str, str]:
     return {
         "lang_id": _lang_id_sql(),
+        "simhash_signatures": _simhash_sql(),
+        # Self-drift against a snapshot of the SAME data: the engine's
+        # KS (max |cdf diff| of identical integer-count histograms) and
+        # PSI ((q-p)*log(q/p) with q==p elementwise) are EXACTLY +0.0,
+        # so the closed form is constant-zero per partition; partitions
+        # are the token table's per-source files plus '__global__'.
+        "drift_scores": """
+SELECT source AS partition,
+       CAST(0.0 AS DOUBLE) AS ks_n_tok,
+       CAST(0.0 AS DOUBLE) AS psi_tokens,
+       FALSE AS drifted
+FROM documents GROUP BY source
+UNION ALL
+SELECT '__global__', CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), FALSE
+ORDER BY partition
+""",
         "tokenize": f"WITH {TOKENIZE_CTE} SELECT * FROM tok",
         "validate_verdicts": f"""
 WITH {TOKENIZE_CTE},
