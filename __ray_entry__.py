@@ -3187,8 +3187,11 @@ s AS (
   GROUP BY ww.doc_id, ww.source
 )
 SELECT source, CAST(count(lp) AS BIGINT) AS n_scored,
-       CAST(round(avg(lp) * 1000000) AS BIGINT) AS avg_logprob_q6,
-       CAST(round(avg(oov) * 1000000) AS BIGINT) AS avg_oov_q6
+       -- round_even: same half-to-EVEN tie-break as the engine's
+       -- np.round, so a value ON a .5 micro-unit boundary cannot
+       -- hash-split across engines (functions/text.py quantization)
+       CAST(round_even(avg(lp) * 1000000, 0) AS BIGINT) AS avg_logprob_q6,
+       CAST(round_even(avg(oov) * 1000000, 0) AS BIGINT) AS avg_oov_q6
 FROM s GROUP BY source ORDER BY source
 """,
         "contamination": """
@@ -3315,8 +3318,9 @@ cent AS (
   GROUP BY label
 )
 SELECT CAST(e.label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n,
-       CAST(round(avg(e.nrm) * 1000000) AS BIGINT) AS avg_norm_q6,
-       CAST(round(max(cent.centroid_norm) * 1000000) AS BIGINT) AS centroid_norm_q6
+       -- round_even matches the engine's np.round half-even tie-break
+       CAST(round_even(avg(e.nrm) * 1000000, 0) AS BIGINT) AS avg_norm_q6,
+       CAST(round_even(max(cent.centroid_norm) * 1000000, 0) AS BIGINT) AS centroid_norm_q6
 FROM e JOIN cent ON e.label = cent.label
 GROUP BY e.label ORDER BY label
 """,

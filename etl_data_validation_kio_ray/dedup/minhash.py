@@ -249,16 +249,29 @@ def minhash_dedup_pairs(
 
     def publish(out: pd.DataFrame) -> pd.DataFrame:
         # written on EVERY return path: an empty result REPLACES any
-        # previous run's pairs rather than leaving them stale
+        # previous run's pairs rather than leaving them stale.
+        # SINGLE-WRITER assumption: os.replace is atomic per process,
+        # but two concurrent runs sharing one sink_dir last-write-win;
+        # the embedded run_id metadata lets a downstream consumer
+        # detect which run produced the file (and mixed-run reads).
         if sink_dir is not None:
             import os
+            import uuid
 
             import pyarrow as pa
             import pyarrow.parquet as pq
 
             os.makedirs(sink_dir, exist_ok=True)
+            tbl = pa.Table.from_pandas(out, preserve_index=False)
+            tbl = tbl.replace_schema_metadata(
+                {
+                    **(tbl.schema.metadata or {}),
+                    b"minhash_pairs_run_id": uuid.uuid4().hex.encode(),
+                    b"minhash_pairs_writer_pid": str(os.getpid()).encode(),
+                }
+            )
             tmp = os.path.join(sink_dir, f"pairs.parquet.tmp.{os.getpid()}")
-            pq.write_table(pa.Table.from_pandas(out, preserve_index=False), tmp)
+            pq.write_table(tbl, tmp)
             os.replace(tmp, os.path.join(sink_dir, "pairs.parquet"))
         return out
 

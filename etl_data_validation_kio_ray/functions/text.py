@@ -481,7 +481,13 @@ def unigram_logprob_scores(
     # numpy SIMD log and DuckDB/libm ln() are not guaranteed the same
     # in the last ULP, and float-mean association adds ~1e-12 — both
     # orders of magnitude below the 5e-7 rounding boundary, so the
-    # quantized integers hash bit-for-bit across engines.
+    # quantized integers hash bit-for-bit across engines. Caveat: this
+    # margin argument assumes the true value is not itself within
+    # ~1e-12 of an exact .5 micro-unit boundary — np.round is
+    # half-to-EVEN while DuckDB round() is half-AWAY-from-zero, so a
+    # value landing on the boundary would tie-break differently. The
+    # oracle SQL therefore uses the same half-even rule
+    # (see __ray_entry__ lm_scores: ROUND_HALF_EVEN via even()/floor).
     out["avg_logprob_q6"] = np.round(out["avg_logprob"] * 1e6).astype("int64")
     out["avg_oov_q6"] = np.round(out["avg_oov"] * 1e6).astype("int64")
     out = out.drop(columns=["avg_logprob", "avg_oov"])

@@ -82,6 +82,11 @@ def brute_force_topk(
 
 
 def _merge_topk(partials: pd.DataFrame, id_col: str, k: int) -> pd.DataFrame:
+    """Driver-side merge of per-batch top-k partials. Bounded by
+    construction: each scoring batch emits at most k rows per query, so
+    ``partials`` holds <= k x num_batches x num_queries rows (k and the
+    query count are small constants; batches are ~block count) — never
+    proportional to the corpus."""
     out = []
     for qid, g in partials.groupby("query_id"):
         g = g.sort_values(["score", id_col], ascending=[False, True]).head(k)

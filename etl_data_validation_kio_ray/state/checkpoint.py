@@ -53,7 +53,10 @@ class AuditLog:
 
     def append(self, event: str, **fields: Any) -> None:
         rec = {"ts": time.time(), "event": event, **fields}
-        line = json.dumps(rec, sort_keys=True) + "\n"
+        # default=str: an unexpected field type (numpy scalar, Arrow
+        # timestamp) degrades to its string form instead of raising
+        # inside claim/finish and killing the run mid-pipeline
+        line = json.dumps(rec, sort_keys=True, default=str) + "\n"
         with self._lock:
             with open(self.path, "a") as f:
                 f.write(line)
