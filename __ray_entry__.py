@@ -1560,7 +1560,7 @@ def q_order_item_consistency(sf_dir: str):
             ("total_cents", "max"),
             ("status", "max"),
         ],
-        num_buckets=32,
+        # num_buckets auto-scales with input blocks (resolve_num_buckets)
         post=flags,  # key-complete inside a bucket: flag and shrink there
     )
     out = grouped_agg(

@@ -1652,7 +1652,7 @@ def funnel_counts(
     type_col: str,
     steps: list[str],
     *,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
 ) -> pd.DataFrame:
     """Ordered funnel / sequence-pattern counts: how many users
     performed step 1, then step 2 at-or-after their FIRST step-1 event,
@@ -1678,6 +1678,7 @@ def funnel_counts(
     if len(step_idx) != len(steps):
         raise ValueError("funnel_counts: steps must be distinct")
     steps_arr = pa.array(steps, pa.string())
+    num_buckets = resolve_num_buckets(ds, num_buckets)
 
     def project(t: pa.Table) -> pa.Table:
         t = t.filter(
@@ -1738,7 +1739,7 @@ def funnel_counts(
 
 
 def grouped_mode(
-    ds, key: str, value_col: str, *, num_buckets: int = 32
+    ds, key: str, value_col: str, *, num_buckets: int | None = None
 ) -> pd.DataFrame:
     """Per-group MODE of ``value_col`` with the deterministic SQL
     tiebreak (highest count, then smallest value) — the most-frequent-
@@ -1761,6 +1762,8 @@ def grouped_mode(
     Returns a pandas DataFrame (key, mode, mode_count) sorted by key.
     """
     from ..functions.grouping import run_starts
+
+    num_buckets = resolve_num_buckets(ds, num_buckets)
 
     def cells(t: pa.Table) -> pa.Table:
         k = t[key]
