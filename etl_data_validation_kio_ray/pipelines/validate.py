@@ -826,22 +826,33 @@ def _candidate_hashes(out_dir: str, owners: dict[str, str]) -> pa.Table | None:
         return None
     total = sum(size for _, _, size in groups)
     if total <= DRIVER_UNIQUE_MAX_BYTES:
-        from ..stages.uniqueness import blob_hashes, dup_values
+        from ..stages.uniqueness import dup_values, writable_blob_hashes
 
-        chunks = []
+        # writable views sorted IN PLACE inside the freshly-read Arrow
+        # buffers: a fresh np.sort copy's first-touch page faults cost
+        # ~4x the sort on fragmented hosts, and this scan is the serial
+        # driver tail of EVERY run (the tables are function-local and
+        # discarded, so mutating their payload buffers is safe)
+        chunks: list = []
+        keepalive: list = []
         for pq_files, mine, _ in groups:
             t = pads.dataset(pq_files).to_table(columns=["partition", "payload"])
             if mine is not None:
                 t = t.filter(
                     pc.is_in(t["partition"], value_set=pa.array(mine, pa.string()))
                 )
-            h = blob_hashes(t["payload"])  # zero-copy concat view
+            h, ka = writable_blob_hashes(t["payload"])
             if len(h):
                 chunks.append(h)
+                keepalive.append(ka)
         if not chunks:
             return pa.table({"h": pa.array([], pa.int64())})
+        # single group: sort its own buffer; several: the concat copy is
+        # freshly owned, sort that in place instead
         h = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
-        return pa.table({"h": pa.array(dup_values(h), pa.int64())})
+        out = pa.table({"h": pa.array(dup_values(h, sort_inplace=True), pa.int64())})
+        del h, chunks, keepalive
+        return out
     return candidate_hashes_from_blobs(_hash_rows_dataset_from_groups(groups))
 
 

@@ -54,17 +54,62 @@ def blob_hashes(binary_arr) -> np.ndarray:
     return np.frombuffer(data_buf, dtype=np.uint8)[start:end].view(np.int64)
 
 
-def dup_values(h: np.ndarray) -> np.ndarray:
+def writable_blob_hashes(binary_arr) -> tuple[np.ndarray, object]:
+    """Like :func:`blob_hashes` but the returned int64 array is
+    WRITABLE — zero-copy into the column's own Arrow buffer when that
+    buffer is mutable (freshly read / filtered, exclusively owned) and
+    8-aligned, else a fresh copy.
+
+    Returns ``(array, keepalive)``: the caller MUST hold ``keepalive``
+    (the Arrow array backing a zero-copy view) for as long as the numpy
+    array is used — the ctypes view does not itself reference the
+    buffer. Mutating the view mutates the column; only use this on
+    tables the caller owns exclusively and discards afterwards (the
+    driver-side candidate scan over freshly-read kind=hash rows)."""
+    if isinstance(binary_arr, pa.ChunkedArray):
+        binary_arr = binary_arr.combine_chunks()
+    arr = binary_arr.drop_null()
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.int64), None
+    offs_buf, data_buf = arr.buffers()[1], arr.buffers()[2]
+    offs = np.frombuffer(offs_buf, dtype=np.int32)
+    start = int(offs[arr.offset])
+    end = int(offs[arr.offset + len(arr)])
+    n = (end - start) // 8
+    if data_buf.is_mutable and (data_buf.address + start) % 8 == 0:
+        import ctypes
+
+        view = np.ctypeslib.as_array(
+            (ctypes.c_int64 * n).from_address(data_buf.address + start)
+        )
+        return view, arr
+    return (
+        np.frombuffer(data_buf, dtype=np.uint8)[start:end].view(np.int64).copy(),
+        None,
+    )
+
+
+def dup_values(h: np.ndarray, *, sort_inplace: bool = False) -> np.ndarray:
     """Distinct values occurring more than once. sort+diff, not
     np.unique(return_counts): the sort-only path is dramatically faster
     (np.unique's extra passes dominate on large arrays) and duplicates
-    are assumed rare, so the second-level dedupe input is tiny."""
+    are assumed rare, so the second-level dedupe input is tiny.
+
+    ``sort_inplace=True`` sorts ``h``'s own memory (caller must own it
+    exclusively): ``np.sort`` otherwise allocates a fresh copy whose
+    first-touch page faults cost ~4x the sort itself on fragmented
+    hosts (measured: 1.3 s fresh-alloc vs 0.26 s in-place over 16M
+    int64) — this is the driver-tail path of every validation run."""
     if len(h) < 2:
         return np.empty(0, dtype=h.dtype if len(h) else np.int64)
-    s = np.sort(h)
+    if sort_inplace and h.flags.writeable:
+        h.sort()
+        s = h
+    else:
+        s = np.sort(h)
     cand = s[1:][s[1:] == s[:-1]]
     if len(cand) == 0:
-        return cand
+        return cand.copy()  # never alias the (possibly huge) sort buffer
     return np.unique(cand)  # tiny
 
 

@@ -389,3 +389,38 @@ def test_audit_log_filter_and_torn_tail(tmp_path):
         f.write('{"ts": 1, "event": "fai')  # torn write
     assert [e["partition"] for e in log.events(event="claim")] == ["p0", "p1"]
     assert len(log.events()) == 3
+
+
+def test_writable_blob_hashes_inplace_dup_scan_matches_readonly():
+    """The driver-tail candidate scan sorts IN PLACE inside the Arrow
+    buffer (fresh np.sort copies fault catastrophically on fragmented
+    hosts); the in-place path must produce identical duplicates and the
+    zero-copy view must actually alias the column's buffer."""
+    import pyarrow as pa
+
+    from etl_data_validation_kio_ray.stages.uniqueness import (
+        blob_hashes,
+        dup_values,
+        writable_blob_hashes,
+    )
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(-(2**62), 2**62, 1000, dtype=np.int64)
+    vals[10] = vals[500]
+    vals[20] = vals[30] = vals[600]
+    blobs = [vals[i : i + 100].tobytes() for i in range(0, 1000, 100)]
+    col = pa.chunked_array(
+        [pa.array(blobs[:5], pa.binary()), pa.array(blobs[5:], pa.binary())]
+    )
+    ro = blob_hashes(col)
+    w, keepalive = writable_blob_hashes(col)
+    assert np.array_equal(ro, np.asarray(w))
+    if keepalive is not None:  # zero-copy: mutating the view hits the buffer
+        assert w.flags.writeable
+    expect = dup_values(np.asarray(ro).copy())
+    got = dup_values(w, sort_inplace=True)
+    assert np.array_equal(expect, got)
+    assert set(expect.tolist()) == {int(vals[500]), int(vals[600])}
+    # empty column round-trips
+    e, ka = writable_blob_hashes(pa.array([], pa.binary()))
+    assert len(e) == 0 and len(dup_values(e, sort_inplace=True)) == 0
