@@ -228,6 +228,21 @@ def _init_ray(num_cpus: int) -> None:
 
 
 def run_child(num_cpus: int) -> None:
+    # Pin the ENTIRE process tree (driver, raylet, GCS, workers — all
+    # spawned after this call inherit the mask) to exactly num_cpus
+    # physical cores. Without this the "N-CPU" level is only a logical
+    # token budget: Ray's driver/raylet/Arrow threads ride free on the
+    # VM's other 31 cores, which boosts the 1-CPU level ~1.2x more than
+    # the 4-CPU level (measured via /proc/stat busy accounting) and
+    # deflates the measured ratio. A real cluster of N single-core
+    # nodes runs each node's raylet/driver share INSIDE its core — the
+    # pinned child is the faithful stand-in. GRAFT_PIN_CPUS=0 restores
+    # the unpinned (logical-tokens-only) behavior for comparison.
+    if os.environ.get("GRAFT_PIN_CPUS", "1") != "0":
+        try:
+            os.sched_setaffinity(0, set(range(num_cpus)))
+        except (AttributeError, OSError):
+            pass  # non-Linux or restricted sandbox: logical tokens only
     _host_hygiene()
     _init_ray(num_cpus)
     out = _headline(num_cpus)
