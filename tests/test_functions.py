@@ -497,3 +497,47 @@ def test_token_vocab_coverage_topv(ray_session):
         }
     )
     pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_pii_scrub_table():
+    """Redaction + audit columns: counts per kind, post-redaction
+    lengths, null tolerance, and the email-before-ipv4 ordering (a
+    dotted digit run inside an email must not double-redact)."""
+    from etl_data_validation_kio_ray.functions.pii import redact, scrub_table
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 2], pa.int64()),
+            "a": pa.array(
+                [
+                    "call 25-989-741-2988 now",
+                    None,
+                    "mail a.b+1@ex-ample.co.uk or 10.0.0.255",
+                ]
+            ),
+            "b": pa.array(["x", "ip 1.2.3.4", "25-989-741-2988"]),
+        }
+    )
+    got = scrub_table(t, ["a", "b"], keep=["k"])
+    assert got["a"].to_pylist() == [
+        "call [PHONE] now",
+        None,
+        "mail [EMAIL] or [IP]",
+    ]
+    assert got["b"].to_pylist() == ["x", "ip [IP]", "[PHONE]"]
+    assert got["phone_n"].to_pylist() == [1, 0, 1]
+    assert got["email_n"].to_pylist() == [0, 0, 1]
+    assert got["ipv4_n"].to_pylist() == [0, 1, 1]
+    # redacted_chars = len(a_redacted or '') + len(b_redacted)
+    assert got["redacted_chars"].to_pylist() == [
+        len("call [PHONE] now") + 1,
+        len("ip [IP]"),
+        len("mail [EMAIL] or [IP]") + len("[PHONE]"),
+    ]
+    # ordering: a dotted digit run inside a REAL email (alpha TLD) is
+    # consumed by the EMAIL pass first; a digits-only host is not an
+    # email (TLD must be alphabetic) and falls through to the IPv4 pass
+    assert redact(pa.array(["u1.2.3.4@ex.com", "u@1.2.3.44"])).to_pylist() == [
+        "[EMAIL]",
+        "u@[IP]",
+    ]
