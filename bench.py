@@ -101,6 +101,8 @@ BENCH_QUERIES = [
     "global_price_ranks",
     "supplier_by_nation",
     "events_by_hour",
+    # round 4: regex-scrub shape (RE2 redact + grouped audit)
+    "pii_scrub",
 ]
 
 
