@@ -2685,6 +2685,37 @@ def q_pii_scrub(sf_dir: str):
     return out.sort_values("source").reset_index(drop=True)
 
 
+def q_dup_ngram_rate(sf_dir: str):
+    """Duplicated word-3-gram occurrence counts per source — the corpus
+    quality metric behind "fraction of duplicated n-grams" in LLM data
+    curation: an occurrence is duplicated iff its gram appears >= 2
+    times in the WHOLE corpus (within- or cross-document). One
+    hash-bucket exchange of per-batch (gram, source, cnt) partials;
+    each bucket owns its grams so the global per-gram total is
+    in-bucket, and emits <= 20 per-source partial rows
+    (dedup/ngram.py dup_gram_stats). Integer outputs only — the rate
+    is dup_grams / n_grams, left to the consumer so the oracle stays
+    hash-exact."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.dedup.ngram import dup_gram_stats
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+    partials = dup_gram_stats(docs, text_col="text", group_col="source", k=3)
+    out = grouped_agg(
+        partials,
+        ["source"],
+        {"n_grams": ("n_grams", "sum"), "dup_grams": ("dup_grams", "sum")},
+    )
+    out = out[["source", "n_grams", "dup_grams"]]
+    for c in ("n_grams", "dup_grams"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -2777,6 +2808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_stats": q_embedding_stats,
         # --- round-4 additions (beyond the scored window) ---
         "pii_scrub": q_pii_scrub,
+        "dup_ngram_rate": q_dup_ngram_rate,
     }
 
 
@@ -3792,5 +3824,24 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(ipv4_n) AS BIGINT) AS ipv4_n,
        CAST(sum(redacted_chars) AS BIGINT) AS redacted_chars
 FROM scrub GROUP BY source ORDER BY source
+""",
+        # Gram identity is the exact lowercased space-joined string on
+        # both engines (dedup/ngram.py gram_occurrences); all outputs
+        # integer counts, so the hash is exact by construction.
+        "dup_ngram_rate": r"""
+WITH words AS (
+  SELECT source, string_split(lower(text), ' ') AS w FROM documents
+), pos AS (
+  SELECT source, w, unnest(generate_series(1, len(w) - 2)) AS i
+  FROM words WHERE len(w) >= 3
+), grams AS (
+  SELECT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM pos
+), tot AS (
+  SELECT g, count(*) AS c FROM grams GROUP BY g
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN tot.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams
+FROM grams JOIN tot USING (g)
+GROUP BY source ORDER BY source
 """,
     }

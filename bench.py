@@ -101,8 +101,10 @@ BENCH_QUERIES = [
     "global_price_ranks",
     "supplier_by_nation",
     "events_by_hour",
-    # round 4: regex-scrub shape (RE2 redact + grouped audit)
+    # round 4: regex-scrub shape (RE2 redact + grouped audit), global
+    # duplicated-n-gram fraction (gram-owned bucket exchange)
     "pii_scrub",
+    "dup_ngram_rate",
 ]
 
 

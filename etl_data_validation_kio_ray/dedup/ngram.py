@@ -104,6 +104,128 @@ def semi_join_docs(
     return both.groupby("__b").map_groups(_semi, batch_format="pyarrow")
 
 
+def gram_occurrences(
+    t, *, text_col: str = "text", k: int = 3, carry: list[str] | None = None
+):
+    """One row per word-k-gram OCCURRENCE in the batch (no dedup):
+    column ``g`` (the lowercased space-joined gram) plus each ``carry``
+    column taken from the occurrence's row. Fully vectorized: one
+    split_pattern over the batch's char buffer, k shifted slices joined
+    element-wise, and doc-boundary windows masked with k-1 vectorized
+    passes over the offsets — never a per-document Python loop."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    carry = carry or []
+    text = t[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    words = pc.split_pattern(pc.utf8_lower(pc.fill_null(text, "")), " ")
+    flat = (
+        words.values
+        if not isinstance(words, pa.ChunkedArray)
+        else words.combine_chunks().values
+    )
+    off = np.asarray(words.offsets, dtype=np.int64)
+    off = off - off[0]
+    n = len(flat)
+    empty_cols = {"g": pa.array([], pa.string())}
+    for c in carry:
+        empty_cols[c] = pa.array([], t[c].type)
+    if n < k:
+        return pa.table(empty_cols)
+    parts = [flat.slice(i, n - k + 1) for i in range(k)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    valid = np.ones(n - k + 1, dtype=bool)
+    # windows straddling a doc boundary: starts s-j for j in 1..k-1
+    # (vectorized over boundaries; k-1 passes, never per-document)
+    for j in range(1, k):
+        b = off[1:-1] - j
+        b = b[(b >= 0) & (b <= n - k)]
+        valid[b] = False
+    vmask = pa.array(valid)
+    cols = {"g": grams.filter(vmask)}
+    if carry:
+        counts = np.diff(off)
+        docidx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        take_idx = pa.array(docidx[: n - k + 1][valid])
+        for c in carry:
+            vals = t[c]
+            if isinstance(vals, pa.ChunkedArray):
+                vals = vals.combine_chunks()
+            cols[c] = vals.take(take_idx)
+    return pa.table(cols)
+
+
+def dup_gram_stats(
+    ds,
+    *,
+    text_col: str = "text",
+    group_col: str = "source",
+    k: int = 3,
+    num_partitions: int | None = None,
+):
+    """Per-group duplicated-n-gram occurrence counts — the corpus
+    quality metric "what fraction of this source's k-gram occurrences
+    are duplicated somewhere in the corpus" (within- OR cross-document
+    repeats both count; an occurrence is duplicated iff its gram's
+    GLOBAL occurrence count is >= 2).
+
+    Scale shape: each batch collapses its occurrences to (g, group,
+    cnt) partials with one Arrow hash-aggregate, so the single
+    hash-bucket exchange carries distinct-per-batch rows, never one row
+    per occurrence. Each bucket owns its grams entirely (hash(g)
+    buckets), so the global per-gram total is computable in-bucket;
+    the bucket then emits <= |groups| partial rows and the final
+    groupby is driver-trivial. Grams travel as exact strings
+    (bit-identical to the SQL twin) as in cross_corpus_contamination.
+
+    Returns a lazy Dataset of per-bucket partials (group_col, n_grams,
+    dup_grams); callers sum per group (e.g. via relational.grouped_agg).
+
+    Reference analog: the reference's duplicate-detection family
+    (/root/reference/src/app2/validators/dds/rules_suite checks) at
+    n-gram granularity rather than row granularity.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..pipelines.relational import resolve_num_buckets, tag_bucket
+
+    nb = resolve_num_buckets(ds, num_partitions)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        occ = gram_occurrences(t, text_col=text_col, k=k, carry=[group_col])
+        part = occ.group_by(["g", group_col]).aggregate([([], "count_all")])
+        part = part.rename_columns(["g", group_col, "cnt"])
+        return tag_bucket(part, "g", nb)
+
+    def _reduce(g: pa.Table) -> pa.Table:
+        cnt = g["cnt"]
+        if isinstance(cnt, pa.ChunkedArray):
+            cnt = cnt.combine_chunks()
+        cnt = pc.cast(cnt, pa.int64())
+        tot = g.group_by("g").aggregate([("cnt", "sum")])
+        dup_g = tot.filter(pc.greater(tot["cnt_sum"], 1))["g"]
+        if isinstance(dup_g, pa.ChunkedArray):
+            dup_g = dup_g.combine_chunks()
+        isdup = pc.is_in(g["g"], value_set=dup_g)
+        dup_cnt = pc.if_else(isdup, cnt, pa.scalar(0, pa.int64()))
+        out = pa.table(
+            {group_col: g[group_col], "n_grams": cnt, "dup_grams": dup_cnt}
+        )
+        out = out.group_by(group_col).aggregate(
+            [("n_grams", "sum"), ("dup_grams", "sum")]
+        )
+        return out.rename_columns([group_col, "n_grams", "dup_grams"])
+
+    tagged = ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return tagged.groupby("__b").map_groups(_reduce, batch_format="pyarrow")
+
+
 def cross_corpus_contamination(
     train_ds,
     test_ds,
@@ -137,44 +259,13 @@ def cross_corpus_contamination(
     docs with at least one gram (< k words -> no grams, excluded), and
     those sharing a gram with train.
     """
-    import numpy as np
     import pyarrow as pa
-    import pyarrow.compute as pc
 
     def _grams(t: pa.Table, with_doc: bool) -> pa.Table:
-        text = t[text_col]
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        words = pc.split_pattern(pc.utf8_lower(pc.fill_null(text, "")), " ")
-        flat = words.values if not isinstance(words, pa.ChunkedArray) else words.combine_chunks().values
-        off = np.asarray(words.offsets, dtype=np.int64)
-        off = off - off[0]
-        n = len(flat)
-        empty_cols = {"g": pa.array([], pa.string())}
-        if with_doc:
-            empty_cols[id_col] = pa.array([], t[id_col].type)
-        if n < k:
-            return pa.table(empty_cols)
-        parts = [flat.slice(i, n - k + 1) for i in range(k)]
-        grams = pc.binary_join_element_wise(*parts, " ")
-        valid = np.ones(n - k + 1, dtype=bool)
-        # windows straddling a doc boundary: starts s-j for j in 1..k-1
-        # (vectorized over boundaries; k-1 passes, never per-document)
-        for j in range(1, k):
-            b = off[1:-1] - j
-            b = b[(b >= 0) & (b <= n - k)]
-            valid[b] = False
-        cols = {"g": grams.filter(pa.array(valid))}
-        if with_doc:
-            counts = np.diff(off)
-            docidx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
-            ids = t[id_col]
-            if isinstance(ids, pa.ChunkedArray):
-                ids = ids.combine_chunks()
-            cols[id_col] = ids.take(pa.array(docidx[: n - k + 1][valid]))
-        out = pa.table(cols)
-        keys = [id_col, "g"] if with_doc else ["g"]
-        return out.group_by(keys).aggregate([]).select(list(empty_cols))
+        carry = [id_col] if with_doc else []
+        occ = gram_occurrences(t, text_col=text_col, k=k, carry=carry)
+        keys = carry + ["g"]
+        return occ.group_by(keys).aggregate([]).select(["g"] + carry)
 
     train_grams = train_ds.map_batches(
         lambda t: _grams(t, False), batch_format="pyarrow", zero_copy_batch=True

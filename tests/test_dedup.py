@@ -525,3 +525,68 @@ def test_kmeans_matches_numpy_lloyds(ray_session):
             break
         c = new_c
     np.testing.assert_allclose(cent, c, rtol=1e-9)
+
+
+def test_gram_occurrences_carry_and_boundaries():
+    """Occurrence-level gram extraction: no dedup, carry columns track
+    the originating row, windows never straddle documents."""
+    from etl_data_validation_kio_ray.dedup.ngram import gram_occurrences
+
+    t = pa.table(
+        {
+            "src": pa.array(["a", "b", "a"]),
+            "text": pa.array(
+                [
+                    "x y z x y z",  # 4 grams, "x y z" twice (within-doc dup)
+                    "tail x",  # too short
+                    "y z x",  # 1 gram; must NOT merge with doc 0's tail
+                ]
+            ),
+        }
+    )
+    occ = gram_occurrences(t, text_col="text", k=3, carry=["src"])
+    got = sorted(zip(occ["g"].to_pylist(), occ["src"].to_pylist()))
+    assert got == [
+        ("x y z", "a"),
+        ("x y z", "a"),
+        ("y z x", "a"),
+        ("y z x", "a"),
+        ("z x y", "a"),
+    ]
+
+
+def test_dup_gram_stats_planted(ray_session):
+    """Global >=2 occurrence rule: within-doc repeats count, a gram
+    shared across sources marks BOTH sides' occurrences duplicated,
+    and bucket partials sum to exact per-source totals."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.dedup.ngram import dup_gram_stats
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    t = pa.table(
+        {
+            "source": pa.array(["s1", "s1", "s2", "s2"]),
+            "text": pa.array(
+                [
+                    "a b c d",  # grams: "a b c", "b c d"
+                    "a b c",  # "a b c" again (cross-doc, same source)
+                    "b c d e",  # "b c d" (cross-source dup), "c d e"
+                    "zz",  # no grams
+                ]
+            ),
+        }
+    )
+    parts = dup_gram_stats(
+        rd.from_arrow(t).repartition(3), group_col="source", k=3, num_partitions=4
+    )
+    out = grouped_agg(
+        parts,
+        ["source"],
+        {"n_grams": ("n_grams", "sum"), "dup_grams": ("dup_grams", "sum")},
+    ).sort_values("source")
+    # s1: 3 occurrences, "a b c" x2 dup + "b c d" dup with s2 -> 3 dup
+    # s2: 2 occurrences, "b c d" dup -> 1 dup ("c d e" unique)
+    assert list(out["source"]) == ["s1", "s2"]
+    assert list(out["n_grams"].astype(int)) == [3, 2]
+    assert list(out["dup_grams"].astype(int)) == [3, 1]
