@@ -2716,6 +2716,22 @@ def q_dup_ngram_rate(sf_dir: str):
     return out.sort_values("source").reset_index(drop=True)
 
 
+def q_tfidf_terms(sf_dir: str):
+    """Top-5 characteristic terms per source by the exact-integer
+    tf-idf variant tf*1e9 // df (functions/text.py tfidf_top_terms) —
+    one word-bucketed exchange of per-batch (source, word, tf, df)
+    partials, per-bucket scoring + top-k, driver merges bucket
+    partials. Integer score -> hash-exact vs the SQL window twin."""
+    from etl_data_validation_kio_ray.functions.text import tfidf_top_terms
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+    return tfidf_top_terms(docs, text_col="text", group_col="source", k=5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -2809,6 +2825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-4 additions (beyond the scored window) ---
         "pii_scrub": q_pii_scrub,
         "dup_ngram_rate": q_dup_ngram_rate,
+        "tfidf_terms": q_tfidf_terms,
     }
 
 
@@ -3843,5 +3860,32 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
        CAST(sum(CASE WHEN tot.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams
 FROM grams JOIN tot USING (g)
 GROUP BY source ORDER BY source
+""",
+        # Integer score: tf * 1e9 // df (DuckDB // = floor division;
+        # all values positive, so it equals Arrow's truncating int64
+        # divide). Row order inside a source must match the Ray side's
+        # (score DESC, term ASC) total order.
+        "tfidf_terms": r"""
+WITH words AS (
+  SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS w
+  FROM documents
+), nz AS (
+  SELECT * FROM words WHERE w <> ''
+), tf AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS tf FROM nz GROUP BY source, w
+), df AS (
+  SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM nz GROUP BY w
+), scored AS (
+  SELECT source, w AS term, tf, df,
+         tf * 1000000000 // df AS score_x1e9
+  FROM tf JOIN df USING (w)
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY source ORDER BY score_x1e9 DESC, term
+  ) AS rk FROM scored
+)
+SELECT source, term, tf, df, score_x1e9
+FROM ranked WHERE rk <= 5
+ORDER BY source, score_x1e9 DESC, term
 """,
     }

@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     # duplicated-n-gram fraction (gram-owned bucket exchange)
     "pii_scrub",
     "dup_ngram_rate",
+    "tfidf_terms",
 ]
 
 

@@ -541,3 +541,40 @@ def test_pii_scrub_table():
         "[EMAIL]",
         "u@[IP]",
     ]
+
+
+def test_tfidf_top_terms_planted(ray_session):
+    """Exact-integer tf*1e9//df ranking: a term frequent in one source
+    but rare corpus-wide outranks a common word; ties break by term
+    ASC; k bounds per group; bucket partials merge exactly."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.functions.text import tfidf_top_terms
+
+    t = pa.table(
+        {
+            "source": pa.array(["s1", "s1", "s2"]),
+            "text": pa.array(
+                [
+                    "rare rare common",  # s1: tf(rare)=2 df(rare)=1
+                    "common zz",         # common: df=3
+                    "common other",
+                ]
+            ),
+        }
+    )
+    out = tfidf_top_terms(
+        rd.from_arrow(t).repartition(3),
+        group_col="source",
+        k=2,
+        num_partitions=4,
+    )
+    s1 = out[out["source"] == "s1"].reset_index(drop=True)
+    # rare: 2*1e9//1 = 2e9 beats common: 2*1e9//3 and zz: 1e9//1
+    assert list(s1["term"]) == ["rare", "zz"]
+    assert list(s1["score_x1e9"]) == [2_000_000_000, 1_000_000_000]
+    s2 = out[out["source"] == "s2"].reset_index(drop=True)
+    # other: 1e9//1 = 1e9; common: 1e9//3 = 333333333 (floor)
+    assert list(s2["term"]) == ["other", "common"]
+    assert list(s2["score_x1e9"]) == [1_000_000_000, 333_333_333]
+    assert len(out) == 4
