@@ -2716,6 +2716,66 @@ def q_dup_ngram_rate(sf_dir: str):
     return out.sort_values("source").reset_index(drop=True)
 
 
+def q_quality_gate_p10(sf_dir: str):
+    """Percentile-threshold quality gate — the data-curation pattern
+    "drop the shortest 10% of documents" with an EXACT global
+    threshold, not a sketch: pass 1 rank-selects the value at rank
+    (n-1)//10 + 1 of ORDER BY (n_chars, doc_id) via the
+    range-partitioned global_row_number (rows never leave workers; one
+    rank probe streams out), pass 2 re-streams the corpus counting
+    kept docs per source against the broadcast scalar threshold.
+    All-int64 output -> hash-exact."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        global_row_number,
+        grouped_agg,
+    )
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+    )
+    ranked, n_total = global_row_number(
+        docs.select_columns(["n_chars", "doc_id"]),
+        ["n_chars", "doc_id"],
+        out_col="rn",
+    )
+    if n_total == 0:
+        return pd.DataFrame(
+            {c: pd.Series(dtype="int64" if c != "source" else "object")
+             for c in ["source", "n_docs", "n_kept", "thr"]}
+        )
+    r = (n_total - 1) // 10 + 1
+
+    def probe(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["rn"], r))
+        return t.select(["n_chars"])
+
+    thr = int(
+        ranked.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()["n_chars"]
+        .iloc[0]
+    )
+
+    def flag(t: pa.Table) -> pa.Table:
+        kept = pc.cast(
+            pc.greater_equal(t["n_chars"], pa.scalar(thr, pa.int64())), pa.int64()
+        )
+        return pa.table({"source": t["source"], "kept": kept})
+
+    out = grouped_agg(
+        docs.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"],
+        {"n_docs": ("kept", "count"), "n_kept": ("kept", "sum")},
+    )
+    out = out[["source", "n_docs", "n_kept"]]
+    out["thr"] = thr
+    for c in ("n_docs", "n_kept", "thr"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def q_tfidf_terms(sf_dir: str):
     """Top-5 characteristic terms per source by the exact-integer
     tf-idf variant tf*1e9 // df (functions/text.py tfidf_top_terms) —
@@ -2826,6 +2886,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": q_pii_scrub,
         "dup_ngram_rate": q_dup_ngram_rate,
         "tfidf_terms": q_tfidf_terms,
+        "quality_gate_p10": q_quality_gate_p10,
     }
 
 
@@ -3887,5 +3948,20 @@ WITH words AS (
 SELECT source, term, tf, df, score_x1e9
 FROM ranked WHERE rk <= 5
 ORDER BY source, score_x1e9 DESC, term
+""",
+        # Same rank formula on both engines: (n-1)//10 + 1 over
+        # ORDER BY (n_chars, doc_id); >= threshold keeps ties.
+        "quality_gate_p10": r"""
+WITH o AS (
+  SELECT n_chars, row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+  FROM documents
+), t AS (
+  SELECT n_chars AS thr FROM o
+  WHERE rn = (SELECT (count(*) - 1) // 10 + 1 FROM documents)
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_chars >= t.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(t.thr AS BIGINT) AS thr
+FROM documents, t GROUP BY source, t.thr ORDER BY source
 """,
     }

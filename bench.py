@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "pii_scrub",
     "dup_ngram_rate",
     "tfidf_terms",
+    "quality_gate_p10",
 ]
 
 
