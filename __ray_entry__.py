@@ -2716,6 +2716,50 @@ def q_dup_ngram_rate(sf_dir: str):
     return out.sort_values("source").reset_index(drop=True)
 
 
+def q_incremental_dedup(sf_dir: str):
+    """Cross-RUN incremental dedup via the sharded stateful fingerprint
+    index (state/dedup_index.py — the package's raw-actor component):
+    run A ingests the even-doc_id half of the corpus through
+    DedupIndex.filter_new, the index is SAVED and RELOADED (persistence
+    is part of the contract), then run B streams the full corpus and
+    only first-ever-seen content survives. Output: per-run input and
+    first-seen counts, deterministic regardless of batch arrival order
+    (survivor identity is not, counts are). The SQL twin is exact
+    because the 64-bit content fingerprint is collision-free on this
+    corpus (verified: distinct hashes == distinct texts at every SF);
+    at open-world scale the operator's contract is probabilistic
+    (~n^2/2^64) and documented in the module."""
+    import tempfile
+
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.state.dedup_index import DedupIndex
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def even_half(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0))
+
+    half = docs.map_batches(even_half, batch_format="pyarrow", zero_copy_batch=True)
+    idx = DedupIndex(num_shards=8)
+    n_in_a = half.count()
+    n_new_a = idx.filter_new(half, ["text"]).count()
+    with tempfile.TemporaryDirectory(prefix="dedup_idx_") as d:
+        idx.save(d)
+        idx2 = DedupIndex(num_shards=8, path=d)  # resume from disk
+    n_in_b = docs.count()
+    n_new_b = idx2.filter_new(docs, ["text"]).count()
+    return pd.DataFrame(
+        {
+            "run": ["A", "B"],
+            "n_in": np.array([n_in_a, n_in_b], dtype=np.int64),
+            "n_new": np.array([n_new_a, n_new_b], dtype=np.int64),
+        }
+    )
+
+
 def q_quality_gate_p10(sf_dir: str):
     """Percentile-threshold quality gate — the data-curation pattern
     "drop the shortest 10% of documents" with an EXACT global
@@ -2887,6 +2931,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_rate": q_dup_ngram_rate,
         "tfidf_terms": q_tfidf_terms,
         "quality_gate_p10": q_quality_gate_p10,
+        "incremental_dedup": q_incremental_dedup,
     }
 
 
@@ -3963,5 +4008,22 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN n_chars >= t.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        CAST(t.thr AS BIGINT) AS thr
 FROM documents, t GROUP BY source, t.thr ORDER BY source
+""",
+        # First-seen semantics: run A sees the even-doc_id half's
+        # distinct texts; run B's first-seen set is the full corpus's
+        # distinct texts minus A's. Exact because the fingerprint is
+        # collision-free on this corpus (see q_incremental_dedup).
+        "incremental_dedup": r"""
+WITH a AS (SELECT text FROM documents WHERE doc_id % 2 = 0)
+SELECT * FROM (
+  SELECT 'A' AS run,
+         CAST((SELECT count(*) FROM a) AS BIGINT) AS n_in,
+         CAST((SELECT count(DISTINCT text) FROM a) AS BIGINT) AS n_new
+  UNION ALL
+  SELECT 'B',
+         CAST((SELECT count(*) FROM documents) AS BIGINT),
+         CAST((SELECT count(DISTINCT text) FROM documents
+               WHERE text NOT IN (SELECT text FROM a)) AS BIGINT)
+) ORDER BY run
 """,
     }

@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "dup_ngram_rate",
     "tfidf_terms",
     "quality_gate_p10",
+    "incremental_dedup",
 ]
 
 

@@ -32,29 +32,40 @@ MAX_DUP_ROWS_COLLECTED = 2_000_000  # driver-side safety valve
 CHASH = "__chash"
 
 
-def _with_content_hash(ds, content_cols: list[str], out_col: str = CHASH):
-    def add_hash(batch: pa.Table) -> pa.Table:
-        acc = None
-        for c in content_cols:
-            arr = batch[c]
-            if isinstance(arr, pa.ChunkedArray):
-                arr = arr.combine_chunks()
-            typ = arr.type
-            if (
-                pa.types.is_string(typ)
-                or pa.types.is_large_string(typ)
-                or pa.types.is_binary(typ)
-                or pa.types.is_large_binary(typ)
-            ):
-                # straight from the Arrow char buffer — no per-row
-                # Python objects for the (typically dominant) text cols
-                h = hash_string_array(arr)
-            else:
-                h = stable_hash64(arr.to_numpy(zero_copy_only=False))
-            acc = h if acc is None else (acc * np.uint64(0x100000001B3)) ^ h
-        return batch.append_column(out_col, pa.array(acc.astype("int64")))
+def content_hash_table(
+    batch: pa.Table, content_cols: list[str], out_col: str = CHASH
+) -> pa.Table:
+    """Append a vectorized 64-bit content-hash column over
+    ``content_cols`` (the shared fingerprint of dedup_exact and the
+    incremental DedupIndex — identical inputs hash identically across
+    both operators and across runs)."""
+    acc = None
+    for c in content_cols:
+        arr = batch[c]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        typ = arr.type
+        if (
+            pa.types.is_string(typ)
+            or pa.types.is_large_string(typ)
+            or pa.types.is_binary(typ)
+            or pa.types.is_large_binary(typ)
+        ):
+            # straight from the Arrow char buffer — no per-row
+            # Python objects for the (typically dominant) text cols
+            h = hash_string_array(arr)
+        else:
+            h = stable_hash64(arr.to_numpy(zero_copy_only=False))
+        acc = h if acc is None else (acc * np.uint64(0x100000001B3)) ^ h
+    return batch.append_column(out_col, pa.array(acc.astype("int64")))
 
-    return ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+
+def _with_content_hash(ds, content_cols: list[str], out_col: str = CHASH):
+    return ds.map_batches(
+        lambda t: content_hash_table(t, content_cols, out_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
 
 def _dup_content_hashes(hashed, *, num_buckets: int = 256) -> pa.Table:

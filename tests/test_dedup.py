@@ -590,3 +590,68 @@ def test_dup_gram_stats_planted(ray_session):
     assert list(out["source"]) == ["s1", "s2"]
     assert list(out["n_grams"].astype(int)) == [3, 2]
     assert list(out["dup_grams"].astype(int)) == [3, 1]
+
+
+def test_fingerprint_shard_set_semantics():
+    """check_and_add returns the previously-seen subset and registers
+    the rest; check() is read-only; snapshot round-trips."""
+    from etl_data_validation_kio_ray.state.dedup_index import FingerprintShard
+
+    s = FingerprintShard()
+    h = np.array([1, 2, 3], dtype=np.uint64)
+    assert np.frombuffer(s.check_and_add(h.tobytes()), np.uint64).size == 0
+    prev = np.frombuffer(
+        s.check_and_add(np.array([2, 3, 4], np.uint64).tobytes()), np.uint64
+    )
+    assert sorted(prev.tolist()) == [2, 3]
+    # read-only probe registers nothing
+    probe = np.frombuffer(s.check(np.array([4, 5], np.uint64).tobytes()), np.uint64)
+    assert sorted(probe.tolist()) == [4]
+    assert s.count() == 4
+    s2 = FingerprintShard(snapshot=s.snapshot())
+    assert s2.count() == 4
+    again = np.frombuffer(
+        s2.check_and_add(np.array([1, 9], np.uint64).tobytes()), np.uint64
+    )
+    assert again.tolist() == [1]
+
+
+def test_dedup_index_cross_run_and_persistence(ray_session, tmp_path):
+    """Two runs against one index: run B only emits content run A never
+    saw; within-batch and cross-batch repeats collapse; the saved index
+    reloads with identical state; shard-count mismatch raises."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.state.dedup_index import DedupIndex
+
+    a = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["x", "y", "x", "z"]),  # x repeated in-run
+        }
+    )
+    b = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12], pa.int64()),
+            "text": pa.array(["y", "new1", "new2"]),  # y seen in run A
+        }
+    )
+    idx = DedupIndex(num_shards=4)
+    got_a = idx.filter_new(rd.from_arrow(a).repartition(2), ["text"]).to_pandas()
+    assert sorted(got_a["text"]) == ["x", "y", "z"]
+    assert idx.total_fingerprints() == 3
+
+    d = str(tmp_path / "idx")
+    idx.save(d)
+    idx2 = DedupIndex(num_shards=4, path=d)
+    assert idx2.total_fingerprints() == 3
+    got_b = idx2.filter_new(rd.from_arrow(b), ["text"]).to_pandas()
+    assert sorted(got_b["text"]) == ["new1", "new2"]
+    # probe mode is read-only
+    assert idx2.total_fingerprints() == 5
+    probe = idx2.filter_new(rd.from_arrow(b), ["text"], mode="probe").to_pandas()
+    assert len(probe) == 0
+    assert idx2.total_fingerprints() == 5
+
+    with pytest.raises(ValueError, match="shards"):
+        DedupIndex(num_shards=8, path=d)
