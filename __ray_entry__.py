@@ -2716,6 +2716,24 @@ def q_dup_ngram_rate(sf_dir: str):
     return out.sort_values("source").reset_index(drop=True)
 
 
+def q_embedding_outliers(sf_dir: str):
+    """Embedding-space outlier screen: bottom-3 vectors per label by
+    cosine to the label's own centroid (functions/vectors.py
+    embedding_outliers — centroid partials exchange + one broadcast
+    scoring pass, per-batch bottom-k partials). Quantized-then-ranked
+    int64 micro-unit scores keep the selection boundary bit-identical
+    to the SQL window twin."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.functions.vectors import embedding_outliers
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+    )
+    return embedding_outliers(emb, "embedding", "label", id_col="vec_id", k=3)
+
+
 def q_incremental_dedup(sf_dir: str):
     """Cross-RUN incremental dedup via the sharded stateful fingerprint
     index (state/dedup_index.py — the package's raw-actor component):
@@ -2932,6 +2950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_terms": q_tfidf_terms,
         "quality_gate_p10": q_quality_gate_p10,
         "incremental_dedup": q_incremental_dedup,
+        "embedding_outliers": q_embedding_outliers,
     }
 
 
@@ -4025,5 +4044,36 @@ SELECT * FROM (
          CAST((SELECT count(DISTINCT text) FROM documents
                WHERE text NOT IN (SELECT text FROM a)) AS BIGINT)
 ) ORDER BY run
+""",
+        # Rank on the QUANTIZED score in both engines so the bottom-k
+        # boundary is deterministic; round_even matches np.round's
+        # half-even tie-break (round-4 lesson). Float drift between the
+        # engines' sum association orders is ~1e-15, far below the
+        # 5e-7 micro-unit boundary.
+        "embedding_outliers": """
+WITH d AS (
+  SELECT vec_id, label,
+         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+         unnest(range(len(embedding))) AS i
+  FROM embeddings
+), cent AS (
+  SELECT label, i, avg(v) AS c FROM d GROUP BY label, i
+), parts AS (
+  SELECT d.vec_id, d.label,
+         sum(d.v * cent.c) AS dot, sum(d.v * d.v) AS nv,
+         sum(cent.c * cent.c) AS nc
+  FROM d JOIN cent ON d.label = cent.label AND d.i = cent.i
+  GROUP BY d.vec_id, d.label
+), scored AS (
+  SELECT CAST(label AS BIGINT) AS label, vec_id,
+         CAST(round_even(dot / sqrt(nv * nc) * 1000000, 0) AS BIGINT) AS cos_q6
+  FROM parts
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY label ORDER BY cos_q6, vec_id
+  ) AS rk FROM scored
+)
+SELECT label, vec_id, cos_q6 FROM ranked WHERE rk <= 3
+ORDER BY label, cos_q6, vec_id
 """,
     }

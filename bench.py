@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "tfidf_terms",
     "quality_gate_p10",
     "incremental_dedup",
+    "embedding_outliers",
 ]
 
 

@@ -655,3 +655,52 @@ def test_dedup_index_cross_run_and_persistence(ray_session, tmp_path):
 
     with pytest.raises(ValueError, match="shards"):
         DedupIndex(num_shards=8, path=d)
+
+
+def test_embedding_outliers_planted(ray_session):
+    """A vector pointed away from its label's centroid ranks first
+    (lowest cosine); ties break by vec_id; k bounds per label."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.functions.vectors import embedding_outliers
+
+    # label 0: three near +x, one near -x (the planted outlier)
+    V = np.array(
+        [
+            [1.0, 0.05],
+            [1.0, -0.05],
+            [1.0, 0.0],
+            [-1.0, 0.0],  # outlier, vec_id 3
+            [0.0, 1.0],  # label 1
+            [0.0, 1.0],
+        ],
+        dtype=np.float32,
+    )
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(6, dtype=np.int64),
+            "embedding": list(V),
+            "label": np.array([0, 0, 0, 0, 1, 1], dtype=np.int64),
+        }
+    )
+    out = embedding_outliers(
+        rd.from_pandas(df).repartition(3), "embedding", "label", k=2
+    )
+    l0 = out[out["label"] == 0].reset_index(drop=True)
+    assert list(l0["vec_id"])[0] == 3  # planted outlier ranks first
+    assert len(l0) == 2
+    l1 = out[out["label"] == 1].reset_index(drop=True)
+    # identical vectors: identical cos (=1e6 quantized), id tie-break
+    assert list(l1["vec_id"]) == [4, 5]
+    assert list(l1["cos_q6"]) == [1_000_000, 1_000_000]
+
+    # zero-norm vector must raise, not emit NaN
+    bad = pd.DataFrame(
+        {
+            "vec_id": np.arange(2, dtype=np.int64),
+            "embedding": [np.array([0.0, 0.0], np.float32), np.array([1.0, 0.0], np.float32)],
+            "label": np.array([0, 0], dtype=np.int64),
+        }
+    )
+    with pytest.raises(Exception, match="zero-norm"):
+        embedding_outliers(rd.from_pandas(bad), "embedding", "label")
