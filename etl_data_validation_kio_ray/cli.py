@@ -129,6 +129,43 @@ def cmd_experiment(args) -> int:
     return 0 if res.all_detected else 1
 
 
+def cmd_dedup(args) -> int:
+    """Incremental cross-run dedup: stream --input through the
+    persistent fingerprint index at --index, writing only
+    first-ever-seen rows to --out (partitioned parquet). Re-running
+    with the same index skips everything already ingested — the
+    operational surface of state/dedup_index.py."""
+    _init_ray()
+    import ray.data as rd
+
+    from .state.dedup_index import DedupIndex
+
+    idx = DedupIndex(num_shards=args.num_shards, path=args.index
+                     if os.path.exists(os.path.join(args.index, "index_manifest.json"))
+                     else None)
+    ds = rd.read_parquet(args.input)
+    fresh = idx.filter_new(ds, args.content_cols.split(","))
+    # consume EXACTLY once (module contract), counting via metadata
+    fresh.write_parquet(args.out)
+    # An all-duplicate ingest writes no files at all; count 0 then.
+    try:
+        written = rd.read_parquet(args.out).count()
+    except FileNotFoundError:
+        written = 0
+    idx.save(args.index)
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "rows_written": int(written),
+                "index": args.index,
+                "index_fingerprints": idx.total_fingerprints(),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_report(args) -> int:
     from .state.report import write_html_report, write_run_report, write_summary_csv
 
@@ -187,6 +224,14 @@ def main(argv: list[str] | None = None) -> int:
     r = sub.add_parser("report")
     r.add_argument("--run-dir", required=True)
     r.set_defaults(fn=cmd_report)
+
+    d = sub.add_parser("dedup")
+    d.add_argument("--input", required=True, help="parquet dir to ingest")
+    d.add_argument("--out", required=True, help="first-seen rows land here")
+    d.add_argument("--index", required=True, help="persistent index dir")
+    d.add_argument("--content-cols", default="text", help="comma-separated")
+    d.add_argument("--num-shards", type=int, default=16)
+    d.set_defaults(fn=cmd_dedup)
 
     args = p.parse_args(argv)
     return args.fn(args)

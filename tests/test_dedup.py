@@ -1,8 +1,11 @@
 """Dedup / similarity / relational / multimodal integration tests."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 import pytest
 
 
@@ -704,3 +707,38 @@ def test_embedding_outliers_planted(ray_session):
     )
     with pytest.raises(Exception, match="zero-norm"):
         embedding_outliers(rd.from_pandas(bad), "embedding", "label")
+
+
+def test_cli_dedup_subcommand(ray_session, tmp_path):
+    """`cli dedup` end-to-end: first ingest writes all unique rows and
+    persists the index; a second ingest of the same file writes zero
+    rows (all fingerprints already registered) without erroring on the
+    empty parquet sink."""
+    import json as _json
+
+    from etl_data_validation_kio_ray.cli import main as cli_main
+
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(["a", "b", "a", "c"]),
+            }
+        ),
+        src,
+    )
+    idx = str(tmp_path / "idx")
+    args = ["dedup", "--input", src, "--index", idx, "--num-shards", "4"]
+
+    rc = cli_main(args + ["--out", str(tmp_path / "out1")])
+    assert rc == 0
+    got = pq.read_table(str(tmp_path / "out1"))
+    assert sorted(got["text"].to_pylist()) == ["a", "b", "c"]
+    assert os.path.exists(os.path.join(idx, "index_manifest.json"))
+
+    rc = cli_main(args + ["--out", str(tmp_path / "out2")])
+    assert rc == 0
+    with open(os.path.join(idx, "index_manifest.json")) as f:
+        manifest = _json.load(f)
+    assert manifest["num_shards"] == 4
