@@ -2854,6 +2854,57 @@ def q_tfidf_terms(sf_dir: str):
     return tfidf_top_terms(docs, text_col="text", group_col="source", k=5)
 
 
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """Exact n-gram-Jaccard near-dup pairs (the third dedup family next
+    to MinHash candidates and exact content hash): every doc pair with
+    Jaccard >= 1/2 over word-3-grams held by <= 64 docs (df-capped
+    discriminative universe; the SQL twin applies the identical cap, so
+    the measure is exact for the declared universe). Three hash-bucket
+    exchanges — gram-owned df + pair/size partials, doc_a-owned
+    intersection sums, doc_b-owned union/threshold — nothing
+    doc-proportional reaches the driver (dedup/ngram.py
+    ngram_jaccard_pairs). All-int64 output -> hash-exact."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.dedup.ngram import ngram_jaccard_pairs
+    from etl_data_validation_kio_ray.pipelines.relational import collect_sorted
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return collect_sorted(
+        ngram_jaccard_pairs(docs, k=3, df_cap=64, tau_num=1, tau_den=2),
+        ["doc_a", "doc_b"],
+    )
+
+
+def q_sequence_packing(sf_dir: str):
+    """Concat-and-chunk sequence packing — the LLM-training batching
+    step: documents concatenated in doc_id order, the stream cut into
+    8192-char context windows, each doc attributed to the bin where it
+    starts (bin = exclusive prefix-sum // budget; deterministic and
+    window-expressible, unlike greedy first-fit).
+    relational.pack_concat_chunks: global_prefix_sum (sort + two
+    streaming passes, driver holds O(blocks)) then per-batch partial
+    collapse + one bucketed exchange over bin_id. All-int64."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        collect_sorted,
+        pack_concat_chunks,
+    )
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+    return collect_sorted(
+        pack_concat_chunks(
+            docs, order_keys=["doc_id"], length_col="n_chars", budget=8192
+        ),
+        ["bin_id"],
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -2951,6 +3002,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_gate_p10": q_quality_gate_p10,
         "incremental_dedup": q_incremental_dedup,
         "embedding_outliers": q_embedding_outliers,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "sequence_packing": q_sequence_packing,
     }
 
 
@@ -4075,5 +4128,54 @@ WITH d AS (
 )
 SELECT label, vec_id, cos_q6 FROM ranked WHERE rk <= 3
 ORDER BY label, cos_q6, vec_id
+""",
+        # df-capped discriminative universe (df <= 64) on BOTH engines;
+        # grams travel as exact strings; the threshold is the exact
+        # integer test inter*2 >= union, jac floor-scaled to 1e-6.
+        "ngram_jaccard_pairs": r"""
+WITH words AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+), pos AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+  FROM words WHERE len(w) >= 3
+), grams AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM pos
+), df AS (
+  SELECT g, count(*) AS df FROM grams GROUP BY g
+), kept AS (
+  SELECT doc_id, g FROM grams JOIN df USING (g) WHERE df <= 64
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM kept GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+  FROM kept a JOIN kept b USING (g)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+       inter * 1000000 // (sa.sz + sb.sz - inter) AS jac_x1e6
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter * 2 >= 1 * (sa.sz + sb.sz - inter)
+ORDER BY doc_a, doc_b
+""",
+        # Exclusive window prefix sum // budget = the bin where each doc
+        # STARTS in the concatenated stream; integer-only.
+        "sequence_packing": r"""
+WITH o AS (
+  SELECT doc_id, n_chars,
+         COALESCE(sum(n_chars) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS off
+  FROM documents
+), b AS (
+  -- the window sum is HUGEINT in DuckDB; land the bin id as BIGINT
+  SELECT doc_id, n_chars, CAST(off // 8192 AS BIGINT) AS bin_id FROM o
+)
+SELECT bin_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_len,
+       min(doc_id) AS first_id, max(doc_id) AS last_id
+FROM b GROUP BY bin_id ORDER BY bin_id
 """,
     }

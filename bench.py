@@ -109,6 +109,11 @@ BENCH_QUERIES = [
     "quality_gate_p10",
     "incremental_dedup",
     "embedding_outliers",
+    # round 4 late: exact df-capped n-gram Jaccard pair mining (three
+    # bucket exchanges) and concat-and-chunk sequence packing
+    # (distributed exclusive prefix sum + one binned exchange)
+    "ngram_jaccard_pairs",
+    "sequence_packing",
 ]
 
 

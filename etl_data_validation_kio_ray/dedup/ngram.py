@@ -304,3 +304,213 @@ def cross_corpus_contamination(
     return pd.DataFrame(
         {"n_test_docs": [int(n_test)], "n_contaminated": [int(n_contaminated)]}
     )
+
+
+def ngram_jaccard_pairs(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    df_cap: int = 64,
+    tau_num: int = 1,
+    tau_den: int = 2,
+    num_partitions: int | None = None,
+):
+    """Exact n-gram-Jaccard near-duplicate pair mining — the third
+    dedup family next to MinHash (probabilistic candidates) and exact
+    content hash: every pair of documents whose word-k-gram sets have
+    Jaccard >= tau_num/tau_den over the DISCRIMINATIVE gram universe
+    (grams held by <= ``df_cap`` distinct docs; boilerplate grams above
+    the cap are excluded from sets and intersections alike, so the
+    measure is exact for that declared universe — the SQL twin applies
+    the identical cap).
+
+    Scale shape — three hash-bucket exchanges, nothing ever touches the
+    driver:
+
+      1. gram-owned: per-batch DISTINCT (g, doc) rows (a doc is one row,
+         so per-batch dedup is globally exact) meet in hash(g) buckets;
+         each bucket computes df in-bucket, drops g with df > df_cap,
+         and emits (a) per-doc SIZE partials and (b) per-(a,b) PAIR
+         partials enumerated with the size-classed triu expansion
+         (df <= df_cap bounds a gram's pairs at C(df_cap, 2) — the
+         declared-universe cap IS the blow-up guard, never silent:
+         excluded grams are excluded from the semantics, not sampled);
+      2. doc_a-owned: intersection partials for (a, b) all land in
+         hash(a)'s bucket and sum exactly; size partials for doc a land
+         in the same bucket and attach as size_a (a shares >= 1 kept
+         gram with b, so its size row provably exists — a miss raises);
+      3. doc_b-owned: size rows re-scatter by doc, pairs by b; size_b
+         attaches, union = size_a + size_b - inter, and the threshold
+         is the exact integer test inter * tau_den >= tau_num * union.
+
+    Returns a LAZY Dataset with one row per qualifying pair:
+    (doc_a, doc_b, inter, size_a, size_b, jac_x1e6) — all int64,
+    jac_x1e6 = inter * 1_000_000 // union (floor; exact on both
+    engines). doc_a < doc_b. Callers sort/collect small results via
+    ``relational.collect_sorted``.
+
+    Reference analog: the duplicate-detection rule family
+    (/root/reference/src/app2/validators/dds rules) at set-similarity
+    rather than exact-equality granularity.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..pipelines.relational import resolve_num_buckets, tag_bucket
+
+    nb = resolve_num_buckets(ds, num_partitions)
+    SCHEMA = {
+        "kind": pa.int8(),  # 0 = size row, 1 = pair row
+        "a": pa.int64(),
+        "b": pa.int64(),
+        "inter": pa.int64(),
+        "size_a": pa.int64(),
+    }
+
+    def _empty(extra: dict | None = None) -> pa.Table:
+        cols = {c: pa.array([], t) for c, t in SCHEMA.items()}
+        if extra:
+            cols.update(extra)
+        return pa.table(cols)
+
+    def _mk(kind, a, b, inter, size_a) -> pa.Table:
+        n = len(a)
+        return pa.table(
+            {
+                "kind": pa.array(np.full(n, kind, np.int8)),
+                "a": pa.array(np.asarray(a, np.int64)),
+                "b": pa.array(np.asarray(b, np.int64)),
+                "inter": pa.array(np.asarray(inter, np.int64)),
+                "size_a": pa.array(np.asarray(size_a, np.int64)),
+            }
+        )
+
+    def distinct_doc_grams(t: pa.Table) -> pa.Table:
+        occ = gram_occurrences(t, text_col=text_col, k=k, carry=[id_col])
+        dg = occ.group_by(["g", id_col]).aggregate([])
+        return tag_bucket(dg, "g", nb)
+
+    def gram_bucket(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("g", "ascending"), (id_col, "ascending")])
+        codes_arr = pc.dictionary_encode(g["g"].combine_chunks())
+        codes = codes_arr.indices.to_numpy(zero_copy_only=False)
+        docs = g[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(codes)
+        if n == 0:
+            return tag_bucket(_empty(), "a", nb)
+        starts = np.r_[np.int64(0), np.flatnonzero(np.diff(codes)) + 1]
+        sizes = np.diff(np.r_[starts, n])
+        kept = sizes <= df_cap
+        # per-doc size partials over kept grams
+        row_kept = np.repeat(kept, sizes)
+        sdocs, scnt = np.unique(docs[row_kept], return_counts=True)
+        out = [_mk(0, sdocs, np.full(len(sdocs), -1), scnt, np.zeros(len(sdocs)))]
+        # pair partials from kept grams with df >= 2 (size-classed triu)
+        pstarts = starts[kept & (sizes >= 2)]
+        psizes = sizes[kept & (sizes >= 2)]
+        pa_l, pb_l = [], []
+        for s in np.unique(psizes):
+            sel = pstarts[psizes == s]
+            mat = sel[:, None] + np.arange(int(s))[None, :]
+            iu, ju = np.triu_indices(int(s), k=1)
+            pa_l.append(docs[mat[:, iu]].ravel())
+            pb_l.append(docs[mat[:, ju]].ravel())
+        if pa_l:
+            grp = (
+                pd.DataFrame({"a": np.concatenate(pa_l), "b": np.concatenate(pb_l)})
+                .groupby(["a", "b"], sort=False)
+                .size()
+                .reset_index(name="c")
+            )
+            out.append(
+                _mk(1, grp["a"].to_numpy(), grp["b"].to_numpy(),
+                    grp["c"].to_numpy(), np.zeros(len(grp)))
+            )
+        res = pa.concat_tables(out)
+        return tag_bucket(res, "a", nb)  # stage-2 routing: owner = a/doc
+
+    def a_bucket(g: pa.Table) -> pa.Table:
+        kind = g["kind"].combine_chunks().to_numpy(zero_copy_only=False)
+        sz = g.filter(pa.array(kind == 0))
+        sz = sz.group_by("a").aggregate([("inter", "sum")])  # partial sizes sum
+        sdocs = sz["a"].combine_chunks().to_numpy(zero_copy_only=False)
+        ssizes = sz["inter_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(sdocs, kind="stable")  # searchsorted needs order
+        sdocs, ssizes = sdocs[order], ssizes[order]
+        pr = g.filter(pa.array(kind == 1))
+        out = [_mk(0, sdocs, np.full(len(sdocs), -1), ssizes, np.zeros(len(sdocs)))]
+        if pr.num_rows:
+            agg = pr.group_by(["a", "b"]).aggregate([("inter", "sum")])
+            av = agg["a"].combine_chunks().to_numpy(zero_copy_only=False)
+            bv = agg["b"].combine_chunks().to_numpy(zero_copy_only=False)
+            iv = agg["inter_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(sdocs, av)
+            if np.any(pos >= len(sdocs)) or np.any(sdocs[np.minimum(pos, len(sdocs) - 1)] != av):
+                raise RuntimeError(
+                    "ngram_jaccard_pairs: pair's doc_a has no size row in "
+                    "its own bucket — routing invariant broken"
+                )
+            out.append(_mk(1, av, bv, iv, ssizes[pos]))
+        res = pa.concat_tables(out)
+        # stage-3 routing: sizes re-scatter by doc (a), pairs by b
+        route = pc.if_else(
+            pc.equal(res["kind"], pa.scalar(0, pa.int8())), res["a"], res["b"]
+        )
+        res = res.append_column("__r", route)
+        return tag_bucket(res, "__r", nb).drop_columns("__r")
+
+    def b_bucket(g: pa.Table) -> pa.Table:
+        kind = g["kind"].combine_chunks().to_numpy(zero_copy_only=False)
+        sz = g.filter(pa.array(kind == 0))
+        sdocs = sz["a"].combine_chunks().to_numpy(zero_copy_only=False)
+        ssizes = sz["inter"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.argsort(sdocs, kind="stable")
+        sdocs, ssizes = sdocs[order], ssizes[order]
+        pr = g.filter(pa.array(kind == 1))
+        ecols = {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "inter": pa.array([], pa.int64()),
+            "size_a": pa.array([], pa.int64()),
+            "size_b": pa.array([], pa.int64()),
+            "jac_x1e6": pa.array([], pa.int64()),
+        }
+        if not pr.num_rows:
+            return pa.table(ecols)
+        av = pr["a"].combine_chunks().to_numpy(zero_copy_only=False)
+        bv = pr["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        iv = pr["inter"].combine_chunks().to_numpy(zero_copy_only=False)
+        sa = pr["size_a"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(sdocs, bv)
+        if len(sdocs) == 0 or np.any(pos >= len(sdocs)) or np.any(
+            sdocs[np.minimum(pos, len(sdocs) - 1)] != bv
+        ):
+            raise RuntimeError(
+                "ngram_jaccard_pairs: pair's doc_b has no size row in its "
+                "bucket — routing invariant broken"
+            )
+        sb = ssizes[pos]
+        union = sa + sb - iv
+        keep = iv * np.int64(tau_den) >= np.int64(tau_num) * union
+        jac = iv[keep] * np.int64(1_000_000) // union[keep]
+        return pa.table(
+            {
+                "doc_a": pa.array(av[keep]),
+                "doc_b": pa.array(bv[keep]),
+                "inter": pa.array(iv[keep]),
+                "size_a": pa.array(sa[keep]),
+                "size_b": pa.array(sb[keep]),
+                "jac_x1e6": pa.array(jac),
+            }
+        )
+
+    tagged = ds.map_batches(
+        distinct_doc_grams, batch_format="pyarrow", zero_copy_batch=True
+    )
+    s2 = tagged.groupby("__b").map_groups(gram_bucket, batch_format="pyarrow")
+    s3 = s2.groupby("__b").map_groups(a_bucket, batch_format="pyarrow")
+    return s3.groupby("__b").map_groups(b_bucket, batch_format="pyarrow")

@@ -2162,3 +2162,149 @@ def ntile_from_rank(rn: np.ndarray, n_total: int, k: int) -> np.ndarray:
         r + (rn - big - 1) // max(q, 1),
     )
     return (tile + 1).astype(np.int64)
+
+
+def global_prefix_sum(
+    ds, keys: list[str], value_col: str, *, out_col: str = "prefix"
+):
+    """Exact EXCLUSIVE prefix sum of ``value_col`` over the global
+    ORDER BY ``keys`` — the distributed scan primitive behind
+    concat-and-chunk sequence packing and exact-offset attribution
+    (``global_row_number`` is the value_col == 1 special case; same
+    two-pass shape, same invariants).
+
+    Scale shape: one range-partitioning sort, then two streaming passes
+    over the SAME materialized sorted blocks — (1) each block collapses
+    to a (first-key, block value sum) summary (driver holds O(blocks)),
+    (2) the driver cumsums the sorted summaries into per-block start
+    offsets, broadcasts the map once, and each block attaches
+    ``offset + exclusive in-block cumsum`` zero-copy. ``keys`` must be
+    a total order with no nulls; ``value_col`` must be non-negative
+    int64 (sums are exact, never float).
+
+    Returns (sorted dataset with ``out_col`` int64 appended — still a
+    streaming Dataset — , grand total).
+    """
+    import ray
+
+    sorted_ds = ds.sort(keys).materialize()
+
+    def summarize(t: pa.Table) -> pa.Table:
+        head = min(1, t.num_rows)
+        cols = {f"k{i}": t[k].slice(0, head) for i, k in enumerate(keys)}
+        s = pc.sum(pc.cast(t[value_col], pa.int64())).as_py() or 0
+        cols["n"] = pa.array([s] if head else [], pa.int64())
+        return pa.table(cols)
+
+    summaries = sorted_ds.map_batches(
+        summarize, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).to_pandas()
+    omap, total = _block_prefix_offsets(summaries, len(keys))
+    omap_ref = ray.put(omap)
+
+    def attach(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        omap = ray.get(omap_ref)
+        first = tuple(t[k][0].as_py() for k in keys)
+        off = omap.get(first)
+        if off is None:
+            raise RuntimeError(
+                "global_prefix_sum: block first-key not found in offset "
+                "map — block/batch boundaries changed between passes"
+            )
+        v = t[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        vals = pc.cast(v, pa.int64()).to_numpy(zero_copy_only=False)
+        pre = np.int64(off) + np.cumsum(vals) - vals  # exclusive
+        return t.append_column(out_col, pa.array(pre))
+
+    ranked = sorted_ds.map_batches(
+        attach, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    return ranked, total
+
+
+def pack_concat_chunks(
+    ds,
+    *,
+    order_keys: list[str],
+    length_col: str,
+    budget: int,
+    id_col: str | None = None,
+    num_buckets: int | None = None,
+):
+    """Concat-and-chunk sequence packing — the LLM-training batching
+    step that concatenates documents in a deterministic order and cuts
+    the stream into fixed-``budget`` context windows. Each document is
+    attributed to the bin where it STARTS: bin_id = (exclusive prefix
+    sum of ``length_col`` over ORDER BY ``order_keys``) // budget —
+    deterministic, exactly reproducible, and window-expressible (the
+    SQL twin is a plain window sum + integer division; a greedy
+    first-fit packer would need a sequential reset and could not be
+    audited by an independent engine).
+
+    Scale shape: ``global_prefix_sum`` (sort + two streaming passes),
+    then per-batch partial aggregation by bin_id (bins are contiguous
+    within sorted blocks, so each batch collapses to ~rows/budget
+    partial rows) and ONE bucketed exchange over bin_id for the final
+    (n_docs, total_len, first/last id) per bin. Nothing
+    doc-proportional reaches the driver.
+
+    Returns a LAZY Dataset with one row per bin: (bin_id, n_docs,
+    total_len, first_id, last_id) — all int64. ``id_col`` defaults to
+    ``order_keys[0]``.
+    """
+    if budget <= 0:
+        raise ValueError(f"pack_concat_chunks: budget must be > 0, got {budget}")
+    id_col = id_col or order_keys[0]
+    pre, _total = global_prefix_sum(ds, order_keys, length_col, out_col="__pre")
+
+    def binned_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "bin_id": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "total_len": pa.array([], pa.int64()),
+                    "first_id": pa.array([], pa.int64()),
+                    "last_id": pa.array([], pa.int64()),
+                }
+            )
+        b = pc.divide(t["__pre"], pa.scalar(int(budget), pa.int64()))
+        part = pa.table(
+            {
+                "bin_id": b,
+                "n_docs": pa.array(np.ones(t.num_rows, np.int64)),
+                "total_len": pc.cast(t[length_col], pa.int64()),
+                "first_id": pc.cast(t[id_col], pa.int64()),
+                "last_id": pc.cast(t[id_col], pa.int64()),
+            }
+        )
+        out = part.group_by("bin_id").aggregate(
+            [
+                ("n_docs", "sum"),
+                ("total_len", "sum"),
+                ("first_id", "min"),
+                ("last_id", "max"),
+            ]
+        )
+        return out.rename_columns(
+            ["bin_id", "n_docs", "total_len", "first_id", "last_id"]
+        )
+
+    partials = pre.map_batches(
+        binned_partials, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucketed_group_agg(
+        partials,
+        "bin_id",
+        [
+            ("n_docs", "sum"),
+            ("total_len", "sum"),
+            ("first_id", "min"),
+            ("last_id", "max"),
+        ],
+        num_buckets=num_buckets,
+    )

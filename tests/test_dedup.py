@@ -742,3 +742,115 @@ def test_cli_dedup_subcommand(ray_session, tmp_path):
     with open(os.path.join(idx, "index_manifest.json")) as f:
         manifest = _json.load(f)
     assert manifest["num_shards"] == 4
+
+
+def test_ngram_jaccard_pairs_planted(ray_session):
+    """Planted near-dups: exact intersection/size/jac values; the
+    df-cap excludes boilerplate grams from sizes and intersections
+    alike; threshold is an exact integer test (boundary pair kept)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.dedup.ngram import ngram_jaccard_pairs
+    from etl_data_validation_kio_ray.pipelines.relational import collect_sorted
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "completely different words entirely here now ok yes"),
+        (3, "the quick brown fox jumps over the lazy dog"),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs]),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(3)
+    out = collect_sorted(
+        ngram_jaccard_pairs(ds, tau_num=1, tau_den=2, df_cap=64, num_partitions=8),
+        ["doc_a", "doc_b"],
+    )
+    # docs 0/3 identical (7 grams), 0/1 and 1/3 share 6 of 7
+    assert out[["doc_a", "doc_b"]].values.tolist() == [[0, 1], [0, 3], [1, 3]]
+    assert out["inter"].tolist() == [6, 7, 6]
+    assert out["size_a"].tolist() == [7, 7, 7]
+    assert out["jac_x1e6"].tolist() == [750000, 1000000, 750000]
+    # jac(0,1) = 6/8 = 0.75: kept at tau=3/4 (boundary), dropped above
+    hi = collect_sorted(
+        ngram_jaccard_pairs(ds, tau_num=3, tau_den=4, df_cap=64, num_partitions=8),
+        ["doc_a", "doc_b"],
+    )
+    assert hi[["doc_a", "doc_b"]].values.tolist() == [[0, 1], [0, 3], [1, 3]]
+    exact = collect_sorted(
+        ngram_jaccard_pairs(ds, tau_num=9, tau_den=10, df_cap=64, num_partitions=8),
+        ["doc_a", "doc_b"],
+    )
+    assert exact[["doc_a", "doc_b"]].values.tolist() == [[0, 3]]
+    # df_cap=2 drops the 7 grams shared by all of 0/1/3 (df=3) from the
+    # universe; only the df<=2 grams remain: 0/3 still tie on their
+    # distinctive "lazy dog" tail grams, 0/1 keep nothing shared
+    capped = collect_sorted(
+        ngram_jaccard_pairs(ds, tau_num=1, tau_den=2, df_cap=2, num_partitions=8),
+        ["doc_a", "doc_b"],
+    )
+    assert capped[["doc_a", "doc_b"]].values.tolist() == [[0, 3]]
+    assert capped["inter"].tolist() == capped["size_a"].tolist()
+    assert capped["jac_x1e6"].tolist() == [1000000]
+
+
+def test_global_prefix_sum_and_packing(ray_session):
+    """Exclusive prefix sums match numpy over shuffled multi-block
+    input; concat-and-chunk bins match the closed form; zero-length
+    docs attribute to the running bin; budget must be positive."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        collect_sorted,
+        global_prefix_sum,
+        pack_concat_chunks,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 500
+    ids = rng.permutation(n).astype(np.int64)
+    lens = rng.integers(0, 40, n).astype(np.int64)
+    t = pa.table({"doc_id": pa.array(ids), "n_chars": pa.array(lens)})
+    ds = rd.from_arrow(t).repartition(7)
+
+    pre_ds, total = global_prefix_sum(ds, ["doc_id"], "n_chars", out_col="pre")
+    got = collect_sorted(pre_ds, ["doc_id"])
+    order = np.argsort(ids, kind="stable")
+    want = np.cumsum(lens[order]) - lens[order]
+    assert got["pre"].to_numpy().tolist() == want.tolist()
+    assert total == int(lens.sum())
+
+    bins = collect_sorted(
+        pack_concat_chunks(
+            ds, order_keys=["doc_id"], length_col="n_chars", budget=100
+        ),
+        ["bin_id"],
+    )
+    want_bin = want // 100
+    import pandas as pd_
+
+    ref = (
+        pd_.DataFrame(
+            {
+                "bin_id": want_bin,
+                "doc_id": ids[order],
+                "n_chars": lens[order],
+            }
+        )
+        .groupby("bin_id")
+        .agg(
+            n_docs=("doc_id", "size"),
+            total_len=("n_chars", "sum"),
+            first_id=("doc_id", "min"),
+            last_id=("doc_id", "max"),
+        )
+        .reset_index()
+    )
+    assert bins.astype("int64").values.tolist() == ref.astype("int64").values.tolist()
+
+    with pytest.raises(ValueError, match="budget"):
+        pack_concat_chunks(ds, order_keys=["doc_id"], length_col="n_chars", budget=0)
