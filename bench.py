@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     # (distributed exclusive prefix sum + one binned exchange)
     "ngram_jaccard_pairs",
     "sequence_packing",
+    # deterministic splitmix-rate source-mixture sampler (one fused pass)
+    "source_mix_sample",
 ]
 
 

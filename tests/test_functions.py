@@ -578,3 +578,61 @@ def test_tfidf_top_terms_planted(ray_session):
     assert list(s2["term"]) == ["other", "common"]
     assert list(s2["score_x1e9"]) == [1_000_000_000, 333_333_333]
     assert len(out) == 4
+
+
+def test_hash_rate_sample_deterministic(ray_session):
+    """The kept set is a pure function of ids: matches the direct
+    splitmix computation, is identical across block layouts, filter and
+    stats agree, and unknown groups / bad rates raise loudly."""
+    import ray
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.functions.hashing import _splitmix64
+    from etl_data_validation_kio_ray.functions.sampling import (
+        hash_rate_sample,
+        hash_sample_stats,
+    )
+
+    n = 2000
+    ids = np.arange(n, dtype=np.int64)
+    grp = np.where(ids % 2 == 0, "even", "odd")
+    ln = (ids % 7).astype(np.int64)
+    t = pa.table(
+        {"doc_id": pa.array(ids), "source": pa.array(grp), "n_chars": pa.array(ln)}
+    )
+    rates = {"even": 30, "odd": 80}
+
+    h = _splitmix64(ids.view(np.uint64)) % np.uint64(100)
+    want_keep = h < np.where(grp == "even", 30, 80).astype(np.uint64)
+
+    for parts in (1, 5):
+        ds = rd.from_arrow(t).repartition(parts)
+        kept = (
+            hash_rate_sample(ds, id_col="doc_id", group_col="source", rates=rates)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert kept["doc_id"].to_numpy().tolist() == ids[want_keep].tolist()
+        stats = hash_sample_stats(
+            ds,
+            id_col="doc_id",
+            group_col="source",
+            rates=rates,
+            value_col="n_chars",
+        )
+        for g in ("even", "odd"):
+            m = (grp == g) & want_keep
+            row = stats[stats["source"] == g].iloc[0]
+            assert row["n_in"] == (grp == g).sum()
+            assert row["n_kept"] == m.sum()
+            assert row["kept_n_chars"] == ln[m].sum()
+
+    ds = rd.from_arrow(t)
+    with pytest.raises(ray.exceptions.RayTaskError, match="no rate"):
+        hash_rate_sample(
+            ds, id_col="doc_id", group_col="source", rates={"even": 30}
+        ).materialize()
+    with pytest.raises(ValueError, match="outside"):
+        hash_rate_sample(
+            ds, id_col="doc_id", group_col="source", rates={"even": 101, "odd": 1}
+        )
