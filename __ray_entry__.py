@@ -2905,6 +2905,33 @@ def q_sequence_packing(sf_dir: str):
     )
 
 
+def q_edit_distance_pairs(sf_dir: str):
+    """Character-level confirmation of near-dup candidates — the
+    precise, order-sensitive verdict a fuzzy-dedup pipeline runs on its
+    miner's output: for every exact n-gram-Jaccard pair (tau=1/2,
+    df_cap=64, as in ngram_jaccard_pairs), the Levenshtein distance
+    between the two texts (dedup/editdist.py — vectorized DP row with a
+    prefix-min insertion chain; UTF-8-byte unit costs, verified
+    bit-identical to DuckDB's levenshtein()). The pair list is
+    RESULT-proportional (MAX_PAIRS loud cap); texts gather via one
+    broadcast id-set membership pass — the corpus never leaves the
+    workers. All int64."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.dedup.editdist import edit_distance_for_pairs
+    from etl_data_validation_kio_ray.dedup.ngram import ngram_jaccard_pairs
+    from etl_data_validation_kio_ray.pipelines.relational import collect_sorted
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    pairs = collect_sorted(
+        ngram_jaccard_pairs(docs, k=3, df_cap=64, tau_num=1, tau_den=2),
+        ["doc_a", "doc_b"],
+    )
+    return edit_distance_for_pairs(docs, pairs[["doc_a", "doc_b"]])
+
+
 def q_source_mix_sample(sf_dir: str):
     """Deterministic source-mixture downsampling — the reproducible
     sampler behind source reweighting / split cutting: keep a doc iff
@@ -3035,6 +3062,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "sequence_packing": q_sequence_packing,
         "source_mix_sample": q_source_mix_sample,
+        "edit_distance_pairs": q_edit_distance_pairs,
     }
 
 
@@ -4240,5 +4268,43 @@ SELECT source,
        CAST(sum(CASE WHEN hm < rate THEN n_chars ELSE 0 END) AS BIGINT)
          AS kept_n_chars
 FROM h GROUP BY source ORDER BY source
+""",
+        # Same pair derivation as ngram_jaccard_pairs, then DuckDB's
+        # byte-level levenshtein (the engine DP matches it bit-exactly,
+        # fuzz-verified incl. multi-byte UTF-8). length() = chars on
+        # both sides.
+        "edit_distance_pairs": r"""
+WITH words AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+), pos AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+  FROM words WHERE len(w) >= 3
+), grams AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM pos
+), df AS (
+  SELECT g, count(*) AS df FROM grams GROUP BY g
+), kept AS (
+  SELECT doc_id, g FROM grams JOIN df USING (g) WHERE df <= 64
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM kept GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+  FROM kept a JOIN kept b USING (g)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), qual AS (
+  SELECT doc_a, doc_b FROM pairs
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE inter * 2 >= 1 * (sa.sz + sb.sz - inter)
+)
+SELECT doc_a, doc_b,
+       CAST(length(d1.text) AS BIGINT) AS len_a,
+       CAST(length(d2.text) AS BIGINT) AS len_b,
+       CAST(levenshtein(d1.text, d2.text) AS BIGINT) AS lev
+FROM qual
+JOIN documents d1 ON d1.doc_id = doc_a
+JOIN documents d2 ON d2.doc_id = doc_b
+ORDER BY doc_a, doc_b
 """,
     }

@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     "sequence_packing",
     # deterministic splitmix-rate source-mixture sampler (one fused pass)
     "source_mix_sample",
+    # Levenshtein confirmation of jaccard-mined pairs (bounded gather)
+    "edit_distance_pairs",
 ]
 
 

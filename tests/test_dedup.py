@@ -854,3 +854,45 @@ def test_global_prefix_sum_and_packing(ray_session):
 
     with pytest.raises(ValueError, match="budget"):
         pack_concat_chunks(ds, order_keys=["doc_id"], length_col="n_chars", budget=0)
+
+
+def test_edit_distance_pairs(ray_session):
+    """Levenshtein matches known values and DuckDB's byte semantics;
+    texts gather only for pair ids; missing ids and oversized pair
+    lists raise loudly."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.dedup import editdist
+    from etl_data_validation_kio_ray.dedup.editdist import (
+        edit_distance_for_pairs,
+        levenshtein,
+    )
+
+    assert levenshtein("kitten", "sitting") == 3
+    assert levenshtein("", "abc") == 3 and levenshtein("abc", "") == 3
+    assert levenshtein("same", "same") == 0
+    # DuckDB counts UTF-8 BYTES: é (2 bytes) vs e (1 byte) = 2 edits
+    assert levenshtein("é", "e") == 2
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["kitten", "sitting", "kitten"]),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(2)
+    pairs = pd.DataFrame({"doc_a": [1, 1], "doc_b": [2, 3]})
+    out = edit_distance_for_pairs(ds, pairs)
+    assert out["lev"].tolist() == [3, 0]
+    assert out["len_a"].tolist() == [6, 6]
+    assert out["len_b"].tolist() == [7, 6]
+
+    with pytest.raises(KeyError, match="absent"):
+        edit_distance_for_pairs(ds, pd.DataFrame({"doc_a": [1], "doc_b": [99]}))
+    big = pd.DataFrame({"doc_a": np.zeros(editdist.MAX_PAIRS + 1, np.int64),
+                        "doc_b": np.ones(editdist.MAX_PAIRS + 1, np.int64)})
+    with pytest.raises(ValueError, match="MAX_PAIRS"):
+        edit_distance_for_pairs(ds, big)
+    empty = edit_distance_for_pairs(ds, pairs.iloc[:0])
+    assert list(empty.columns) == ["doc_a", "doc_b", "len_a", "len_b", "lev"]
+    assert len(empty) == 0
