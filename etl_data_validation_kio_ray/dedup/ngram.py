@@ -513,4 +513,18 @@ def ngram_jaccard_pairs(
     )
     s2 = tagged.groupby("__b").map_groups(gram_bucket, batch_format="pyarrow")
     s3 = s2.groupby("__b").map_groups(a_bucket, batch_format="pyarrow")
-    return s3.groupby("__b").map_groups(b_bucket, batch_format="pyarrow")
+    s4 = s3.groupby("__b").map_groups(b_bucket, batch_format="pyarrow")
+    # Ray drops empty map_groups outputs, so a zero-pair corpus would
+    # surface as a schema-less empty dataset; seed one empty block with
+    # the declared schema so callers always see the columns.
+    import ray.data as rd
+
+    seed = rd.from_arrow(
+        pa.table(
+            {
+                c: pa.array([], pa.int64())
+                for c in ("doc_a", "doc_b", "inter", "size_a", "size_b", "jac_x1e6")
+            }
+        )
+    )
+    return seed.union(s4)

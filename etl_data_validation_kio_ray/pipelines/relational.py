@@ -54,6 +54,19 @@ def collect_sorted(ds, sort_cols: list[str]) -> pd.DataFrame:
     callers can ``write_parquet`` them instead (a 100x-scale result
     must never ride the driver)."""
     out = ds if isinstance(ds, pd.DataFrame) else ds.to_pandas()
+    if not isinstance(ds, pd.DataFrame) and not len(out.columns):
+        # Ray's to_pandas drops columns on an all-empty dataset even
+        # when the schema is known; rebuild the typed empty frame so an
+        # empty operator result stays hash-comparable (zero-pair
+        # corpora are legitimate outputs, not errors).
+        sch = ds.schema()
+        if sch is not None:
+            out = pd.DataFrame(
+                {
+                    n: pd.Series([], dtype=np.dtype(t.to_pandas_dtype()))
+                    for n, t in zip(sch.names, sch.types)
+                }
+            )
     return out.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
 
 

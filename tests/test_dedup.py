@@ -896,3 +896,58 @@ def test_edit_distance_pairs(ray_session):
     empty = edit_distance_for_pairs(ds, pairs.iloc[:0])
     assert list(empty.columns) == ["doc_a", "doc_b", "len_a", "len_b", "lev"]
     assert len(empty) == 0
+
+
+def test_ngram_jaccard_pairs_vs_bruteforce(ray_session):
+    """Randomized cross-check: the three-exchange distributed miner
+    equals a brute-force all-pairs reference implementing the identical
+    df-capped semantics, over corpora with heavy gram sharing."""
+    import itertools
+
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.dedup.ngram import ngram_jaccard_pairs
+    from etl_data_validation_kio_ray.pipelines.relational import collect_sorted
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> dense sharing
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(0, 18))))
+        for _ in range(60)
+    ]
+    ids = np.arange(60, dtype=np.int64)
+
+    def brute(df_cap, tau_num, tau_den):
+        gsets = []
+        for txt in texts:
+            w = txt.lower().split(" ")
+            gsets.append({" ".join(w[i:i+3]) for i in range(len(w) - 2)}
+                         if len(w) >= 3 and txt else set())
+        df: dict = {}
+        for s in gsets:
+            for g in s:
+                df[g] = df.get(g, 0) + 1
+        capped = [{g for g in s if df[g] <= df_cap} for s in gsets]
+        rows = []
+        for a, b in itertools.combinations(range(60), 2):
+            inter = len(capped[a] & capped[b])
+            if inter == 0:
+                continue
+            union = len(capped[a]) + len(capped[b]) - inter
+            if inter * tau_den >= tau_num * union:
+                rows.append((a, b, inter, len(capped[a]), len(capped[b]),
+                             inter * 1_000_000 // union))
+        return rows
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+    ).repartition(5)
+    for df_cap, tn, td in [(60, 1, 2), (5, 1, 4), (3, 1, 10)]:
+        got = collect_sorted(
+            ngram_jaccard_pairs(
+                ds, df_cap=df_cap, tau_num=tn, tau_den=td, num_partitions=6
+            ),
+            ["doc_a", "doc_b"],
+        )
+        want = brute(df_cap, tn, td)
+        assert [tuple(r) for r in got.values.tolist()] == want, (df_cap, tn, td)
