@@ -2932,6 +2932,29 @@ def q_edit_distance_pairs(sf_dir: str):
     return edit_distance_for_pairs(docs, pairs[["doc_a", "doc_b"]])
 
 
+def q_table_digest(sf_dir: str):
+    """Order-independent per-source content digest — the cross-run /
+    cross-engine data-equality primitive: wrapping mod-2^64 SUM of each
+    row's 64-bit content hash (functions/hashing.grouped_content_digest).
+    Commutative and mergeable, so identical under any block layout or
+    cluster size; duplicates count with multiplicity. One streaming
+    pass, per-batch np.add.at collapse to <= |sources| partial rows,
+    exact Python-int driver fold. Digest emitted as two int64-safe
+    32-bit halves; the SQL twin re-expresses the full char-buffer hash
+    (byte/block Horner + length mix + splitmix64) in UHUGEINT modular
+    arithmetic — the same chain the simhash oracle proved bit-exact."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.functions.hashing import (
+        grouped_content_digest,
+    )
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+    return grouped_content_digest(docs, text_col="text", group_col="source")
+
+
 def q_source_mix_sample(sf_dir: str):
     """Deterministic source-mixture downsampling — the reproducible
     sampler behind source reweighting / split cutting: keep a doc iff
@@ -3063,6 +3086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_packing": q_sequence_packing,
         "source_mix_sample": q_source_mix_sample,
         "edit_distance_pairs": q_edit_distance_pairs,
+        "table_digest": q_table_digest,
     }
 
 
@@ -3150,6 +3174,76 @@ SELECT doc_id,
         ELSE 0 END) + {low_bits} AS BIGINT) AS simhash
 FROM bitsums
 ORDER BY doc_id
+"""
+
+
+def _table_digest_sql() -> str:
+    """DuckDB twin of functions/hashing.grouped_content_digest: the
+    same char-buffer 64-bit hash chain as :func:`_simhash_sql` (byte
+    Horner <= 32 bytes, 8-byte LE block Horner above, length mix, seed
+    mix, splitmix64 — proved bit-exact there), applied to DISTINCT full
+    texts, joined back to rows, and summed per source in the mod-2^64
+    ring (HUGEINT accumulation stays exact for < 2^63 rows). Digest
+    split into 32-bit halves so both engines emit plain BIGINTs."""
+    base = 0x100000001B3 ^ 1
+    lenk = 0x9E3779B97F4A7C15
+    seedmix = 0xD1B54A32D192ED03
+    c1, c2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    m = 1 << 64
+    fold = (
+        "(h, x) -> CAST((CAST(h AS UHUGEINT) * {b} + CAST(x AS UHUGEINT)) "
+        "% {m} AS UBIGINT)"
+    ).format(b=base, m=m)
+    return f"""
+WITH dw AS (SELECT DISTINCT text AS w FROM documents),
+db AS (
+  SELECT w, hex(encode(w)) AS hx, octet_length(encode(w)) AS len FROM dw
+),
+dbytes AS (
+  SELECT w, len,
+    list_transform(range(0, len), i ->
+      CAST((strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INT), 1))-1)*16
+         + (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INT), 1))-1)
+        AS UBIGINT)) AS bl
+  FROM db
+),
+horner AS (
+  SELECT w, len,
+    CASE WHEN len <= 32 THEN
+      list_reduce(list_prepend(CAST(0 AS UBIGINT), bl), {fold})
+    ELSE
+      list_reduce(list_prepend(CAST(0 AS UBIGINT),
+        list_transform(range(0, CAST(ceil(len/8.0) AS BIGINT)), blk ->
+          CAST(list_reduce(list_prepend(CAST(0 AS UHUGEINT),
+            list_transform(range(0, 8), j ->
+              CASE WHEN blk*8+j < len
+                THEN CAST(bl[CAST(blk*8+j+1 AS INT)] AS UHUGEINT)
+                     * (CAST(1 AS UHUGEINT) << CAST(8*j AS UHUGEINT))
+                ELSE CAST(0 AS UHUGEINT) END)),
+            (a, c) -> a + c) % {m} AS UBIGINT))), {fold})
+    END AS h0
+  FROM dbytes
+),
+mixed AS (
+  SELECT w, xor(xor(h0,
+      CAST((CAST(len AS UHUGEINT) * {lenk}) % {m} AS UBIGINT)),
+    CAST({seedmix} AS UBIGINT)) AS h1
+  FROM horner
+),
+sm0 AS (SELECT w, CAST((CAST(h1 AS UHUGEINT) + {lenk}) % {m} AS UBIGINT) AS z FROM mixed),
+sm1 AS (SELECT w, CAST((CAST(xor(z, z >> CAST(30 AS UBIGINT)) AS UHUGEINT) * {c1}) % {m} AS UBIGINT) AS z FROM sm0),
+sm2 AS (SELECT w, CAST((CAST(xor(z, z >> CAST(27 AS UBIGINT)) AS UHUGEINT) * {c2}) % {m} AS UBIGINT) AS z FROM sm1),
+wh AS (SELECT w, xor(z, z >> CAST(31 AS UBIGINT)) AS h FROM sm2),
+agg AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CAST(wh.h AS HUGEINT)) % {m} AS UHUGEINT) AS dg
+  FROM documents d JOIN wh ON d.text = wh.w
+  GROUP BY d.source
+)
+SELECT source, n_rows,
+       CAST(dg // 4294967296 AS BIGINT) AS digest_hi,
+       CAST(dg % 4294967296 AS BIGINT) AS digest_lo
+FROM agg ORDER BY source
 """
 
 
@@ -4307,4 +4401,5 @@ JOIN documents d1 ON d1.doc_id = doc_a
 JOIN documents d2 ON d2.doc_id = doc_b
 ORDER BY doc_a, doc_b
 """,
+        "table_digest": _table_digest_sql(),
     }

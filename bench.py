@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "source_mix_sample",
     # Levenshtein confirmation of jaccard-mined pairs (bounded gather)
     "edit_distance_pairs",
+    # order-independent per-source content digest (mod-2^64 hash sum)
+    "table_digest",
 ]
 
 

@@ -636,3 +636,72 @@ def test_hash_rate_sample_deterministic(ray_session):
         hash_rate_sample(
             ds, id_col="doc_id", group_col="source", rates={"even": 101, "odd": 1}
         )
+
+
+def test_grouped_content_digest(ray_session):
+    """The digest is invariant under block layout / row order
+    (commutative ring sum), sensitive to any single changed, dropped or
+    duplicated row, and matches an exact Python-int reference."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.functions.hashing import (
+        grouped_content_digest,
+        hash_string_array,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 400
+    src = np.array([f"s{i%3}" for i in range(n)])
+    texts = np.array([f"doc body {rng.integers(0, 50)} tail" for _ in range(n)])
+    t = pa.table({"source": pa.array(src), "text": pa.array(texts)})
+
+    # exact reference: python ints mod 2^64 over per-row hashes
+    h = hash_string_array(pa.array(texts))
+    m = 1 << 64
+    want = {}
+    for g in ("s0", "s1", "s2"):
+        dg = 0
+        for v in h[src == g]:
+            dg = (dg + int(v)) % m
+        want[g] = ((src == g).sum(), dg >> 32, dg & 0xFFFFFFFF)
+
+    for parts in (1, 6):
+        perm = rng.permutation(n)
+        shuffled = pa.table(
+            {"source": pa.array(src[perm]), "text": pa.array(texts[perm])}
+        )
+        out = grouped_content_digest(
+            rd.from_arrow(shuffled).repartition(parts),
+            text_col="text",
+            group_col="source",
+        )
+        for _, r in out.iterrows():
+            nr, hi, lo = want[r["source"]]
+            assert (r["n_rows"], r["digest_hi"], r["digest_lo"]) == (nr, hi, lo)
+
+    # sensitivity: mutate one row -> that source's digest changes
+    # (object dtype: a fixed-width unicode copy would silently truncate
+    # the appended char and the text would not change at all)
+    texts2 = texts.astype(object)
+    texts2[7] = texts2[7] + "!"
+    out2 = grouped_content_digest(
+        rd.from_arrow(pa.table({"source": pa.array(src), "text": pa.array(texts2)})),
+        text_col="text",
+        group_col="source",
+    )
+    g7 = src[7]
+    r2 = out2[out2["source"] == g7].iloc[0]
+    assert (r2["digest_hi"], r2["digest_lo"]) != (want[g7][1], want[g7][2])
+    # duplicating a row changes it too (multiplicity counts)
+    dup = pa.table(
+        {
+            "source": pa.array(np.r_[src, src[:1]]),
+            "text": pa.array(np.r_[texts, texts[:1]]),
+        }
+    )
+    out3 = grouped_content_digest(
+        rd.from_arrow(dup), text_col="text", group_col="source"
+    )
+    r3 = out3[out3["source"] == src[0]].iloc[0]
+    assert r3["n_rows"] == want[src[0]][0] + 1
+    assert (r3["digest_hi"], r3["digest_lo"]) != (want[src[0]][1], want[src[0]][2])
