@@ -2955,6 +2955,56 @@ def q_table_digest(sf_dir: str):
     return grouped_content_digest(docs, text_col="text", group_col="source")
 
 
+def q_table_diff(sf_dir: str):
+    """Value-level reconciliation of two table versions — the
+    migration/rewrite audit (relational.key_value_diff): the right side
+    is the corpus with deterministic planted edits (drop doc_id%101==7
+    -> left_only, reverse text when doc_id%97==3 -> changed, re-key a
+    copy +1e6 when doc_id%103==5 -> right_only). Values never ride the
+    exchange (64-bit content hashes compare per key in ONE bucketed
+    co-group, vectorized sorted-run reduction); each bucket emits <= 4
+    partial rows. Hash equality is probabilistic in the open world
+    (collision-free on this corpus, same contract as incremental_dedup);
+    the SQL twin compares texts directly."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import key_value_diff
+
+    left = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def make_right(t: pa.Table) -> pa.Table:
+        did = t["doc_id"]
+        if isinstance(did, pa.ChunkedArray):
+            did = did.combine_chunks()
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        dv = did.to_numpy(zero_copy_only=False)
+        keep = pa.array(dv % 101 != 7)
+        rev = pa.array(dv % 97 == 3)
+        base = pa.table(
+            {
+                "doc_id": did,
+                "text": pc.if_else(rev, pc.utf8_reverse(txt), txt),
+            }
+        ).filter(keep)
+        extra_mask = pa.array(dv % 103 == 5)
+        extra = pa.table(
+            {
+                "doc_id": pa.array(dv + 1_000_000),
+                "text": txt,
+            }
+        ).filter(extra_mask)
+        return pa.concat_tables([base, extra])
+
+    right = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(make_right, batch_format="pyarrow", zero_copy_batch=True)
+    return key_value_diff(left, right, key_col="doc_id", value_col="text")
+
+
 def q_source_mix_sample(sf_dir: str):
     """Deterministic source-mixture downsampling — the reproducible
     sampler behind source reweighting / split cutting: keep a doc iff
@@ -3087,6 +3137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mix_sample": q_source_mix_sample,
         "edit_distance_pairs": q_edit_distance_pairs,
         "table_digest": q_table_digest,
+        "table_diff": q_table_diff,
     }
 
 
@@ -4402,4 +4453,26 @@ JOIN documents d2 ON d2.doc_id = doc_b
 ORDER BY doc_a, doc_b
 """,
         "table_digest": _table_digest_sql(),
+        # Same planted right-side derivation; SQL compares texts
+        # directly where the engine compares 64-bit content hashes
+        # (collision-free on this corpus — see q_table_diff).
+        "table_diff": r"""
+WITH right_side AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 3 THEN reverse(text) ELSE text END AS text
+  FROM documents WHERE doc_id % 101 <> 7
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 103 = 5
+), j AS (
+  SELECT COALESCE(l.doc_id, r.doc_id) AS k,
+         CASE WHEN l.doc_id IS NULL THEN 'right_only'
+              WHEN r.doc_id IS NULL THEN 'left_only'
+              WHEN l.text = r.text THEN 'equal'
+              ELSE 'changed' END AS status
+  FROM documents l FULL OUTER JOIN right_side r ON l.doc_id = r.doc_id
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n_keys,
+       min(k) AS key_min, max(k) AS key_max
+FROM j GROUP BY status ORDER BY status
+""",
     }

@@ -120,6 +120,8 @@ BENCH_QUERIES = [
     "edit_distance_pairs",
     # order-independent per-source content digest (mod-2^64 hash sum)
     "table_digest",
+    # value-level two-version reconciliation (hash co-group, 4 statuses)
+    "table_diff",
 ]
 
 

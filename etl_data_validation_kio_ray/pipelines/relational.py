@@ -2321,3 +2321,152 @@ def pack_concat_chunks(
         ],
         num_buckets=num_buckets,
     )
+
+
+def key_value_diff(
+    left_ds,
+    right_ds,
+    *,
+    key_col: str,
+    value_col: str,
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """Value-level reconciliation of two LARGE table versions — the
+    migration / rewrite audit that `key_set_reconcile` (set-level)
+    cannot answer: for every key, is the CONTENT identical? Statuses:
+    ``equal``, ``changed`` (key on both sides, different value),
+    ``left_only``, ``right_only``.
+
+    Scale shape: each side projects per-batch to (key, content-hash-64,
+    side) — the value itself never rides the exchange — then ONE
+    hash-bucket co-group compares sides per key vectorized (sorted-run
+    reduction, no Python per key) and each bucket emits <= 4 partial
+    rows; the driver folds the bounded partials. Keys must be UNIQUE
+    per side (duplicate keys in a bucket raise loudly — multiplicity
+    reconciliation is `doc_id_unique_violations`' job).
+
+    Equality is 64-bit content-hash equality: exact for differences,
+    probabilistic for equality (~n/2^64 false-equal; the fingerprint is
+    verified collision-free on this corpus at every SF — same contract
+    as state/dedup_index.py).
+
+    Returns a small DataFrame (status, n_keys, key_min, key_max), all
+    key-bounded; inputs may be arbitrarily large.
+
+    Reference analog: the reference's run-to-baseline comparison checks
+    (/root/reference/src/app2/experiments — baseline vs mutated-run
+    results) promoted to full-content row identity.
+    """
+    from ..functions.hashing import hash_string_array
+
+    nb = resolve_num_buckets(left_ds, num_buckets)
+
+    def project(side_code: int):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t[key_col]
+            if isinstance(k, pa.ChunkedArray):
+                k = k.combine_chunks()
+            k = pc.cast(k, pa.int64())
+            h = hash_string_array(t[value_col]).view(np.int64)
+            out = pa.table(
+                {
+                    "k": k,
+                    "h": pa.array(h),
+                    "s": pa.array(
+                        np.full(len(k), side_code, dtype=np.int8), pa.int8()
+                    ),
+                }
+            )
+            return tag_bucket(out, "k", nb)
+
+        return fn
+
+    left_proj = left_ds.map_batches(
+        project(0), batch_format="pyarrow", zero_copy_batch=True
+    )
+    right_proj = right_ds.map_batches(
+        project(1), batch_format="pyarrow", zero_copy_batch=True
+    )
+    STATUSES = ("equal", "changed", "left_only", "right_only")
+
+    def bucket_cmp(g: pa.Table) -> pa.Table:
+        k = g["k"].combine_chunks().to_numpy(zero_copy_only=False)
+        h = g["h"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = g["s"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, k))
+        k, h, s = k[order], h[order], s[order]
+        starts = np.r_[np.int64(0), np.flatnonzero(np.diff(k)) + 1]
+        sizes = np.diff(np.r_[starts, len(k)])
+        if np.any(sizes > 2):
+            bad = k[starts[sizes > 2][0]]
+            raise ValueError(
+                f"key_value_diff: key {bad!r} appears more than once on "
+                "one side — keys must be unique per side"
+            )
+        single = sizes == 1
+        # size-1 runs: side decides left_only/right_only; size-2 runs
+        # are (left, right) after the lexsort — equal iff hashes match
+        st = np.empty(len(starts), dtype=np.int8)
+        one = starts[single]
+        st[single] = np.where(s[one] == 0, 2, 3)  # left_only / right_only
+        two = starts[~single]
+        if len(two) and np.any((s[two] != 0) | (s[two + 1] != 1)):
+            raise ValueError(
+                "key_value_diff: duplicate key within one side "
+                "(two rows share a side) — keys must be unique per side"
+            )
+        st[~single] = np.where(h[two] == h[two + 1], 0, 1)  # equal / changed
+        kk = k[starts]
+        rows = []
+        for code, name in enumerate(STATUSES):
+            m = st == code
+            if m.any():
+                rows.append(
+                    (name, int(m.sum()), int(kk[m].min()), int(kk[m].max()))
+                )
+        if not rows:
+            return pa.table(
+                {
+                    "status": pa.array([], pa.string()),
+                    "n_keys": pa.array([], pa.int64()),
+                    "key_min": pa.array([], pa.int64()),
+                    "key_max": pa.array([], pa.int64()),
+                }
+            )
+        names, ns, mins, maxs = zip(*rows)
+        return pa.table(
+            {
+                "status": pa.array(list(names)),
+                "n_keys": pa.array(list(ns), pa.int64()),
+                "key_min": pa.array(list(mins), pa.int64()),
+                "key_max": pa.array(list(maxs), pa.int64()),
+            }
+        )
+
+    partials = (
+        left_proj.union(right_proj)
+        .groupby("__b")
+        .map_groups(bucket_cmp, batch_format="pyarrow")
+        .to_pandas()  # bounded: <= 4 rows per bucket
+    )
+    if not len(partials):
+        return pd.DataFrame(
+            {
+                "status": pd.Series([], dtype=object),
+                "n_keys": pd.Series([], dtype="int64"),
+                "key_min": pd.Series([], dtype="int64"),
+                "key_max": pd.Series([], dtype="int64"),
+            }
+        )
+    out = (
+        partials.groupby("status", sort=True)
+        .agg(
+            n_keys=("n_keys", "sum"),
+            key_min=("key_min", "min"),
+            key_max=("key_max", "max"),
+        )
+        .reset_index()
+    )
+    for c in ("n_keys", "key_min", "key_max"):
+        out[c] = out[c].astype("int64")
+    return out

@@ -1865,3 +1865,61 @@ def test_fact_dim_cogroup_normalizes_key_dtype(ray_session):
     assert out["k"].tolist() == [1, 2]
     assert out["n"].tolist() == [3, 1]
     assert out["name"].tolist() == ["a", "b"]
+
+
+def test_key_value_diff(ray_session):
+    """All four statuses with exact counts/extents; duplicate keys on
+    either side raise loudly (both the two-same-side-rows and the
+    three-rows shapes); values never matter beyond hash (in)equality."""
+    import ray
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import key_value_diff
+
+    left = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(["a", "b", "c", "d", "e"]),
+        }
+    )
+    right = pa.table(
+        {
+            "doc_id": pa.array([2, 3, 4, 5, 9], pa.int64()),
+            "text": pa.array(["b", "CHANGED", "d", "ALSO", "new"]),
+        }
+    )
+    out = key_value_diff(
+        rd.from_arrow(left).repartition(2),
+        rd.from_arrow(right).repartition(3),
+        key_col="doc_id",
+        value_col="text",
+    )
+    got = {r["status"]: (r["n_keys"], r["key_min"], r["key_max"])
+           for _, r in out.iterrows()}
+    assert got == {
+        "equal": (2, 2, 4),
+        "changed": (2, 3, 5),
+        "left_only": (1, 1, 1),
+        "right_only": (1, 9, 9),
+    }
+
+    dup_same_pair = pa.table(
+        {"doc_id": pa.array([7, 7], pa.int64()), "text": pa.array(["x", "y"])}
+    )
+    with pytest.raises(ray.exceptions.RayTaskError, match="unique per side"):
+        key_value_diff(
+            rd.from_arrow(dup_same_pair),
+            rd.from_arrow(right),
+            key_col="doc_id",
+            value_col="text",
+        )
+    trip = pa.table(
+        {"doc_id": pa.array([2, 2], pa.int64()), "text": pa.array(["x", "y"])}
+    )
+    with pytest.raises(ray.exceptions.RayTaskError, match="more than once"):
+        key_value_diff(
+            rd.from_arrow(trip),
+            rd.from_arrow(right),
+            key_col="doc_id",
+            value_col="text",
+        )
