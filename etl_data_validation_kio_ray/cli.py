@@ -166,6 +166,48 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_sample(args) -> int:
+    """Deterministic hash-rate downsampling: stream --input through
+    functions/sampling.hash_rate_sample with per-group rates given as
+    'group=pct' pairs (e.g. --rates web=30,books=80), writing the kept
+    rows to --out. Re-running reproduces the identical sample — the
+    kept set is a pure function of ids."""
+    _init_ray()
+    import ray.data as rd
+
+    from .functions.sampling import hash_rate_sample, hash_sample_stats
+
+    rates = {}
+    for part in args.rates.split(","):
+        g, _, r = part.partition("=")
+        if not _ or not r.isdigit():
+            raise SystemExit(f"--rates entry {part!r} is not group=pct")
+        rates[g] = int(r)
+    ds = rd.read_parquet(args.input)
+    kept = hash_rate_sample(
+        ds, id_col=args.id_col, group_col=args.group_col, rates=rates
+    )
+    kept.write_parquet(args.out)
+    stats = hash_sample_stats(
+        rd.read_parquet(args.input),
+        id_col=args.id_col,
+        group_col=args.group_col,
+        rates=rates,
+    )
+    print(
+        json.dumps(
+            {
+                "out": args.out,
+                "groups": {
+                    r[args.group_col]: {"n_in": int(r["n_in"]), "n_kept": int(r["n_kept"])}
+                    for _, r in stats.iterrows()
+                },
+            }
+        )
+    )
+    return 0
+
+
 def cmd_report(args) -> int:
     from .state.report import write_html_report, write_run_report, write_summary_csv
 
@@ -232,6 +274,14 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--content-cols", default="text", help="comma-separated")
     d.add_argument("--num-shards", type=int, default=16)
     d.set_defaults(fn=cmd_dedup)
+
+    sm = sub.add_parser("sample")
+    sm.add_argument("--input", required=True, help="parquet dir to sample")
+    sm.add_argument("--out", required=True, help="kept rows land here")
+    sm.add_argument("--rates", required=True, help="group=pct[,group=pct...]")
+    sm.add_argument("--id-col", default="doc_id")
+    sm.add_argument("--group-col", default="source")
+    sm.set_defaults(fn=cmd_sample)
 
     args = p.parse_args(argv)
     return args.fn(args)

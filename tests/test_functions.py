@@ -705,3 +705,42 @@ def test_grouped_content_digest(ray_session):
     r3 = out3[out3["source"] == src[0]].iloc[0]
     assert r3["n_rows"] == want[src[0]][0] + 1
     assert (r3["digest_hi"], r3["digest_lo"]) != (want[src[0]][1], want[src[0]][2])
+
+
+def test_cli_sample_subcommand(ray_session, tmp_path):
+    """`cli sample` end-to-end: writes exactly the deterministic kept
+    set and reports per-group stats; malformed --rates entries exit
+    with a clear message."""
+    import json as _json
+    import pyarrow.parquet as _pq
+
+    from etl_data_validation_kio_ray.cli import main as cli_main
+    from etl_data_validation_kio_ray.functions.hashing import _splitmix64
+
+    n = 300
+    ids = np.arange(n, dtype=np.int64)
+    grp = np.where(ids % 2 == 0, "even", "odd")
+    src = str(tmp_path / "in.parquet")
+    _pq.write_table(
+        pa.table({"doc_id": pa.array(ids), "source": pa.array(grp)}), src
+    )
+    out = str(tmp_path / "out")
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main(
+            ["sample", "--input", src, "--out", out, "--rates", "even=0,odd=100"]
+        )
+    assert rc == 0
+    rep = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rep["groups"]["even"] == {"n_in": 150, "n_kept": 0}
+    assert rep["groups"]["odd"] == {"n_in": 150, "n_kept": 150}
+    got = _pq.read_table(out)
+    assert sorted(got["doc_id"].to_pylist()) == ids[ids % 2 == 1].tolist()
+    # rate 0 keeps nothing even though splitmix can emit 0 % 100 == 0
+    h = _splitmix64(ids.view(np.uint64)) % np.uint64(100)
+    assert (h[ids % 2 == 1] < 100).all()
+
+    with pytest.raises(SystemExit, match="not group=pct"):
+        cli_main(["sample", "--input", src, "--out", out, "--rates", "evens30"])
