@@ -2932,6 +2932,37 @@ def q_edit_distance_pairs(sf_dir: str):
     return edit_distance_for_pairs(docs, pairs[["doc_a", "doc_b"]])
 
 
+def q_packing_by_source(sf_dir: str):
+    """Per-domain sequence packing — each source's documents
+    concatenated in doc_id order and cut into 2048-char windows
+    (relational.pack_concat_chunks with group_col; grouped_prefix_sum
+    does one sort + two streaming passes, driver holds O(blocks +
+    groups) summary rows). Same (group, bin) rows co-locate by
+    bucketing on bin_id alone. All-int64; SQL twin is a PARTITION BY
+    window sum."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        collect_sorted,
+        pack_concat_chunks,
+    )
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+    )
+    return collect_sorted(
+        pack_concat_chunks(
+            docs,
+            order_keys=["doc_id"],
+            length_col="n_chars",
+            budget=2048,
+            group_col="source",
+        ),
+        ["source", "bin_id"],
+    )
+
+
 def q_table_digest(sf_dir: str):
     """Order-independent per-source content digest — the cross-run /
     cross-engine data-equality primitive: wrapping mod-2^64 SUM of each
@@ -3138,6 +3169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_distance_pairs": q_edit_distance_pairs,
         "table_digest": q_table_digest,
         "table_diff": q_table_diff,
+        "packing_by_source": q_packing_by_source,
     }
 
 
@@ -4474,5 +4506,21 @@ WITH right_side AS (
 SELECT status, CAST(count(*) AS BIGINT) AS n_keys,
        min(k) AS key_min, max(k) AS key_max
 FROM j GROUP BY status ORDER BY status
+""",
+        "packing_by_source": r"""
+WITH o AS (
+  SELECT source, doc_id, n_chars,
+         COALESCE(sum(n_chars) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS off
+  FROM documents
+), b AS (
+  SELECT source, doc_id, n_chars, CAST(off // 2048 AS BIGINT) AS bin_id FROM o
+)
+SELECT source, bin_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_len,
+       min(doc_id) AS first_id, max(doc_id) AS last_id
+FROM b GROUP BY source, bin_id ORDER BY source, bin_id
 """,
     }

@@ -122,6 +122,8 @@ BENCH_QUERIES = [
     "table_digest",
     # value-level two-version reconciliation (hash co-group, 4 statuses)
     "table_diff",
+    # per-domain packing (grouped prefix sum + one binned exchange)
+    "packing_by_source",
 ]
 
 

@@ -2246,6 +2246,7 @@ def pack_concat_chunks(
     length_col: str,
     budget: int,
     id_col: str | None = None,
+    group_col: str | None = None,
     num_buckets: int | None = None,
 ):
     """Concat-and-chunk sequence packing — the LLM-training batching
@@ -2267,27 +2268,39 @@ def pack_concat_chunks(
 
     Returns a LAZY Dataset with one row per bin: (bin_id, n_docs,
     total_len, first_id, last_id) — all int64. ``id_col`` defaults to
-    ``order_keys[0]``.
+    ``order_keys[0]``. With ``group_col`` set, the stream is packed
+    WITHIN each group (the per-domain packing of a mixture pipeline,
+    via :func:`grouped_prefix_sum`) and the result carries the group
+    column; rows of one (group, bin) co-locate by bucketing on bin_id
+    alone, so the exchange shape is unchanged.
     """
     if budget <= 0:
         raise ValueError(f"pack_concat_chunks: budget must be > 0, got {budget}")
     id_col = id_col or order_keys[0]
-    pre, _total = global_prefix_sum(ds, order_keys, length_col, out_col="__pre")
+    if group_col is None:
+        pre, _tot = global_prefix_sum(ds, order_keys, length_col, out_col="__pre")
+    else:
+        pre, _tot = grouped_prefix_sum(
+            ds,
+            group_col=group_col,
+            order_keys=order_keys,
+            value_col=length_col,
+            out_col="__pre",
+        )
+    gcols = [group_col] if group_col else []
+    out_names = gcols + ["bin_id", "n_docs", "total_len", "first_id", "last_id"]
 
     def binned_partials(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.table(
-                {
-                    "bin_id": pa.array([], pa.int64()),
-                    "n_docs": pa.array([], pa.int64()),
-                    "total_len": pa.array([], pa.int64()),
-                    "first_id": pa.array([], pa.int64()),
-                    "last_id": pa.array([], pa.int64()),
-                }
+            cols = {c: pa.array([], t[c].type) for c in gcols}
+            cols.update(
+                {c: pa.array([], pa.int64()) for c in out_names[len(gcols):]}
             )
+            return pa.table(cols)
         b = pc.divide(t["__pre"], pa.scalar(int(budget), pa.int64()))
         part = pa.table(
             {
+                **{c: t[c] for c in gcols},
                 "bin_id": b,
                 "n_docs": pa.array(np.ones(t.num_rows, np.int64)),
                 "total_len": pc.cast(t[length_col], pa.int64()),
@@ -2295,7 +2308,7 @@ def pack_concat_chunks(
                 "last_id": pc.cast(t[id_col], pa.int64()),
             }
         )
-        out = part.group_by("bin_id").aggregate(
+        out = part.group_by(gcols + ["bin_id"]).aggregate(
             [
                 ("n_docs", "sum"),
                 ("total_len", "sum"),
@@ -2303,23 +2316,64 @@ def pack_concat_chunks(
                 ("last_id", "max"),
             ]
         )
-        return out.rename_columns(
-            ["bin_id", "n_docs", "total_len", "first_id", "last_id"]
+        # pyarrow appends the group key columns last; rebuild by name
+        return pa.table(
+            {
+                **{c: out[c] for c in gcols},
+                "bin_id": out["bin_id"],
+                "n_docs": out["n_docs_sum"],
+                "total_len": out["total_len_sum"],
+                "first_id": out["first_id_min"],
+                "last_id": out["last_id_max"],
+            }
         )
 
     partials = pre.map_batches(
         binned_partials, batch_format="pyarrow", zero_copy_batch=True
     )
-    return bucketed_group_agg(
-        partials,
-        "bin_id",
-        [
-            ("n_docs", "sum"),
-            ("total_len", "sum"),
-            ("first_id", "min"),
-            ("last_id", "max"),
-        ],
-        num_buckets=num_buckets,
+    if group_col is None:
+        return bucketed_group_agg(
+            partials,
+            "bin_id",
+            [
+                ("n_docs", "sum"),
+                ("total_len", "sum"),
+                ("first_id", "min"),
+                ("last_id", "max"),
+            ],
+            num_buckets=num_buckets,
+        )
+    nb = resolve_num_buckets(partials, num_buckets)
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        agged = g.group_by([group_col, "bin_id"]).aggregate(
+            [
+                ("n_docs", "sum"),
+                ("total_len", "sum"),
+                ("first_id", "min"),
+                ("last_id", "max"),
+            ]
+        )
+        return pa.table(
+            {
+                group_col: agged[group_col],
+                "bin_id": agged["bin_id"],
+                "n_docs": agged["n_docs_sum"],
+                "total_len": agged["total_len_sum"],
+                "first_id": agged["first_id_min"],
+                "last_id": agged["last_id_max"],
+            }
+        )
+
+    return (
+        partials.map_batches(
+            lambda t: tag_bucket(t, "bin_id", nb),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("__b")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
     )
 
 
@@ -2470,3 +2524,116 @@ def key_value_diff(
     for c in ("n_keys", "key_min", "key_max"):
         out[c] = out[c].astype("int64")
     return out
+
+
+def grouped_prefix_sum(
+    ds,
+    *,
+    group_col: str,
+    order_keys: list[str],
+    value_col: str,
+    out_col: str = "prefix",
+):
+    """Exact EXCLUSIVE prefix sum of ``value_col`` over ORDER BY
+    ``order_keys`` WITHIN each ``group_col`` partition — the grouped
+    sibling of :func:`global_prefix_sum` (one sort on
+    [group] + order_keys, two streaming passes; same block-first-key
+    invariants). The driver holds O(blocks x groups-per-block) summary
+    rows — groups are contiguous after the sort, so that is O(blocks +
+    groups), never row data.
+
+    Returns (sorted dataset with ``out_col`` int64 appended, dict of
+    per-group totals).
+    """
+    import ray
+
+    keys = [group_col] + list(order_keys)
+    sorted_ds = ds.sort(keys).materialize()
+
+    def summarize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            cols = {f"k{i}": pa.array([], t[k].type) for i, k in enumerate(keys)}
+            cols["g"] = pa.array([], t[group_col].type)
+            cols["n"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        agg = (
+            pa.table(
+                {"g": t[group_col], "v": pc.cast(t[value_col], pa.int64())}
+            )
+            .group_by("g")
+            .aggregate([("v", "sum")])
+        )
+        ng = agg.num_rows
+        cols = {
+            f"k{i}": pa.concat_arrays(
+                [t[k].slice(0, 1).combine_chunks()] * ng
+            )
+            for i, k in enumerate(keys)
+        }
+        cols["g"] = agg["g"]
+        cols["n"] = pc.cast(agg["v_sum"], pa.int64())
+        return pa.table(cols)
+
+    summaries = sorted_ds.map_batches(
+        summarize, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).to_pandas()
+    key_cols = [f"k{i}" for i in range(len(keys))]
+    blocks = summaries.sort_values(key_cols, kind="mergesort")
+    # offsets: walk blocks in key order, maintaining running per-group sums
+    running: dict = {}
+    omap: dict = {}
+    totals: dict = {}
+    grouped = blocks.groupby(key_cols, sort=True)
+    seen = set()
+    for bk, sub in grouped:
+        bk = bk if isinstance(bk, tuple) else (bk,)
+        if bk in seen:
+            raise ValueError(
+                "grouped_prefix_sum: duplicate block-first keys — keys "
+                "are not a total order (add a unique tiebreak column)"
+            )
+        seen.add(bk)
+        omap[bk] = {}
+        for g, s in zip(sub["g"], sub["n"]):
+            omap[bk][g] = running.get(g, 0)
+            running[g] = running.get(g, 0) + int(s)
+    totals = dict(running)
+    omap_ref = ray.put(omap)
+
+    def attach(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        omap = ray.get(omap_ref)
+        first = tuple(t[k][0].as_py() for k in keys)
+        offs = omap.get(first)
+        if offs is None:
+            raise RuntimeError(
+                "grouped_prefix_sum: block first-key not found in offset "
+                "map — block/batch boundaries changed between passes"
+            )
+        g = t[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        dct = g.dictionary_encode()
+        cats = dct.dictionary.to_pylist()
+        codes = dct.indices.to_numpy(zero_copy_only=False)
+        base = np.array([offs[c] for c in cats], dtype=np.int64)
+        v = t[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        vals = pc.cast(v, pa.int64()).to_numpy(zero_copy_only=False)
+        # groups are contiguous in the sorted block: per-segment
+        # exclusive cumsum = global exclusive cumsum minus its value at
+        # the segment start
+        cs = np.cumsum(vals) - vals
+        seg_starts = np.r_[np.int64(0), np.flatnonzero(np.diff(codes)) + 1]
+        bound = np.zeros(len(codes), dtype=np.int64)
+        bound[seg_starts] = 1
+        seg_id = np.cumsum(bound) - 1
+        pre = cs - cs[seg_starts][seg_id] + base[codes]
+        return t.append_column(out_col, pa.array(pre))
+
+    ranked = sorted_ds.map_batches(
+        attach, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    return ranked, totals

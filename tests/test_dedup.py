@@ -951,3 +951,64 @@ def test_ngram_jaccard_pairs_vs_bruteforce(ray_session):
         )
         want = brute(df_cap, tn, td)
         assert [tuple(r) for r in got.values.tolist()] == want, (df_cap, tn, td)
+
+
+def test_grouped_prefix_sum_and_packing(ray_session):
+    """Per-group exclusive prefix sums match a pandas reference over
+    shuffled multi-block input; grouped packing bins match the closed
+    form; the returned totals are the per-group sums."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        collect_sorted,
+        grouped_prefix_sum,
+        pack_concat_chunks,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 600
+    ids = rng.permutation(n).astype(np.int64)
+    grp = np.array([f"g{i%4}" for i in range(n)])
+    lens = rng.integers(0, 30, n).astype(np.int64)
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "source": pa.array(grp),
+            "n_chars": pa.array(lens),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(7)
+
+    pre_ds, totals = grouped_prefix_sum(
+        ds, group_col="source", order_keys=["doc_id"], value_col="n_chars",
+        out_col="pre",
+    )
+    got = collect_sorted(pre_ds, ["source", "doc_id"])
+    ref = (
+        pd.DataFrame({"source": grp, "doc_id": ids, "n_chars": lens})
+        .sort_values(["source", "doc_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    ref["pre"] = ref.groupby("source")["n_chars"].cumsum() - ref["n_chars"]
+    assert got["pre"].tolist() == ref["pre"].tolist()
+    assert totals == ref.groupby("source")["n_chars"].sum().to_dict()
+
+    bins = collect_sorted(
+        pack_concat_chunks(
+            ds, order_keys=["doc_id"], length_col="n_chars", budget=64,
+            group_col="source",
+        ),
+        ["source", "bin_id"],
+    )
+    ref["bin_id"] = ref["pre"] // 64
+    want = (
+        ref.groupby(["source", "bin_id"])
+        .agg(
+            n_docs=("doc_id", "size"),
+            total_len=("n_chars", "sum"),
+            first_id=("doc_id", "min"),
+            last_id=("doc_id", "max"),
+        )
+        .reset_index()
+    )
+    assert bins.values.tolist() == want.values.tolist()
