@@ -2963,6 +2963,104 @@ def q_packing_by_source(sf_dir: str):
     )
 
 
+def q_length_quartiles_by_source(sf_dir: str):
+    """Per-group exact NTILE — length quartiles within each source:
+    grouped_prefix_sum over a ones column is a grouped ROW_NUMBER
+    (ORDER BY n_chars, doc_id), per-group totals come back with it, and
+    relational.ntile_from_rank applies the exact ANSI tile formula per
+    row; per-batch partials then collapse to <= |sources|*4 rows before
+    one tiny grouped_agg. All-int64, bit-exact vs the SQL NTILE
+    window."""
+    import ray
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        grouped_agg,
+        grouped_prefix_sum,
+        ntile_from_rank,
+    )
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+    ).map_batches(
+        lambda t: t.append_column(
+            "__one", pa.array(np.ones(t.num_rows, np.int64))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    pre, totals = grouped_prefix_sum(
+        docs,
+        group_col="source",
+        order_keys=["n_chars", "doc_id"],
+        value_col="__one",
+        out_col="__rn0",
+    )
+    totals_ref = ray.put(totals)
+
+    def tile_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "quartile": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "len_min": pa.array([], pa.int64()),
+                    "len_max": pa.array([], pa.int64()),
+                }
+            )
+        tot = ray.get(totals_ref)
+        g = t["source"]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        dct = g.dictionary_encode()
+        cats = dct.dictionary.to_pylist()
+        codes = dct.indices.to_numpy(zero_copy_only=False)
+        rn = t["__rn0"].combine_chunks().to_numpy(zero_copy_only=False) + 1
+        tile = np.empty(len(rn), dtype=np.int64)
+        for ci, c in enumerate(cats):
+            m = codes == ci
+            tile[m] = ntile_from_rank(rn[m], tot[c], 4)
+        part = pa.table(
+            {
+                "source": g,
+                "quartile": pa.array(tile),
+                "n_docs": pa.array(np.ones(len(rn), np.int64)),
+                "len_min": pc.cast(t["n_chars"], pa.int64()),
+                "len_max": pc.cast(t["n_chars"], pa.int64()),
+            }
+        )
+        out = part.group_by(["source", "quartile"]).aggregate(
+            [("n_docs", "sum"), ("len_min", "min"), ("len_max", "max")]
+        )
+        return pa.table(
+            {
+                "source": out["source"],
+                "quartile": out["quartile"],
+                "n_docs": out["n_docs_sum"],
+                "len_min": out["len_min_min"],
+                "len_max": out["len_max_max"],
+            }
+        )
+
+    partials = pre.map_batches(
+        tile_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = grouped_agg(
+        partials,
+        ["source", "quartile"],
+        {
+            "n_docs": ("n_docs", "sum"),
+            "len_min": ("len_min", "min"),
+            "len_max": ("len_max", "max"),
+        },
+    )
+    for c in ("quartile", "n_docs", "len_min", "len_max"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["source", "quartile"]).reset_index(drop=True)
+
+
 def q_table_digest(sf_dir: str):
     """Order-independent per-source content digest — the cross-run /
     cross-engine data-equality primitive: wrapping mod-2^64 SUM of each
@@ -3170,6 +3268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_digest": q_table_digest,
         "table_diff": q_table_diff,
         "packing_by_source": q_packing_by_source,
+        "length_quartiles_by_source": q_length_quartiles_by_source,
     }
 
 
@@ -4522,5 +4621,17 @@ SELECT source, bin_id, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_len,
        min(doc_id) AS first_id, max(doc_id) AS last_id
 FROM b GROUP BY source, bin_id ORDER BY source, bin_id
+""",
+        "length_quartiles_by_source": r"""
+WITH r AS (
+  SELECT source, n_chars,
+         ntile(4) OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+           AS quartile
+  FROM documents
+)
+SELECT source, CAST(quartile AS BIGINT) AS quartile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(n_chars) AS len_min, max(n_chars) AS len_max
+FROM r GROUP BY source, quartile ORDER BY source, quartile
 """,
     }

@@ -124,6 +124,8 @@ BENCH_QUERIES = [
     "table_diff",
     # per-domain packing (grouped prefix sum + one binned exchange)
     "packing_by_source",
+    # grouped exact NTILE (grouped row-number + ANSI tile formula)
+    "length_quartiles_by_source",
 ]
 
 
