@@ -3061,6 +3061,25 @@ def q_length_quartiles_by_source(sf_dir: str):
     return out.sort_values(["source", "quartile"]).reset_index(drop=True)
 
 
+def q_word_pmi(sf_dir: str):
+    """Collocation mining: top-20 adjacent word pairs by the exact
+    integer association score f_ab * 1e12 // (f1*f2) — the corpus-size-
+    free PMI numerator, rank-equivalent to PMI for a fixed corpus so no
+    separate total-count pass is needed (functions/text.py
+    word_pmi_topk: one text pass derives unigram+bigram partials
+    together, two word-routed bucket exchanges attach f1/f2, the
+    survivors sort distributed and only k rows reach the driver).
+    min_pair=5 on both engines."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.functions.text import word_pmi_topk
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    return word_pmi_topk(docs, text_col="text", k=20, min_pair=5)
+
+
 def q_table_digest(sf_dir: str):
     """Order-independent per-source content digest — the cross-run /
     cross-engine data-equality primitive: wrapping mod-2^64 SUM of each
@@ -3269,6 +3288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_diff": q_table_diff,
         "packing_by_source": q_packing_by_source,
         "length_quartiles_by_source": q_length_quartiles_by_source,
+        "word_pmi": q_word_pmi,
     }
 
 
@@ -4633,5 +4653,35 @@ SELECT source, CAST(quartile AS BIGINT) AS quartile,
        CAST(count(*) AS BIGINT) AS n_docs,
        min(n_chars) AS len_min, max(n_chars) AS len_max
 FROM r GROUP BY source, quartile ORDER BY source, quartile
+""",
+        # Same integer association score and min_pair floor; the
+        # lowercase split matches gram_occurrences exactly (no empty-
+        # word filtering on either side — the corpus has none).
+        "word_pmi": r"""
+WITH words AS (
+  SELECT string_split(lower(text), ' ') AS w FROM documents
+), uni AS (
+  SELECT unnest(w) AS t FROM words
+), wc AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS f FROM uni GROUP BY t
+), pos AS (
+  SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+  FROM words WHERE len(w) >= 2
+), pairs AS (
+  SELECT w[i] AS w1, w[i+1] AS w2, CAST(count(*) AS BIGINT) AS f_ab
+  FROM pos GROUP BY 1, 2
+), scored AS (
+  SELECT w1, w2, f_ab, a.f AS f1, b.f AS f2,
+         f_ab * 1000000000000 // (a.f * b.f) AS assoc_x1e12
+  FROM pairs JOIN wc a ON a.t = w1 JOIN wc b ON b.t = w2
+  WHERE f_ab >= 5
+), r AS (
+  SELECT *, row_number() OVER (
+    ORDER BY assoc_x1e12 DESC, w1, w2
+  ) AS rk FROM scored
+)
+SELECT w1, w2, f_ab, f1, f2, assoc_x1e12
+FROM r WHERE rk <= 20
+ORDER BY assoc_x1e12 DESC, w1, w2
 """,
     }

@@ -126,6 +126,8 @@ BENCH_QUERIES = [
     "packing_by_source",
     # grouped exact NTILE (grouped row-number + ANSI tile formula)
     "length_quartiles_by_source",
+    # collocation mining (unigram+bigram one-pass, two word exchanges)
+    "word_pmi",
 ]
 
 

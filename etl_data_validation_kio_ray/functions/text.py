@@ -727,3 +727,191 @@ def token_vocab_coverage(
     for c in ("n_tokens", "n_in_vocab"):
         out[c] = out[c].astype("int64")
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+def word_pmi_topk(
+    ds,
+    *,
+    text_col: str = "text",
+    k: int = 20,
+    min_pair: int = 5,
+    num_partitions: int | None = None,
+):
+    """Collocation mining — the top-``k`` adjacent word pairs by the
+    exact-integer association score ``f_ab * 10^12 // (f1 * f2)`` (the
+    corpus-size-free numerator of PMI: rank-equivalent to pointwise
+    mutual information for a fixed corpus, and computable without a
+    separate total-count pass). Pairs below ``min_pair`` occurrences
+    are excluded on BOTH engines (declared-universe floor, not a
+    sample).
+
+    Scale shape — two hash-bucket exchanges + a k-bounded driver sort:
+
+      1. one pass over the text derives unigram AND bigram per-batch
+         partials together (``gram_occurrences`` k=1 / k=2, both
+         collapsed by one Arrow hash-aggregate), routed by the FIRST
+         word, so a bucket owns every unigram count of its words and
+         every pair starting with them: f_ab and f1 attach in-bucket;
+      2. unigram counts re-scatter by word, pairs by their SECOND word:
+         f2 attaches, the score is computed vectorized;
+      3. the survivors sort distributed on (score DESC, w1, w2) and
+         only ``k`` rows reach the driver.
+
+    int64 guard: the 10^12 scale bounds exact scores to f_ab < ~9.2e6
+    and f1*f2 < 2^63 — far above this corpus; a pair beyond that raises
+    (loudly) in the multiply rather than wrapping.
+
+    Reference analog: the reference's grouped frequency/duplication
+    statistics (/root/reference/src/app2/validators/dds rules) at
+    word-association granularity.
+    """
+    import pandas as pd
+
+    from ..dedup.ngram import gram_occurrences
+    from ..pipelines.relational import resolve_num_buckets, tag_bucket
+
+    nb = resolve_num_buckets(ds, num_partitions)
+    SCALE = np.int64(10**12)
+
+    def _mk(kind, w1, w2, cnt, f1) -> pa.Table:
+        return pa.table(
+            {
+                "kind": pa.array(np.full(len(w1), kind, np.int8)),
+                "w1": pa.array(list(w1), pa.string()),
+                "w2": pa.array(list(w2), pa.string()),
+                "cnt": pa.array(np.asarray(cnt, np.int64)),
+                "f1": pa.array(np.asarray(f1, np.int64)),
+            }
+        )
+
+    def partials(t: pa.Table) -> pa.Table:
+        uni = gram_occurrences(t, text_col=text_col, k=1)
+        uc = uni.group_by("g").aggregate([([], "count_all")])
+        bi = gram_occurrences(t, text_col=text_col, k=2)
+        bc = bi.group_by("g").aggregate([([], "count_all")])
+        uw = uc["g"].combine_chunks().to_pylist()
+        un = uc["count_all"].combine_chunks().to_numpy(zero_copy_only=False)
+        pairs = bc["g"].combine_chunks().to_pylist()
+        bn = bc["count_all"].combine_chunks().to_numpy(zero_copy_only=False)
+        # the gram string is "w1 w2"; w1 never contains a space
+        split = [p.split(" ", 1) for p in pairs]
+        out = pa.concat_tables(
+            [
+                _mk(0, uw, [""] * len(uw), un, np.zeros(len(uw))),
+                _mk(1, [s[0] for s in split], [s[1] for s in split], bn,
+                    np.zeros(len(split))),
+            ]
+        )
+        return tag_bucket(out, "w1", nb)
+
+    def first_word_bucket(g: pa.Table) -> pa.Table:
+        kind = g["kind"].combine_chunks().to_numpy(zero_copy_only=False)
+        uni = g.filter(pa.array(kind == 0)).group_by("w1").aggregate(
+            [("cnt", "sum")]
+        )
+        f = pd.Series(
+            uni["cnt_sum"].combine_chunks().to_numpy(zero_copy_only=False),
+            index=uni["w1"].combine_chunks().to_pylist(),
+        )
+        pr = g.filter(pa.array(kind == 1)).group_by(["w1", "w2"]).aggregate(
+            [("cnt", "sum")]
+        )
+        fab = pr["cnt_sum"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = fab >= min_pair
+        w1 = np.array(pr["w1"].combine_chunks().to_pylist(), dtype=object)[keep]
+        w2 = np.array(pr["w2"].combine_chunks().to_pylist(), dtype=object)[keep]
+        f1 = f.reindex(w1).to_numpy()
+        if np.isnan(f1.astype(np.float64)).any() if f1.dtype == object else np.isnan(f1).any():
+            raise RuntimeError(
+                "word_pmi_topk: pair's first word has no unigram count in "
+                "its own bucket — routing invariant broken"
+            )
+        out = pa.concat_tables(
+            [
+                _mk(0, f.index.to_numpy(object), [""] * len(f),
+                    f.to_numpy(np.int64), np.zeros(len(f))),
+                _mk(1, w1, w2, fab[keep], f1.astype(np.int64)),
+            ]
+        )
+        route = pc.if_else(
+            pc.equal(out["kind"], pa.scalar(0, pa.int8())), out["w1"], out["w2"]
+        )
+        out = out.append_column("__r", route)
+        return tag_bucket(out, "__r", nb).drop_columns("__r")
+
+    def second_word_bucket(g: pa.Table) -> pa.Table:
+        kind = g["kind"].combine_chunks().to_numpy(zero_copy_only=False)
+        uni = g.filter(pa.array(kind == 0))
+        f = pd.Series(
+            uni["cnt"].combine_chunks().to_numpy(zero_copy_only=False),
+            index=uni["w1"].combine_chunks().to_pylist(),
+        )
+        # unigram partials for one word can arrive from many stage-1
+        # buckets only if... they cannot: stage 1 owned the word fully.
+        pr = g.filter(pa.array(kind == 1))
+        ecols = {
+            "w1": pa.array([], pa.string()),
+            "w2": pa.array([], pa.string()),
+            "f_ab": pa.array([], pa.int64()),
+            "f1": pa.array([], pa.int64()),
+            "f2": pa.array([], pa.int64()),
+            "assoc_x1e12": pa.array([], pa.int64()),
+        }
+        if not pr.num_rows:
+            return pa.table(ecols)
+        w2l = pr["w2"].combine_chunks().to_pylist()
+        f2 = f.reindex(w2l).to_numpy()
+        if np.isnan(f2.astype(np.float64)).any() if f2.dtype == object else np.isnan(f2).any():
+            raise RuntimeError(
+                "word_pmi_topk: pair's second word has no unigram count in "
+                "its bucket — routing invariant broken"
+            )
+        f2 = f2.astype(np.int64)
+        fab = pr["cnt"].combine_chunks().to_numpy(zero_copy_only=False)
+        f1 = pr["f1"].combine_chunks().to_numpy(zero_copy_only=False)
+        if (fab > (np.iinfo(np.int64).max // int(SCALE))).any():
+            raise OverflowError(
+                "word_pmi_topk: f_ab too large for the 1e12 exact scale"
+            )
+        denom = f1.astype(object) * f2.astype(object)  # exact python ints
+        score = np.array(
+            [int(a) * int(SCALE) // int(d) for a, d in zip(fab, denom)],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "w1": pr["w1"],
+                "w2": pr["w2"],
+                "f_ab": pa.array(fab.astype(np.int64)),
+                "f1": pa.array(f1.astype(np.int64)),
+                "f2": pa.array(f2),
+                "assoc_x1e12": pa.array(score),
+            }
+        )
+
+    import ray.data as rd
+
+    s1 = ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+    s2 = s1.groupby("__b").map_groups(first_word_bucket, batch_format="pyarrow")
+    s3 = s2.groupby("__b").map_groups(second_word_bucket, batch_format="pyarrow")
+    seed = rd.from_arrow(
+        pa.table(
+            {
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "f_ab": pa.array([], pa.int64()),
+                "f1": pa.array([], pa.int64()),
+                "f2": pa.array([], pa.int64()),
+                "assoc_x1e12": pa.array([], pa.int64()),
+            }
+        )
+    )
+    top = (
+        seed.union(s3)
+        .sort(["assoc_x1e12", "w1", "w2"], descending=[True, False, False])
+        .limit(k)
+        .to_pandas()
+    )
+    for c in ("f_ab", "f1", "f2", "assoc_x1e12"):
+        top[c] = top[c].astype("int64")
+    return top.reset_index(drop=True)

@@ -744,3 +744,49 @@ def test_cli_sample_subcommand(ray_session, tmp_path):
 
     with pytest.raises(SystemExit, match="not group=pct"):
         cli_main(["sample", "--input", src, "--out", out, "--rates", "evens30"])
+
+
+def test_word_pmi_topk_vs_reference(ray_session):
+    """The two-exchange collocation miner equals a plain-Python
+    reference (same integer score, same min_pair floor, same
+    tie-break) over a random corpus with planted collocations."""
+    import itertools
+
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.functions.text import word_pmi_topk
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = []
+    for _ in range(80):
+        words = list(rng.choice(vocab, size=int(rng.integers(2, 12))))
+        if rng.random() < 0.5:
+            words[0:2] = ["sharp", "spike"]  # planted collocation
+        texts.append(" ".join(words))
+
+    uni: dict = {}
+    pair: dict = {}
+    for txt in texts:
+        w = txt.lower().split(" ")
+        for x in w:
+            uni[x] = uni.get(x, 0) + 1
+        for a, b in zip(w, w[1:]):
+            pair[(a, b)] = pair.get((a, b), 0) + 1
+    scored = [
+        (v * 10**12 // (uni[a] * uni[b]), a, b, v, uni[a], uni[b])
+        for (a, b), v in pair.items()
+        if v >= 3
+    ]
+    scored.sort(key=lambda r: (-r[0], r[1], r[2]))
+    want = [(a, b, v, fa, fb, s) for s, a, b, v, fa, fb in scored[:8]]
+
+    out = word_pmi_topk(
+        rd.from_arrow(pa.table({"text": pa.array(texts)})).repartition(4),
+        k=8,
+        min_pair=3,
+        num_partitions=8,
+    )
+    got = [tuple(r) for r in out.values.tolist()]
+    assert got == want
+    assert got[0][:2] == ("sharp", "spike")
