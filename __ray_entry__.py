@@ -3061,6 +3061,82 @@ def q_length_quartiles_by_source(sf_dir: str):
     return out.sort_values(["source", "quartile"]).reset_index(drop=True)
 
 
+def q_json_roundtrip(sf_dir: str):
+    """JSON source/sink roundtrip — driver evidence for the 2.1 JSON
+    reader (sources/jsonl.read_token_json, previously pytest-only): the
+    corpus is tokenized (sources/tokenize, SQL-mirrorable), written as
+    JSONL (Ray write_json sink), read BACK through the validating JSON
+    reader (schema coercion + error recording; any __schema_error row
+    raises here), and aggregated per source. sum_tok folds each row's
+    token list (np.add.reduceat over the list offsets — no explode);
+    the twin recomputes the same tokens from documents directly, so the
+    hash match certifies the whole write→read→normalize path."""
+    import shutil
+
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+    from etl_data_validation_kio_ray.sources.jsonl import (
+        SCHEMA_ERROR_COL,
+        read_token_json,
+    )
+    from etl_data_validation_kio_ray.sources.tokenize import tokenize_documents
+
+    out_dir = "/tmp/kio_json_roundtrip_" + os.path.basename(
+        os.path.normpath(sf_dir)
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    tokenize_documents(docs).write_json(out_dir)
+    ds = read_token_json(out_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if SCHEMA_ERROR_COL in t.column_names:
+            bad = t.filter(pc.is_valid(t[SCHEMA_ERROR_COL]))
+            if bad.num_rows:
+                raise AssertionError(
+                    "json_roundtrip: reader recorded schema errors on "
+                    f"clean data: {bad[SCHEMA_ERROR_COL][0].as_py()}"
+                )
+        toks = t["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        off = off - off[0]
+        row_sum = np.add.reduceat(
+            np.r_[flat, np.int64(0)], np.minimum(off[:-1], len(flat))
+        )
+        row_sum[np.diff(off) == 0] = 0  # empty lists: reduceat artifacts
+        return pa.table(
+            {
+                "source": t["source"],
+                "n_docs": pa.array(np.ones(t.num_rows, np.int64)),
+                "sum_ntok": pc.cast(t["n_tok"], pa.int64()),
+                "sum_tok": pa.array(row_sum),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = grouped_agg(
+        partials,
+        ["source"],
+        {
+            "n_docs": ("n_docs", "sum"),
+            "sum_ntok": ("sum_ntok", "sum"),
+            "sum_tok": ("sum_tok", "sum"),
+        },
+    )
+    for c in ("n_docs", "sum_ntok", "sum_tok"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def q_word_pmi(sf_dir: str):
     """Collocation mining: top-20 adjacent word pairs by the exact
     integer association score f_ab * 1e12 // (f1*f2) — the corpus-size-
@@ -3289,6 +3365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "packing_by_source": q_packing_by_source,
         "length_quartiles_by_source": q_length_quartiles_by_source,
         "word_pmi": q_word_pmi,
+        "json_roundtrip": q_json_roundtrip,
     }
 
 
@@ -4683,5 +4760,21 @@ WITH words AS (
 SELECT w1, w2, f_ab, f1, f2, assoc_x1e12
 FROM r WHERE rk <= 20
 ORDER BY assoc_x1e12 DESC, w1, w2
+""",
+        # The twin recomputes the deterministic tokens from documents
+        # directly — a hash match certifies the engine's JSONL
+        # write -> read -> normalize path end-to-end.
+        "json_roundtrip": r"""
+WITH t AS (
+  SELECT source,
+         list_transform(string_split(text, ' '),
+           w -> CAST((length(w) * 2654435761) % 50257 AS BIGINT)) AS toks
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(toks)) AS BIGINT) AS sum_ntok,
+       CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT), toks),
+                            (a, b) -> a + b)) AS BIGINT) AS sum_tok
+FROM t GROUP BY source ORDER BY source
 """,
     }

@@ -128,6 +128,8 @@ BENCH_QUERIES = [
     "length_quartiles_by_source",
     # collocation mining (unigram+bigram one-pass, two word exchanges)
     "word_pmi",
+    # JSONL sink -> validating JSON reader roundtrip (2.1 evidence)
+    "json_roundtrip",
 ]
 
 
