@@ -3137,6 +3137,76 @@ def q_json_roundtrip(sf_dir: str):
     return out.sort_values("source").reset_index(drop=True)
 
 
+def q_date_parse_roundtrip(sf_dir: str):
+    """Driver evidence for the 2.2 date parser (functions/dates,
+    previously pytest-only): event timestamps are FORMATTED to strings
+    in three rotating ISO variants (T-separator, space separator,
+    Z-suffixed — selected by event_id % 3, vectorized pc.strftime) and
+    parsed BACK with parse_iso_timestamp; a parse failure or a
+    second-truncated mismatch vs the original raises. Output: events
+    per (event_type, hour of parsed ts) — the twin reads the hour off
+    the raw timestamp, so the hash match certifies format -> parse ->
+    extract end-to-end. All int64."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.functions.dates import parse_iso_timestamp
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "event_type"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        eid = t["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        sec = pc.floor_temporal(ts, unit="second")
+        # Arrow's %S prints fractional seconds; the floor made them
+        # exactly .000000, so strip that suffix to get plain ISO
+        v_t = pc.replace_substring(
+            pc.strftime(sec, format="%Y-%m-%dT%H:%M:%S"), ".000000", ""
+        )
+        v_sp = pc.replace_substring(
+            pc.strftime(sec, format="%Y-%m-%d %H:%M:%S"), ".000000", ""
+        )
+        v_z = pc.binary_join_element_wise(v_t, "Z", "")
+        sel = pa.array((eid % 3).astype(np.int8))
+        s = pc.if_else(
+            pc.equal(sel, pa.scalar(0, pa.int8())),
+            v_t,
+            pc.if_else(pc.equal(sel, pa.scalar(1, pa.int8())), v_sp, v_z),
+        )
+        parsed = parse_iso_timestamp(s)
+        if pc.any(pc.is_null(parsed)).as_py():
+            raise AssertionError("date_parse_roundtrip: parser returned nulls")
+        if not pc.all(pc.equal(parsed, sec)).as_py():
+            raise AssertionError(
+                "date_parse_roundtrip: parsed timestamps differ from the "
+                "second-truncated originals"
+            )
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "hour": pc.cast(pc.hour(parsed), pa.int64()),
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+
+    partials = ev.map_batches(partial, batch_format="pyarrow")
+    pre = partials.map_batches(
+        lambda t: t.group_by(["event_type", "hour"])
+        .aggregate([("n", "sum")])
+        .rename_columns(["event_type", "hour", "n"]),
+        batch_format="pyarrow",
+    )
+    out = grouped_agg(pre, ["event_type", "hour"], {"n": ("n", "sum")})
+    out["hour"] = out["hour"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
 def q_word_pmi(sf_dir: str):
     """Collocation mining: top-20 adjacent word pairs by the exact
     integer association score f_ab * 1e12 // (f1*f2) — the corpus-size-
@@ -3366,6 +3436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quartiles_by_source": q_length_quartiles_by_source,
         "word_pmi": q_word_pmi,
         "json_roundtrip": q_json_roundtrip,
+        "date_parse_roundtrip": q_date_parse_roundtrip,
     }
 
 
@@ -4776,5 +4847,10 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT), toks),
                             (a, b) -> a + b)) AS BIGINT) AS sum_tok
 FROM t GROUP BY source ORDER BY source
+""",
+        "date_parse_roundtrip": r"""
+SELECT event_type, CAST(date_part('hour', ts) AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type, hour ORDER BY event_type, hour
 """,
     }

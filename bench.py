@@ -130,6 +130,8 @@ BENCH_QUERIES = [
     "word_pmi",
     # JSONL sink -> validating JSON reader roundtrip (2.1 evidence)
     "json_roundtrip",
+    # ISO format -> parse -> extract roundtrip (2.2 date parser)
+    "date_parse_roundtrip",
 ]
 
 
