@@ -3137,6 +3137,110 @@ def q_json_roundtrip(sf_dir: str):
     return out.sort_values("source").reset_index(drop=True)
 
 
+def q_csv_roundtrip(sf_dir: str):
+    """CSV source/sink roundtrip — driver evidence for the 2.1 CSV
+    path (sources/jsonl.read_token_csv): tokens are stringified to the
+    CSV-safe '[1, 2, 3]' text form (CSV cannot carry nested types; the
+    stringify is one flat int->string cast + one list binary_join, no
+    per-row Python), written via Ray's CSV sink, read BACK through the
+    parsing/validating CSV reader, and aggregated per source with the
+    same sums as json_roundtrip — one twin certifies each reader."""
+    import shutil
+
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+    from etl_data_validation_kio_ray.sources.jsonl import (
+        SCHEMA_ERROR_COL,
+        read_token_csv,
+    )
+    from etl_data_validation_kio_ray.sources.tokenize import tokenize_documents
+
+    out_dir = "/tmp/kio_csv_roundtrip_" + os.path.basename(
+        os.path.normpath(sf_dir)
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+
+    def stringify(t: pa.Table) -> pa.Table:
+        toks = t["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat_s = pc.cast(toks.values, pa.string())
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(toks.offsets, flat_s), ", "
+        )
+        body = pc.binary_join_element_wise(
+            "[", pc.fill_null(joined, ""), "]", ""
+        )
+        did = t["doc_id"]
+        if isinstance(did, pa.ChunkedArray):
+            did = did.combine_chunks()
+        # numeric-looking ids would be re-inferred as int64 by the CSV
+        # reader (a castable warning, but this query asserts CLEAN);
+        # prefix them so they survive the text format as strings
+        did = pc.binary_join_element_wise("d", did, "")
+        return pa.table(
+            {
+                "doc_id": did,
+                "tokens": body,
+                "n_tok": t["n_tok"],
+                "source": t["source"],
+            }
+        )
+
+    tokenize_documents(docs).map_batches(
+        stringify, batch_format="pyarrow", zero_copy_batch=True
+    ).write_csv(out_dir)
+    ds = read_token_csv(out_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if SCHEMA_ERROR_COL in t.column_names:
+            bad = t.filter(pc.is_valid(t[SCHEMA_ERROR_COL]))
+            if bad.num_rows:
+                raise AssertionError(
+                    "csv_roundtrip: reader recorded schema errors on "
+                    f"clean data: {bad[SCHEMA_ERROR_COL][0].as_py()}"
+                )
+        toks = t["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        off = np.asarray(toks.offsets, dtype=np.int64)
+        off = off - off[0]
+        row_sum = np.add.reduceat(
+            np.r_[flat, np.int64(0)], np.minimum(off[:-1], len(flat))
+        )
+        row_sum[np.diff(off) == 0] = 0
+        return pa.table(
+            {
+                "source": t["source"],
+                "n_docs": pa.array(np.ones(t.num_rows, np.int64)),
+                "sum_ntok": pc.cast(t["n_tok"], pa.int64()),
+                "sum_tok": pa.array(row_sum),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = grouped_agg(
+        partials,
+        ["source"],
+        {
+            "n_docs": ("n_docs", "sum"),
+            "sum_ntok": ("sum_ntok", "sum"),
+            "sum_tok": ("sum_tok", "sum"),
+        },
+    )
+    for c in ("n_docs", "sum_ntok", "sum_tok"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def q_date_parse_roundtrip(sf_dir: str):
     """Driver evidence for the 2.2 date parser (functions/dates,
     previously pytest-only): event timestamps are FORMATTED to strings
@@ -3437,6 +3541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_pmi": q_word_pmi,
         "json_roundtrip": q_json_roundtrip,
         "date_parse_roundtrip": q_date_parse_roundtrip,
+        "csv_roundtrip": q_csv_roundtrip,
     }
 
 
@@ -4852,5 +4957,20 @@ FROM t GROUP BY source ORDER BY source
 SELECT event_type, CAST(date_part('hour', ts) AS BIGINT) AS hour,
        CAST(count(*) AS BIGINT) AS n
 FROM events GROUP BY event_type, hour ORDER BY event_type, hour
+""",
+        # Identical aggregate to json_roundtrip: each reader gets its
+        # own driver row against the same recomputed-token twin.
+        "csv_roundtrip": r"""
+WITH t AS (
+  SELECT source,
+         list_transform(string_split(text, ' '),
+           w -> CAST((length(w) * 2654435761) % 50257 AS BIGINT)) AS toks
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(toks)) AS BIGINT) AS sum_ntok,
+       CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT), toks),
+                            (a, b) -> a + b)) AS BIGINT) AS sum_tok
+FROM t GROUP BY source ORDER BY source
 """,
     }

@@ -132,6 +132,8 @@ BENCH_QUERIES = [
     "json_roundtrip",
     # ISO format -> parse -> extract roundtrip (2.2 date parser)
     "date_parse_roundtrip",
+    # CSV sink -> parsing CSV reader roundtrip (2.1 evidence)
+    "csv_roundtrip",
 ]
 
 
