@@ -134,6 +134,8 @@ BENCH_QUERIES = [
     "date_parse_roundtrip",
     # CSV sink -> parsing CSV reader roundtrip (2.1 evidence)
     "csv_roundtrip",
+    # GROUP BY CUBE from one finest-grain exchange (all grouping sets)
+    "lineitem_cube",
 ]
 
 

@@ -1940,6 +1940,52 @@ def grouped_rollup(
     return out.sort_values(keys, kind="mergesort").reset_index(drop=True)
 
 
+def grouped_cube(
+    ds,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    *,
+    total_label: str = "ALL",
+) -> pd.DataFrame:
+    """GROUP BY CUBE(keys): aggregates at every SUBSET of ``keys``
+    (all 2^k grouping sets), absent key columns set to ``total_label``.
+    Same scale contract as grouped_rollup: the cluster does exactly ONE
+    partial-aggregated exchange at the finest grain; every coarser
+    grouping set is re-aggregated driver-side from the finest level's
+    tiny result (re-aggregable fns only: sum|count|min|max). Use only
+    when the finest-grain cardinality is small (it is the driver-side
+    working set); for high-cardinality cubes run one grouped_agg per
+    grouping set instead.
+
+    Reference analog: the per-flag x per-status marginal summaries the
+    mart report derives by re-querying at each grain
+    (/root/reference/src/app2/experiments/report.py:546-706)."""
+    for out, (_c, fn) in aggs.items():
+        if fn not in ("sum", "count", "min", "max"):
+            raise ValueError(f"grouped_cube: {fn!r} is not re-aggregable")
+    finest = grouped_agg(ds, keys, aggs)
+    for k in keys:
+        finest[k] = finest[k].astype(str)
+    refn = {out: ("sum" if fn == "count" else fn) for out, (_c, fn) in aggs.items()}
+    levels = [finest]
+    # every proper subset, in deterministic order (bitmask over keys)
+    for mask in range((1 << len(keys)) - 2, -1, -1):
+        head = [k for i, k in enumerate(keys) if mask & (1 << i)]
+        if head:
+            lvl = finest.groupby(head, as_index=False).agg(refn)
+        else:
+            lvl = finest.agg(refn).to_frame().T.reset_index(drop=True)
+        for k in keys:
+            if k not in head:
+                lvl[k] = total_label
+        levels.append(lvl[finest.columns])
+    out = pd.concat(levels, ignore_index=True)
+    for o, (_c, fn) in aggs.items():
+        if fn in ("sum", "count"):
+            out[o] = out[o].astype(finest[o].dtype)
+    return out.sort_values(keys, kind="mergesort").reset_index(drop=True)
+
+
 def pivot_agg(
     ds,
     index_key: str,

@@ -1533,6 +1533,46 @@ def test_grouped_rollup_matches_duckdb(ray_session):
         grouped_rollup(rd.from_pandas(df), ["a"], {"m": ("v", "mean")})
 
 
+def test_grouped_cube_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_cube
+
+    rng = np.random.Generator(np.random.Philox(key=[14, 3]))
+    n = 700
+    df = pd.DataFrame(
+        {
+            "a": rng.choice(["x", "y", "z"], n),
+            "b": rng.integers(0, 3, n).astype(np.int64),
+            "v": rng.integers(-50, 50, n).astype(np.int64),
+        }
+    )
+    got = grouped_cube(
+        rd.from_pandas(df).repartition(4),
+        ["a", "b"],
+        {
+            "n": ("v", "count"),
+            "s": ("v", "sum"),
+            "lo": ("v", "min"),
+            "hi": ("v", "max"),
+        },
+    )
+    want = duckdb.sql(
+        """
+        WITH t AS (SELECT a, CAST(b AS VARCHAR) AS b, v FROM df)
+        SELECT COALESCE(a, 'ALL') AS a, COALESCE(b, 'ALL') AS b,
+               CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s,
+               CAST(min(v) AS BIGINT) AS lo, CAST(max(v) AS BIGINT) AS hi
+        FROM t GROUP BY CUBE(a, b) ORDER BY a, b
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want)
+
+    with pytest.raises(ValueError, match="re-aggregable"):
+        grouped_cube(rd.from_pandas(df), ["a"], {"m": ("v", "mean")})
+
+
 def test_pivot_agg_missing_cell_and_guard(ray_session):
     import ray.data as rd
 
