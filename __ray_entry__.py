@@ -3475,6 +3475,184 @@ def q_lineitem_cube(sf_dir: str):
     return out
 
 
+def q_props_extract(sf_dir: str):
+    """Typed field extraction from the raw JSON event-properties
+    payload (events.props, a scalar-JSON string column): pull the
+    integer field 'k' with one vectorized RE2 kernel per batch
+    (sources/jsonl.extract_json_int_field — no per-row json.loads),
+    then a per-event-type coverage + stats aggregate: total rows, rows
+    where the field parsed, exact sum/min/max. One partial exchange of
+    #event_types cells per batch."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+    from etl_data_validation_kio_ray.sources.jsonl import extract_json_int_field
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "props"]
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "k": extract_json_int_field(t["props"], "k"),
+            }
+        )
+
+    out = grouped_agg(
+        ev.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"],
+        {
+            "n_events": ("event_type", "count"),
+            "n_k": ("k", "count"),
+            "sum_k": ("k", "sum"),
+            "min_k": ("k", "min"),
+            "max_k": ("k", "max"),
+        },
+    )
+    for c in ("n_events", "n_k", "sum_k", "min_k", "max_k"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SMALL_QTY_BRANDS = ("Brand#13", "Brand#23", "Brand#3")
+
+
+def q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape (correlated scalar aggregate): revenue sitting in
+    lineitems whose quantity is below 20% of their part's average
+    quantity, for three brands. The correlated avg is integer-exact:
+    qty < 0.2*avg(qty)  <=>  5*qty*n_part < sum_qty_part (quantities
+    are integral), so no float crosses engines.
+
+    Scale shape: the brand screen prunes part FIRST (3/25 of the dim),
+    the pruned dim broadcasts once (broadcast_lookup_join — lineitem
+    never shuffles), per-part (n, sum_qty) partials come back through
+    one grouped exchange at the filtered-part grain, and ship back as a
+    second broadcast; the final aggregate is 3 cells."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        broadcast_lookup_join,
+        grouped_agg,
+    )
+
+    part = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
+    )
+
+    def brand_filter(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.is_in(t["p_brand"], value_set=pa.array(list(SMALL_QTY_BRANDS)))
+        )
+
+    dim_blocks = [
+        b
+        for b in part.map_batches(
+            brand_filter, batch_format="pyarrow", zero_copy_batch=True
+        ).to_arrow_refs()
+    ]
+    import ray
+
+    dim = pa.concat_tables([t for t in ray.get(dim_blocks) if t.num_rows])
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "qty": pc.round(t["l_quantity"]).cast(pa.int64()),
+                "price_c": pc.round(
+                    pc.multiply(t["l_extendedprice"], 100.0)
+                ).cast(pa.int64()),
+            }
+        )
+
+    fact = broadcast_lookup_join(
+        li.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True),
+        dim,
+        "l_partkey",
+        "p_partkey",
+        ["p_brand"],
+    )
+    stats = grouped_agg(
+        fact, ["l_partkey"], {"n_li": ("qty", "count"), "sum_qty": ("qty", "sum")}
+    )
+    stats_tbl = pa.table(
+        {
+            "l_partkey": pa.array(stats["l_partkey"].to_numpy(), pa.int64()),
+            "n_li": pa.array(stats["n_li"].to_numpy(), pa.int64()),
+            "psum_qty": pa.array(stats["sum_qty"].to_numpy(), pa.int64()),
+        }
+    )
+    enriched = broadcast_lookup_join(
+        fact, stats_tbl, "l_partkey", "l_partkey", ["n_li", "psum_qty"]
+    )
+
+    def small_only(t: pa.Table) -> pa.Table:
+        lhs = pc.multiply(pc.multiply(t["qty"], pa.scalar(5, pa.int64())), t["n_li"])
+        return t.filter(pc.less(lhs, t["psum_qty"]))
+
+    out = grouped_agg(
+        enriched.map_batches(
+            small_only, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["p_brand"],
+        {
+            "n_small": ("qty", "count"),
+            "sum_qty_small": ("qty", "sum"),
+            "sum_price_c": ("price_c", "sum"),
+        },
+    )
+    for c in ("n_small", "sum_qty_small", "sum_price_c"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+def q_pareto_parts(sf_dir: str):
+    """Skyline query: the Pareto frontier of parts under (minimize
+    retail price, maximize size) — no other part is both cheaper-or-
+    equal AND larger-or-equal with one strict. relational.
+    pareto_frontier_2d does one partial exchange at the distinct-price
+    grain, a driver scan of the tiny sorted level table, and a
+    broadcast filter back over the parts — exact integer cents, lazy
+    result."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        collect_sorted,
+        pareto_frontier_2d,
+    )
+
+    part = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_retailprice", "p_size"],
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": t["p_partkey"],
+                "price_c": pc.round(
+                    pc.multiply(t["p_retailprice"], 100.0)
+                ).cast(pa.int64()),
+                "p_size": pc.cast(t["p_size"], pa.int64()),
+            }
+        )
+
+    front = pareto_frontier_2d(
+        part.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True),
+        "price_c",
+        "p_size",
+    )
+    return collect_sorted(front, ["p_partkey"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -3585,6 +3763,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "date_parse_roundtrip": q_date_parse_roundtrip,
         "csv_roundtrip": q_csv_roundtrip,
         "lineitem_cube": q_lineitem_cube,
+        "props_extract": q_props_extract,
+        "small_qty_revenue": q_small_qty_revenue,
+        "pareto_parts": q_pareto_parts,
     }
 
 
@@ -5031,5 +5212,58 @@ SELECT COALESCE(rf, 'ALL') AS l_returnflag,
        CAST(sum(qty) AS BIGINT) AS sum_qty,
        CAST(sum(price_c) AS BIGINT) AS sum_price_c
 FROM t GROUP BY CUBE(rf, ls) ORDER BY l_returnflag, l_linestatus
+""",
+        # TRY_CAST: a non-integer field value degrades to NULL exactly
+        # like the Ray side's integer-only RE2 pattern
+        "props_extract": r"""
+WITH t AS (
+  SELECT event_type,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(k) AS BIGINT) AS n_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM t GROUP BY event_type ORDER BY event_type
+""",
+        # integer-exact Q17 predicate: qty < 0.2*avg  <=>  5*qty*n < sum
+        "small_qty_revenue": r"""
+WITH li AS (
+  SELECT p_brand, l_partkey,
+         CAST(round(l_quantity) AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_brand IN ('Brand#13', 'Brand#23', 'Brand#3')
+), st AS (
+  SELECT l_partkey, count(*) AS n_li, sum(qty) AS psum_qty
+  FROM li GROUP BY l_partkey
+)
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_small,
+       CAST(sum(qty) AS BIGINT) AS sum_qty_small,
+       CAST(sum(price_c) AS BIGINT) AS sum_price_c
+FROM li JOIN st USING (l_partkey)
+WHERE 5 * qty * n_li < psum_qty
+GROUP BY p_brand ORDER BY p_brand
+""",
+        "pareto_parts": r"""
+WITH t AS (
+  SELECT p_partkey,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+         CAST(p_size AS BIGINT) AS p_size
+  FROM part
+)
+SELECT p_partkey, price_c, p_size
+FROM t a
+WHERE NOT EXISTS (
+  SELECT 1 FROM t b
+  WHERE b.price_c <= a.price_c AND b.p_size >= a.p_size
+    AND (b.price_c < a.price_c OR b.p_size > a.p_size)
+)
+ORDER BY p_partkey
 """,
     }

@@ -136,6 +136,12 @@ BENCH_QUERIES = [
     "csv_roundtrip",
     # GROUP BY CUBE from one finest-grain exchange (all grouping sets)
     "lineitem_cube",
+    # scalar-JSON field extraction (RE2 kernel) + coverage aggregate
+    "props_extract",
+    # TPC-H Q17 shape: correlated scalar aggregate via double broadcast
+    "small_qty_revenue",
+    # 2-D skyline: distinct-price exchange + broadcast frontier filter
+    "pareto_parts",
 ]
 
 

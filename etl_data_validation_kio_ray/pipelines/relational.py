@@ -1986,6 +1986,61 @@ def grouped_cube(
     return out.sort_values(keys, kind="mergesort").reset_index(drop=True)
 
 
+def pareto_frontier_2d(ds, min_col: str, max_col: str):
+    """2-D skyline: rows NOT strictly dominated by any other row, where
+    a row dominates another if it is <= on ``min_col`` AND >= on
+    ``max_col`` with at least one strict. Ties on both axes are all
+    kept (neither strictly dominates).
+
+    Scale shape: the cluster does ONE partial-aggregated exchange at
+    the distinct-``min_col`` grain (per-batch partial max via
+    grouped_agg), the driver scans that tiny sorted level table once
+    (frontier = levels whose max beats every strictly-smaller level's
+    running max), and the frontier ships back via ``ray.put`` as a
+    broadcast filter — the big side never shuffles and the result stays
+    a lazy Dataset. Assumes the distinct-value count of ``min_col`` is
+    driver-sized (price-like domains); both columns must be non-null.
+
+    Reference analog: the mart report's best-of screening picks
+    leaderboards on one metric
+    (/root/reference/src/app2/experiments/report.py:546-706); the
+    skyline is the two-objective generalization (cheapest price vs
+    largest size with no dominated offers)."""
+    import ray
+
+    levels = grouped_agg(ds, [min_col], {"__mx": (max_col, "max")})
+    levels = levels.sort_values(min_col, kind="mergesort")
+    mx = levels["__mx"].to_numpy()
+    keep = np.ones(len(mx), dtype=bool)
+    if len(mx) > 1:
+        run = np.maximum.accumulate(mx)
+        keep[1:] = mx[1:] > run[:-1]
+    frontier = pa.table(
+        {
+            min_col: pa.array(levels[min_col].to_numpy()[keep]),
+            "__mx": pa.array(mx[keep]),
+        }
+    )
+    ref = ray.put(frontier)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        f = ray.get(ref)
+        lo = batch[min_col]
+        hi = batch[max_col]
+        if isinstance(lo, pa.ChunkedArray):
+            lo = lo.combine_chunks()
+        if isinstance(hi, pa.ChunkedArray):
+            hi = hi.combine_chunks()
+        idx = pc.index_in(lo, value_set=f[min_col])
+        on_level = pc.is_valid(idx)
+        lvl_max = f["__mx"].take(pc.fill_null(idx, 0))
+        return batch.filter(
+            pc.and_(on_level, pc.equal(hi, lvl_max))
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def pivot_agg(
     ds,
     index_key: str,

@@ -181,6 +181,30 @@ def read_token_json(
     )
 
 
+def extract_json_int_field(arr, key: str) -> pa.Array:
+    """Vectorized integer field extraction from a scalar-JSON string
+    column (e.g. an event-properties payload ``{"k": 87}``) — the
+    reference pulls typed fields out of raw JSON payload columns during
+    staging (/root/reference/src/app2/experiments/report.py:131-178
+    reads response_json fields back out of stg rows). Runs entirely in
+    Arrow's RE2 kernel — no per-row json.loads in the hot path; a
+    missing key, a non-integer value or a null row all yield null, so
+    downstream aggregates can count coverage explicitly.
+
+    This is the fast path for flat scalar payloads; nested/structural
+    JSON goes through :func:`read_token_json`'s declared-schema
+    normalization instead."""
+    import re as _re
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    # RE2 (Arrow's engine) has no lookahead; consume the JSON value
+    # terminator instead so a float like 1.5 is rejected, not truncated
+    pat = '"' + _re.escape(key) + r'"\s*:\s*(?P<v>-?\d+)\s*[,}]'
+    hit = pc.extract_regex(arr, pattern=pat)
+    return pc.cast(pc.struct_field(hit, "v"), pa.int64())
+
+
 def read_token_csv(paths, *, partition: str | None = None):
     """CSV corpora -> canonical token-table Dataset. The ``tokens``
     column is a JSON-style int list in text form (CSV cannot carry

@@ -790,3 +790,29 @@ def test_word_pmi_topk_vs_reference(ray_session):
     got = [tuple(r) for r in out.values.tolist()]
     assert got == want
     assert got[0][:2] == ("sharp", "spike")
+
+
+def test_extract_json_int_field_edges():
+    from etl_data_validation_kio_ray.sources.jsonl import extract_json_int_field
+
+    arr = pa.array(
+        [
+            '{"k": 87}',
+            '{"k":-3}',
+            '{"j": 5}',          # key absent
+            None,                 # null row
+            '{"k": 1.5}',         # non-integer -> null, not truncated to 1
+            '{"k": 12, "z": 9}',
+            '{"k": 4 }',
+            '{"kk": 7}',          # key must match exactly, not a prefix
+            '{"a": {"k": 2}, "k": 11}',
+        ]
+    )
+    got = extract_json_int_field(arr, "k").to_pylist()
+    # nested-object caveat: the flat RE2 path matches the FIRST "k":int
+    # occurrence anywhere in the payload (the nested 2 here) — callers
+    # with nested payloads use read_token_json's declared schemas
+    assert got == [87, -3, None, None, None, 12, 4, None, 2]
+    # chunked input and a different key
+    ch = pa.chunked_array([['{"z": 1}'], ['{"z":-9}', "{}"]])
+    assert extract_json_int_field(ch, "z").to_pylist() == [1, -9, None]

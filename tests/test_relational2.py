@@ -1963,3 +1963,55 @@ def test_key_value_diff(ray_session):
             key_col="doc_id",
             value_col="text",
         )
+
+
+def test_pareto_frontier_2d_matches_bruteforce(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        collect_sorted,
+        pareto_frontier_2d,
+    )
+
+    rng = np.random.Generator(np.random.Philox(key=[14, 7]))
+    n = 900
+    df = pd.DataFrame(
+        {
+            "pk": np.arange(n, dtype=np.int64),
+            # small domains force ties on each axis AND exact (cost, gain)
+            # duplicates, the strict-dominance edge cases
+            "cost": rng.integers(0, 40, n).astype(np.int64),
+            "gain": rng.integers(0, 40, n).astype(np.int64),
+        }
+    )
+    got = collect_sorted(
+        pareto_frontier_2d(rd.from_pandas(df).repartition(5), "cost", "gain"),
+        ["pk"],
+    )
+    want = duckdb.sql(
+        """
+        SELECT pk, cost, gain FROM df a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM df b
+          WHERE b.cost <= a.cost AND b.gain >= a.gain
+            AND (b.cost < a.cost OR b.gain > a.gain)
+        )
+        ORDER BY pk
+        """
+    ).df()
+    for c in want.columns:
+        want[c] = want[c].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) >= 1
+    # duplicated frontier points must ALL be kept (no strict dominance)
+    dup = df[df.duplicated(["cost", "gain"], keep=False)].merge(
+        got[["cost", "gain"]].drop_duplicates(), on=["cost", "gain"]
+    )
+    if len(dup):
+        assert set(dup["pk"]).issubset(set(got["pk"]))
+
+    # single-row and single-level inputs
+    one = pd.DataFrame({"pk": [1], "cost": [3], "gain": [5]})
+    got1 = collect_sorted(pareto_frontier_2d(rd.from_pandas(one), "cost", "gain"), ["pk"])
+    assert got1["pk"].tolist() == [1]
