@@ -3580,6 +3580,13 @@ def q_small_qty_revenue(sf_dir: str):
         "p_partkey",
         ["p_brand"],
     )
+    # Diamond DAG: `fact` feeds both the per-part stats AND the final
+    # filter, and Ray does not share common subplans — without this the
+    # full lineitem scan runs twice. Materializing pins only the
+    # brand-pruned, 4-narrow-column projection (~12% of rows) in the
+    # object store, which beats a second pass over source storage at
+    # any scale (spilling handles the 100x case).
+    fact = fact.materialize()
     stats = grouped_agg(
         fact, ["l_partkey"], {"n_li": ("qty", "count"), "sum_qty": ("qty", "sum")}
     )
