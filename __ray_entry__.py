@@ -3660,6 +3660,316 @@ def q_pareto_parts(sf_dir: str):
     return collect_sorted(front, ["p_partkey"])
 
 
+def q_promo_revenue_share(sf_dir: str):
+    """TPC-H Q14 shape (conditional aggregate ratio): per ship-month,
+    the share of revenue earned by PROMO-type parts, in exact integer
+    parts-per-million. The part dim broadcasts once (ray.put inside
+    broadcast_lookup_join — lineitem never shuffles); the only exchange
+    is the (yr, mo) grouped aggregate at month grain. Revenue stays in
+    int64 c4 units (cents x (100 - discount%)); the ppm ratio is
+    floor-divided with Python ints on the tiny month table, so no
+    float crosses engines (DuckDB's HUGEINT sum does the same there)."""
+    import ray
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        broadcast_lookup_join,
+        grouped_agg,
+    )
+
+    part = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    )
+    dim = pa.concat_tables(
+        [t for t in ray.get(part.to_arrow_refs()) if t.num_rows]
+    )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        e = np.round(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100)
+        d = np.round(t["l_discount"].to_numpy(zero_copy_only=False) * 100)
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "yr": pc.year(t["l_shipdate"]).cast(pa.int64()),
+                "mo": pc.month(t["l_shipdate"]).cast(pa.int64()),
+                "rev_c4": pa.array(
+                    e.astype(np.int64) * (100 - d.astype(np.int64))
+                ),
+            }
+        )
+
+    tagged = broadcast_lookup_join(
+        li.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True),
+        dim,
+        "l_partkey",
+        "p_partkey",
+        ["p_type"],
+    )
+
+    def split_promo(t: pa.Table) -> pa.Table:
+        promo = pc.equal(t["p_type"], "PROMO")
+        rev = t["rev_c4"]
+        zero = pa.scalar(0, pa.int64())
+        return pa.table(
+            {
+                "yr": t["yr"],
+                "mo": t["mo"],
+                "promo_c4": pc.if_else(promo, rev, zero),
+                "total_c4": rev,
+            }
+        )
+
+    out = grouped_agg(
+        tagged.map_batches(split_promo, batch_format="pyarrow"),
+        ["yr", "mo"],
+        {"promo_c4": ("promo_c4", "sum"), "total_c4": ("total_c4", "sum")},
+    )
+    for c in ("yr", "mo", "promo_c4", "total_c4"):
+        out[c] = out[c].astype("int64")
+    # Python-int floor division on the tiny month table: immune to the
+    # int64 overflow a 1e6x scale-up of the c4 sums would hit in numpy.
+    out["share_ppm"] = [
+        (1_000_000 * int(p)) // int(t)
+        for p, t in zip(out["promo_c4"], out["total_c4"])
+    ]
+    out["share_ppm"] = out["share_ppm"].astype("int64")
+    return out.sort_values(["yr", "mo"]).reset_index(drop=True)
+
+
+def q_order_priority_returns(sf_dir: str):
+    """TPC-H Q4 shape (EXISTS semi-join + grouped count): orders with
+    at least one returned (l_returnflag='R') line, counted per order
+    priority. The EXISTS test rides fact_dim_cogroup's inner-join
+    filter for free: the per-order partial n_r (returned-line count)
+    is fact_cols[0], and keys whose summed count is 0 — orders with
+    lines but none returned — drop exactly like absent keys, so no
+    separate distinct-key set is ever built or broadcast."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        fact_dim_cogroup,
+        grouped_agg,
+    )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_returnflag"],
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        from etl_data_validation_kio_ray.functions.grouping import group_reduce
+
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        is_r = pc.equal(t["l_returnflag"], "R").to_numpy(zero_copy_only=False)
+        keys, n_r = group_reduce(ok, is_r.astype(np.int64))
+        return pa.table({"okey": pa.array(keys), "n_r": pa.array(n_r)})
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    ).map_batches(
+        lambda t: pa.table(
+            {"okey": t["o_orderkey"], "priority": t["o_orderpriority"]}
+        ),
+        batch_format="pyarrow",
+    )
+    per_order = fact_dim_cogroup(
+        li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True),
+        orders,
+        key="okey",
+        fact_cols=["n_r"],
+        dim_cols=["priority"],
+    )
+    out = grouped_agg(
+        per_order,
+        ["priority"],
+        {"n_orders": ("n_r", "count"), "n_r_lines": ("n_r", "sum")},
+    )
+    out = out.rename(columns={"priority": "o_orderpriority"})
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["n_r_lines"] = out["n_r_lines"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def q_returned_top_customers(sf_dir: str):
+    """TPC-H Q10 shape (join + group + top-k): the 20 customers with
+    the most revenue sitting in returned lines, with name and nation.
+    Scale shape: returned-line revenue partials aggregate per order,
+    cogroup with orders to reach the customer key, re-aggregate at
+    customer grain through one bucketed exchange, and ONLY the sorted
+    top-20 rows are enriched with names — the name lookup ships the
+    20-row result to the driver and probes the customer/nation dims
+    with an is_in filter, never broadcasting the customer table."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        bucketed_group_agg,
+        fact_dim_cogroup,
+    )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        from etl_data_validation_kio_ray.functions.grouping import group_reduce
+
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        e = np.round(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100)
+        d = np.round(t["l_discount"].to_numpy(zero_copy_only=False) * 100)
+        rev = e.astype(np.int64) * (100 - d.astype(np.int64))
+        keys, rev_sum, n = group_reduce(ok, rev, return_counts=True)
+        return pa.table(
+            {"okey": pa.array(keys), "n_r": pa.array(n), "rev_c4": pa.array(rev_sum)}
+        )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+    ).map_batches(
+        lambda t: pa.table({"okey": t["o_orderkey"], "ck": t["o_custkey"]}),
+        batch_format="pyarrow",
+    )
+    per_order = fact_dim_cogroup(
+        li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True),
+        orders,
+        key="okey",
+        fact_cols=["n_r", "rev_c4"],
+        dim_cols=["ck"],
+    )
+    per_cust = bucketed_group_agg(
+        per_order.map_batches(
+            lambda t: pa.table({"ck": t["ck"], "rev_c4": t["rev_c4"]}),
+            batch_format="pyarrow",
+        ),
+        "ck",
+        [("rev_c4", "sum")],
+    )
+    top = (
+        per_cust.sort(["rev_c4", "ck"], descending=[True, False])
+        .limit(20)
+        .to_pandas()
+    )
+    # Name lookup for 20 rows: probe the dims with the tiny key set.
+    ck_set = pa.array(top["ck"].to_numpy().astype(np.int64))
+    cust = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_name", "c_nationkey"],
+        )
+        .map_batches(
+            lambda t: t.filter(
+                pc.is_in(pc.cast(t["c_custkey"], pa.int64()), value_set=ck_set)
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    nation = rd.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    out = top.merge(cust, left_on="ck", right_on="c_custkey").merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    )[["c_custkey", "c_name", "n_name", "rev_c4"]]
+    out = out.rename(columns={"rev_c4": "revenue_c4"})
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    out["revenue_c4"] = out["revenue_c4"].astype("int64")
+    return out.sort_values(
+        ["revenue_c4", "c_custkey"], ascending=[False, True]
+    ).reset_index(drop=True)
+
+
+LARGE_ORDER_QTY = 250  # ~p99 of per-order quantity sums in the test data
+
+
+def q_large_order_customers(sf_dir: str):
+    """TPC-H Q18 shape (group-HAVING + join): orders whose total line
+    quantity exceeds LARGE_ORDER_QTY, with customer name. The HAVING
+    filter runs inside fact_dim_cogroup's in-bucket post hook, so only
+    qualifying orders (~1% by construction — the threshold sits at the
+    p99) ever leave the exchange; customer names then resolve by
+    probing the customer table with the small qualifying key set (an
+    is_in semi-join — no broadcast of the full customer dim)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        fact_dim_cogroup,
+    )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"],
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        from etl_data_validation_kio_ray.functions.grouping import group_reduce
+
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        q = np.round(t["l_quantity"].to_numpy(zero_copy_only=False)).astype(
+            np.int64
+        )
+        keys, qsum = group_reduce(ok, q)
+        return pa.table({"okey": pa.array(keys), "sum_qty": pa.array(qsum)})
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def o_pre(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "okey": t["o_orderkey"],
+                "ck": pc.cast(t["o_custkey"], pa.int64()),
+                "odate": t["o_orderdate"],
+                "total_c": pc.round(
+                    pc.multiply(t["o_totalprice"], 100.0)
+                ).cast(pa.int64()),
+            }
+        )
+
+    def having(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["sum_qty"], LARGE_ORDER_QTY))
+
+    qual = fact_dim_cogroup(
+        li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True),
+        orders.map_batches(o_pre, batch_format="pyarrow"),
+        key="okey",
+        fact_cols=["sum_qty"],
+        dim_cols=["ck", "odate", "total_c"],
+        post=having,
+    ).to_pandas()
+    ck_set = pa.array(sorted(set(int(v) for v in qual["ck"])), pa.int64())
+    cust = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_name"],
+        )
+        .map_batches(
+            lambda t: t.filter(
+                pc.is_in(pc.cast(t["c_custkey"], pa.int64()), value_set=ck_set)
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    out = qual.merge(cust, left_on="ck", right_on="c_custkey")[
+        ["c_custkey", "c_name", "okey", "odate", "total_c", "sum_qty"]
+    ].rename(columns={"okey": "o_orderkey", "odate": "o_orderdate"})
+    for c in ("c_custkey", "o_orderkey", "total_c", "sum_qty"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(
+        ["sum_qty", "o_orderkey"], ascending=[False, True]
+    ).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -3773,6 +4083,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_extract": q_props_extract,
         "small_qty_revenue": q_small_qty_revenue,
         "pareto_parts": q_pareto_parts,
+        "promo_revenue_share": q_promo_revenue_share,
+        "order_priority_returns": q_order_priority_returns,
+        "returned_top_customers": q_returned_top_customers,
+        "large_order_customers": q_large_order_customers,
     }
 
 
@@ -5272,5 +5586,65 @@ WHERE NOT EXISTS (
     AND (b.price_c < a.price_c OR b.p_size > a.p_size)
 )
 ORDER BY p_partkey
+""",
+        # HUGEINT sums make 1e6*promo exact at any scale; floor-division
+        # matches the Python-int // on the Ray side.
+        "promo_revenue_share": r"""
+WITH li AS (
+  SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+         CAST(month(l_shipdate) AS BIGINT) AS mo,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_c4,
+         p_type
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+)
+SELECT yr, mo,
+       CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_c4 ELSE 0 END) AS BIGINT)
+         AS promo_c4,
+       CAST(SUM(rev_c4) AS BIGINT) AS total_c4,
+       CAST((1000000 * SUM(CASE WHEN p_type = 'PROMO' THEN rev_c4 ELSE 0 END))
+            // SUM(rev_c4) AS BIGINT) AS share_ppm
+FROM li GROUP BY yr, mo ORDER BY yr, mo
+""",
+        "order_priority_returns": r"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(nr) AS BIGINT) AS n_r_lines
+FROM (
+  SELECT l_orderkey, COUNT(*) AS nr
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey
+) r JOIN orders ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+        "returned_top_customers": r"""
+WITH rev AS (
+  SELECT o_custkey AS ck,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rc
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE l_returnflag = 'R'
+  GROUP BY o_custkey
+)
+SELECT CAST(ck AS BIGINT) AS c_custkey, c_name, n_name,
+       CAST(rc AS BIGINT) AS revenue_c4
+FROM rev
+JOIN customer ON c_custkey = ck
+JOIN nation ON n_nationkey = c_nationkey
+ORDER BY rc DESC, ck LIMIT 20
+""",
+        "large_order_customers": f"""
+WITH q AS (
+  SELECT l_orderkey, CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+           AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > {LARGE_ORDER_QTY}
+)
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderdate,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS total_c, sum_qty
+FROM q
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY sum_qty DESC, o_orderkey
 """,
     }

@@ -1,0 +1,62 @@
+"""End-to-end gate for the TPC-H-shaped driver queries added in round 4:
+each `queries()` entry runs on the sf0.001 tables and must match its
+`oracle_sql()` twin executed by DuckDB on the same parquet — the same
+row-count / column-name / value comparison the correctness driver runs
+(SURVEY.md §5.2 cross-tool agreement, at query grain)."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+QUERIES = [
+    "promo_revenue_share",
+    "order_priority_returns",
+    "returned_top_customers",
+    "large_order_customers",
+]
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")
+@pytest.mark.parametrize("name", QUERIES)
+def test_query_matches_duckdb_oracle(ray_session, name):
+    import __ray_entry__ as entry
+
+    res = entry.queries()[name](SF_DIR)
+    if not isinstance(res, pd.DataFrame):
+        res = res.to_pandas()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    want = con.execute(entry.oracle_sql()[name]).df()
+    con.close()
+
+    got_n, want_n = _normalize(res), _normalize(want)
+    assert list(got_n.columns) == list(want_n.columns)
+    assert len(got_n) == len(want_n)
+    for c in got_n.columns:
+        g, w = got_n[c].to_numpy(), want_n[c].to_numpy()
+        if g.dtype.kind == "f" or w.dtype.kind == "f":
+            assert np.allclose(g.astype(float), w.astype(float), atol=0), c
+        else:
+            assert (pd.Series(g).astype(str) == pd.Series(w).astype(str)).all(), c
