@@ -3970,6 +3970,448 @@ def q_large_order_customers(sf_dir: str):
     ).reset_index(drop=True)
 
 
+DISJ_PREDICATES = (
+    # (brand, max_size, min_qty) — OR-of-AND predicate groups, Q19-style
+    ("Brand#1", 20, 20),
+    ("Brand#2", 30, 10),
+    ("Brand#3", 40, 5),
+)
+
+
+def q_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape (disjunctive multi-attribute predicate): revenue
+    from lines matching any of three (brand, size, quantity) predicate
+    groups. The whole OR-of-ANDs evaluates as vectorized Arrow boolean
+    kernels over the broadcast-joined (brand, size) attributes — one
+    pass, no Python row loop; the result is a single global (count,
+    sum) folded from per-batch partials with Python ints (exact and
+    order-independent at any scale)."""
+    import ray
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        broadcast_lookup_join,
+    )
+
+    part = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_size"],
+    )
+    dim = pa.concat_tables(
+        [t for t in ray.get(part.to_arrow_refs()) if t.num_rows]
+    )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        e = np.round(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100)
+        d = np.round(t["l_discount"].to_numpy(zero_copy_only=False) * 100)
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "qty": pc.round(t["l_quantity"]).cast(pa.int64()),
+                "rev_c4": pa.array(
+                    e.astype(np.int64) * (100 - d.astype(np.int64))
+                ),
+            }
+        )
+
+    tagged = broadcast_lookup_join(
+        li.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True),
+        dim,
+        "l_partkey",
+        "p_partkey",
+        ["p_brand", "p_size"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = None
+        for brand, max_size, min_qty in DISJ_PREDICATES:
+            cond = pc.and_(
+                pc.and_(
+                    pc.equal(t["p_brand"], brand),
+                    pc.less_equal(t["p_size"], max_size),
+                ),
+                pc.greater_equal(t["qty"], min_qty),
+            )
+            keep = cond if keep is None else pc.or_(keep, cond)
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], pa.int64()),
+                "rev": pa.array(
+                    [int(pc.sum(t["rev_c4"]).as_py() or 0)], pa.int64()
+                ),
+            }
+        )
+
+    parts = tagged.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    return pd.DataFrame(
+        {
+            "n_lines": [int(sum(int(v) for v in parts["n"]))],
+            "revenue_c4": [int(sum(int(v) for v in parts["rev"]))],
+        }
+    ).astype("int64")
+
+
+VOLUME_NATIONS = ("NATION_3", "NATION_8")
+
+
+def q_volume_shipping(sf_dir: str):
+    """TPC-H Q7 shape (fact ⋈ fact across two dim paths): revenue
+    shipped between two nations per year, keyed by the SUPPLIER's
+    nation on the lineitem side and the CUSTOMER's nation on the
+    orders side. Scale shape: both dim paths prune to the 2-nation
+    pair BEFORE any exchange (supplier⋈nation broadcasts pre-filtered,
+    customer filters map-side); lineitem pre-aggregates to (orderkey,
+    supp_nation, yr) partials; the only large×large step is the
+    hash_join of those partials against the pair-filtered orders — a
+    key-partitioned shuffle join on both sides' pruned remnants, never
+    on raw lineitem."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        broadcast_lookup_join,
+        grouped_agg,
+        hash_join,
+    )
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    )
+    pair = nation.filter(
+        pc.is_in(nation["n_name"], value_set=pa.array(list(VOLUME_NATIONS)))
+    )
+    pair_keys = pair["n_nationkey"].combine_chunks().cast(pa.int64())
+
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    )
+    sidx = pc.index_in(
+        supp["s_nationkey"].combine_chunks().cast(pa.int64()),
+        value_set=pair_keys,
+    )
+    supp_dim = pa.table(
+        {
+            "s_suppkey": supp["s_suppkey"],
+            "supp_nation": pair["n_name"].combine_chunks().take(sidx),
+        }
+    ).filter(pc.is_valid(sidx))
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_orderkey",
+            "l_suppkey",
+            "l_shipdate",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def li_pre(t: pa.Table) -> pa.Table:
+        e = np.round(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100)
+        d = np.round(t["l_discount"].to_numpy(zero_copy_only=False) * 100)
+        return pa.table(
+            {
+                "okey": t["l_orderkey"],
+                "l_suppkey": t["l_suppkey"],
+                "yr": pc.year(t["l_shipdate"]).cast(pa.int64()),
+                "rev_c4": pa.array(
+                    e.astype(np.int64) * (100 - d.astype(np.int64))
+                ),
+            }
+        )
+
+    # inner broadcast join doubles as the supplier-side pair filter
+    li_tag = broadcast_lookup_join(
+        li.map_batches(li_pre, batch_format="pyarrow", zero_copy_batch=True),
+        supp_dim,
+        "l_suppkey",
+        "s_suppkey",
+        ["supp_nation"],
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "okey": t["okey"],
+                    "supp_nation": t["supp_nation"],
+                    "yr": t["yr"],
+                    "rev_c4": t["rev_c4"],
+                }
+            )
+            .group_by(["okey", "supp_nation", "yr"])
+            .aggregate([("rev_c4", "sum")])
+        )
+        return g.rename_columns(["okey", "supp_nation", "yr", "rev_c4"])
+
+    # Seed a typed empty block: a pair filter that matches nothing at a
+    # small scale factor would otherwise leave a schema-less dataset,
+    # which the Acero hash join rejects ("no match for FieldRef").
+    li_seed = rd.from_arrow(
+        pa.table(
+            {
+                "okey": pa.array([], pa.int64()),
+                "supp_nation": pa.array([], pa.string()),
+                "yr": pa.array([], pa.int64()),
+                "rev_c4": pa.array([], pa.int64()),
+            }
+        )
+    )
+    li_part = li_tag.map_batches(
+        li_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).union(li_seed)
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    )
+    pair_tbl = pa.table(
+        {"nk": pair_keys, "cust_nation": pair["n_name"].combine_chunks()}
+    )
+
+    def cust_pre(t: pa.Table) -> pa.Table:
+        nk = pc.cast(t["c_nationkey"], pa.int64())
+        if isinstance(nk, pa.ChunkedArray):
+            nk = nk.combine_chunks()
+        idx = pc.index_in(nk, value_set=pair_tbl["nk"])
+        keep = pc.is_valid(idx)
+        return pa.table(
+            {
+                "ck": pc.cast(t["c_custkey"], pa.int64()).filter(keep),
+                "cust_nation": pair_tbl["cust_nation"].take(idx.filter(keep)),
+            }
+        )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+    ).map_batches(
+        lambda t: pa.table(
+            {"okey": t["o_orderkey"], "ck": pc.cast(t["o_custkey"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    orders_cn = hash_join(
+        orders,
+        cust.map_batches(cust_pre, batch_format="pyarrow"),
+        on=("ck",),
+        num_partitions=16,
+    )
+    joined = hash_join(li_part, orders_cn, on=("okey",), num_partitions=16)
+
+    def cross_only(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.not_equal(t["supp_nation"], t["cust_nation"])
+        ).select(["supp_nation", "cust_nation", "yr", "rev_c4"])
+
+    out = grouped_agg(
+        joined.map_batches(cross_only, batch_format="pyarrow"),
+        ["supp_nation", "cust_nation", "yr"],
+        {"revenue_c4": ("rev_c4", "sum")},
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "supp_nation": pd.Series([], dtype=object),
+                "cust_nation": pd.Series([], dtype=object),
+                "yr": pd.Series([], dtype="int64"),
+                "revenue_c4": pd.Series([], dtype="int64"),
+            }
+        )
+    out["yr"] = out["yr"].astype("int64")
+    out["revenue_c4"] = out["revenue_c4"].astype("int64")
+    return out.sort_values(
+        ["supp_nation", "cust_nation", "yr"]
+    ).reset_index(drop=True)
+
+
+def q_brand_revenue_rank(sf_dir: str):
+    """DENSE_RANK over an aggregate (the one rank flavor the window
+    suite lacked): brands ranked by revenue within their part type.
+    The heavy step is the broadcast-joined (type, brand) revenue
+    aggregate — one grouped exchange at 6x25 grain; the dense rank
+    itself runs driver-side on that tiny table, exactly like the SQL
+    window over the grouped CTE."""
+    import ray
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        broadcast_lookup_join,
+        grouped_agg,
+    )
+
+    part = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_type"],
+    )
+    dim = pa.concat_tables(
+        [t for t in ray.get(part.to_arrow_refs()) if t.num_rows]
+    )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        e = np.round(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100)
+        d = np.round(t["l_discount"].to_numpy(zero_copy_only=False) * 100)
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "rev_c4": pa.array(
+                    e.astype(np.int64) * (100 - d.astype(np.int64))
+                ),
+            }
+        )
+
+    tagged = broadcast_lookup_join(
+        li.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True),
+        dim,
+        "l_partkey",
+        "p_partkey",
+        ["p_brand", "p_type"],
+    )
+    out = grouped_agg(
+        tagged, ["p_type", "p_brand"], {"revenue_c4": ("rev_c4", "sum")}
+    )
+    out["revenue_c4"] = out["revenue_c4"].astype("int64")
+    out["rnk"] = (
+        out.groupby("p_type")["revenue_c4"]
+        .rank(method="dense", ascending=False)
+        .astype("int64")
+    )
+    return out.sort_values(["p_type", "rnk", "p_brand"]).reset_index(drop=True)
+
+
+def q_cumulative_monthly_share(sf_dir: str):
+    """Cumulating window over an aggregate (SUM OVER ... ROWS UNBOUNDED
+    PRECEDING): per customer nation, the running month-by-month order
+    revenue and its share of the nation's total, in exact ppm. One
+    grouped exchange at (nation, yr, mo) grain does all the heavy
+    lifting; the running sum and ratio fold driver-side over the tiny
+    month table with Python ints (exact at any scale)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        broadcast_lookup_join,
+        grouped_agg,
+    )
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    )
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    )
+    idx = pc.index_in(
+        cust["c_nationkey"].combine_chunks(),
+        value_set=nation["n_nationkey"].combine_chunks(),
+    )
+    dim = pa.table(
+        {
+            "c_custkey": cust["c_custkey"],
+            "n_name": nation["n_name"].combine_chunks().take(idx),
+        }
+    )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "yr": pc.year(t["o_orderdate"]).cast(pa.int64()),
+                "mo": pc.month(t["o_orderdate"]).cast(pa.int64()),
+                "rev_c": pc.round(
+                    pc.multiply(t["o_totalprice"], 100.0)
+                ).cast(pa.int64()),
+            }
+        )
+
+    joined = broadcast_lookup_join(
+        orders.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True),
+        dim,
+        "o_custkey",
+        "c_custkey",
+        ["n_name"],
+    )
+    m = grouped_agg(
+        joined, ["n_name", "yr", "mo"], {"rev_c": ("rev_c", "sum")}
+    ).sort_values(["n_name", "yr", "mo"])
+    for c in ("yr", "mo", "rev_c"):
+        m[c] = m[c].astype("int64")
+    m["cum_rev_c"] = m.groupby("n_name")["rev_c"].cumsum().astype("int64")
+    totals = {k: int(v) for k, v in m.groupby("n_name")["rev_c"].sum().items()}
+    m["share_ppm"] = [
+        (1_000_000 * int(c)) // totals[n]
+        for n, c in zip(m["n_name"], m["cum_rev_c"])
+    ]
+    m["share_ppm"] = m["share_ppm"].astype("int64")
+    return m.reset_index(drop=True)
+
+
+def q_doc_prefix_dups(sf_dir: str):
+    """Prefix-collision dedup screen (the 'shared boilerplate opening'
+    LLM-corpus check): groups of documents whose first three words are
+    identical. The prefix extraction is one pass of Arrow list kernels
+    (split → slice → join — no Python per row); the group is a
+    bucketed exchange at prefix grain whose in-bucket post filter
+    drops singleton prefixes, so only actual collisions leave the
+    bucket."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        bucketed_group_agg,
+        collect_sorted,
+    )
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t["text"], " ")
+        prefix = pc.binary_join(pc.list_slice(words, 0, 3), " ")
+        return pa.table(
+            {
+                "prefix": prefix,
+                "doc_id": t["doc_id"],
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    def dups_only(t: pa.Table) -> pa.Table:
+        # in-bucket columns still carry their input names (one, doc_id)
+        return t.filter(pc.greater(t["one"], 1))
+
+    out = bucketed_group_agg(
+        docs.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True),
+        "prefix",
+        [("one", "sum"), ("doc_id", "min")],
+        post=dups_only,
+    ).map_batches(
+        lambda t: t.rename_columns(["prefix", "n_docs", "min_doc_id"]),
+        batch_format="pyarrow",
+    )
+    return collect_sorted(out, ["prefix"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -4087,6 +4529,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_returns": q_order_priority_returns,
         "returned_top_customers": q_returned_top_customers,
         "large_order_customers": q_large_order_customers,
+        "disjunctive_revenue": q_disjunctive_revenue,
+        "volume_shipping": q_volume_shipping,
+        "brand_revenue_rank": q_brand_revenue_rank,
+        "cumulative_monthly_share": q_cumulative_monthly_share,
+        "doc_prefix_dups": q_doc_prefix_dups,
     }
 
 
@@ -5646,5 +6093,87 @@ FROM q
 JOIN orders ON o_orderkey = l_orderkey
 JOIN customer ON c_custkey = o_custkey
 ORDER BY sum_qty DESC, o_orderkey
+""",
+        "disjunctive_revenue": "".join(
+            [
+                r"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_c4
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE """,
+                " OR ".join(
+                    f"(p_brand = '{b}' AND p_size <= {s} "
+                    f"AND CAST(round(l_quantity) AS BIGINT) >= {q})"
+                    for b, s, q in DISJ_PREDICATES
+                ),
+            ]
+        ),
+        "volume_shipping": f"""
+WITH li AS (
+  SELECT l_orderkey, n1.n_name AS supp_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS yr,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_c4
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+  WHERE n1.n_name IN ('{VOLUME_NATIONS[0]}', '{VOLUME_NATIONS[1]}')
+),
+o AS (
+  SELECT o_orderkey, n2.n_name AS cust_nation
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+  WHERE n2.n_name IN ('{VOLUME_NATIONS[0]}', '{VOLUME_NATIONS[1]}')
+)
+SELECT supp_nation, cust_nation, yr, CAST(SUM(rev_c4) AS BIGINT) AS revenue_c4
+FROM li JOIN o ON o_orderkey = l_orderkey
+WHERE supp_nation <> cust_nation
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+""",
+        "brand_revenue_rank": r"""
+WITH g AS (
+  SELECT p_type, p_brand,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS revenue_c4
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY p_type, p_brand
+)
+SELECT p_type, p_brand, revenue_c4,
+       CAST(DENSE_RANK() OVER (PARTITION BY p_type ORDER BY revenue_c4 DESC)
+            AS BIGINT) AS rnk
+FROM g ORDER BY p_type, rnk, p_brand
+""",
+        "cumulative_monthly_share": r"""
+WITH m AS (
+  SELECT n_name,
+         CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(month(o_orderdate) AS BIGINT) AS mo,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY n_name, yr, mo
+)
+SELECT n_name, yr, mo, rev_c,
+       CAST(SUM(rev_c) OVER (PARTITION BY n_name ORDER BY yr, mo
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_rev_c,
+       CAST((1000000 * SUM(rev_c) OVER (PARTITION BY n_name ORDER BY yr, mo
+                                        ROWS UNBOUNDED PRECEDING))
+            // SUM(rev_c) OVER (PARTITION BY n_name) AS BIGINT) AS share_ppm
+FROM m ORDER BY n_name, yr, mo
+""",
+        "doc_prefix_dups": r"""
+SELECT array_to_string((string_split(text, ' '))[1:3], ' ') AS prefix,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS min_doc_id
+FROM documents
+GROUP BY 1 HAVING COUNT(*) > 1
+ORDER BY prefix
 """,
     }

@@ -24,6 +24,11 @@ QUERIES = [
     "order_priority_returns",
     "returned_top_customers",
     "large_order_customers",
+    "disjunctive_revenue",
+    "volume_shipping",
+    "brand_revenue_rank",
+    "cumulative_monthly_share",
+    "doc_prefix_dups",
 ]
 
 
