@@ -4412,6 +4412,173 @@ def q_doc_prefix_dups(sf_dir: str):
     return collect_sorted(out, ["prefix"])
 
 
+def q_event_transitions(sf_dir: str):
+    """Per-user LEAD() transition matrix (the Markov-chain / funnel
+    building block): counts of consecutive (event_type, next
+    event_type) pairs in each user's time-ordered history, summed over
+    users. One hash-bucket exchange on user_id co-locates histories;
+    pairs collapse to (from, to, n) partials in-bucket, so the final
+    exchange moves at most buckets x |event types|^2 rows."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        grouped_transition_counts,
+    )
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    out = grouped_transition_counts(
+        ev, "user_id", "ts", "event_id", "event_type", num_buckets=32
+    )
+    out = out.rename(columns={"from_value": "from_type", "to_value": "to_type"})
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+
+
+SETOP_TYPES = ("purchase", "signup")
+
+
+def q_user_event_setops(sf_dir: str):
+    """Distinct-key INTERSECT / EXCEPT (SQL set operations over
+    derived key sets): how many users did both a purchase and a
+    signup, only one, or only the other. Per-batch partials mark each
+    user's (has_a, has_b) flags; one bucketed exchange merges flags
+    per user and the in-bucket post hook collapses each bucket to ONE
+    (n_both, n_a_only, n_b_only) row — the driver folds num_buckets
+    rows, never a user list."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        bucketed_group_agg,
+    )
+
+    a_type, b_type = SETOP_TYPES
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "has_a": pc.cast(
+                        pc.equal(t["event_type"], a_type), pa.int64()
+                    ),
+                    "has_b": pc.cast(
+                        pc.equal(t["event_type"], b_type), pa.int64()
+                    ),
+                }
+            )
+            .group_by("user_id")
+            .aggregate([("has_a", "max"), ("has_b", "max")])
+        )
+        return g.rename_columns(["user_id", "has_a", "has_b"])
+
+    def fold_bucket(t: pa.Table) -> pa.Table:
+        a = pc.greater(t["has_a"], 0)
+        b = pc.greater(t["has_b"], 0)
+        both = pc.and_(a, b)
+        return pa.table(
+            {
+                "n_both": pa.array(
+                    [int(pc.sum(pc.cast(both, pa.int64())).as_py() or 0)]
+                ),
+                "n_a_only": pa.array(
+                    [
+                        int(
+                            pc.sum(
+                                pc.cast(pc.and_(a, pc.invert(b)), pa.int64())
+                            ).as_py()
+                            or 0
+                        )
+                    ]
+                ),
+                "n_b_only": pa.array(
+                    [
+                        int(
+                            pc.sum(
+                                pc.cast(pc.and_(b, pc.invert(a)), pa.int64())
+                            ).as_py()
+                            or 0
+                        )
+                    ]
+                ),
+            }
+        )
+
+    parts = bucketed_group_agg(
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id",
+        [("has_a", "max"), ("has_b", "max")],
+        post=fold_bucket,
+    ).to_pandas()
+    return pd.DataFrame(
+        {
+            "n_both": [int(parts["n_both"].sum())],
+            "n_purchase_only": [int(parts["n_a_only"].sum())],
+            "n_signup_only": [int(parts["n_b_only"].sum())],
+        }
+    ).astype("int64")
+
+
+def q_source_mad(sf_dir: str):
+    """Per-source median absolute deviation of document token counts —
+    the robust-dispersion profile (two dependent exact quantiles: the
+    MAD needs the median first). Both passes use the bounded-domain
+    counting-histogram quantile (no sort, no row shuffle, exact
+    integer rank rule); the per-source medians broadcast back as a
+    driver-side lookup for the |n_tok - med| second pass. The (source,
+    n_tok) projection materializes once so the token split doesn't run
+    twice."""
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        grouped_quantiles_bounded,
+    )
+
+    ds = (
+        q_tokenize(sf_dir)
+        .map_batches(
+            lambda t: t.select(["source", "n_tok"]), batch_format="pyarrow"
+        )
+        .materialize()
+    )
+    med = grouped_quantiles_bounded(
+        ds, "source", "n_tok", [("med", 1, 2)], domain_max=1 << 15
+    )
+    lkt = pa.table(
+        {
+            "source": pa.array(med["source"]),
+            "med": pa.array(med["med"].astype("int64")),
+        }
+    )
+
+    def abs_dev(t: pa.Table) -> pa.Table:
+        s = t["source"]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        idx = pc.index_in(s, value_set=lkt["source"])
+        m = lkt["med"].take(idx).to_numpy(zero_copy_only=False)
+        v = t["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"source": s, "adev": pa.array(np.abs(v - m).astype(np.int64))}
+        )
+
+    mad = grouped_quantiles_bounded(
+        ds.map_batches(abs_dev, batch_format="pyarrow", zero_copy_batch=True),
+        "source",
+        "adev",
+        [("mad_n_tok", 1, 2)],
+        domain_max=1 << 15,
+    )
+    out = med.merge(mad, on="source").rename(columns={"med": "median_n_tok"})
+    out["median_n_tok"] = out["median_n_tok"].astype("int64")
+    out["mad_n_tok"] = out["mad_n_tok"].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -4534,6 +4701,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_revenue_rank": q_brand_revenue_rank,
         "cumulative_monthly_share": q_cumulative_monthly_share,
         "doc_prefix_dups": q_doc_prefix_dups,
+        "event_transitions": q_event_transitions,
+        "user_event_setops": q_user_event_setops,
+        "source_mad": q_source_mad,
     }
 
 
@@ -6175,5 +6345,44 @@ SELECT array_to_string((string_split(text, ' '))[1:3], ' ') AS prefix,
 FROM documents
 GROUP BY 1 HAVING COUNT(*) > 1
 ORDER BY prefix
+""",
+        "event_transitions": r"""
+WITH s AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS to_type
+  FROM events
+)
+SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE to_type IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "user_event_setops": f"""
+WITH p AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = '{SETOP_TYPES[0]}'),
+     s AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = '{SETOP_TYPES[1]}')
+SELECT
+  CAST((SELECT COUNT(*) FROM (SELECT * FROM p INTERSECT SELECT * FROM s))
+       AS BIGINT) AS n_both,
+  CAST((SELECT COUNT(*) FROM (SELECT * FROM p EXCEPT SELECT * FROM s))
+       AS BIGINT) AS n_purchase_only,
+  CAST((SELECT COUNT(*) FROM (SELECT * FROM s EXCEPT SELECT * FROM p))
+       AS BIGINT) AS n_signup_only
+""",
+        # quantile_disc = smallest value with cum*2 >= n, matching the
+        # integer rank rule in grouped_quantiles_bounded exactly.
+        "source_mad": f"""
+WITH {TOKENIZE_CTE},
+med AS (
+  SELECT source, CAST(quantile_disc(n_tok, 0.5) AS BIGINT) AS m
+  FROM tok GROUP BY source
+)
+SELECT t.source,
+       CAST(ANY_VALUE(m) AS BIGINT) AS median_n_tok,
+       CAST(quantile_disc(abs(n_tok - m), 0.5) AS BIGINT) AS mad_n_tok
+FROM tok t JOIN med USING (source)
+GROUP BY t.source ORDER BY t.source
 """,
     }

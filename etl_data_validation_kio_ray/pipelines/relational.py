@@ -747,6 +747,24 @@ def grouped_agg(
         cls = {"sum": Sum, "count": Sum, "min": Min, "max": Max}[fn]
         ray_aggs.append(cls(out, alias_name=out))
     final = partials.groupby(keys).aggregate(*ray_aggs).to_pandas()
+    if final.empty and not set(keys).issubset(final.columns):
+        # Ray's to_pandas drops all columns for an all-empty dataset;
+        # rebuild the typed empty frame from the input schema so
+        # callers' sort/astype still work.
+        sch = dataset_arrow_schema(ds)
+        cols: dict = {}
+        for k in keys:
+            cols[k] = pd.Series([], dtype=sch.field(k).type.to_pandas_dtype())
+        for out, (col, fn) in aggs.items():
+            if fn in ("count",):
+                cols[out] = pd.Series([], dtype="int64")
+            elif fn == "mean":
+                cols[out] = pd.Series([], dtype="float64")
+            else:
+                cols[out] = pd.Series(
+                    [], dtype=sch.field(col).type.to_pandas_dtype()
+                )
+        return pd.DataFrame(cols)
     for out, col in mean_cols.items():
         final[out] = final[f"__sum_{out}"] / final[f"__cnt_{out}"]
         final = final.drop(columns=[f"__sum_{out}", f"__cnt_{out}"])
@@ -2178,6 +2196,98 @@ def grouped_lag_delta_stats(
         .groupby("__b")
         .map_groups(bucket_stats, batch_format="pyarrow")
     )
+
+
+def grouped_transition_counts(
+    ds,
+    key: str,
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    *,
+    num_buckets: int = 64,
+):
+    """Per-key LEAD() transition matrix: counts of consecutive
+    (value, next value) pairs per key's ``ts_col``-ordered history,
+    summed across keys — ``value, LEAD(value) OVER (PARTITION BY key
+    ORDER BY ts, tiebreak)`` then GROUP BY both. The Markov-chain /
+    event-funnel building block (no native Ray Data operator).
+
+    Scale shape (same partitioning contract as
+    :func:`grouped_lag_delta_stats`): one hash-bucket exchange on the
+    key co-locates each key's history; inside a bucket one sort +
+    numpy run masking finds consecutive pairs, and an Arrow hash
+    aggregate collapses them to (from, to, n) partials — so at most
+    num_buckets x |value domain|^2 rows cross the second, tiny grouped
+    exchange. Null key/ts rows are dropped (no window position).
+    """
+    from ..functions.grouping import run_starts
+
+    nb = np.int64(num_buckets)
+
+    def project(t: pa.Table) -> pa.Table:
+        t = t.select([key, ts_col, tiebreak_col, value_col]).filter(
+            pc.and_(pc.is_valid(t[key]), pc.is_valid(t[ts_col]))
+        )
+        k = t[key]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        h = _key_hash(k)
+        return t.append_column(
+            "__b", pa.array((h % np.uint64(nb)).astype(np.int32))
+        )
+
+    def _empty(vtype: pa.DataType) -> pa.Table:
+        return pa.table(
+            {
+                "from_value": pa.array([], vtype),
+                "to_value": pa.array([], vtype),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        g = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[
+                    (key, "ascending"),
+                    (ts_col, "ascending"),
+                    (tiebreak_col, "ascending"),
+                ],
+            )
+        )
+        v = g[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        n = g.num_rows
+        if n < 2:
+            return _empty(v.type)
+        k = g[key]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        karr = k.to_numpy(zero_copy_only=False)
+        starts = run_starts(karr)
+        is_start = np.zeros(n, dtype=bool)
+        is_start[starts] = True
+        valid = ~is_start[1:]  # row i+1 continues row i's key run
+        if not valid.any():
+            return _empty(v.type)
+        idx_from = pa.array(np.flatnonzero(valid).astype(np.int64))
+        idx_to = pa.array((np.flatnonzero(valid) + 1).astype(np.int64))
+        pairs = pa.table({"from_value": v.take(idx_from), "to_value": v.take(idx_to)})
+        agged = pairs.group_by(["from_value", "to_value"]).aggregate(
+            [([], "count_all")]
+        )
+        return agged.rename_columns(["from_value", "to_value", "n"])
+
+    pairs = (
+        ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    return grouped_agg(pairs, ["from_value", "to_value"], {"n": ("n", "sum")})
 
 
 def global_row_number(ds, keys: list[str], *, out_col: str = "rn"):

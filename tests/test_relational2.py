@@ -2015,3 +2015,63 @@ def test_pareto_frontier_2d_matches_bruteforce(ray_session):
     one = pd.DataFrame({"pk": [1], "cost": [3], "gain": [5]})
     got1 = collect_sorted(pareto_frontier_2d(rd.from_pandas(one), "cost", "gain"), ["pk"])
     assert got1["pk"].tolist() == [1]
+
+
+def test_grouped_transition_counts_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        grouped_transition_counts,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 1200
+    df = pd.DataFrame(
+        {
+            "uid": rng.integers(0, 60, n).astype(np.int64),
+            "ts": pd.to_datetime(
+                rng.integers(0, 10**6, n), unit="s", origin="2024-01-01"
+            ),
+            "eid": np.arange(n, dtype=np.int64),
+            "et": rng.choice(list("abcd"), n),
+        }
+    )
+    got = (
+        grouped_transition_counts(
+            rd.from_pandas(df).repartition(7), "uid", "ts", "eid", "et",
+            num_buckets=8,
+        )
+        .sort_values(["from_value", "to_value"])
+        .reset_index(drop=True)
+    )
+    got["n"] = got["n"].astype("int64")
+    want = duckdb.sql(
+        """
+        WITH s AS (
+          SELECT et AS from_value,
+                 LEAD(et) OVER (PARTITION BY uid ORDER BY ts, eid) AS to_value
+          FROM df
+        )
+        SELECT from_value, to_value, CAST(COUNT(*) AS BIGINT) AS n
+        FROM s WHERE to_value IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want)
+    # total transitions = rows - distinct keys (each key loses one)
+    assert int(got["n"].sum()) == n - df["uid"].nunique()
+
+    # single-event users contribute nothing
+    one = pd.DataFrame(
+        {
+            "uid": [1, 2, 3],
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-03"]),
+            "eid": [1, 2, 3],
+            "et": ["a", "b", "c"],
+        }
+    )
+    got1 = grouped_transition_counts(
+        rd.from_pandas(one), "uid", "ts", "eid", "et", num_buckets=4
+    )
+    assert len(got1) == 0

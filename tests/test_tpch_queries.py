@@ -29,6 +29,9 @@ QUERIES = [
     "brand_revenue_rank",
     "cumulative_monthly_share",
     "doc_prefix_dups",
+    "event_transitions",
+    "user_event_setops",
+    "source_mad",
 ]
 
 
