@@ -4579,6 +4579,52 @@ def q_source_mad(sf_dir: str):
     return out.sort_values("source").reset_index(drop=True)
 
 
+def q_label_centroids(sf_dir: str):
+    """Distributed per-group vector aggregate (the embedding-centroid
+    building block behind k-means / class prototypes): per label and
+    dimension, the exact sum of micro-unit-quantized components plus
+    the member count — the centroid is s/n, deferred so only integers
+    cross engines. Per-batch partials reduce each block to at most
+    |labels| x 64 rows with one np.add.at scatter (no Python loop);
+    the grouped exchange then moves (label, dim) partials only. Twin
+    quantization rule: np.round == DuckDB round_even (half-to-even)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["label", "embedding"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vecs = np.stack(t["embedding"].to_numpy(zero_copy_only=False))
+        q = np.round(vecs.astype(np.float64) * 1e6).astype(np.int64)
+        codes, uniq = pd.factorize(lab)
+        k, d = len(uniq), q.shape[1]
+        sums = np.zeros((k, d), dtype=np.int64)
+        np.add.at(sums, codes, q)
+        cnt = np.bincount(codes, minlength=k).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, d)),
+                "dim": pa.array(np.tile(np.arange(1, d + 1), k)),
+                "s": pa.array(sums.reshape(-1)),
+                "n": pa.array(np.repeat(cnt, d)),
+            }
+        )
+
+    out = grouped_agg(
+        emb.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["label", "dim"],
+        {"s": ("s", "sum"), "n": ("n", "sum")},
+    )
+    for c in ("label", "dim", "s", "n"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["label", "dim"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -4704,6 +4750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": q_event_transitions,
         "user_event_setops": q_user_event_setops,
         "source_mad": q_source_mad,
+        "label_centroids": q_label_centroids,
     }
 
 
@@ -6384,5 +6431,19 @@ SELECT t.source,
        CAST(quantile_disc(abs(n_tok - m), 0.5) AS BIGINT) AS mad_n_tok
 FROM tok t JOIN med USING (source)
 GROUP BY t.source ORDER BY t.source
+""",
+        # round_even (half-to-even) mirrors np.round on the Ray side;
+        # generate_subscripts is 1-based like the engine's dim column.
+        "label_centroids": r"""
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       CAST(SUM(CAST(round_even(CAST(val AS DOUBLE) * 1000000.0, 0)
+                     AS BIGINT)) AS BIGINT) AS s,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT label, unnest(embedding) AS val,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+)
+GROUP BY label, dim ORDER BY label, dim
 """,
     }

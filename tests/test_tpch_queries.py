@@ -32,6 +32,7 @@ QUERIES = [
     "event_transitions",
     "user_event_setops",
     "source_mad",
+    "label_centroids",
 ]
 
 
