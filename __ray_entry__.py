@@ -4625,6 +4625,115 @@ def q_label_centroids(sf_dir: str):
     return out.sort_values(["label", "dim"]).reset_index(drop=True)
 
 
+def q_source_temperature_weights(sf_dir: str):
+    """Temperature-scaled sampling weights for the source mixture
+    (the multinomial-resampling knob of large-scale corpus training:
+    w_i ∝ p_i^α with α=0.5, which upweights small sources). The doc
+    counts come from one distributed grouped count; the weight math is
+    a driver-side fold over the ~|sources| rows. Cross-engine
+    determinism: sqrt is IEEE exactly-rounded (identical in numpy and
+    DuckDB), and the normalizing sum folds in explicit source order on
+    BOTH sides (list_reduce over an ORDER BY list in the twin), so the
+    ppm weights match bit-for-bit with no associativity drift."""
+    import math
+
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "source": t["source"],
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = grouped_agg(docs, ["source"], {"n_docs": ("one", "sum")})
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out = out.sort_values("source").reset_index(drop=True)
+    roots = [math.sqrt(float(n)) for n in out["n_docs"]]
+    total = 0.0
+    for r in roots:  # ordered fold — mirrored by list_reduce in SQL
+        total = total + r
+    out["weight_ppm"] = [int(math.floor(1e6 * r / total)) for r in roots]
+    out["weight_ppm"] = out["weight_ppm"].astype("int64")
+    return out
+
+
+def q_event_cooccurrence(sf_dir: str):
+    """Market-basket co-occurrence: for every unordered pair of event
+    types, how many (user, day) baskets contain both. One hash-bucket
+    exchange on the basket key co-locates each basket; in-bucket the
+    rows dedup to DISTINCT (user, day, type) and a basket-local merge
+    expands the ≤|event types| members to pairs — so only (type_a,
+    type_b, n) partials leave the bucket, never baskets."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    NB = np.int64(32)
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        day = pc.cast(t["ts"], pa.date32())
+        uid = pc.cast(t["user_id"], pa.int64())
+        u = uid.to_numpy(zero_copy_only=False).astype(np.uint64)
+        d = pc.cast(day, pa.int32()).to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
+        h = (u * np.uint64(0x9E3779B97F4A7C15) ^ d) % np.uint64(NB)
+        return pa.table(
+            {
+                "uid": uid,
+                "day": day,
+                "et": t["event_type"],
+                "__b": pa.array(h.astype(np.int32)),
+            }
+        )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        d = (
+            g.group_by(["uid", "day", "et"])
+            .aggregate([])
+            .to_pandas()
+            .sort_values(["uid", "day", "et"], kind="mergesort")
+        )
+        m = d.merge(d, on=["uid", "day"], suffixes=("_a", "_b"))
+        m = m[m["et_a"] < m["et_b"]]
+        cnt = (
+            m.groupby(["et_a", "et_b"], sort=True)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "type_a": pa.array(cnt["et_a"], pa.string()),
+                "type_b": pa.array(cnt["et_b"], pa.string()),
+                "n": pa.array(cnt["n"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    pairs = (
+        ev.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    out = grouped_agg(
+        pairs, ["type_a", "type_b"], {"n_user_days": ("n", "sum")}
+    )
+    out["n_user_days"] = out["n_user_days"].astype("int64")
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -4751,6 +4860,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_setops": q_user_event_setops,
         "source_mad": q_source_mad,
         "label_centroids": q_label_centroids,
+        "source_temperature_weights": q_source_temperature_weights,
+        "event_cooccurrence": q_event_cooccurrence,
     }
 
 
@@ -6445,5 +6556,37 @@ FROM (
   FROM embeddings
 )
 GROUP BY label, dim ORDER BY label, dim
+""",
+        # sqrt is IEEE exactly-rounded in both engines; the normalizer
+        # folds in source order via list_reduce to mirror the Python
+        # ordered fold (plain SUM has no associativity guarantee).
+        "source_temperature_weights": r"""
+WITH g AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT list_reduce(
+           list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY source),
+           (a, c) -> a + c
+         ) AS t
+  FROM g
+)
+SELECT source, n_docs,
+       CAST(floor(1000000.0 * sqrt(CAST(n_docs AS DOUBLE)) / tot.t)
+            AS BIGINT) AS weight_ppm
+FROM g, tot ORDER BY source
+""",
+        "event_cooccurrence": r"""
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+  FROM events
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_user_days
+FROM d a
+JOIN d b ON a.user_id = b.user_id AND a.day = b.day
+        AND a.event_type < b.event_type
+GROUP BY 1, 2 ORDER BY 1, 2
 """,
     }

@@ -142,6 +142,20 @@ BENCH_QUERIES = [
     "small_qty_revenue",
     # 2-D skyline: distinct-price exchange + broadcast frontier filter
     "pareto_parts",
+    # round 4 session 9: classic warehouse query shapes + window/set ops
+    "promo_revenue_share",  # Q14 conditional-aggregate ratio (exact ppm)
+    "order_priority_returns",  # Q4 EXISTS via cogroup inner filter
+    "returned_top_customers",  # Q10 join+group+top-k
+    "large_order_customers",  # Q18 group-HAVING in-bucket
+    "disjunctive_revenue",  # Q19 OR-of-AND vectorized predicates
+    "volume_shipping",  # Q7 pruned large-x-large hash joins
+    "brand_revenue_rank",  # DENSE_RANK over grouped revenue
+    "cumulative_monthly_share",  # running SUM OVER + ppm share
+    "doc_prefix_dups",  # 3-word-prefix collision screen
+    "event_transitions",  # per-user LEAD transition matrix
+    "user_event_setops",  # INTERSECT/EXCEPT cardinalities
+    "source_mad",  # two-pass exact grouped median/MAD
+    "label_centroids",  # per-label quantized vector sums
 ]
 
 

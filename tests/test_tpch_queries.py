@@ -33,6 +33,8 @@ QUERIES = [
     "user_event_setops",
     "source_mad",
     "label_centroids",
+    "source_temperature_weights",
+    "event_cooccurrence",
 ]
 
 
