@@ -4734,6 +4734,147 @@ def q_event_cooccurrence(sf_dir: str):
     return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
 
 
+def q_lang_source_contingency(sf_dir: str):
+    """Cross-tabulation with exact expected counts (the independence-
+    test layout): the observed (source, lang) contingency cell counts
+    plus row/column marginals and the expected count under
+    independence in exact ppm (floor(1e6·R·C/N) — Python-int on the
+    Ray side, HUGEINT on the twin, so no float ever appears). One
+    finest-grain grouped exchange; marginals fold driver-side on the
+    |sources|x|langs| table."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "lang"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "source": t["source"],
+                "lang": t["lang"],
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = grouped_agg(docs, ["source", "lang"], {"observed": ("one", "sum")})
+    out["observed"] = out["observed"].astype("int64")
+    n = int(out["observed"].sum())
+    row_tot = out.groupby("source")["observed"].sum().to_dict()
+    col_tot = out.groupby("lang")["observed"].sum().to_dict()
+    out["row_total"] = [int(row_tot[s]) for s in out["source"]]
+    out["col_total"] = [int(col_tot[lg]) for lg in out["lang"]]
+    out["expected_ppm"] = [
+        (1_000_000 * int(r) * int(c)) // n
+        for r, c in zip(out["row_total"], out["col_total"])
+    ]
+    for c in ("row_total", "col_total", "expected_ppm"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["source", "lang"]).reset_index(drop=True)
+
+
+def q_rolling_3mo_revenue(sf_dir: str):
+    """Sliding window frame over an aggregate (SUM OVER ... ROWS
+    BETWEEN 2 PRECEDING AND CURRENT ROW): each calendar month's order
+    revenue plus the trailing 3-month sum, exact cents. The month
+    grain comes from one grouped exchange; the frame slides
+    driver-side over the tiny month table like the SQL window over
+    the grouped CTE."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderdate", "o_totalprice"],
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "yr": pc.year(t["o_orderdate"]).cast(pa.int64()),
+                "mo": pc.month(t["o_orderdate"]).cast(pa.int64()),
+                "rev_c": pc.round(
+                    pc.multiply(t["o_totalprice"], 100.0)
+                ).cast(pa.int64()),
+            }
+        )
+
+    m = grouped_agg(
+        orders.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True),
+        ["yr", "mo"],
+        {"rev_c": ("rev_c", "sum")},
+    ).sort_values(["yr", "mo"])
+    for c in ("yr", "mo", "rev_c"):
+        m[c] = m[c].astype("int64")
+    m["rev_3mo_c"] = (
+        m["rev_c"].rolling(window=3, min_periods=1).sum().astype("int64")
+    )
+    return m.reset_index(drop=True)
+
+
+def q_order_percent_rank(sf_dir: str):
+    """Global PERCENT_RANK() in exact ppm: every order's rank position
+    ((rn-1)·1e6 // (n-1)) under ORDER BY (price, orderkey) — the
+    full-table window sibling of the rank-probe quantiles. The
+    range-partitioned sort + block prefix offsets assign rn without
+    any row leaving its worker; only the ranked projection streams
+    out."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        collect_sorted,
+        global_row_number,
+    )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"],
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "price_c": pc.round(
+                    pc.multiply(t["o_totalprice"], 100.0)
+                ).cast(pa.int64()),
+            }
+        )
+
+    ranked, n_total = global_row_number(
+        orders.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        ["price_c", "o_orderkey"],
+        out_col="rn",
+    )
+    denom = max(n_total - 1, 1)
+
+    def ppm(t: pa.Table) -> pa.Table:
+        # int64 (rn-1)*1e6 overflows only past ~9.2e12 rows — far above
+        # any realistic orders table; guard loudly rather than slow every
+        # batch down with arbitrary-precision ints
+        if n_total > 9_000_000_000_000:
+            raise ValueError("order_percent_rank: rn*1e6 exceeds int64")
+        rn = t["rn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pr = pa.array((rn - 1) * 1_000_000 // denom)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "price_c": t["price_c"],
+                "rn": t["rn"],
+                "pct_rank_ppm": pr,
+            }
+        )
+
+    out = collect_sorted(
+        ranked.map_batches(ppm, batch_format="pyarrow"), ["rn"]
+    )
+    for c in ("o_orderkey", "price_c", "rn", "pct_rank_ppm"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -4862,6 +5003,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": q_label_centroids,
         "source_temperature_weights": q_source_temperature_weights,
         "event_cooccurrence": q_event_cooccurrence,
+        "lang_source_contingency": q_lang_source_contingency,
+        "rolling_3mo_revenue": q_rolling_3mo_revenue,
+        "order_percent_rank": q_order_percent_rank,
     }
 
 
@@ -6588,5 +6732,53 @@ FROM d a
 JOIN d b ON a.user_id = b.user_id AND a.day = b.day
         AND a.event_type < b.event_type
 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "lang_source_contingency": r"""
+WITH g AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS observed
+  FROM documents GROUP BY source, lang
+),
+m AS (
+  SELECT g.*,
+         CAST(SUM(observed) OVER (PARTITION BY source) AS BIGINT)
+           AS row_total,
+         CAST(SUM(observed) OVER (PARTITION BY lang) AS BIGINT)
+           AS col_total,
+         CAST(SUM(observed) OVER () AS BIGINT) AS n
+  FROM g
+)
+SELECT source, lang, observed, row_total, col_total,
+       CAST((1000000::HUGEINT * row_total * col_total) // n AS BIGINT)
+         AS expected_ppm
+FROM m ORDER BY source, lang
+""",
+        "rolling_3mo_revenue": r"""
+WITH m AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(month(o_orderdate) AS BIGINT) AS mo,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM orders GROUP BY yr, mo
+)
+SELECT yr, mo, rev_c,
+       CAST(SUM(rev_c) OVER (ORDER BY yr, mo
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS rev_3mo_c
+FROM m ORDER BY yr, mo
+""",
+        "order_percent_rank": r"""
+WITH r AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey
+         ) AS BIGINT) AS rn,
+         COUNT(*) OVER () AS n
+  FROM orders
+)
+SELECT o_orderkey, price_c, rn,
+       CAST(((rn - 1) * 1000000) // GREATEST(n - 1, 1) AS BIGINT)
+         AS pct_rank_ppm
+FROM r ORDER BY rn
 """,
     }

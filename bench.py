@@ -156,6 +156,11 @@ BENCH_QUERIES = [
     "user_event_setops",  # INTERSECT/EXCEPT cardinalities
     "source_mad",  # two-pass exact grouped median/MAD
     "label_centroids",  # per-label quantized vector sums
+    "source_temperature_weights",  # p^0.5 mixture weights, ordered fold
+    "event_cooccurrence",  # basket-local pair expansion per user-day
+    "lang_source_contingency",  # cross-tab + exact expected-count ppm
+    "rolling_3mo_revenue",  # sliding 3-row frame over month grain
+    "order_percent_rank",  # global PERCENT_RANK ppm via prefix offsets
 ]
 
 

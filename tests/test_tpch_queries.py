@@ -35,6 +35,9 @@ QUERIES = [
     "label_centroids",
     "source_temperature_weights",
     "event_cooccurrence",
+    "lang_source_contingency",
+    "rolling_3mo_revenue",
+    "order_percent_rank",
 ]
 
 
