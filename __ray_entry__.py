@@ -4875,6 +4875,201 @@ def q_order_percent_rank(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def q_user_streaks(sf_dir: str):
+    """Gaps-and-islands: the distribution of each user's LONGEST run of
+    consecutive active days (the classic retention/streak window query,
+    `day - ROW_NUMBER() OVER (PARTITION BY user ORDER BY day)` island
+    id). Per-batch distinct (user, day) collapse -> one hash-bucket
+    exchange on user_id -> in-bucket numpy island analysis; only
+    (streak_len, count) histogram partials leave a bucket, so the
+    driver folds buckets x lengths tiny rows."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        max_run_histogram,
+    )
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    US_PER_DAY = np.int64(86_400_000_000)
+
+    def to_day(t: pa.Table) -> pa.Table:
+        ts = t["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # floor division matches SQL CAST(ts AS DATE) for all epochs
+        return pa.table(
+            {"user_id": t["user_id"], "day": pa.array(us // US_PER_DAY)}
+        )
+
+    df = max_run_histogram(
+        ev.map_batches(to_day, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id",
+        "day",
+        len_col="streak_len",
+        count_col="n_users",
+    )
+    return df
+
+
+def q_idle_rich_customers(sf_dir: str):
+    """TPC-H Q22 shape: customers with an above-average positive
+    balance and NO RECENT orders (none on/after the cut date — every
+    customer has *some* order in this corpus, so the classic no-orders
+    predicate would be vacuously empty), per market segment. The global
+    average never divides — the filter cross-multiplies
+    (bal_c * n_pos > sum_pos_c), exact in int64. Pass 1 folds tiny
+    per-batch (sum, count) partials for the positive-balance average;
+    pass 2 is ONE tagged-union bucket exchange (customer rows +
+    per-batch-distinct order custkeys) whose in-bucket post filters
+    customers with zero order matches and collapses to per-segment
+    partials — the driver folds buckets x segments rows, never a
+    customer list. Reference analog: orphan-FK completeness checks
+    (/root/reference/src/app2/validators/dds/rules_suite/fact_match_fk.py)
+    upgraded with a correlated global-scalar predicate."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        bucketed_group_agg,
+    )
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                "c_mktsegment": t["c_mktsegment"],
+                "bal_c": pc.round(pc.multiply(t["c_acctbal"], 100.0)).cast(
+                    pa.int64()
+                ),
+            }
+        )
+
+    cust_c = cust.map_batches(
+        cents, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def pos_partial(t: pa.Table) -> pa.Table:
+        bal = t.filter(pc.greater(t["bal_c"], 0))["bal_c"]
+        s = pc.sum(bal).as_py() or 0
+        return pa.table(
+            {"s": pa.array([s], pa.int64()), "n": pa.array([len(bal)], pa.int64())}
+        )
+
+    pos = cust_c.map_batches(pos_partial, batch_format="pyarrow").to_pandas()
+    sum_pos = int(pos["s"].sum())
+    n_pos = int(pos["n"].sum())
+    # bal_c * n_pos stays < 2^63 up to ~9e18/ max-bal; guard loudly
+    if n_pos > 0 and n_pos > 9_000_000_000_000 // 100_000_000:
+        raise ValueError("idle_rich_customers: bal_c * n_pos exceeds int64")
+
+    def rich_side(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.greater(pc.multiply(t["bal_c"], np.int64(n_pos)), sum_pos)
+        )
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_mktsegment": t["c_mktsegment"],
+                "bal_c": t["bal_c"],
+                "is_cust": pa.array(np.ones(t.num_rows, np.int64)),
+                "is_ord": pa.nulls(t.num_rows, pa.int64()),
+            }
+        )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate"],
+    )
+    recent_cut = np.datetime64("2000-06-01T00:00:00", "us")
+
+    def order_side(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["o_orderdate"], pa.scalar(recent_cut)))
+        # per-batch distinct custkeys shrink the exchange to ~1 row/key
+        keys = pc.unique(pc.cast(t["o_custkey"], pa.int64()))
+        n = len(keys)
+        return pa.table(
+            {
+                "c_custkey": keys,
+                "c_mktsegment": pa.nulls(n, pa.string()),
+                "bal_c": pa.nulls(n, pa.int64()),
+                "is_cust": pa.nulls(n, pa.int64()),
+                "is_ord": pa.array(np.ones(n, np.int64)),
+            }
+        )
+
+    union = cust_c.map_batches(
+        rich_side, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        orders.map_batches(
+            order_side, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def post(t: pa.Table) -> pa.Table:
+        is_cust = pc.fill_null(t["is_cust"], 0)
+        is_ord = pc.fill_null(t["is_ord"], 0)
+        keep = pc.and_(pc.greater(is_cust, 0), pc.equal(is_ord, 0))
+        kept = t.filter(keep)
+        agg = (
+            pa.table(
+                {
+                    "c_mktsegment": kept["c_mktsegment"],
+                    "bal_c": kept["bal_c"],
+                }
+            )
+            .group_by("c_mktsegment")
+            .aggregate([("bal_c", "sum"), ("bal_c", "count")])
+        )
+        return pa.table(
+            {
+                "c_mktsegment": agg["c_mktsegment"],
+                "total_bal_c": pc.cast(agg["bal_c_sum"], pa.int64()),
+                "n_cust": pc.cast(agg["bal_c_count"], pa.int64()),
+            }
+        )
+
+    # the segment string rides the per-key aggregate as min() — only the
+    # customer side carries it, nulls skip — and the in-bucket post
+    # collapses straight to per-segment partials
+    seg = bucketed_group_agg(
+        union,
+        "c_custkey",
+        [
+            ("is_cust", "sum"),
+            ("is_ord", "sum"),
+            ("bal_c", "min"),
+            ("c_mktsegment", "min"),
+        ],
+        post=post,
+    )
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        collect_sorted,
+    )
+
+    df = collect_sorted(seg, ["c_mktsegment"])
+    if df.empty:
+        return pd.DataFrame(
+            {
+                "c_mktsegment": pd.Series([], dtype="object"),
+                "n_cust": pd.Series([], dtype="int64"),
+                "total_bal_c": pd.Series([], dtype="int64"),
+            }
+        )
+    df = df.groupby("c_mktsegment", as_index=False).agg(
+        n_cust=("n_cust", "sum"), total_bal_c=("total_bal_c", "sum")
+    )
+    for c in ("n_cust", "total_bal_c"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("c_mktsegment").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -5006,6 +5201,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_contingency": q_lang_source_contingency,
         "rolling_3mo_revenue": q_rolling_3mo_revenue,
         "order_percent_rank": q_order_percent_rank,
+        "user_streaks": q_user_streaks,
+        "idle_rich_customers": q_idle_rich_customers,
     }
 
 
@@ -6780,5 +6977,43 @@ SELECT o_orderkey, price_c, rn,
        CAST(((rn - 1) * 1000000) // GREATEST(n - 1, 1) AS BIGINT)
          AS pct_rank_ppm
 FROM r ORDER BY rn
+""",
+        "user_streaks": r"""
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+  FROM events
+), isl AS (
+  SELECT user_id,
+         d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS g
+  FROM days
+), runs AS (
+  SELECT user_id, g, COUNT(*) AS len FROM isl GROUP BY user_id, g
+), best AS (
+  SELECT user_id, MAX(len) AS streak_len FROM runs GROUP BY user_id
+)
+SELECT CAST(streak_len AS BIGINT) AS streak_len,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM best GROUP BY streak_len ORDER BY streak_len
+""",
+        "idle_rich_customers": r"""
+WITH c AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer
+), g AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN bal_c > 0 THEN bal_c END), 0) AS BIGINT) AS s,
+         CAST(COUNT(CASE WHEN bal_c > 0 THEN 1 END) AS BIGINT) AS n
+  FROM c
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(bal_c) AS BIGINT) AS total_bal_c
+FROM c, g
+WHERE bal_c * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+GROUP BY c_mktsegment ORDER BY c_mktsegment
 """,
     }

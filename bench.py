@@ -161,6 +161,8 @@ BENCH_QUERIES = [
     "lang_source_contingency",  # cross-tab + exact expected-count ppm
     "rolling_3mo_revenue",  # sliding 3-row frame over month grain
     "order_percent_rank",  # global PERCENT_RANK ppm via prefix offsets
+    "user_streaks",  # gaps-and-islands longest consecutive-day run
+    "idle_rich_customers",  # Q22: global-scalar filter + anti cogroup
 ]
 
 

@@ -2848,3 +2848,110 @@ def grouped_prefix_sum(
         attach, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
     return ranked, totals
+
+
+def max_run_histogram(
+    ds,
+    key: str,
+    val_col: str,
+    *,
+    num_buckets: int | None = None,
+    len_col: str = "run_len",
+    count_col: str = "n_keys",
+):
+    """Gaps-and-islands: per-key LONGEST run of CONSECUTIVE integers in
+    ``val_col`` (duplicates collapse first), returned as a histogram
+    ``(run_len, n_keys)`` pandas frame. The classic SQL shape is
+    ``val - ROW_NUMBER() OVER (PARTITION BY key ORDER BY val)`` as the
+    island id; here each batch first collapses to DISTINCT (key, val)
+    pairs (Arrow C++ hash aggregate), ONE hash-bucket exchange
+    co-locates each key's values, and the in-bucket reducer does the
+    whole island analysis as numpy lexsort + run-boundary arithmetic —
+    what leaves a bucket is its (run_len, count) histogram, at most
+    O(distinct lengths) rows, so the driver folds
+    ``buckets x lengths`` tiny partials, never per-key rows.
+
+    Reference analog: streak/run-length checks over per-entity ordered
+    histories (the reference's per-team season sequences,
+    /root/reference/src/app2/validators/dds/rules_suite/season_round_robin.py)
+    re-expressed as a distributed windowing primitive.
+    """
+    num_buckets = resolve_num_buckets(ds, num_buckets)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({key: t[key], val_col: t[val_col]})
+            .group_by([key, val_col])
+            .aggregate([])
+        )
+        return tag_bucket(g, key, num_buckets)
+
+    empty = pa.table(
+        {
+            len_col: pa.array([], pa.int64()),
+            count_col: pa.array([], pa.int64()),
+        }
+    )
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        k = g[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = g[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(k) == 0:
+            return empty
+        order = np.lexsort((v, k))
+        k = k[order]
+        v = v[order]
+        # cross-batch duplicates survive the per-batch distinct; drop
+        keep = np.ones(len(k), dtype=bool)
+        keep[1:] = (k[1:] != k[:-1]) | (v[1:] != v[:-1])
+        k = k[keep]
+        v = v[keep]
+        idx = np.arange(len(k), dtype=np.int64)
+        new_key = np.ones(len(k), dtype=bool)
+        new_key[1:] = k[1:] != k[:-1]
+        starts = idx[new_key]
+        counts = np.diff(np.append(starts, len(k)))
+        rn = idx - np.repeat(starts, counts)
+        island = v - rn
+        new_isl = new_key.copy()
+        new_isl[1:] |= island[1:] != island[:-1]
+        isl_starts = idx[new_isl]
+        isl_len = np.diff(np.append(isl_starts, len(k))).astype(np.int64)
+        isl_key = k[isl_starts]
+        key_bounds = np.flatnonzero(
+            np.r_[True, isl_key[1:] != isl_key[:-1]]
+        )
+        best = np.maximum.reduceat(isl_len, key_bounds)
+        lens, cnt = np.unique(best, return_counts=True)
+        return pa.table(
+            {
+                len_col: pa.array(lens.astype(np.int64)),
+                count_col: pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    import ray.data as rd
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(
+            lambda t: reduce_bucket(t.drop_columns(["__b"])),
+            batch_format="pyarrow",
+        )
+        # an all-empty input yields ZERO output blocks and a schemaless
+        # dataset (Ray drops columns); union a typed empty block so the
+        # collect below always sees the result schema
+        .union(rd.from_arrow(empty))
+    )
+    df = collect_sorted(out, [len_col])
+    if df.empty:
+        return pd.DataFrame(
+            {
+                len_col: pd.Series([], dtype="int64"),
+                count_col: pd.Series([], dtype="int64"),
+            }
+        )
+    df = df.groupby(len_col, as_index=False)[count_col].sum()
+    df[count_col] = df[count_col].astype("int64")
+    return df.sort_values(len_col).reset_index(drop=True)

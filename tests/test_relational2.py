@@ -2075,3 +2075,54 @@ def test_grouped_transition_counts_matches_duckdb(ray_session):
         rd.from_pandas(one), "uid", "ts", "eid", "et", num_buckets=4
     )
     assert len(got1) == 0
+
+
+def test_max_run_histogram_matches_bruteforce(ray_session):
+    """Gaps-and-islands over randomized (key, val) pairs with dups vs a
+    pure-python per-key longest-consecutive-run computation."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        max_run_histogram,
+    )
+
+    rng = np.random.Generator(np.random.Philox(key=[11, 4]))
+    n = 3000
+    keys = rng.integers(0, 40, n).astype(np.int64)
+    vals = rng.integers(0, 25, n).astype(np.int64)
+    df = pd.DataFrame({"k": keys, "v": vals})
+
+    def brute_best(vs):
+        vs = sorted(set(vs))
+        best = run = 1
+        for a, b in zip(vs, vs[1:]):
+            run = run + 1 if b == a + 1 else 1
+            best = max(best, run)
+        return best
+
+    expect = (
+        df.groupby("k")["v"]
+        .apply(lambda s: brute_best(s.tolist()))
+        .value_counts()
+        .sort_index()
+    )
+    ds = rd.from_pandas(df).repartition(7)
+    out = max_run_histogram(ds, "k", "v", num_buckets=5)
+    got = dict(zip(out["run_len"], out["n_keys"]))
+    assert got == {int(k): int(v) for k, v in expect.items()}
+    assert out["run_len"].dtype == "int64" and out["n_keys"].dtype == "int64"
+
+
+def test_max_run_histogram_empty(ray_session):
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        max_run_histogram,
+    )
+
+    ds = rd.from_pandas(
+        pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                      "v": pd.Series([], dtype="int64")})
+    )
+    out = max_run_histogram(ds, "k", "v")
+    assert out.empty and list(out.columns) == ["run_len", "n_keys"]
