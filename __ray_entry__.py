@@ -5070,6 +5070,133 @@ def q_idle_rich_customers(sf_dir: str):
     return df.sort_values("c_mktsegment").reset_index(drop=True)
 
 
+CHUNK_SIZE, CHUNK_OVERLAP = 128, 32
+
+
+def q_doc_chunks(sf_dir: str):
+    """Sliding-window context chunking (the LLM training splitter):
+    explode every document into 128-token windows overlapping by 32,
+    emitting per-chunk exact integer boundaries plus the chunk's first
+    token. Pure flat-map — each batch explodes independently inside one
+    fused read->chunk task (numpy repeat/arange, no Python loop), rows
+    only grow by the chunk factor, nothing shuffles."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.functions.text import (
+        sliding_chunk_plan,
+    )
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        collect_sorted,
+    )
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    out = docs.map_batches(
+        lambda t: sliding_chunk_plan(
+            t, size=CHUNK_SIZE, overlap=CHUNK_OVERLAP
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    df = collect_sorted(out, ["doc_id", "chunk_idx"])
+    for c in ("doc_id", "chunk_idx", "tok_start", "tok_len"):
+        df[c] = df[c].astype("int64")
+    return df.reset_index(drop=True)
+
+
+TRAIN_SHARDS = 64
+
+
+def q_train_shards(sf_dir: str):
+    """Deterministic training-epoch sharding: every document lands in
+    shard splitmix64(doc_id) % 64 — reproducible across runs, engines,
+    block layouts (RNG-free, same contract as the mixture sampler).
+    One fused map pass computes (shard, h) per row; per-batch Arrow
+    hash-aggregate collapses to shard partials (count, char sum,
+    mod-2^64 ring digest of h, order-independent) and the final
+    exchange moves at most batches x 64 rows. The digest doubles as a
+    cross-run equality check on shard CONTENT, not just counts."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.functions.hashing import _splitmix64
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        collect_sorted,
+    )
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = (
+            t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        h = _splitmix64(ids.view(np.uint64))
+        shard = (h % np.uint64(TRAIN_SHARDS)).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "shard": pa.array(shard),
+                    "n_chars": t["n_chars"],
+                    # ring sum in two int64 halves so the Arrow sum
+                    # (int64) cannot overflow: hi/lo fold exactly like
+                    # the content-digest pattern in hashing.py
+                    "h_lo": pa.array((h & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+                    "h_hi": pa.array((h >> np.uint64(32)).astype(np.int64)),
+                    "one": pa.array(np.ones(len(ids), np.int64)),
+                }
+            )
+            .group_by("shard")
+            .aggregate(
+                [
+                    ("one", "sum"),
+                    ("n_chars", "sum"),
+                    ("h_lo", "sum"),
+                    ("h_hi", "sum"),
+                ]
+            )
+        )
+        return pa.table(
+            {
+                "shard": g["shard"],
+                "n_docs": pc.cast(g["one_sum"], pa.int64()),
+                "sum_chars": pc.cast(g["n_chars_sum"], pa.int64()),
+                "h_lo": pc.cast(g["h_lo_sum"], pa.int64()),
+                "h_hi": pc.cast(g["h_hi_sum"], pa.int64()),
+            }
+        )
+
+    parts = docs.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    df = collect_sorted(parts, ["shard"])
+    df = df.groupby("shard", as_index=False).agg(
+        n_docs=("n_docs", "sum"),
+        sum_chars=("sum_chars", "sum"),
+        h_lo=("h_lo", "sum"),
+        h_hi=("h_hi", "sum"),
+    )
+    # fold the two halves into the exact mod-2^64 digest: the partial
+    # sums are < 2^63 (n_docs * 2^32), so int64 arithmetic is exact
+    if len(df) and int(df["n_docs"].max()) >= 2**31:
+        # past ~2.1e9 docs per shard the int64 half-sums can overflow;
+        # switch the fold to Python ints (driver-side, 64 rows) then
+        raise ValueError("train_shards: per-shard half-sum exceeds int64")
+    dg = (
+        df["h_hi"].to_numpy(np.uint64) * np.uint64(2**32)
+        + df["h_lo"].to_numpy(np.uint64)
+    )  # uint64 wraparound IS mod 2^64
+    df["digest_hi"] = (dg >> np.uint64(32)).astype(np.int64)
+    df["digest_lo"] = (dg & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    df = df.drop(columns=["h_lo", "h_hi"])
+    for c in ("shard", "n_docs", "sum_chars"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("shard").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -5203,6 +5330,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_percent_rank": q_order_percent_rank,
         "user_streaks": q_user_streaks,
         "idle_rich_customers": q_idle_rich_customers,
+        "doc_chunks": q_doc_chunks,
+        "train_shards": q_train_shards,
     }
 
 
@@ -7015,5 +7144,59 @@ WHERE bal_c * n > s
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
 GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+        "doc_chunks": r"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         string_split(text, ' ') AS words,
+         CAST(length(string_split(text, ' ')) AS BIGINT) AS ntok
+  FROM documents
+), n AS (
+  SELECT doc_id, words, ntok,
+         CASE WHEN ntok <= 128 THEN CAST(1 AS BIGINT)
+              ELSE (ntok - 128 + 95) // 96 + 1 END AS n_chunks
+  FROM d
+), e AS (
+  SELECT doc_id, words, ntok,
+         unnest(range(n_chunks)) AS chunk_idx
+  FROM n
+)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_idx * 96 AS BIGINT) AS tok_start,
+       CAST(LEAST(128, ntok - chunk_idx * 96) AS BIGINT) AS tok_len,
+       list_extract(words, CAST(chunk_idx * 96 + 1 AS INT)) AS first_tok
+FROM e ORDER BY doc_id, chunk_idx
+""",
+        "train_shards": r"""
+WITH s1 AS (
+  SELECT n_chars,
+         CAST((CAST(doc_id AS UHUGEINT) + 11400714819323198485)
+              % 18446744073709551616 AS UBIGINT) AS z
+  FROM documents
+), s2 AS (
+  SELECT n_chars,
+         CAST((CAST(xor(z, z >> 30) AS UHUGEINT) * 13787848793156543929)
+              % 18446744073709551616 AS UBIGINT) AS z
+  FROM s1
+), s3 AS (
+  SELECT n_chars,
+         CAST((CAST(xor(z, z >> 27) AS UHUGEINT) * 10723151780598845931)
+              % 18446744073709551616 AS UBIGINT) AS z
+  FROM s2
+), h AS (
+  SELECT n_chars, xor(z, z >> 31) AS h FROM s3
+), a AS (
+  SELECT CAST(h % 64 AS BIGINT) AS shard,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         CAST(SUM(CAST(h AS HUGEINT)) % 18446744073709551616 AS UHUGEINT)
+           AS dg
+  FROM h GROUP BY shard
+)
+SELECT shard, n_docs, sum_chars,
+       CAST(dg // 4294967296 AS BIGINT) AS digest_hi,
+       CAST(dg % 4294967296 AS BIGINT) AS digest_lo
+FROM a ORDER BY shard
 """,
     }

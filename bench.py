@@ -163,6 +163,8 @@ BENCH_QUERIES = [
     "order_percent_rank",  # global PERCENT_RANK ppm via prefix offsets
     "user_streaks",  # gaps-and-islands longest consecutive-day run
     "idle_rich_customers",  # Q22: global-scalar filter + anti cogroup
+    "doc_chunks",  # sliding context-window chunk explode (flat-map)
+    "train_shards",  # deterministic epoch sharding + content digest
 ]
 
 

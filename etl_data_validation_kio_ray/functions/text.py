@@ -915,3 +915,62 @@ def word_pmi_topk(
     for c in ("f_ab", "f1", "f2", "assoc_x1e12"):
         top[c] = top[c].astype("int64")
     return top.reset_index(drop=True)
+
+
+def sliding_chunk_plan(
+    batch: pa.Table,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int,
+    overlap: int,
+) -> pa.Table:
+    """Context-window chunking (the LLM training-data splitter): explode
+    each document into sliding windows of ``size`` whitespace tokens
+    overlapping by ``overlap`` (stride = size - overlap; a doc of
+    ntok <= size yields exactly one chunk). Emits the chunk PLAN — one
+    row per chunk with exact integer boundaries plus the chunk's first
+    token (proof the boundaries index real content) — all numpy
+    repeat/arange vectorization, no Python loop. Chunk text extraction
+    is the same explode with a list_slice over the word list; the plan
+    is the deterministic, engine-comparable part.
+
+    Output columns: id_col (int64), chunk_idx, tok_start, tok_len
+    (int64), first_tok (string). Reference analog: the fixed-window
+    payload splitters in the reference's loaders
+    (/root/reference/src/app2/etl/loaders.py) generalized to
+    overlapping token windows.
+    """
+    if not (0 <= overlap < size):
+        raise ValueError(
+            f"sliding_chunk_plan: need 0 <= overlap < size, got "
+            f"size={size} overlap={overlap}"
+        )
+    stride = size - overlap
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    words, flat, offsets = _flat_words(pc.fill_null(text, ""))
+    ntok = np.diff(offsets)
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    nc = np.where(
+        ntok <= size, np.int64(1), (ntok - size + stride - 1) // stride + 1
+    ).astype(np.int64)
+    total = int(nc.sum())
+    ends = np.cumsum(nc)
+    starts = ends - nc
+    idx = np.arange(total, dtype=np.int64) - np.repeat(starts, nc)
+    tok_start = idx * stride
+    rep_ntok = np.repeat(ntok, nc)
+    tok_len = np.minimum(np.int64(size), rep_ntok - tok_start)
+    first_at = np.repeat(offsets[:-1], nc) + tok_start
+    first_tok = pc.take(flat, pa.array(first_at))
+    return pa.table(
+        {
+            id_col: pa.array(np.repeat(ids, nc)),
+            "chunk_idx": pa.array(idx),
+            "tok_start": pa.array(tok_start),
+            "tok_len": pa.array(tok_len),
+            "first_tok": first_tok,
+        }
+    )

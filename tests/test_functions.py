@@ -816,3 +816,52 @@ def test_extract_json_int_field_edges():
     # chunked input and a different key
     ch = pa.chunked_array([['{"z": 1}'], ['{"z":-9}', "{}"]])
     assert extract_json_int_field(ch, "z").to_pylist() == [1, -9, None]
+
+
+def test_sliding_chunk_plan_boundaries():
+    """Chunk plan matches the closed-form count and a python reference
+    on boundary cases: ntok == size, size+1, exact stride multiples."""
+    import pyarrow as pa
+
+    from etl_data_validation_kio_ray.functions.text import (
+        sliding_chunk_plan,
+    )
+
+    size, overlap = 4, 1
+    stride = size - overlap
+    texts = {
+        1: "a",                          # 1 tok -> 1 chunk
+        2: "a b c d",                    # == size -> 1 chunk
+        3: "a b c d e",                  # size+1 -> 2 chunks
+        4: "a b c d e f g",              # 7 = size + stride -> 2 chunks
+        5: "a b c d e f g h",            # 8 -> 3 chunks (last len 2)
+    }
+    t = pa.table({"doc_id": list(texts), "text": list(texts.values())})
+    out = sliding_chunk_plan(t, size=size, overlap=overlap).to_pandas()
+    for doc_id, text in texts.items():
+        words = text.split(" ")
+        n = len(words)
+        rows = out[out["doc_id"] == doc_id].reset_index(drop=True)
+        exp_chunks = 1 if n <= size else -(-(n - size) // stride) + 1
+        assert len(rows) == exp_chunks, (doc_id, len(rows), exp_chunks)
+        for _, r in rows.iterrows():
+            s = int(r["tok_start"])
+            assert r["first_tok"] == words[s]
+            assert int(r["tok_len"]) == min(size, n - s)
+            assert int(r["tok_len"]) >= 1
+        # full coverage: last chunk reaches the end
+        last = rows.iloc[-1]
+        assert int(last["tok_start"]) + int(last["tok_len"]) == n
+
+
+def test_sliding_chunk_plan_rejects_bad_overlap():
+    import pyarrow as pa
+    import pytest
+
+    from etl_data_validation_kio_ray.functions.text import (
+        sliding_chunk_plan,
+    )
+
+    t = pa.table({"doc_id": [1], "text": ["a b"]})
+    with pytest.raises(ValueError):
+        sliding_chunk_plan(t, size=4, overlap=4)
