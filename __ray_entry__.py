@@ -5197,6 +5197,261 @@ def q_train_shards(sf_dir: str):
     return df.sort_values("shard").reset_index(drop=True)
 
 
+def q_ntok_moments(sf_dir: str):
+    """Grouped higher-moment power sums (the skewness/kurtosis building
+    block): per source, exact int64 sums of ntok^1..ntok^4 plus count
+    and max. One fused read->tokenize->per-batch Arrow hash-aggregate
+    pass; only (sources x 7) partials per batch reach the driver, which
+    folds them in arbitrary-precision Python ints and then PROVES the
+    int64 cast is lossless (loud guard, the house no-silent-caps rule —
+    at ~1e12 docs the s4 column needs the hi/lo two-int64 split used by
+    the content digests)."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "text"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        ntok = pc.list_value_length(
+            pc.split_pattern(pc.fill_null(text, ""), " ")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        mx = int(ntok.max()) if len(ntok) else 0
+        # per-batch bound: rows * max^4 must fit int64 before vector sums
+        if len(ntok) and mx**4 * len(ntok) >= 2**63:
+            raise ValueError(
+                "ntok_moments: batch power sum would overflow int64 — "
+                "shrink batch_size or switch s3/s4 to hi/lo halves"
+            )
+        t2 = ntok * ntok
+        g = (
+            pa.table(
+                {
+                    "source": t["source"],
+                    "one": pa.array(np.ones(len(ntok), np.int64)),
+                    "s1": pa.array(ntok),
+                    "s2": pa.array(t2),
+                    "s3": pa.array(t2 * ntok),
+                    "s4": pa.array(t2 * t2),
+                    "mx": pa.array(ntok),
+                }
+            )
+            .group_by("source")
+            .aggregate(
+                [
+                    ("one", "sum"),
+                    ("s1", "sum"),
+                    ("s2", "sum"),
+                    ("s3", "sum"),
+                    ("s4", "sum"),
+                    ("mx", "max"),
+                ]
+            )
+        )
+        return pa.table(
+            {
+                "source": g["source"],
+                **{
+                    c: pc.cast(g[f"{c}_{f}"], pa.int64())
+                    for c, f in (
+                        ("one", "sum"),
+                        ("s1", "sum"),
+                        ("s2", "sum"),
+                        ("s3", "sum"),
+                        ("s4", "sum"),
+                        ("mx", "max"),
+                    )
+                },
+            }
+        )
+
+    parts = docs.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    rows = []
+    for src, sub in parts.groupby("source", sort=True):
+        # Python-int fold: exact regardless of magnitude, then prove
+        # the int64 output cast is lossless
+        vals = {
+            c: sum(int(v) for v in sub[c]) for c in ("one", "s1", "s2", "s3", "s4")
+        }
+        if any(v >= 2**63 for v in vals.values()):
+            raise ValueError(
+                f"ntok_moments: power sum for source {src!r} exceeds "
+                "int64 — emit hi/lo halves instead"
+            )
+        rows.append(
+            {
+                "source": src,
+                "n_docs": vals["one"],
+                "s1": vals["s1"],
+                "s2": vals["s2"],
+                "s3": vals["s3"],
+                "s4": vals["s4"],
+                "max_ntok": int(sub["mx"].max()),
+            }
+        )
+    df = pd.DataFrame(
+        rows,
+        columns=["source", "n_docs", "s1", "s2", "s3", "s4", "max_ntok"],
+    )
+    for c in df.columns:
+        if c != "source":
+            df[c] = df[c].astype("int64")
+    return df.reset_index(drop=True)
+
+
+def q_weekly_revenue(sf_dir: str):
+    """Revenue per ISO week (the calendar-bucketing operator: ISO 8601
+    year/week from pure integer day arithmetic — find the week's
+    Thursday, its calendar year is the ISO year; all numpy datetime64
+    casts, no Python date objects). Per-batch partials collapse to
+    (iso_year, iso_week) rows so the exchange moves at most
+    batches x weeks rows; the driver folds a few hundred."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.functions.dates import iso_year_week
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderdate", "o_totalprice"],
+    )
+    US_PER_DAY = np.int64(86_400_000_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["o_orderdate"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        days = ts.cast(pa.int64()).to_numpy(zero_copy_only=False) // US_PER_DAY
+        iso_year, week = iso_year_week(days)
+        cents = pc.round(pc.multiply(t["o_totalprice"], 100.0)).cast(pa.int64())
+        g = (
+            pa.table(
+                {
+                    "iso_year": pa.array(iso_year),
+                    "iso_week": pa.array(week),
+                    "rev_c": cents,
+                    "one": pa.array(np.ones(len(days), np.int64)),
+                }
+            )
+            .group_by(["iso_year", "iso_week"])
+            .aggregate([("one", "sum"), ("rev_c", "sum")])
+        )
+        return pa.table(
+            {
+                "iso_year": g["iso_year"],
+                "iso_week": g["iso_week"],
+                "n_orders": pc.cast(g["one_sum"], pa.int64()),
+                "rev_c": pc.cast(g["rev_c_sum"], pa.int64()),
+            }
+        )
+
+    parts = orders.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    df = parts.groupby(["iso_year", "iso_week"], as_index=False).agg(
+        n_orders=("n_orders", "sum"), rev_c=("rev_c", "sum")
+    )
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["iso_year", "iso_week"]).reset_index(drop=True)
+
+
+def q_nation_segments(sf_dir: str):
+    """Grouped ORDERED STRING AGGREGATION (SQL string_agg DISTINCT ...
+    ORDER BY): per nation, the sorted csv of distinct market segments
+    present, plus customer and segment counts. Per-batch distinct
+    (nation, segment, n) partials -> one bucket exchange on nation ->
+    in-bucket numpy lexsort + python join over the tiny distinct set
+    (segments per nation is bounded by the segment vocabulary, never
+    row-proportional)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        collect_sorted,
+        tag_bucket,
+    )
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_nationkey", "c_mktsegment"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+                    "c_mktsegment": t["c_mktsegment"],
+                    "one": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            )
+            .group_by(["c_nationkey", "c_mktsegment"])
+            .aggregate([("one", "sum")])
+        )
+        out = pa.table(
+            {
+                "c_nationkey": g["c_nationkey"],
+                "c_mktsegment": g["c_mktsegment"],
+                "n": pc.cast(g["one_sum"], pa.int64()),
+            }
+        )
+        return tag_bucket(out, "c_nationkey", 16)
+
+    empty = pa.table(
+        {
+            "c_nationkey": pa.array([], pa.int64()),
+            "n_cust": pa.array([], pa.int64()),
+            "n_segments": pa.array([], pa.int64()),
+            "segments": pa.array([], pa.string()),
+        }
+    )
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        df = g.to_pandas()
+        if df.empty:
+            return empty
+        agg = (
+            df.groupby(["c_nationkey", "c_mktsegment"], as_index=False)["n"]
+            .sum()
+            .sort_values(["c_nationkey", "c_mktsegment"])
+        )
+        rows = []
+        for nk, sub in agg.groupby("c_nationkey", sort=True):
+            rows.append(
+                {
+                    "c_nationkey": int(nk),
+                    "n_cust": int(sub["n"].sum()),
+                    "n_segments": len(sub),
+                    "segments": ",".join(sub["c_mktsegment"]),
+                }
+            )
+        out = pd.DataFrame(rows)
+        return pa.table(
+            {
+                "c_nationkey": pa.array(out["c_nationkey"], pa.int64()),
+                "n_cust": pa.array(out["n_cust"], pa.int64()),
+                "n_segments": pa.array(out["n_segments"], pa.int64()),
+                "segments": pa.array(out["segments"], pa.string()),
+            }
+        )
+
+    out = (
+        cust.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+    )
+    df = collect_sorted(out, ["c_nationkey"])
+    for c in ("c_nationkey", "n_cust", "n_segments"):
+        df[c] = df[c].astype("int64")
+    return df.reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -5332,6 +5587,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idle_rich_customers": q_idle_rich_customers,
         "doc_chunks": q_doc_chunks,
         "train_shards": q_train_shards,
+        "ntok_moments": q_ntok_moments,
+        "weekly_revenue": q_weekly_revenue,
+        "nation_segments": q_nation_segments,
     }
 
 
@@ -7198,5 +7456,38 @@ SELECT shard, n_docs, sum_chars,
        CAST(dg // 4294967296 AS BIGINT) AS digest_hi,
        CAST(dg % 4294967296 AS BIGINT) AS digest_lo
 FROM a ORDER BY shard
+""",
+        "ntok_moments": r"""
+WITH d AS (
+  SELECT source,
+         CAST(length(string_split(text, ' ')) AS BIGINT) AS t
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(t) AS BIGINT) AS s1,
+       CAST(SUM(t*t) AS BIGINT) AS s2,
+       CAST(SUM(t*t*t) AS BIGINT) AS s3,
+       CAST(SUM(t*t*t*t) AS BIGINT) AS s4,
+       CAST(MAX(t) AS BIGINT) AS max_ntok
+FROM d GROUP BY source ORDER BY source
+""",
+        "weekly_revenue": r"""
+SELECT CAST(isoyear(o_orderdate) AS BIGINT) AS iso_year,
+       CAST(week(o_orderdate) AS BIGINT) AS iso_week,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS rev_c
+FROM orders
+GROUP BY iso_year, iso_week ORDER BY iso_year, iso_week
+""",
+        "nation_segments": r"""
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+       string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+         AS segments
+FROM customer
+GROUP BY c_nationkey ORDER BY c_nationkey
 """,
     }

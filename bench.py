@@ -165,6 +165,9 @@ BENCH_QUERIES = [
     "idle_rich_customers",  # Q22: global-scalar filter + anti cogroup
     "doc_chunks",  # sliding context-window chunk explode (flat-map)
     "train_shards",  # deterministic epoch sharding + content digest
+    "ntok_moments",  # grouped power sums s1..s4 (exact, overflow-guarded)
+    "weekly_revenue",  # ISO-8601 week bucketing, integer day arithmetic
+    "nation_segments",  # grouped ordered string_agg over distinct sets
 ]
 
 

@@ -35,3 +35,21 @@ def extract_year(ts: pa.Array | pa.ChunkedArray) -> pa.Array:
     if isinstance(ts, pa.ChunkedArray):
         ts = ts.combine_chunks()
     return pc.cast(pc.year(ts), pa.int32())
+
+
+def iso_year_week(days: "np.ndarray") -> tuple["np.ndarray", "np.ndarray"]:
+    """ISO-8601 (year, week) from int64 days-since-epoch, pure numpy
+    (no Python date objects): the ISO week of a date is the week of its
+    Thursday, and the ISO year is that Thursday's calendar year —
+    1970-01-01 was a Thursday, so Monday-start weekday = (d + 3) % 7.
+    Bit-exact with DuckDB isoyear()/week() and Python
+    date.isocalendar() for all representable dates."""
+    import numpy as np
+
+    days = np.asarray(days, dtype=np.int64)
+    wd = (days + 3) % 7
+    thu = (days - wd + 3).astype("datetime64[D]")
+    iso_year_d = thu.astype("datetime64[Y]")
+    week = (thu - iso_year_d.astype("datetime64[D]")).astype(np.int64) // 7 + 1
+    iso_year = iso_year_d.astype(np.int64) + 1970
+    return iso_year, week

@@ -865,3 +865,20 @@ def test_sliding_chunk_plan_rejects_bad_overlap():
     t = pa.table({"doc_id": [1], "text": ["a b"]})
     with pytest.raises(ValueError):
         sliding_chunk_plan(t, size=4, overlap=4)
+
+
+def test_iso_year_week_matches_isocalendar():
+    """60 years of bit parity with Python's date.isocalendar, covering
+    every 52/53-week year boundary in the range."""
+    import datetime as dt
+
+    import numpy as np
+
+    from etl_data_validation_kio_ray.functions.dates import iso_year_week
+
+    days = np.arange(-12, 22000, dtype=np.int64)  # 1969-12-20 .. 2030
+    y, w = iso_year_week(days)
+    epoch = dt.date(1970, 1, 1)
+    for i, d in enumerate(days.tolist()):
+        iy, iw, _ = (epoch + dt.timedelta(days=d)).isocalendar()
+        assert (iy, iw) == (int(y[i]), int(w[i]))
