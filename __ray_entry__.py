@@ -5452,6 +5452,158 @@ def q_nation_segments(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def q_cumulative_distinct_users(sf_dir: str):
+    """Running COUNT(DISTINCT (user, event_type)) by day — the
+    growth-curve window plain SQL windows cannot express directly; both
+    engines use the first-seen trick (a pair counts only on its MIN
+    day). Per-batch partial mins shrink the exchange to ~1 row per
+    pair; one bucket exchange on user_id co-locates each user's pairs;
+    the in-bucket reducer re-mins and collapses straight to
+    (day, n_new) partials, and the driver folds a bounded day axis +
+    prefix sum."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        collect_sorted,
+        tag_bucket,
+    )
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "ts"],
+    )
+    US_PER_DAY = np.int64(86_400_000_000)
+
+    def to_day(t: pa.Table) -> pa.Table:
+        ts = t["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        g = (
+            pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "event_type": t["event_type"],
+                    "day": pa.array(us // US_PER_DAY),
+                }
+            )
+            .group_by(["user_id", "event_type"])
+            .aggregate([("day", "min")])
+        )
+        out = pa.table(
+            {
+                "user_id": g["user_id"],
+                "event_type": g["event_type"],
+                "day": g["day_min"],
+            }
+        )
+        return tag_bucket(out, "user_id", 32)
+
+    def reduce_bucket(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__b"])
+        m = t.group_by(["user_id", "event_type"]).aggregate([("day", "min")])
+        g = (
+            pa.table({"day": m["day_min"]})
+            .group_by("day")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {"day": g["day"], "n_new": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    parts = (
+        ev.map_batches(to_day, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+    )
+    df = collect_sorted(parts, ["day"])
+    df = df.groupby("day", as_index=False)["n_new"].sum()
+    df = df.sort_values("day").reset_index(drop=True)
+    df["n_new"] = df["n_new"].astype("int64")
+    df["day"] = df["day"].astype("int64")
+    df["n_cum"] = df["n_new"].cumsum().astype("int64")
+    return df
+
+
+TOPK_TIES_K = 5
+
+
+def q_top_values_with_ties(sf_dir: str):
+    """Per-group top-k distinct values WITH TIES (DENSE_RANK <= k) and
+    their multiplicities — the with-ties sibling of the ROW_NUMBER
+    top-k: tied rows never materialize, each (group, value) emits one
+    counted row. Values quantized to exact int64 cents (round-half-even
+    on BOTH engines)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        collect_sorted,
+        grouped_topk_distinct,
+    )
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value"],
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "v_c": pc.round(pc.multiply(t["value"], 100.0)).cast(
+                    pa.int64()
+                ),
+            }
+        )
+
+    out = grouped_topk_distinct(
+        ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        "event_type",
+        "v_c",
+        TOPK_TIES_K,
+        descending=True,
+    )
+    df = collect_sorted(out, ["event_type", "rk"])
+    for c in ("v_c", "n", "rk"):
+        df[c] = df[c].astype("int64")
+    return df.reset_index(drop=True)
+
+
+KCENTER_K = 8
+
+
+def q_kcenter_sample(sf_dir: str):
+    """Greedy k-center coreset selection over the embedding table (the
+    diverse-subset curation op). Deterministic farthest-point traversal
+    (float ties broken by id), k broadcast passes; the query
+    self-asserts the coverage-radius invariant (non-increasing, the
+    Gonzalez greedy guarantee) and emits the selected ids with the
+    radius at selection time in exact micro-units."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.similarity.ann import kcenter_greedy
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids, radii = kcenter_greedy(emb, KCENTER_K)
+    if any(b > a + 1e-12 for a, b in zip(radii, radii[1:])):
+        raise AssertionError(
+            f"kcenter_sample: coverage radius increased: {radii}"
+        )
+    n = len(ids)
+    return pd.DataFrame(
+        {
+            "sel_rank": pd.Series(range(1, n + 1), dtype="int64"),
+            "vec_id": pd.Series(ids, dtype="int64"),
+            "radius_q6": pd.Series(
+                [int(round(r * 1e6)) for r in radii[:n]], dtype="int64"
+            ),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -5590,6 +5742,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntok_moments": q_ntok_moments,
         "weekly_revenue": q_weekly_revenue,
         "nation_segments": q_nation_segments,
+        "cumulative_distinct_users": q_cumulative_distinct_users,
+        "top_values_with_ties": q_top_values_with_ties,
+        "kcenter_sample": q_kcenter_sample,
     }
 
 
@@ -7489,5 +7644,32 @@ SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
          AS segments
 FROM customer
 GROUP BY c_nationkey ORDER BY c_nationkey
+""",
+        "cumulative_distinct_users": r"""
+WITH f AS (
+  SELECT user_id, event_type,
+         MIN(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)) AS day
+  FROM events GROUP BY user_id, event_type
+), c AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new FROM f GROUP BY day
+)
+SELECT day, n_new,
+       CAST(SUM(n_new) OVER (ORDER BY day) AS BIGINT) AS n_cum
+FROM c ORDER BY day
+""",
+        "top_values_with_ties": r"""
+WITH a AS (
+  SELECT event_type,
+         CAST(round_even(value * 100, 0) AS BIGINT) AS v_c,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, v_c
+), r AS (
+  SELECT event_type, v_c, n,
+         CAST(DENSE_RANK() OVER (
+           PARTITION BY event_type ORDER BY v_c DESC) AS BIGINT) AS rk
+  FROM a
+)
+SELECT event_type, v_c, n, rk FROM r
+WHERE rk <= 5 ORDER BY event_type, rk
 """,
     }

@@ -168,6 +168,9 @@ BENCH_QUERIES = [
     "ntok_moments",  # grouped power sums s1..s4 (exact, overflow-guarded)
     "weekly_revenue",  # ISO-8601 week bucketing, integer day arithmetic
     "nation_segments",  # grouped ordered string_agg over distinct sets
+    "cumulative_distinct_users",  # running distinct via first-seen trick
+    "top_values_with_ties",  # DENSE_RANK<=k with-ties, counted not exploded
+    "kcenter_sample",  # greedy farthest-point coreset, k broadcast passes
 ]
 
 

@@ -2955,3 +2955,107 @@ def max_run_histogram(
     df = df.groupby(len_col, as_index=False)[count_col].sum()
     df[count_col] = df[count_col].astype("int64")
     return df.sort_values(len_col).reset_index(drop=True)
+
+
+def grouped_topk_distinct(
+    ds,
+    key: str,
+    val_col: str,
+    k: int,
+    *,
+    descending: bool = True,
+    num_buckets: int | None = None,
+):
+    """Per-group top-k DISTINCT values WITH TIES and their
+    multiplicities — SQL ``GROUP BY g, v QUALIFY DENSE_RANK() OVER
+    (PARTITION BY g ORDER BY v DESC) <= k``. Unlike
+    :func:`top_k_per_group` (ROW_NUMBER semantics, exactly k rows), the
+    output is one row per (group, value) with COUNT(*), so tied rows
+    are never materialized and the result is bounded at k rows/group
+    regardless of tie multiplicity.
+
+    Scale shape: each batch collapses to (key, val, n) partials AND
+    prunes to its local top-k distinct values (safe: the global k-th
+    extreme is at least as extreme as any batch's, so no global
+    survivor is dropped); one bucket exchange on key; the in-bucket
+    reducer merges counts and applies the dense-rank cut with numpy
+    lexsort — no Python loop over rows. ``val_col`` must be integer
+    (quantize floats to cents/micro-units first, the house exactness
+    rule)."""
+    if k < 1:
+        raise ValueError(f"grouped_topk_distinct: k must be >= 1, got {k}")
+    num_buckets = resolve_num_buckets(ds, num_buckets)
+
+    def dense_cut(
+        kk: np.ndarray, vv: np.ndarray, nn: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """(key, val, n) partials -> per-key top-k distinct by val with
+        dense rank; assumes (kk, vv) pairs are UNIQUE."""
+        sv = -vv if descending else vv
+        order = np.lexsort((sv, kk))
+        kk, vv, nn, sv = kk[order], vv[order], nn[order], sv[order]
+        idx = np.arange(len(kk), dtype=np.int64)
+        new_key = np.ones(len(kk), dtype=bool)
+        new_key[1:] = kk[1:] != kk[:-1]
+        starts = idx[new_key]
+        counts = np.diff(np.append(starts, len(kk)))
+        # pairs are unique, so rank within key == run position + 1
+        rk = idx - np.repeat(starts, counts) + 1
+        keep = rk <= k
+        return kk[keep], vv[keep], nn[keep], rk[keep]
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    key: t[key],
+                    val_col: pc.cast(t[val_col], pa.int64()),
+                    "__one": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            )
+            .group_by([key, val_col])
+            .aggregate([("__one", "sum")])
+        )
+        kk = g[key].to_numpy(zero_copy_only=False)
+        vv = g[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        nn = g["__one_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kk2, vv2, nn2, _rk = dense_cut(kk, vv, nn)
+        out = pa.table(
+            {key: pa.array(kk2), val_col: pa.array(vv2), "n": pa.array(nn2)}
+        )
+        return tag_bucket(out, key, num_buckets)
+
+    empty = pa.table(
+        {
+            key: pa.array([], dataset_arrow_schema(ds).field(key).type),
+            val_col: pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "rk": pa.array([], pa.int64()),
+        }
+    )
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        # merge per-batch counts for the same (key, val), then cut
+        m = g.group_by([key, val_col]).aggregate([("n", "sum")])
+        kk = m[key].to_numpy(zero_copy_only=False)
+        vv = m[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        nn = m["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kk2, vv2, nn2, rk = dense_cut(kk, vv, nn)
+        return pa.table(
+            {
+                key: pa.array(kk2),
+                val_col: pa.array(vv2),
+                "n": pa.array(nn2),
+                "rk": pa.array(rk),
+            }
+        )
+
+    import ray.data as rd
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+        .union(rd.from_arrow(empty))
+    )

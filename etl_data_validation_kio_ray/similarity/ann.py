@@ -12,6 +12,7 @@
 from __future__ import annotations
 
 import heapq
+import math
 
 import numpy as np
 import pandas as pd
@@ -318,3 +319,127 @@ def kmeans(
             break
         cent = new_cent
     return cent, history, sizes
+
+
+def kcenter_greedy(
+    ds,
+    k: int,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Greedy k-center (farthest-point) coreset selection — the
+    diverse-subset curation primitive (pick the point farthest from the
+    current centers, k times; 2-approximation of the k-center optimum,
+    Gonzalez 1985). Fully deterministic: the seed is the point with the
+    largest (||x||^2, then smallest id) and every round breaks float
+    ties by smallest id, so the selection is independent of block
+    layout and cluster size.
+
+    Scale shape: k passes over the data (documented cost — k is a
+    curation knob, typically <= 100); each pass broadcasts the current
+    centers (k x dim, tiny), computes per-batch min-distance-to-centers
+    with one numpy matmul, and ships ONE (best_dist, best_id, best_vec)
+    candidate row per batch — the driver folds #batches candidates.
+    Distances are per-row deterministic float64 (same kernel every
+    engine), so the argmax fold is reproducible.
+
+    Returns (ids list[int], radii list[float]): radii[i] = coverage
+    radius (max over data of distance to nearest selected center) just
+    BEFORE the i-th selection — non-increasing by construction, which
+    callers can self-assert."""
+    if k < 1:
+        raise ValueError(f"kcenter_greedy: k must be >= 1, got {k}")
+    import ray
+
+    def fold_best(parts) -> tuple[float, int, np.ndarray]:
+        best = None
+        for d, i, v in parts:
+            key = (-d, i)
+            if best is None or key < (-best[0], best[1]):
+                best = (d, i, v)
+        return best
+
+    # seed pass: max squared norm, tie -> smallest id
+    def seed_partial(t: pa.Table):
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return pa.table(
+                {"d": pa.array([], pa.float64()),
+                 "i": pa.array([], pa.int64()),
+                 "v": pa.array([], pa.list_(pa.float64()))}
+            )
+        m = np.vstack(t[vec_col].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        nrm = (m * m).sum(axis=1)
+        j = np.lexsort((ids, -nrm))[0]
+        return pa.table(
+            {"d": pa.array([float(nrm[j])]),
+             "i": pa.array([int(ids[j])], pa.int64()),
+             "v": pa.array([m[j].tolist()], pa.list_(pa.float64()))}
+        )
+
+    def collect_candidates(res) -> list:
+        out = []
+        for b in res.iter_batches(batch_format="pyarrow"):
+            for d, i, v in zip(
+                b["d"].to_pylist(), b["i"].to_pylist(), b["v"].to_pylist()
+            ):
+                out.append((float(d), int(i), np.asarray(v, np.float64)))
+        return out
+
+    seed = fold_best(
+        collect_candidates(
+            ds.map_batches(seed_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        )
+    )
+    if seed is None:
+        raise ValueError("kcenter_greedy: empty dataset")
+    ids = [seed[1]]
+    vecs = [seed[2]]
+    radii: list[float] = []
+    for _ in range(1, k + 1):
+        centers = np.vstack(vecs)
+        centers_ref = ray.put(centers)
+
+        def far_partial(t: pa.Table, _ref=centers_ref):
+            c = ray.get(_ref)
+            idsb = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(idsb) == 0:
+                return pa.table(
+                    {"d": pa.array([], pa.float64()),
+                     "i": pa.array([], pa.int64()),
+                     "v": pa.array([], pa.list_(pa.float64()))}
+                )
+            m = np.vstack(t[vec_col].to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2, min over centers
+            d2 = (
+                (m * m).sum(axis=1)[:, None]
+                - 2.0 * (m @ c.T)
+                + (c * c).sum(axis=1)[None, :]
+            ).min(axis=1)
+            j = np.lexsort((idsb, -d2))[0]
+            return pa.table(
+                {"d": pa.array([float(d2[j])]),
+                 "i": pa.array([int(idsb[j])], pa.int64()),
+                 "v": pa.array([m[j].tolist()], pa.list_(pa.float64()))}
+            )
+
+        far = fold_best(
+            collect_candidates(
+                ds.map_batches(far_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            )
+        )
+        radii.append(math.sqrt(max(far[0], 0.0)))
+        if len(ids) >= k:
+            break
+        if far[1] in ids:  # fewer distinct points than k: stop early
+            break
+        ids.append(far[1])
+        vecs.append(far[2])
+    return ids, radii

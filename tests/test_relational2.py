@@ -2126,3 +2126,97 @@ def test_max_run_histogram_empty(ray_session):
     )
     out = max_run_histogram(ds, "k", "v")
     assert out.empty and list(out.columns) == ["run_len", "n_keys"]
+
+
+def test_grouped_topk_distinct_matches_pandas(ray_session):
+    """DENSE_RANK()<=k with-ties semantics vs a pandas reference,
+    including cross-batch count merging and tie multiplicities."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        collect_sorted,
+        grouped_topk_distinct,
+    )
+
+    rng = np.random.Generator(np.random.Philox(key=[3, 9]))
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 12, n).astype(np.int64),
+            "v": rng.integers(0, 30, n).astype(np.int64),
+        }
+    )
+    k = 4
+    out = collect_sorted(
+        grouped_topk_distinct(
+            rd.from_pandas(df).repartition(9), "g", "v", k, num_buckets=5
+        ),
+        ["g", "rk"],
+    )
+    exp_rows = []
+    for g, sub in df.groupby("g"):
+        counts = sub["v"].value_counts().sort_index(ascending=False)
+        for rk, (v, c) in enumerate(counts.items(), start=1):
+            if rk > k:
+                break
+            exp_rows.append((int(g), int(v), int(c), rk))
+    exp = pd.DataFrame(exp_rows, columns=["g", "v", "n", "rk"])
+    got = out[["g", "v", "n", "rk"]].astype("int64").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp.astype("int64"))
+
+
+def test_grouped_topk_distinct_ascending_and_k1(ray_session):
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        collect_sorted,
+        grouped_topk_distinct,
+    )
+
+    df = pd.DataFrame(
+        {"g": [1, 1, 1, 2, 2], "v": [5, 5, 9, 2, 7]}
+    ).astype(np.int64)
+    out = collect_sorted(
+        grouped_topk_distinct(
+            rd.from_pandas(df), "g", "v", 1, descending=False
+        ),
+        ["g"],
+    )
+    assert out[["g", "v", "n"]].values.tolist() == [[1, 5, 2], [2, 2, 1]]
+
+
+def test_kcenter_greedy_matches_bruteforce(ray_session):
+    """Distributed greedy farthest-point parity with a single-process
+    numpy implementation, incl. deterministic id tie-breaks."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.similarity.ann import kcenter_greedy
+
+    rng = np.random.Generator(np.random.Philox(key=[21, 2]))
+    n, d, k = 200, 8, 6
+    vecs = rng.normal(size=(n, d)).astype(np.float64)
+    ids = np.arange(100, 100 + n, dtype=np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+    ds = rd.from_pandas(df).repartition(7)
+    got_ids, got_radii = kcenter_greedy(ds, k)
+
+    # brute force with identical tie rules
+    nrm = (vecs * vecs).sum(axis=1)
+    seed = np.lexsort((ids, -nrm))[0]
+    sel = [seed]
+    radii = []
+    for _ in range(k):
+        c = vecs[sel]
+        d2 = (
+            (vecs * vecs).sum(axis=1)[:, None]
+            - 2.0 * vecs @ c.T
+            + (c * c).sum(axis=1)[None, :]
+        ).min(axis=1)
+        j = np.lexsort((ids, -d2))[0]
+        radii.append(float(np.sqrt(max(d2[j], 0.0))))
+        if len(sel) >= k:
+            break
+        sel.append(j)
+    assert got_ids == [int(ids[s]) for s in sel]
+    assert np.allclose(got_radii, radii, rtol=0, atol=0)
+    assert all(b <= a + 1e-12 for a, b in zip(got_radii, got_radii[1:]))
