@@ -171,6 +171,8 @@ BENCH_QUERIES = [
     "cumulative_distinct_users",  # running distinct via first-seen trick
     "top_values_with_ties",  # DENSE_RANK<=k with-ties, counted not exploded
     "kcenter_sample",  # greedy farthest-point coreset, k broadcast passes
+    "view_purchase_conversion",  # windowed EXISTS via composite searchsorted
+    "schema_evolution_roundtrip",  # superset-schema union read, null-fill
 ]
 
 

@@ -3059,3 +3059,128 @@ def grouped_topk_distinct(
         .map_groups(reduce_bucket, batch_format="pyarrow")
         .union(rd.from_arrow(empty))
     )
+
+
+def conversion_within(
+    ds,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    *,
+    from_type: str,
+    to_type: str,
+    window_us: int,
+    num_buckets: int | None = None,
+) -> pd.DataFrame:
+    """Time-BOUNDED conversion join: for every ``from_type`` event,
+    did the same user emit a ``to_type`` event strictly after it and
+    within ``window_us``? Returns per-day (day of the from-event)
+    ``(day, n_from, n_converted)`` — the windowed sibling of
+    :func:`funnel_counts` (which is order-only, unbounded time).
+
+    Scale shape: only the two event types project (3 columns); one
+    hash-bucket exchange on the user; the in-bucket check is a single
+    COMPOSITE-KEY searchsorted (user * K + rel_ts encodes "first
+    to-event of the same user after t" as one binary search over the
+    bucket's sorted to-events — no per-user loop, no pair expansion).
+    Each bucket emits (day, n_from, n_converted) partials; the driver
+    folds a bounded day axis. K = time span + 2 is guarded against
+    int64 overflow loudly (bucket user count x span must fit)."""
+    num_buckets = resolve_num_buckets(ds, num_buckets)
+    US_PER_DAY = np.int64(86_400_000_000)
+
+    def project(t: pa.Table) -> pa.Table:
+        keep = pc.or_(
+            pc.equal(t[type_col], from_type), pc.equal(t[type_col], to_type)
+        )
+        t = t.filter(keep)
+        ts = t[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        # normalize the unit BEFORE the int view: pandas-sourced data
+        # arrives as timestamp[ns], parquet as timestamp[us]
+        if pa.types.is_timestamp(ts.type) and ts.type.unit != "us":
+            ts = ts.cast(pa.timestamp("us"))
+        out = pa.table(
+            {
+                user_col: pc.cast(t[user_col], pa.int64()),
+                "ts": ts.cast(pa.int64()),
+                "is_to": pc.cast(pc.equal(t[type_col], to_type), pa.int8()),
+            }
+        )
+        return tag_bucket(out, user_col, num_buckets)
+
+    empty = pa.table(
+        {
+            "day": pa.array([], pa.int64()),
+            "n_from": pa.array([], pa.int64()),
+            "n_converted": pa.array([], pa.int64()),
+        }
+    )
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        users = g[user_col].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        is_to = g["is_to"].to_numpy(zero_copy_only=False).astype(bool)
+        if len(users) == 0:
+            return empty
+        tmin = int(ts.min())
+        rel = ts - tmin
+        span = int(rel.max()) + 2
+        # remap bucket-local users to dense codes so K * n_users fits
+        uniq, codes = np.unique(users, return_inverse=True)
+        if span * len(uniq) >= 2**62:
+            raise ValueError(
+                "conversion_within: composite key (users x time span) "
+                "exceeds int64 in one bucket — raise num_buckets"
+            )
+        key = codes.astype(np.int64) * np.int64(span) + rel
+        a_mask = ~is_to
+        a_key = key[a_mask]
+        a_ts = ts[a_mask]
+        b_key = np.sort(key[is_to])
+        pos = np.searchsorted(b_key, a_key, side="right")
+        ok = pos < len(b_key)
+        nxt = np.where(ok, b_key[np.minimum(pos, len(b_key) - 1)], -1)
+        # same user iff still inside the user's K-slot; within window
+        conv = ok & (nxt - a_key > 0) & (nxt - a_key <= window_us) & (
+            (nxt // span) == (a_key // span)
+        )
+        day = a_ts // US_PER_DAY
+        dl, inv = np.unique(day, return_inverse=True)
+        n_from = np.bincount(inv, minlength=len(dl)).astype(np.int64)
+        n_conv = np.bincount(
+            inv, weights=conv.astype(np.float64), minlength=len(dl)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "day": pa.array(dl.astype(np.int64)),
+                "n_from": pa.array(n_from),
+                "n_converted": pa.array(n_conv),
+            }
+        )
+
+    import ray.data as rd
+
+    parts = (
+        ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+        .union(rd.from_arrow(empty))
+    )
+    df = collect_sorted(parts, ["day"])
+    if df.empty:
+        return pd.DataFrame(
+            {
+                "day": pd.Series([], dtype="int64"),
+                "n_from": pd.Series([], dtype="int64"),
+                "n_converted": pd.Series([], dtype="int64"),
+            }
+        )
+    df = df.groupby("day", as_index=False).agg(
+        n_from=("n_from", "sum"), n_converted=("n_converted", "sum")
+    )
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("day").reset_index(drop=True)

@@ -2220,3 +2220,87 @@ def test_kcenter_greedy_matches_bruteforce(ray_session):
     assert got_ids == [int(ids[s]) for s in sel]
     assert np.allclose(got_radii, radii, rtol=0, atol=0)
     assert all(b <= a + 1e-12 for a, b in zip(got_radii, got_radii[1:]))
+
+
+def test_conversion_within_matches_bruteforce(ray_session):
+    """Windowed conversion join vs an O(n^2) python reference over
+    randomized event streams (incl. same-timestamp exclusion)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        conversion_within,
+    )
+
+    rng = np.random.Generator(np.random.Philox(key=[5, 14]))
+    n = 2500
+    base = pd.Timestamp("2026-02-01").value // 1000  # us
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 60, n).astype(np.int64),
+            "ts": (base + rng.integers(0, 86_400_000_000 * 10, n)),
+            "event_type": rng.choice(["a", "b", "noise"], n),
+        }
+    )
+    W = 6 * 3600 * 1_000_000
+    ds = rd.from_pandas(
+        df.assign(ts=pd.to_datetime(df["ts"], unit="us"))
+    ).repartition(8)
+    got = conversion_within(
+        ds, "user_id", "ts", "event_type",
+        from_type="a", to_type="b", window_us=W, num_buckets=4,
+    )
+
+    a = df[df["event_type"] == "a"]
+    b = df[df["event_type"] == "b"]
+    rows = {}
+    for _, r in a.iterrows():
+        day = int(r["ts"]) // 86_400_000_000
+        hit = (
+            (b["user_id"] == r["user_id"])
+            & (b["ts"] > r["ts"])
+            & (b["ts"] <= r["ts"] + W)
+        ).any()
+        d = rows.setdefault(day, [0, 0])
+        d[0] += 1
+        d[1] += int(hit)
+    exp = pd.DataFrame(
+        [(k, v[0], v[1]) for k, v in sorted(rows.items())],
+        columns=["day", "n_from", "n_converted"],
+    ).astype("int64")
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_read_evolved_parquet_promotes_and_nullfills(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import pytest
+
+    from etl_data_validation_kio_ray.sources.evolve import (
+        _superset_schema,
+        read_evolved_parquet,
+    )
+
+    v1 = tmp_path / "v1"; v1.mkdir()
+    v2 = tmp_path / "v2"; v2.mkdir()
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2], pa.int32())}), v1 / "a.parquet"
+    )
+    pq.write_table(
+        pa.table(
+            {"id": pa.array([3], pa.int64()), "tag": pa.array(["x"])}
+        ),
+        v2 / "a.parquet",
+    )
+    ds = read_evolved_parquet([str(v1), str(v2)])
+    out = ds.to_pandas().sort_values("id").reset_index(drop=True)
+    assert out["id"].tolist() == [1, 2, 3]
+    assert out["tag"].tolist()[:2] == [None, None] and out["tag"][2] == "x"
+    # int32 promoted to int64 in the superset schema
+    sch = _superset_schema(
+        [pq.read_schema(v1 / "a.parquet"), pq.read_schema(v2 / "a.parquet")]
+    )
+    assert sch.field("id").type == pa.int64()
+    # incompatible types raise loudly
+    v3 = tmp_path / "v3"; v3.mkdir()
+    pq.write_table(pa.table({"id": pa.array(["s"])}), v3 / "a.parquet")
+    with pytest.raises(ValueError, match="incompatible"):
+        read_evolved_parquet([str(v1), str(v3)])
