@@ -5707,6 +5707,146 @@ def q_schema_evolution_roundtrip(sf_dir: str):
     return df.sort_values("source").reset_index(drop=True)
 
 
+def q_weighted_median_price(sf_dir: str):
+    """Exact WEIGHTED median (quantity-weighted price per return flag):
+    the smallest price whose inclusive cumulative weight reaches half
+    the group total — SQL's RANGE-tie window sum, not expressible with
+    the unweighted quantile machinery. Per-batch (flag, price) partials
+    collapse duplicates map-side; one price-bucket exchange makes pairs
+    unique; the distributed grouped prefix sum ranks them; only the
+    filtered minimum per flag reaches the driver."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        grouped_agg,
+        grouped_prefix_sum,
+        tag_bucket,
+    )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "f": t["l_returnflag"],
+                    "p": pc.round(
+                        pc.multiply(t["l_extendedprice"], 100.0)
+                    ).cast(pa.int64()),
+                    "w": pc.cast(t["l_quantity"], pa.int64()),
+                }
+            )
+            .group_by(["f", "p"])
+            .aggregate([("w", "sum")])
+        )
+        out = pa.table(
+            {"f": g["f"], "p": g["p"], "w": pc.cast(g["w_sum"], pa.int64())}
+        )
+        return tag_bucket(out, "p", 32)
+
+    def uniq(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__b"])
+        g = t.group_by(["f", "p"]).aggregate([("w", "sum")])
+        return pa.table(
+            {"f": g["f"], "p": g["p"], "w": pc.cast(g["w_sum"], pa.int64())}
+        )
+
+    pairs = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(uniq, batch_format="pyarrow")
+    )
+    ranked, totals = grouped_prefix_sum(
+        pairs, group_col="f", order_keys=["p"], value_col="w",
+        out_col="cw_excl",
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        f = t["f"].to_pandas()
+        tw = f.map(totals).to_numpy(np.int64)
+        cw = (
+            t["cw_excl"].to_numpy(zero_copy_only=False)
+            + t["w"].to_numpy(zero_copy_only=False)
+        )
+        return t.filter(pa.array(2 * cw >= tw))
+
+    df = grouped_agg(
+        ranked.map_batches(pick, batch_format="pyarrow"),
+        ["f"],
+        {"median_price_c": ("p", "min")},
+    )
+    df = df.rename(columns={"f": "l_returnflag"})
+    df["median_price_c"] = df["median_price_c"].astype("int64")
+    df["total_qty"] = (
+        df["l_returnflag"].map(totals).astype("int64")
+    )
+    return df.sort_values("l_returnflag").reset_index(drop=True)
+
+
+COV_QUANT = 1000.0
+
+
+def q_embedding_covariance(sf_dir: str):
+    """Distributed exact second-moment matrix over the embedding table
+    (the covariance/Gram building block): components quantized to an
+    exact 1e-3 integer grid, then M = sum_x q qᵀ accumulates as ONE
+    int64 matmul per batch (numpy integer GEMM, no float drift) and the
+    driver folds batches x upper-triangle partials. Overflow is guarded
+    loudly (n x max|q|^2 must fit int64)."""
+    import ray.data as rd
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "i": pa.array([], pa.int64()),
+                    "j": pa.array([], pa.int64()),
+                    "m": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        m = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        q = np.round(m * COV_QUANT).astype(np.int64)
+        mx = int(np.abs(q).max())
+        if mx * mx * q.shape[0] >= 2**62:
+            raise ValueError(
+                "embedding_covariance: batch Gram partial would overflow "
+                "int64 — shrink batch_size"
+            )
+        gram = q.T @ q
+        d = gram.shape[0]
+        iu, ju = np.triu_indices(d)
+        return pa.table(
+            {
+                "i": pa.array(iu.astype(np.int64)),
+                "j": pa.array(ju.astype(np.int64)),
+                "m": pa.array(gram[iu, ju]),
+                "n": pa.array(
+                    np.full(len(iu), t.num_rows, dtype=np.int64)
+                ),
+            }
+        )
+
+    parts = emb.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    df = parts.groupby(["i", "j"], as_index=False).agg(
+        m=("m", "sum"), n=("n", "sum")
+    )
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["i", "j"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -5850,6 +5990,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcenter_sample": q_kcenter_sample,
         "view_purchase_conversion": q_view_purchase_conversion,
         "schema_evolution_roundtrip": q_schema_evolution_roundtrip,
+        "weighted_median_price": q_weighted_median_price,
+        "embedding_covariance": q_embedding_covariance,
     }
 
 
@@ -7800,5 +7942,39 @@ SELECT source,
          AS n_with_lang,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY source ORDER BY source
+""",
+        "weighted_median_price": r"""
+WITH l AS (
+  SELECT l_returnflag AS f,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+), u AS (
+  SELECT f, p, SUM(w) AS w FROM l GROUP BY f, p
+), c AS (
+  SELECT f, p, w,
+         SUM(w) OVER (PARTITION BY f ORDER BY p) AS cw,
+         SUM(w) OVER (PARTITION BY f) AS tw
+  FROM u
+)
+SELECT f AS l_returnflag,
+       CAST(MIN(p) AS BIGINT) AS median_price_c,
+       CAST(MIN(tw) AS BIGINT) AS total_qty
+FROM c WHERE 2 * cw >= tw GROUP BY f ORDER BY f
+""",
+        "embedding_covariance": r"""
+WITH e AS (
+  SELECT vec_id,
+         CAST(u.i AS BIGINT) AS i,
+         CAST(round_even(CAST(u.v AS DOUBLE) * 1000, 0) AS BIGINT) AS q
+  FROM embeddings,
+       LATERAL (SELECT unnest(range(length(embedding))) AS i,
+                       unnest(embedding) AS v) u
+)
+SELECT a.i AS i, b.i AS j,
+       CAST(SUM(a.q * b.q) AS BIGINT) AS m,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY a.i, b.i ORDER BY i, j
 """,
     }

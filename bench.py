@@ -173,6 +173,8 @@ BENCH_QUERIES = [
     "kcenter_sample",  # greedy farthest-point coreset, k broadcast passes
     "view_purchase_conversion",  # windowed EXISTS via composite searchsorted
     "schema_evolution_roundtrip",  # superset-schema union read, null-fill
+    "weighted_median_price",  # RANGE-tie weighted median via prefix sums
+    "embedding_covariance",  # exact int64 Gram matrix, one GEMM per batch
 ]
 
 

@@ -74,3 +74,23 @@ def test_query_matches_duckdb_oracle(ray_session, name):
             assert np.allclose(g.astype(float), w.astype(float), atol=0), c
         else:
             assert (pd.Series(g).astype(str) == pd.Series(w).astype(str)).all(), c
+
+
+def test_weighted_median_vs_duckdb(ray_session):
+    """Exact weighted-median query vs its oracle at sf0.001 (cheap);
+    the sf0.01 gate covers the big corpus."""
+    import duckdb
+
+    import __ray_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    got = m.queries()["weighted_median_price"](sf)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf}/lineitem.parquet')"
+    )
+    exp = con.execute(m.oracle_sql()["weighted_median_price"]).fetchdf()
+    assert got["l_returnflag"].tolist() == exp["l_returnflag"].tolist()
+    assert got["median_price_c"].tolist() == exp["median_price_c"].tolist()
+    assert got["total_qty"].tolist() == exp["total_qty"].tolist()
