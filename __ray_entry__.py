@@ -5847,6 +5847,217 @@ def q_embedding_covariance(sf_dir: str):
     return df.sort_values(["i", "j"]).reset_index(drop=True)
 
 
+def q_priority_trend(sf_dir: str):
+    """Grouped OLS trend (regression slope of daily order volume per
+    priority) kept EXACT: the slope is reported as the integer pair
+    (n*Sxy - Sx*Sy, n*Sxx - Sx^2) instead of a drifting float ratio.
+    Per-batch (priority, day) count partials -> one day-bucket exchange
+    makes (priority, day) unique (so n counts DISTINCT days) -> each
+    bucket emits per-priority moment partials -> the driver folds a
+    handful of rows in Python ints and proves the int64 cast."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import tag_bucket
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderpriority", "o_orderdate"],
+    )
+    US_PER_DAY = np.int64(86_400_000_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["o_orderdate"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        day = ts.cast(pa.int64()).to_numpy(zero_copy_only=False) // US_PER_DAY
+        g = (
+            pa.table(
+                {
+                    "pr": t["o_orderpriority"],
+                    "day": pa.array(day),
+                    "one": pa.array(np.ones(len(day), np.int64)),
+                }
+            )
+            .group_by(["pr", "day"])
+            .aggregate([("one", "sum")])
+        )
+        out = pa.table(
+            {"pr": g["pr"], "day": g["day"], "c": pc.cast(g["one_sum"], pa.int64())}
+        )
+        return tag_bucket(out, "day", 32)
+
+    def moments(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__b"])
+        u = t.group_by(["pr", "day"]).aggregate([("c", "sum")])
+        day = u["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = u["c_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pa.table(
+            {
+                "pr": u["pr"],
+                "n": pa.array(np.ones(len(day), np.int64)),
+                "sx": pa.array(day),
+                "sy": pa.array(c),
+                "sxy": pa.array(day * c),
+                "sxx": pa.array(day * day),
+            }
+        ).group_by("pr").aggregate(
+            [(k, "sum") for k in ("n", "sx", "sy", "sxy", "sxx")]
+        )
+        return pa.table(
+            {
+                "pr": g["pr"],
+                **{
+                    k: pc.cast(g[f"{k}_sum"], pa.int64())
+                    for k in ("n", "sx", "sy", "sxy", "sxx")
+                },
+            }
+        )
+
+    parts = (
+        orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(moments, batch_format="pyarrow")
+        .to_pandas()
+    )
+    rows = []
+    for pr, sub in parts.groupby("pr", sort=True):
+        n = int(sub["n"].sum())
+        sx = sum(int(v) for v in sub["sx"])
+        sy = sum(int(v) for v in sub["sy"])
+        sxy = sum(int(v) for v in sub["sxy"])
+        sxx = sum(int(v) for v in sub["sxx"])
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        if abs(num) >= 2**63 or abs(den) >= 2**63:
+            raise ValueError("priority_trend: moment product exceeds int64")
+        rows.append(
+            {
+                "o_orderpriority": pr,
+                "n_days": n,
+                "slope_num": num,
+                "slope_den": den,
+            }
+        )
+    df = pd.DataFrame(rows)
+    for c in ("n_days", "slope_num", "slope_den"):
+        df[c] = df[c].astype("int64")
+    return df.reset_index(drop=True)
+
+
+OVERLAP_V = 200
+
+
+def q_source_overlap_matrix(sf_dir: str):
+    """Corpus-overlap similarity matrix (which sources share a word
+    distribution — the contamination/mixture diagnostic): histogram
+    intersection Sum_w min(c_a[w], c_b[w]) over the global top-V words,
+    exact integers. Pass 1 = bucketed word counts -> top-V by
+    (tf DESC, word ASC); pass 2 broadcasts the tiny vocab and each
+    batch emits (source, word_idx, count) partials via one composite
+    bincount; the driver folds a sources x V matrix (bounded by
+    config, not data) and enumerates source pairs."""
+    import ray
+
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        bucketed_group_agg,
+    )
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "text"],
+    )
+
+    def counts(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern(pc.utf8_lower(pc.fill_null(text, "")), " ")
+        flat = pc.list_flatten(words)
+        g = (
+            pa.table({"word": flat})
+            .filter(pc.not_equal(flat, ""))
+            .group_by("word")
+            .aggregate([("word", "count")])
+        )
+        return pa.table(
+            {"word": g["word"], "tf": g["word_count"].cast(pa.int64())}
+        )
+
+    freqs = bucketed_group_agg(
+        docs.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True),
+        "word",
+        [("tf", "sum")],
+    )
+    vocab = (
+        freqs.sort(["tf", "word"], descending=[True, False])
+        .limit(OVERLAP_V)
+        .to_pandas()
+    )
+    vocab_ref = ray.put(pa.array(vocab["word"], pa.string()))
+
+    def per_source(t: pa.Table) -> pa.Table:
+        vwords = ray.get(vocab_ref)
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern(pc.utf8_lower(pc.fill_null(text, "")), " ")
+        flat = pc.list_flatten(words)
+        offs = np.asarray(words.offsets, dtype=np.int64)
+        idx = pc.index_in(flat, value_set=vwords).to_numpy(
+            zero_copy_only=False
+        )
+        doc_of = np.repeat(np.arange(t.num_rows), np.diff(offs))
+        src = t["source"].to_pandas().to_numpy()
+        usrc, scode = np.unique(src, return_inverse=True)
+        hit = ~np.isnan(idx) if idx.dtype.kind == "f" else idx >= 0
+        widx = idx[hit].astype(np.int64)
+        sc = scode[doc_of[hit]].astype(np.int64)
+        comp = sc * np.int64(OVERLAP_V) + widx
+        cnt = np.bincount(comp, minlength=len(usrc) * OVERLAP_V).astype(
+            np.int64
+        )
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "source": pa.array(usrc[nz // OVERLAP_V]),
+                "widx": pa.array((nz % OVERLAP_V).astype(np.int64)),
+                "cnt": pa.array(cnt[nz]),
+            }
+        )
+
+    parts = docs.map_batches(
+        per_source, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    mat = (
+        parts.groupby(["source", "widx"])["cnt"].sum().unstack(fill_value=0)
+    )
+    mat = mat.reindex(columns=range(OVERLAP_V), fill_value=0)
+    srcs = list(mat.index)
+    m = mat.to_numpy(np.int64)
+    tot = m.sum(axis=1)
+    rows = []
+    for a in range(len(srcs)):
+        for b in range(a + 1, len(srcs)):
+            ov = int(np.minimum(m[a], m[b]).sum())
+            if ov > 0:
+                rows.append(
+                    {
+                        "source_a": srcs[a],
+                        "source_b": srcs[b],
+                        "overlap_cnt": ov,
+                        "tot_a": int(tot[a]),
+                        "tot_b": int(tot[b]),
+                    }
+                )
+    df = pd.DataFrame(
+        rows, columns=["source_a", "source_b", "overlap_cnt", "tot_a", "tot_b"]
+    )
+    for c in ("overlap_cnt", "tot_a", "tot_b"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -5992,6 +6203,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "schema_evolution_roundtrip": q_schema_evolution_roundtrip,
         "weighted_median_price": q_weighted_median_price,
         "embedding_covariance": q_embedding_covariance,
+        "priority_trend": q_priority_trend,
+        "source_overlap_matrix": q_source_overlap_matrix,
     }
 
 
@@ -7976,5 +8189,52 @@ SELECT a.i AS i, b.i AS j,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
 GROUP BY a.i, b.i ORDER BY i, j
+""",
+        "priority_trend": r"""
+WITH d AS (
+  SELECT o_orderpriority AS pr,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY pr, day
+)
+SELECT pr AS o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(COUNT(*) * SUM(day * c) - SUM(day) * SUM(c) AS BIGINT)
+         AS slope_num,
+       CAST(COUNT(*) * SUM(day * day) - SUM(day) * SUM(day) AS BIGINT)
+         AS slope_den
+FROM d GROUP BY pr ORDER BY pr
+""",
+        "source_overlap_matrix": r"""
+WITH w AS (
+  SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (
+    SELECT source,
+           unnest(string_split(lower(text), ' ')) AS word
+    FROM documents
+  ) x
+  WHERE word <> '' GROUP BY source, word
+), v AS (
+  SELECT word FROM (
+    SELECT word, SUM(c) AS tf FROM w GROUP BY word
+  ) t ORDER BY tf DESC, word LIMIT 200
+), m AS (
+  SELECT w.source, w.word, w.c FROM w JOIN v USING (word)
+), tot AS (
+  SELECT source, SUM(c) AS t FROM m GROUP BY source
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS overlap_cnt
+  FROM m a JOIN m b ON a.word = b.word AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT p.source_a, p.source_b, p.overlap_cnt,
+       CAST(ta.t AS BIGINT) AS tot_a, CAST(tb.t AS BIGINT) AS tot_b
+FROM pairs p
+JOIN tot ta ON ta.source = p.source_a
+JOIN tot tb ON tb.source = p.source_b
+WHERE p.overlap_cnt > 0
+ORDER BY p.source_a, p.source_b
 """,
     }

@@ -175,6 +175,8 @@ BENCH_QUERIES = [
     "schema_evolution_roundtrip",  # superset-schema union read, null-fill
     "weighted_median_price",  # RANGE-tie weighted median via prefix sums
     "embedding_covariance",  # exact int64 Gram matrix, one GEMM per batch
+    "priority_trend",  # grouped OLS slope as exact integer num/den pair
+    "source_overlap_matrix",  # histogram-intersection source similarity
 ]
 
 
