@@ -6058,6 +6058,145 @@ def q_source_overlap_matrix(sf_dir: str):
     return df.sort_values(["source_a", "source_b"]).reset_index(drop=True)
 
 
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix (the classic growth-analytics triangle):
+    users grouped by first-active week, counted in each later week they
+    were active — (cohort_week, week_offset, n_users). Per-batch
+    distinct (user, week) partials; ONE user-bucket exchange co-locates
+    each user's weeks; the in-bucket reducer takes the per-user min as
+    the cohort and emits (cohort, offset) count partials — the driver
+    folds a weeks^2 triangle, never user rows."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        collect_sorted,
+        tag_bucket,
+    )
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    US_PER_WEEK = np.int64(7 * 86_400_000_000)
+
+    def to_week(t: pa.Table) -> pa.Table:
+        ts = t["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        g = (
+            pa.table(
+                {"user_id": t["user_id"], "w": pa.array(us // US_PER_WEEK)}
+            )
+            .group_by(["user_id", "w"])
+            .aggregate([])
+        )
+        return tag_bucket(g, "user_id", 32)
+
+    def reduce_bucket(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__b"])
+        m = t.group_by(["user_id", "w"]).aggregate([])
+        u = m["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = m["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((w, u))
+        u, w = u[order], w[order]
+        new_u = np.r_[True, u[1:] != u[:-1]]
+        starts = np.flatnonzero(new_u)
+        counts = np.diff(np.append(starts, len(u)))
+        cohort = np.repeat(w[starts], counts)  # per-user min week
+        off = w - cohort
+        g = (
+            pa.table(
+                {
+                    "cohort_week": pa.array(cohort),
+                    "week_offset": pa.array(off),
+                    "one": pa.array(np.ones(len(u), np.int64)),
+                }
+            )
+            .group_by(["cohort_week", "week_offset"])
+            .aggregate([("one", "sum")])
+        )
+        return pa.table(
+            {
+                "cohort_week": g["cohort_week"],
+                "week_offset": g["week_offset"],
+                "n_users": pc.cast(g["one_sum"], pa.int64()),
+            }
+        )
+
+    parts = (
+        ev.map_batches(to_week, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+    )
+    df = collect_sorted(parts, ["cohort_week", "week_offset"])
+    df = df.groupby(["cohort_week", "week_offset"], as_index=False)[
+        "n_users"
+    ].sum()
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["cohort_week", "week_offset"]).reset_index(
+        drop=True
+    )
+
+
+SURVIVAL_THRESHOLDS = [16, 32, 64, 128, 256, 512, 1024]
+
+
+def q_doc_length_survival(sf_dir: str):
+    """Length-distribution tail per source (the context-length planning
+    curve): how many documents have at least T whitespace tokens for a
+    fixed threshold ladder. One fused pass; each batch bins ntok with a
+    single searchsorted and emits (source, threshold, n) partials —
+    survival counts, exact integers, no quantile machinery."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "text"],
+    )
+    thr = np.asarray(SURVIVAL_THRESHOLDS, dtype=np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        ntok = pc.list_value_length(
+            pc.split_pattern(pc.fill_null(text, ""), " ")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        src = t["source"].to_pandas().to_numpy()
+        usrc, code = np.unique(src, return_inverse=True)
+        # rank of each doc's ntok on the ladder: docs survive every
+        # threshold <= ntok, i.e. searchsorted(right) thresholds
+        k = np.searchsorted(thr, ntok, side="right")
+        # survival counts per (source, threshold) via one bincount over
+        # (source, count-of-passed) then suffix-cumulation per source
+        comp = code.astype(np.int64) * np.int64(len(thr) + 1) + k
+        cnt = np.bincount(
+            comp, minlength=len(usrc) * (len(thr) + 1)
+        ).reshape(len(usrc), len(thr) + 1)
+        # docs with k passed thresholds pass thresholds 0..k-1:
+        # survivors(th i) = sum_{k > i} cnt[:, k]
+        surv = cnt[:, ::-1].cumsum(axis=1)[:, ::-1][:, 1:]
+        si, ti = np.nonzero(surv >= 0)
+        return pa.table(
+            {
+                "source": pa.array(usrc[si]),
+                "min_tokens": pa.array(thr[ti]),
+                "n_docs": pa.array(surv[si, ti].astype(np.int64)),
+            }
+        )
+
+    parts = docs.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    df = parts.groupby(["source", "min_tokens"], as_index=False)[
+        "n_docs"
+    ].sum()
+    df["min_tokens"] = df["min_tokens"].astype("int64")
+    df["n_docs"] = df["n_docs"].astype("int64")
+    return df.sort_values(["source", "min_tokens"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -6205,6 +6344,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance": q_embedding_covariance,
         "priority_trend": q_priority_trend,
         "source_overlap_matrix": q_source_overlap_matrix,
+        "cohort_retention": q_cohort_retention,
+        "doc_length_survival": q_doc_length_survival,
     }
 
 
@@ -8236,5 +8377,34 @@ JOIN tot ta ON ta.source = p.source_a
 JOIN tot tb ON tb.source = p.source_b
 WHERE p.overlap_cnt > 0
 ORDER BY p.source_a, p.source_b
+""",
+        "cohort_retention": r"""
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) // 7 AS w
+  FROM events
+), c AS (
+  SELECT user_id, MIN(w) AS cw FROM uw GROUP BY user_id
+)
+SELECT CAST(c.cw AS BIGINT) AS cohort_week,
+       CAST(uw.w - c.cw AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM uw JOIN c USING (user_id)
+GROUP BY cohort_week, week_offset ORDER BY cohort_week, week_offset
+""",
+        "doc_length_survival": r"""
+WITH th AS (
+  SELECT unnest([16, 32, 64, 128, 256, 512, 1024]) AS min_tokens
+), d AS (
+  SELECT source,
+         CAST(length(string_split(text, ' ')) AS BIGINT) AS ntok
+  FROM documents
+)
+SELECT d.source, CAST(th.min_tokens AS BIGINT) AS min_tokens,
+       CAST(SUM(CASE WHEN d.ntok >= th.min_tokens THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_docs
+FROM d CROSS JOIN th
+GROUP BY d.source, th.min_tokens
+ORDER BY source, min_tokens
 """,
     }

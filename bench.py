@@ -177,6 +177,8 @@ BENCH_QUERIES = [
     "embedding_covariance",  # exact int64 Gram matrix, one GEMM per batch
     "priority_trend",  # grouped OLS slope as exact integer num/den pair
     "source_overlap_matrix",  # histogram-intersection source similarity
+    "cohort_retention",  # first-active cohort x week-offset triangle
+    "doc_length_survival",  # per-source length tail at threshold ladder
 ]
 
 
