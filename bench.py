@@ -179,6 +179,8 @@ BENCH_QUERIES = [
     "source_overlap_matrix",  # histogram-intersection source similarity
     "cohort_retention",  # first-active cohort x week-offset triangle
     "doc_length_survival",  # per-source length tail at threshold ladder
+    "bpe_merges",  # tokenizer training: distributed counts + driver BPE
+    "repeat_customer_share",  # two-level aggregate via broadcast + bucket
 ]
 
 

@@ -882,3 +882,30 @@ def test_iso_year_week_matches_isocalendar():
     for i, d in enumerate(days.tolist()):
         iy, iw, _ = (epoch + dt.timedelta(days=d)).isocalendar()
         assert (iy, iw) == (int(y[i]), int(w[i]))
+
+
+def test_bpe_learn_merges_paper_example():
+    """The worked example from the public BPE paper (Sennrich 2016):
+    corpus {low:5, lower:2, newest:6, widest:3} learns es, est,
+    est</w>, lo, low in that order with the published counts."""
+    from etl_data_validation_kio_ray.functions.bpe import learn_merges
+
+    wc = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = learn_merges(wc, 5)
+    assert merges == [
+        ("e", "s", 9),
+        ("es", "t", 9),
+        ("est", "</w>", 9),
+        ("l", "o", 7),
+        ("lo", "w", 7),
+    ]
+
+
+def test_bpe_merges_deterministic_ties():
+    """Equal-count pairs resolve by (left, right) lexicographic order,
+    independent of dict insertion order."""
+    from etl_data_validation_kio_ray.functions.bpe import learn_merges
+
+    a = learn_merges([("ba", 2), ("dc", 2)], 1)
+    b = learn_merges([("dc", 2), ("ba", 2)], 1)
+    assert a == b == [("a", "</w>", 2)]
