@@ -6330,6 +6330,112 @@ def q_repeat_customer_share(sf_dir: str):
     return df.sort_values("c_mktsegment").reset_index(drop=True)
 
 
+def q_pushdown_filter_scan(sf_dir: str):
+    """Predicate PUSHDOWN at the read (the prune-at-the-scan rule): the
+    date + price filter ships into the parquet scanner as an Arrow
+    dataset expression, so row groups failing the statistics never
+    decompress and filtered rows never enter the stream — contrast a
+    post-read filter, which pays full I/O. Downstream is one per-batch
+    partial + tiny groupby."""
+    import pyarrow.dataset as pds
+
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    cut = np.datetime64("2000-01-01T00:00:00", "us")
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderpriority", "o_totalprice", "o_orderdate"],
+        filter=(
+            (pds.field("o_orderdate") >= cut)
+            & (pds.field("o_totalprice") > 150_000.0)
+        ),
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "rev_c": pc.round(
+                    pc.multiply(t["o_totalprice"], 100.0)
+                ).cast(pa.int64()),
+            }
+        )
+
+    df = grouped_agg(
+        orders.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_orderpriority"],
+        {"n_orders": ("rev_c", "count"), "rev_c": ("rev_c", "sum")},
+    )
+    for c in ("n_orders", "rev_c"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+PARTITION_PICK = ["src12", "src3", "src7"]
+
+
+def q_partitioned_write_roundtrip(sf_dir: str):
+    """Partitioned sink + partition-PRUNED read (the resumable-output
+    layout rule): documents write hive-partitioned by source
+    (one directory per partition — a failed run can skip finished
+    partitions), then ONLY the three selected partition directories are
+    read back — pruning by path, no filter ever touches the other
+    partitions' bytes. The per-source aggregate must match the
+    original table filtered to those sources."""
+    import shutil
+
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    base = "/tmp/kio_partwrite_" + os.path.basename(os.path.normpath(sf_dir))
+    shutil.rmtree(base, ignore_errors=True)
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+    )
+    docs.write_parquet(base, partition_cols=["source"])
+    picked_dirs = [os.path.join(base, f"source={s}") for s in PARTITION_PICK]
+    for d in picked_dirs:
+        if not os.path.isdir(d):
+            raise FileNotFoundError(
+                f"partitioned_write_roundtrip: expected partition dir {d}"
+            )
+    # hive layout stores the partition value in the DIRECTORY name, not
+    # the files — a pruned read selects partition dirs by path and
+    # re-attaches the (constant) key per partition, exactly what a
+    # resuming run does for its unfinished partitions
+    def attach(src):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "source": pa.array([src] * t.num_rows, pa.string()),
+                    "n_chars": t["n_chars"],
+                }
+            )
+
+        return fn
+
+    parts = [
+        rd.read_parquet(d).map_batches(attach(s), batch_format="pyarrow")
+        for s, d in zip(PARTITION_PICK, picked_dirs)
+    ]
+    back = parts[0]
+    for p in parts[1:]:
+        back = back.union(p)
+
+    df = grouped_agg(
+        back,
+        ["source"],
+        {"n_docs": ("n_chars", "count"), "sum_chars": ("n_chars", "sum")},
+    )
+    for c in ("n_docs", "sum_chars"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("source").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -6481,6 +6587,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_survival": q_doc_length_survival,
         "bpe_merges": q_bpe_merges,
         "repeat_customer_share": q_repeat_customer_share,
+        "pushdown_filter_scan": q_pushdown_filter_scan,
+        "partitioned_write_roundtrip": q_partitioned_write_roundtrip,
     }
 
 
@@ -8555,5 +8663,23 @@ SELECT c_mktsegment,
        CAST(SUM(CASE WHEN n >= 12 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_repeat_customers
 FROM pc GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+        "pushdown_filter_scan": r"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS rev_c
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  AND o_totalprice > 150000.0
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+        "partitioned_write_roundtrip": r"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE source IN ('src12', 'src3', 'src7')
+GROUP BY source ORDER BY source
 """,
     }

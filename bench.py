@@ -181,6 +181,8 @@ BENCH_QUERIES = [
     "doc_length_survival",  # per-source length tail at threshold ladder
     "bpe_merges",  # tokenizer training: distributed counts + driver BPE
     "repeat_customer_share",  # two-level aggregate via broadcast + bucket
+    "pushdown_filter_scan",  # predicate pushdown into the parquet scan
+    "partitioned_write_roundtrip",  # hive sink + partition-pruned read
 ]
 
 
