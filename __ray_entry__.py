@@ -6436,6 +6436,116 @@ def q_partitioned_write_roundtrip(sf_dir: str):
     return df.sort_values("source").reset_index(drop=True)
 
 
+def q_revenue_unpivot(sf_dir: str):
+    """UNPIVOT/melt (the inverse of the pivot operator): revenue is
+    pivoted wide (one column per order year) and melted BACK to long
+    (priority, year, rev_c) — proving the wide<->long roundtrip loses
+    nothing; the oracle is the direct long aggregation, so the hash
+    match certifies pivot + melt together. Null cells (year absent for
+    a priority) drop on both engines, like SQL UNPIVOT."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import pivot_agg
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderpriority", "o_orderdate", "o_totalprice"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = t["o_orderdate"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "yr": pc.cast(pc.year(ts), pa.int64()),
+                "rev_c": pc.round(
+                    pc.multiply(t["o_totalprice"], 100.0)
+                ).cast(pa.int64()),
+            }
+        )
+
+    wide = pivot_agg(
+        orders.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "o_orderpriority",
+        "yr",
+        "rev_c",
+    )
+    long = wide.melt(
+        id_vars=["o_orderpriority"], var_name="yr", value_name="rev_c"
+    ).dropna(subset=["rev_c"])
+    long["yr"] = long["yr"].astype("int64")
+    long["rev_c"] = long["rev_c"].astype("int64")
+    return long.sort_values(["o_orderpriority", "yr"]).reset_index(drop=True)
+
+
+PRICE_HIST_BINS = 20
+
+
+def q_price_histogram(sf_dir: str):
+    """Equi-width histogram with DATA-DEPENDENT bounds — the two-pass
+    broadcast-scalar pattern: pass 1 folds per-batch (min, max) cent
+    partials; pass 2 broadcasts (lo, hi) in the task closure and bins
+    each batch with pure integer arithmetic
+    bin = (p - lo) * nbins // (hi - lo + 1), so both engines place
+    boundary values identically (no float widths). Emits the full bin
+    grid with exact counts and bounds."""
+    import ray.data as rd
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_totalprice"]
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p": pc.round(pc.multiply(t["o_totalprice"], 100.0)).cast(
+                    pa.int64()
+                )
+            }
+        )
+
+    pc_ds = orders.map_batches(
+        cents, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def minmax(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "lo": pa.array([pc.min(t["p"]).as_py()], pa.int64()),
+                "hi": pa.array([pc.max(t["p"]).as_py()], pa.int64()),
+            }
+        )
+
+    mm = pc_ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    width_den = hi - lo + 1
+    nb = np.int64(PRICE_HIST_BINS)
+
+    def binit(t: pa.Table) -> pa.Table:
+        p = t["p"].to_numpy(zero_copy_only=False)
+        b = (p - lo) * np.int64(PRICE_HIST_BINS) // np.int64(width_den)
+        cnt = np.bincount(b, minlength=PRICE_HIST_BINS).astype(np.int64)
+        return pa.table(
+            {
+                "bin": pa.array(np.arange(PRICE_HIST_BINS, dtype=np.int64)),
+                "n": pa.array(cnt),
+            }
+        )
+
+    parts = pc_ds.map_batches(binit, batch_format="pyarrow").to_pandas()
+    df = parts.groupby("bin", as_index=False)["n"].sum()
+    df["n"] = df["n"].astype("int64")
+    df["bin"] = df["bin"].astype("int64")
+    df["lo_c"] = (lo + df["bin"] * width_den // nb).astype("int64")
+    return df.sort_values("bin").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -6589,6 +6699,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repeat_customer_share": q_repeat_customer_share,
         "pushdown_filter_scan": q_pushdown_filter_scan,
         "partitioned_write_roundtrip": q_partitioned_write_roundtrip,
+        "revenue_unpivot": q_revenue_unpivot,
+        "price_histogram": q_price_histogram,
     }
 
 
@@ -8681,5 +8793,31 @@ SELECT source,
 FROM documents
 WHERE source IN ('src12', 'src3', 'src7')
 GROUP BY source ORDER BY source
+""",
+        "revenue_unpivot": r"""
+SELECT o_orderpriority,
+       CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS rev_c
+FROM orders
+GROUP BY o_orderpriority, yr ORDER BY o_orderpriority, yr
+""",
+        "price_histogram": r"""
+WITH c AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS p FROM orders
+), g AS (
+  SELECT MIN(p) AS lo, MAX(p) AS hi FROM c
+), bins AS (
+  SELECT unnest(range(20)) AS bin
+), b AS (
+  SELECT (p - lo) * 20 // (hi - lo + 1) AS bin FROM c, g
+), cnt AS (
+  SELECT bin, COUNT(*) AS n FROM b GROUP BY bin
+)
+SELECT CAST(bins.bin AS BIGINT) AS bin,
+       CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n,
+       CAST(g.lo + bins.bin * (g.hi - g.lo + 1) // 20 AS BIGINT) AS lo_c
+FROM bins LEFT JOIN cnt USING (bin), g
+ORDER BY bin
 """,
     }

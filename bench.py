@@ -183,6 +183,8 @@ BENCH_QUERIES = [
     "repeat_customer_share",  # two-level aggregate via broadcast + bucket
     "pushdown_filter_scan",  # predicate pushdown into the parquet scan
     "partitioned_write_roundtrip",  # hive sink + partition-pruned read
+    "revenue_unpivot",  # pivot -> melt roundtrip vs direct long aggregate
+    "price_histogram",  # two-pass equi-width bins, broadcast bounds
 ]
 
 
