@@ -6546,6 +6546,100 @@ def q_price_histogram(sf_dir: str):
     return df.sort_values("bin").reset_index(drop=True)
 
 
+def q_scd2_history(sf_dir: str):
+    """Slowly-changing-dimension type-2 MERGE: a base snapshot plus an
+    update batch (every third customer changes segment at t=1) become
+    versioned history rows (version, valid_from, valid_to, is_current)
+    — the warehouse upsert. Tagged union of the two streams, ONE
+    key-bucket exchange, and the in-bucket reducer assigns versions and
+    closes intervals with a single lexsort + shifted-array pass (LEAD
+    within key, no Python loop)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        collect_sorted,
+        tag_bucket,
+    )
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+
+    def both_sides(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["c_custkey"], pa.int64())
+        base = pa.table(
+            {
+                "c_custkey": key,
+                "seg": t["c_mktsegment"],
+                "vf": pa.array(
+                    np.zeros(t.num_rows, np.int64)
+                ),
+            }
+        )
+        # every third key gets a segment change at t=1
+        k = key.to_numpy(zero_copy_only=False)
+        sel = k % 3 == 0
+        upd = pa.table(
+            {
+                "c_custkey": pa.array(k[sel]),
+                "seg": pc.binary_join_element_wise(
+                    t.filter(pa.array(sel))["c_mktsegment"],
+                    pa.array(["_V2"] * int(sel.sum())),
+                    "",
+                ),
+                "vf": pa.array(np.ones(int(sel.sum()), np.int64)),
+            }
+        )
+        return tag_bucket(
+            pa.concat_tables([base, upd]), "c_custkey", 32
+        )
+
+    def reduce_bucket(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__b"])
+        k = t["c_custkey"].to_numpy(zero_copy_only=False)
+        vf = t["vf"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vf, k))
+        k, vf = k[order], vf[order]
+        seg = t["seg"].take(pa.array(order))
+        new_k = np.r_[True, k[1:] != k[:-1]]
+        starts = np.flatnonzero(new_k)
+        counts = np.diff(np.append(starts, len(k)))
+        version = (
+            np.arange(len(k), dtype=np.int64)
+            - np.repeat(starts, counts)
+            + 1
+        )
+        # LEAD(vf) within key: next row's vf unless next row starts a key
+        nxt = np.empty(len(k), np.int64)
+        nxt[:-1] = vf[1:]
+        nxt[-1] = -1
+        last_of_key = np.r_[new_k[1:], True]
+        valid_to = np.where(last_of_key, -1, nxt)
+        return pa.table(
+            {
+                "c_custkey": pa.array(k),
+                "seg": seg,
+                "vf": pa.array(vf),
+                "version": pa.array(version),
+                "valid_to": pa.array(valid_to).cast(pa.int64()),
+                "is_current": pa.array(last_of_key.astype(np.int64)),
+            }
+        )
+
+    out = (
+        cust.map_batches(
+            both_sides, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("__b")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+    )
+    df = collect_sorted(out, ["c_custkey", "vf"])
+    for c in ("c_custkey", "vf", "version", "valid_to", "is_current"):
+        df[c] = df[c].astype("int64")
+    return df.reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -6701,6 +6795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "partitioned_write_roundtrip": q_partitioned_write_roundtrip,
         "revenue_unpivot": q_revenue_unpivot,
         "price_histogram": q_price_histogram,
+        "scd2_history": q_scd2_history,
     }
 
 
@@ -8819,5 +8914,26 @@ SELECT CAST(bins.bin AS BIGINT) AS bin,
        CAST(g.lo + bins.bin * (g.hi - g.lo + 1) // 20 AS BIGINT) AS lo_c
 FROM bins LEFT JOIN cnt USING (bin), g
 ORDER BY bin
+""",
+        "scd2_history": r"""
+WITH base AS (
+  SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+         c_mktsegment AS seg, CAST(0 AS BIGINT) AS vf
+  FROM customer
+), upd AS (
+  SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+         c_mktsegment || '_V2' AS seg, CAST(1 AS BIGINT) AS vf
+  FROM customer WHERE c_custkey % 3 = 0
+), u AS (
+  SELECT * FROM base UNION ALL SELECT * FROM upd
+)
+SELECT c_custkey, seg, vf,
+       CAST(ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY vf)
+            AS BIGINT) AS version,
+       CAST(COALESCE(LEAD(vf) OVER (PARTITION BY c_custkey ORDER BY vf),
+                     -1) AS BIGINT) AS valid_to,
+       CAST(CASE WHEN LEAD(vf) OVER (PARTITION BY c_custkey ORDER BY vf)
+                 IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+FROM u ORDER BY c_custkey, vf
 """,
     }

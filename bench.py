@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "partitioned_write_roundtrip",  # hive sink + partition-pruned read
     "revenue_unpivot",  # pivot -> melt roundtrip vs direct long aggregate
     "price_histogram",  # two-pass equi-width bins, broadcast bounds
+    "scd2_history",  # type-2 MERGE: versioned history via bucket LEAD
 ]
 
 
