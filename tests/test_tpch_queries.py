@@ -94,3 +94,50 @@ def test_weighted_median_vs_duckdb(ray_session):
     assert got["l_returnflag"].tolist() == exp["l_returnflag"].tolist()
     assert got["median_price_c"].tolist() == exp["median_price_c"].tolist()
     assert got["total_qty"].tolist() == exp["total_qty"].tolist()
+
+
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "user_streaks",
+        "idle_rich_customers",
+        "doc_chunks",
+        "train_shards",
+        "weekly_revenue",
+        "cumulative_distinct_users",
+        "top_values_with_ties",
+        "view_purchase_conversion",
+        "embedding_covariance",
+        "priority_trend",
+        "cohort_retention",
+        "scd2_history",
+        "price_histogram",
+    ],
+)
+def test_new_query_matches_oracle_sf0001(ray_session, qname):
+    """Bit-exact Ray-vs-DuckDB parity for the round-4 session-10
+    queries at sf0.001, through the same compare the local gate uses
+    (sorted columns, byte-compared floats, dtype check)."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracles import compare, normalize, to_df
+
+    import __ray_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    ray_df = normalize(to_df(m.queries()[qname](sf)))
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf}/{t}.parquet')"
+        )
+    sql_df = normalize(con.execute(m.oracle_sql()[qname]).fetchdf())
+    problems = compare(qname, ray_df, sql_df)
+    assert not problems, problems
