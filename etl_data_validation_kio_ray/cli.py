@@ -208,6 +208,35 @@ def cmd_sample(args) -> int:
     return 0
 
 
+def cmd_chunk(args) -> int:
+    """Context-window chunking plan: explode --input documents into
+    sliding token windows (--size tokens overlapping by --overlap) and
+    write the per-chunk boundary plan to --out (parquet). Deterministic
+    — the plan is a pure per-row function, so re-runs and resumes
+    reproduce it bit-for-bit."""
+    _init_ray()
+    import ray.data as rd
+
+    from .functions.text import sliding_chunk_plan
+
+    ds = rd.read_parquet(args.input, columns=[args.id_col, args.text_col])
+    out = ds.map_batches(
+        lambda t: sliding_chunk_plan(
+            t,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            size=args.size,
+            overlap=args.overlap,
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out.write_parquet(args.out)
+    n = rd.read_parquet(args.out).count()
+    print(json.dumps({"out": args.out, "n_chunks": int(n)}))
+    return 0
+
+
 def cmd_report(args) -> int:
     from .state.report import write_html_report, write_run_report, write_summary_csv
 
@@ -282,6 +311,15 @@ def main(argv: list[str] | None = None) -> int:
     sm.add_argument("--id-col", default="doc_id")
     sm.add_argument("--group-col", default="source")
     sm.set_defaults(fn=cmd_sample)
+
+    ck = sub.add_parser("chunk")
+    ck.add_argument("--input", required=True, help="parquet dir of documents")
+    ck.add_argument("--out", required=True, help="chunk plan lands here")
+    ck.add_argument("--size", type=int, default=128)
+    ck.add_argument("--overlap", type=int, default=32)
+    ck.add_argument("--id-col", default="doc_id")
+    ck.add_argument("--text-col", default="text")
+    ck.set_defaults(fn=cmd_chunk)
 
     args = p.parse_args(argv)
     return args.fn(args)
