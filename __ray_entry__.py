@@ -6640,6 +6640,90 @@ def q_scd2_history(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def q_multimodal_payload_audit(sf_dir: str):
+    """ORACLE-VERIFIED multimodal evidence (upgrades the rows-only
+    decode query): synthesize the binary image column with the
+    sha256-seeded variant, push it through the real small-batch binary
+    plumbing, and audit per source with EXACT integers — payload octet
+    length and payload byte CHECKSUM, both computed vectorized straight
+    off the Arrow binary buffer (np.add.reduceat over the value
+    offsets, no per-row Python). The DuckDB twin recomputes every byte
+    from sha256 hex, so a hash match proves the binary column's exact
+    CONTENT survived synthesis, batching and transport."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.multimodal.decode import (
+        synthesize_image_batch,
+    )
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source"],
+    )
+    imgs = docs.map_batches(
+        lambda t: synthesize_image_batch(t, algo="sha256"),
+        batch_format="pyarrow",
+        batch_size=256,  # binary rows: small batches (memory-aware)
+    )
+
+    def audit(t: pa.Table) -> pa.Table:
+        pl = t["payload"]
+        if isinstance(pl, pa.ChunkedArray):
+            pl = pl.combine_chunks()
+        # BinaryArray exposes no .offsets attribute — read the raw
+        # int32 offsets buffer (buffers: [validity, offsets, data]),
+        # honoring a possible array slice offset
+        raw = np.frombuffer(pl.buffers()[1], dtype=np.int32)
+        offs = raw[pl.offset : pl.offset + len(pl) + 1].astype(np.int64)
+        data = np.frombuffer(pl.buffers()[2], dtype=np.uint8)
+        lens = np.diff(offs)
+        # payloads are never empty (w, h >= 16), so reduceat is safe
+        bsum = np.add.reduceat(data, offs[:-1]).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "source": t["source"],
+                    "one": pa.array(np.ones(len(lens), np.int64)),
+                    "w": pc.cast(t["width"], pa.int64()),
+                    "h": pc.cast(t["height"], pa.int64()),
+                    "plen": pa.array(lens),
+                    "bytesum": pa.array(bsum),
+                }
+            )
+            .group_by("source")
+            .aggregate(
+                [
+                    ("one", "sum"),
+                    ("w", "sum"),
+                    ("h", "sum"),
+                    ("plen", "sum"),
+                    ("bytesum", "sum"),
+                ]
+            )
+        )
+        return pa.table(
+            {
+                "source": g["source"],
+                **{
+                    c: pc.cast(g[f"{c}_sum"], pa.int64())
+                    for c in ("one", "w", "h", "plen", "bytesum")
+                },
+            }
+        )
+
+    parts = imgs.map_batches(audit, batch_format="pyarrow").to_pandas()
+    df = parts.groupby("source", as_index=False).agg(
+        n=("one", "sum"),
+        sum_w=("w", "sum"),
+        sum_h=("h", "sum"),
+        sum_plen=("plen", "sum"),
+        sum_bytes=("bytesum", "sum"),
+    )
+    for c in ("n", "sum_w", "sum_h", "sum_plen", "sum_bytes"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("source").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -6796,6 +6880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_unpivot": q_revenue_unpivot,
         "price_histogram": q_price_histogram,
         "scd2_history": q_scd2_history,
+        "multimodal_payload_audit": q_multimodal_payload_audit,
     }
 
 
@@ -8935,5 +9020,40 @@ SELECT c_custkey, seg, vf,
        CAST(CASE WHEN LEAD(vf) OVER (PARTITION BY c_custkey ORDER BY vf)
                  IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
 FROM u ORDER BY c_custkey, vf
+""",
+        "multimodal_payload_audit": r"""
+WITH s AS (
+  SELECT source, sha256(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+), b AS (
+  SELECT source,
+         list_transform(range(0, 8), i ->
+           CAST((strpos('0123456789abcdef',
+                        substr(hx, CAST(2*i+1 AS INT), 1)) - 1) * 16
+              + (strpos('0123456789abcdef',
+                        substr(hx, CAST(2*i+2 AS INT), 1)) - 1)
+                AS BIGINT)) AS sb
+  FROM s
+), m AS (
+  SELECT source, sb,
+         16 + sb[1] % 48 AS w,
+         16 + sb[2] % 48 AS h
+  FROM b
+), st AS (
+  SELECT source, w, h, w * h AS plen,
+         (w * h) // 8 AS full_reps, (w * h) % 8 AS rem,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), sb),
+                     (a, c) -> a + c) AS seedsum,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                  list_slice(sb, 1, (w * h) % 8)),
+                     (a, c) -> a + c) AS remsum
+  FROM m
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(w) AS BIGINT) AS sum_w,
+       CAST(SUM(h) AS BIGINT) AS sum_h,
+       CAST(SUM(plen) AS BIGINT) AS sum_plen,
+       CAST(SUM(full_reps * seedsum + remsum) AS BIGINT) AS sum_bytes
+FROM st GROUP BY source ORDER BY source
 """,
     }

@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "revenue_unpivot",  # pivot -> melt roundtrip vs direct long aggregate
     "price_histogram",  # two-pass equi-width bins, broadcast bounds
     "scd2_history",  # type-2 MERGE: versioned history via bucket LEAD
+    "multimodal_payload_audit",  # exact binary-column checksum vs sha256 SQL
 ]
 
 

@@ -113,12 +113,17 @@ class AudioFeatureStage:
         ).append_column("decoder", pa.array(["stub"] * len(payloads), pa.string()))
 
 
-def synthesize_image_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+def synthesize_image_batch(
+    batch: pa.Table, id_col: str = "doc_id", *, algo: str = "blake2b"
+) -> pa.Table:
     """Deterministic fake image table conforming to
     ``multimodal_schema('image')``: payload bytes and dimensions derive
-    from a blake2b of the id, so any worker produces identical rows.
-    Stands in for a real binary column while exercising the REAL
-    plumbing (schema, small batches, actor-pool decode)."""
+    from an 8-byte hash of the id, so any worker produces identical
+    rows. Stands in for a real binary column while exercising the REAL
+    plumbing (schema, small batches, actor-pool decode). ``algo``:
+    'blake2b' (default) or 'sha256' — the sha256 variant exists so a
+    DuckDB oracle (which has sha256 but not blake2b) can recompute the
+    payload byte content exactly."""
     import hashlib
 
     ids = batch[id_col]
@@ -126,7 +131,10 @@ def synthesize_image_batch(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
         ids = ids.combine_chunks()
     payloads, widths, heights = [], [], []
     for i in ids.to_pylist():
-        seed = hashlib.blake2b(str(i).encode(), digest_size=8).digest()
+        if algo == "sha256":
+            seed = hashlib.sha256(str(i).encode()).digest()[:8]
+        else:
+            seed = hashlib.blake2b(str(i).encode(), digest_size=8).digest()
         w = 16 + seed[0] % 48
         h = 16 + seed[1] % 48
         reps = -(-(w * h) // 8)
