@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "price_histogram",  # two-pass equi-width bins, broadcast bounds
     "scd2_history",  # type-2 MERGE: versioned history via bucket LEAD
     "multimodal_payload_audit",  # exact binary-column checksum vs sha256 SQL
+    "curation_pipeline",  # capstone: gate -> dedup -> chunk -> shard chain
 ]
 
 
