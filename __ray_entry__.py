@@ -6815,6 +6815,102 @@ def q_curation_pipeline(sf_dir: str):
     return df.sort_values("shard").reset_index(drop=True)
 
 
+ATTRIB_WINDOW_US = 24 * 3600 * 1_000_000
+
+
+def q_purchase_attribution(sf_dir: str):
+    """LAST-TOUCH attribution: each purchase credits the user's
+    immediately preceding event (any type, full stream order by
+    (ts, event_id)) if it happened within 24h, else 'none' — the
+    backward LAG sibling of the forward windowed conversion join. One
+    user-bucket exchange; in-bucket a single lexsort gives every
+    purchase its predecessor by position arithmetic (no per-user loop,
+    no lateral join); per-type (n, value cents) partials leave the
+    bucket."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        collect_sorted,
+        tag_bucket,
+    )
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        ts = t["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        out = pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "ts": ts.cast(pa.int64()),
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "event_type": t["event_type"],
+                "v_c": pc.round(pc.multiply(t["value"], 100.0)).cast(
+                    pa.int64()
+                ),
+            }
+        )
+        return tag_bucket(out, "user_id", 32)
+
+    def reduce_bucket(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__b"])
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, ts, eid = u[order], ts[order], eid[order]
+        typ = t["event_type"].take(pa.array(order))
+        vc = t["v_c"].to_numpy(zero_copy_only=False)[order]
+        is_p = pc.equal(typ, "purchase").to_numpy(zero_copy_only=False)
+        pos = np.flatnonzero(is_p)
+        prior = pos - 1
+        ok = (prior >= 0) & (u[np.maximum(prior, 0)] == u[pos]) & (
+            ts[pos] - ts[np.maximum(prior, 0)] <= ATTRIB_WINDOW_US
+        )
+        attr = np.where(
+            ok,
+            np.asarray(typ.to_pylist(), dtype=object)[
+                np.maximum(prior, 0)
+            ],
+            "none",
+        )
+        g = (
+            pa.table(
+                {
+                    "attributed_type": pa.array(attr.astype(str)),
+                    "one": pa.array(np.ones(len(pos), np.int64)),
+                    "v_c": pa.array(vc[pos]),
+                }
+            )
+            .group_by("attributed_type")
+            .aggregate([("one", "sum"), ("v_c", "sum")])
+        )
+        return pa.table(
+            {
+                "attributed_type": g["attributed_type"],
+                "n_purchases": pc.cast(g["one_sum"], pa.int64()),
+                "value_c": pc.cast(g["v_c_sum"], pa.int64()),
+            }
+        )
+
+    parts = (
+        ev.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+    )
+    df = collect_sorted(parts, ["attributed_type"])
+    df = df.groupby("attributed_type", as_index=False).agg(
+        n_purchases=("n_purchases", "sum"), value_c=("value_c", "sum")
+    )
+    for c in ("n_purchases", "value_c"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("attributed_type").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -6973,6 +7069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_history": q_scd2_history,
         "multimodal_payload_audit": q_multimodal_payload_audit,
         "curation_pipeline": q_curation_pipeline,
+        "purchase_attribution": q_purchase_attribution,
     }
 
 
@@ -9187,5 +9284,23 @@ SELECT CAST(h % 16 AS BIGINT) AS shard,
        CAST(COUNT(*) AS BIGINT) AS n_chunks,
        CAST(SUM(tok_len) AS BIGINT) AS sum_tok
 FROM h GROUP BY shard ORDER BY shard
+""",
+        "purchase_attribution": r"""
+WITH p AS (
+  SELECT user_id, ts, event_id,
+         CAST(round_even(value * 100, 0) AS BIGINT) AS v_c
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT COALESCE(a.event_type, 'none') AS attributed_type,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(p.v_c) AS BIGINT) AS value_c
+FROM p LEFT JOIN LATERAL (
+  SELECT e.event_type FROM events e
+  WHERE e.user_id = p.user_id
+    AND (e.ts, e.event_id) < (p.ts, p.event_id)
+    AND e.ts >= p.ts - INTERVAL 24 HOURS
+  ORDER BY e.ts DESC, e.event_id DESC LIMIT 1
+) a ON true
+GROUP BY attributed_type ORDER BY attributed_type
 """,
     }

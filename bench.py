@@ -188,6 +188,7 @@ BENCH_QUERIES = [
     "scd2_history",  # type-2 MERGE: versioned history via bucket LEAD
     "multimodal_payload_audit",  # exact binary-column checksum vs sha256 SQL
     "curation_pipeline",  # capstone: gate -> dedup -> chunk -> shard chain
+    "purchase_attribution",  # last-touch backward LAG with a time band
 ]
 
 
