@@ -5121,9 +5121,6 @@ def q_train_shards(sf_dir: str):
     import ray.data as rd
 
     from etl_data_validation_kio_ray.functions.hashing import _splitmix64
-    from etl_data_validation_kio_ray.pipelines.relational import (
-        collect_sorted,
-    )
 
     docs = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
@@ -5136,48 +5133,31 @@ def q_train_shards(sf_dir: str):
         )
         h = _splitmix64(ids.view(np.uint64))
         shard = (h % np.uint64(TRAIN_SHARDS)).astype(np.int64)
-        g = (
-            pa.table(
-                {
-                    "shard": pa.array(shard),
-                    "n_chars": t["n_chars"],
-                    # ring sum in two int64 halves so the Arrow sum
-                    # (int64) cannot overflow: hi/lo fold exactly like
-                    # the content-digest pattern in hashing.py
-                    "h_lo": pa.array((h & np.uint64(0xFFFFFFFF)).astype(np.int64)),
-                    "h_hi": pa.array((h >> np.uint64(32)).astype(np.int64)),
-                    "one": pa.array(np.ones(len(ids), np.int64)),
-                }
-            )
-            .group_by("shard")
-            .aggregate(
-                [
-                    ("one", "sum"),
-                    ("n_chars", "sum"),
-                    ("h_lo", "sum"),
-                    ("h_hi", "sum"),
-                ]
-            )
-        )
         return pa.table(
             {
-                "shard": g["shard"],
-                "n_docs": pc.cast(g["one_sum"], pa.int64()),
-                "sum_chars": pc.cast(g["n_chars_sum"], pa.int64()),
-                "h_lo": pc.cast(g["h_lo_sum"], pa.int64()),
-                "h_hi": pc.cast(g["h_hi_sum"], pa.int64()),
+                "shard": pa.array(shard),
+                "n_chars": t["n_chars"],
+                # ring sum in two int64 halves so the Arrow sum
+                # (int64) cannot overflow: hi/lo fold exactly like
+                # the content-digest pattern in hashing.py
+                "h_lo": pa.array((h & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+                "h_hi": pa.array((h >> np.uint64(32)).astype(np.int64)),
             }
         )
 
-    parts = docs.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True
-    )
-    df = collect_sorted(parts, ["shard"])
-    df = df.groupby("shard", as_index=False).agg(
-        n_docs=("n_docs", "sum"),
-        sum_chars=("sum_chars", "sum"),
-        h_lo=("h_lo", "sum"),
-        h_hi=("h_hi", "sum"),
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    # merged via a Ray exchange: the driver receives 64 rows, never
+    # block-proportional partials
+    df = grouped_agg(
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["shard"],
+        {
+            "n_docs": ("n_chars", "count"),
+            "sum_chars": ("n_chars", "sum"),
+            "h_lo": ("h_lo", "sum"),
+            "h_hi": ("h_hi", "sum"),
+        },
     )
     # fold the two halves into the exact mod-2^64 digest: the partial
     # sums are < 2^63 (n_docs * 2^32), so int64 arithmetic is exact
@@ -5269,40 +5249,35 @@ def q_ntok_moments(sf_dir: str):
             }
         )
 
-    parts = docs.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()
-    rows = []
-    for src, sub in parts.groupby("source", sort=True):
-        # Python-int fold: exact regardless of magnitude, then prove
-        # the int64 output cast is lossless
-        vals = {
-            c: sum(int(v) for v in sub[c]) for c in ("one", "s1", "s2", "s3", "s4")
-        }
-        if any(v >= 2**63 for v in vals.values()):
-            raise ValueError(
-                f"ntok_moments: power sum for source {src!r} exceeds "
-                "int64 — emit hi/lo halves instead"
-            )
-        rows.append(
-            {
-                "source": src,
-                "n_docs": vals["one"],
-                "s1": vals["s1"],
-                "s2": vals["s2"],
-                "s3": vals["s3"],
-                "s4": vals["s4"],
-                "max_ntok": int(sub["mx"].max()),
-            }
-        )
-    df = pd.DataFrame(
-        rows,
-        columns=["source", "n_docs", "s1", "s2", "s3", "s4", "max_ntok"],
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    # merged via a Ray exchange (driver rows = sources); the int64 sums
+    # are proven exact POST-HOC: positive addends mean every partial is
+    # bounded by the final total, so n_docs * max_ntok^4 < 2^63 (checked
+    # in Python ints) certifies that no intermediate sum wrapped
+    df = grouped_agg(
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"],
+        {
+            "n_docs": ("one", "sum"),
+            "s1": ("s1", "sum"),
+            "s2": ("s2", "sum"),
+            "s3": ("s3", "sum"),
+            "s4": ("s4", "sum"),
+            "max_ntok": ("mx", "max"),
+        },
     )
+    for _, r in df.iterrows():
+        if int(r["n_docs"]) * int(r["max_ntok"]) ** 4 >= 2**63:
+            raise ValueError(
+                f"ntok_moments: power sum for source {r['source']!r} may "
+                "exceed int64 — emit hi/lo halves instead"
+            )
+    df = df[["source", "n_docs", "s1", "s2", "s3", "s4", "max_ntok"]]
     for c in df.columns:
         if c != "source":
             df[c] = df[c].astype("int64")
-    return df.reset_index(drop=True)
+    return df.sort_values("source").reset_index(drop=True)
 
 
 def q_weekly_revenue(sf_dir: str):
@@ -5329,32 +5304,23 @@ def q_weekly_revenue(sf_dir: str):
         days = ts.cast(pa.int64()).to_numpy(zero_copy_only=False) // US_PER_DAY
         iso_year, week = iso_year_week(days)
         cents = pc.round(pc.multiply(t["o_totalprice"], 100.0)).cast(pa.int64())
-        g = (
-            pa.table(
-                {
-                    "iso_year": pa.array(iso_year),
-                    "iso_week": pa.array(week),
-                    "rev_c": cents,
-                    "one": pa.array(np.ones(len(days), np.int64)),
-                }
-            )
-            .group_by(["iso_year", "iso_week"])
-            .aggregate([("one", "sum"), ("rev_c", "sum")])
-        )
         return pa.table(
             {
-                "iso_year": g["iso_year"],
-                "iso_week": g["iso_week"],
-                "n_orders": pc.cast(g["one_sum"], pa.int64()),
-                "rev_c": pc.cast(g["rev_c_sum"], pa.int64()),
+                "iso_year": pa.array(iso_year),
+                "iso_week": pa.array(week),
+                "rev_c": cents,
             }
         )
 
-    parts = orders.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()
-    df = parts.groupby(["iso_year", "iso_week"], as_index=False).agg(
-        n_orders=("n_orders", "sum"), rev_c=("rev_c", "sum")
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    # grouped_agg pre-aggregates per batch and merges via a Ray
+    # exchange, so the driver receives one row per (year, week) — never
+    # a block-proportional partial list
+    df = grouped_agg(
+        orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["iso_year", "iso_week"],
+        {"n_orders": ("rev_c", "count"), "rev_c": ("rev_c", "sum")},
     )
     for c in df.columns:
         df[c] = df[c].astype("int64")
@@ -5836,11 +5802,14 @@ def q_embedding_covariance(sf_dir: str):
             }
         )
 
-    parts = emb.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()
-    df = parts.groupby(["i", "j"], as_index=False).agg(
-        m=("m", "sum"), n=("n", "sum")
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    # merged via a Ray exchange: driver rows = upper triangle (d^2/2),
+    # never block-proportional partial lists
+    df = grouped_agg(
+        emb.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["i", "j"],
+        {"m": ("m", "sum"), "n": ("n", "sum")},
     )
     for c in df.columns:
         df[c] = df[c].astype("int64")
@@ -6026,9 +5995,17 @@ def q_source_overlap_matrix(sf_dir: str):
             }
         )
 
-    parts = docs.map_batches(
-        per_source, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    # merged via a Ray exchange: driver rows = sources x V (config
+    # bounded), never block-proportional partial lists
+    parts = grouped_agg(
+        docs.map_batches(
+            per_source, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["source", "widx"],
+        {"cnt": ("cnt", "sum")},
+    )
     mat = (
         parts.groupby(["source", "widx"])["cnt"].sum().unstack(fill_value=0)
     )
@@ -6186,12 +6163,15 @@ def q_doc_length_survival(sf_dir: str):
             }
         )
 
-    parts = docs.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()
-    df = parts.groupby(["source", "min_tokens"], as_index=False)[
-        "n_docs"
-    ].sum()
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    # merged via a Ray exchange: driver rows = sources x ladder, never
+    # block-proportional
+    df = grouped_agg(
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["source", "min_tokens"],
+        {"n_docs": ("n_docs", "sum")},
+    )
     df["min_tokens"] = df["min_tokens"].astype("int64")
     df["n_docs"] = df["n_docs"].astype("int64")
     return df.sort_values(["source", "min_tokens"]).reset_index(drop=True)
@@ -6538,8 +6518,14 @@ def q_price_histogram(sf_dir: str):
             }
         )
 
-    parts = pc_ds.map_batches(binit, batch_format="pyarrow").to_pandas()
-    df = parts.groupby("bin", as_index=False)["n"].sum()
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    # merged via a Ray exchange: driver receives exactly 20 rows
+    df = grouped_agg(
+        pc_ds.map_batches(binit, batch_format="pyarrow"),
+        ["bin"],
+        {"n": ("n", "sum")},
+    )
     df["n"] = df["n"].astype("int64")
     df["bin"] = df["bin"].astype("int64")
     df["lo_c"] = (lo + df["bin"] * width_den // nb).astype("int64")
