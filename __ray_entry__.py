@@ -6697,13 +6697,20 @@ def q_multimodal_payload_audit(sf_dir: str):
             }
         )
 
-    parts = imgs.map_batches(audit, batch_format="pyarrow").to_pandas()
-    df = parts.groupby("source", as_index=False).agg(
-        n=("one", "sum"),
-        sum_w=("w", "sum"),
-        sum_h=("h", "sum"),
-        sum_plen=("plen", "sum"),
-        sum_bytes=("bytesum", "sum"),
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    # merged via a Ray exchange: driver rows = sources, never
+    # block-proportional partials
+    df = grouped_agg(
+        imgs.map_batches(audit, batch_format="pyarrow"),
+        ["source"],
+        {
+            "n": ("one", "sum"),
+            "sum_w": ("w", "sum"),
+            "sum_h": ("h", "sum"),
+            "sum_plen": ("plen", "sum"),
+            "sum_bytes": ("bytesum", "sum"),
+        },
     )
     for c in ("n", "sum_w", "sum_h", "sum_plen", "sum_bytes"):
         df[c] = df[c].astype("int64")
@@ -6786,15 +6793,17 @@ def q_curation_pipeline(sf_dir: str):
             }
         )
 
-    parts = (
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    # final fold via a Ray exchange: driver receives 16 shard rows,
+    # never block-proportional partials
+    df = grouped_agg(
         docs.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__b")
         .map_groups(dedup_bucket, batch_format="pyarrow")
-        .map_batches(chunk_and_shard, batch_format="pyarrow")
-    )
-    df = collect_sorted(parts, ["shard"])
-    df = df.groupby("shard", as_index=False).agg(
-        n_chunks=("n_chunks", "sum"), sum_tok=("sum_tok", "sum")
+        .map_batches(chunk_and_shard, batch_format="pyarrow"),
+        ["shard"],
+        {"n_chunks": ("n_chunks", "sum"), "sum_tok": ("sum_tok", "sum")},
     )
     for c in df.columns:
         df[c] = df[c].astype("int64")
