@@ -189,6 +189,7 @@ BENCH_QUERIES = [
     "multimodal_payload_audit",  # exact binary-column checksum vs sha256 SQL
     "curation_pipeline",  # capstone: gate -> dedup -> chunk -> shard chain
     "purchase_attribution",  # last-touch backward LAG with a time band
+    "rfm_segments",  # triple exact NTILE ranking -> 4^3 cell grid
 ]
 
 
