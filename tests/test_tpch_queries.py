@@ -112,6 +112,12 @@ def test_weighted_median_vs_duckdb(ray_session):
         "cohort_retention",
         "scd2_history",
         "price_histogram",
+        "purchase_attribution",
+        "curation_pipeline",
+        "rfm_segments",
+        "multimodal_payload_audit",
+        "source_overlap_matrix",
+        "nation_segments",
     ],
 )
 def test_new_query_matches_oracle_sf0001(ray_session, qname):
