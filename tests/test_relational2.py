@@ -2304,3 +2304,44 @@ def test_read_evolved_parquet_promotes_and_nullfills(ray_session, tmp_path):
     pq.write_table(pa.table({"id": pa.array(["s"])}), v3 / "a.parquet")
     with pytest.raises(ValueError, match="incompatible"):
         read_evolved_parquet([str(v1), str(v3)])
+
+
+def test_new_primitives_empty_inputs(ray_session):
+    """Zero-row inputs produce typed empty results (the schemaless
+    empty-dataset gotcha) for the session-10 primitives."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        collect_sorted,
+        conversion_within,
+        grouped_topk_distinct,
+    )
+
+    empty_ev = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "ts": pd.Series([], dtype="datetime64[us]"),
+                "event_type": pd.Series([], dtype="object"),
+            }
+        )
+    )
+    out = conversion_within(
+        empty_ev, "user_id", "ts", "event_type",
+        from_type="a", to_type="b", window_us=1000,
+    )
+    assert out.empty
+    assert list(out.columns) == ["day", "n_from", "n_converted"]
+
+    empty_kv = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "g": pd.Series([], dtype="object"),
+                "v": pd.Series([], dtype="int64"),
+            }
+        )
+    )
+    got = collect_sorted(
+        grouped_topk_distinct(empty_kv, "g", "v", 3), ["g", "rk"]
+    )
+    assert got.empty and list(got.columns) == ["g", "v", "n", "rk"]
