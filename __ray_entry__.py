@@ -6986,6 +6986,167 @@ def q_rfm_segments(sf_dir: str):
     )
 
 
+VIEW_CUT = np.datetime64("1999-01-01T00:00:00", "us")
+
+
+def q_incremental_view_merge(sf_dir: str):
+    """Incremental materialized-view maintenance: the monthly revenue
+    view is built from a BASE aggregate (orders before the cut) plus a
+    DELTA aggregate (orders at/after the cut) merged by adding partial
+    (count, sum) states per month — never re-reading the base data.
+    The oracle is the full recompute over all orders, so the hash match
+    certifies the mergeable-partials property the maintenance pattern
+    rests on (disjoint partitions, additive states)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderdate", "o_totalprice"],
+    )
+
+    def prep(before: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ts = t["o_orderdate"]
+            if isinstance(ts, pa.ChunkedArray):
+                ts = ts.combine_chunks()
+            mask = (
+                pc.less(ts, pa.scalar(VIEW_CUT))
+                if before
+                else pc.greater_equal(ts, pa.scalar(VIEW_CUT))
+            )
+            t = t.filter(mask)
+            ts2 = t["o_orderdate"]
+            if isinstance(ts2, pa.ChunkedArray):
+                ts2 = ts2.combine_chunks()
+            return pa.table(
+                {
+                    "yr": pc.cast(pc.year(ts2), pa.int64()),
+                    "mo": pc.cast(pc.month(ts2), pa.int64()),
+                    "rev_c": pc.round(
+                        pc.multiply(t["o_totalprice"], 100.0)
+                    ).cast(pa.int64()),
+                }
+            )
+
+        return fn
+
+    base = grouped_agg(
+        orders.map_batches(prep(True), batch_format="pyarrow"),
+        ["yr", "mo"],
+        {"n_orders": ("rev_c", "count"), "rev_c": ("rev_c", "sum")},
+    )
+    delta = grouped_agg(
+        orders.map_batches(prep(False), batch_format="pyarrow"),
+        ["yr", "mo"],
+        {"n_orders": ("rev_c", "count"), "rev_c": ("rev_c", "sum")},
+    )
+    merged = (
+        pd.concat([base, delta], ignore_index=True)
+        .groupby(["yr", "mo"], as_index=False)
+        .agg(n_orders=("n_orders", "sum"), rev_c=("rev_c", "sum"))
+    )
+    for c in merged.columns:
+        merged[c] = merged[c].astype("int64")
+    return merged.sort_values(["yr", "mo"]).reset_index(drop=True)
+
+
+def q_mart_export_digest(sf_dir: str):
+    """The classic build-the-mart product end to end: orders enrich
+    with customer segment and nation name via TWO chained broadcast
+    dim lookups (snowflake: customer -> nation), the denormalized mart
+    WRITES to parquet (the real sink), reads BACK, and reports
+    per-nation row counts, revenue cents and an order-independent
+    mod-2^64 key digest — so the oracle (a fresh three-way SQL join)
+    certifies the export's exact CONTENT, not just its shape."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.functions.hashing import _splitmix64
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        broadcast_lookup_join,
+        grouped_agg,
+    )
+
+    base = "/tmp/kio_mart_" + os.path.basename(os.path.normpath(sf_dir))
+    shutil.rmtree(base, ignore_errors=True)
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment", "c_nationkey"],
+    )
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    mart = broadcast_lookup_join(
+        orders, cust, "o_custkey", "c_custkey", ["c_mktsegment", "c_nationkey"]
+    )
+    mart = broadcast_lookup_join(
+        mart, nation, "c_nationkey", "n_nationkey", ["n_name"]
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "n_name": t["n_name"],
+                "c_mktsegment": t["c_mktsegment"],
+                "rev_c": pc.round(
+                    pc.multiply(t["o_totalprice"], 100.0)
+                ).cast(pa.int64()),
+            }
+        )
+
+    mart.map_batches(project, batch_format="pyarrow").write_parquet(base)
+
+    back = rd.read_parquet(base)
+
+    def audit(t: pa.Table) -> pa.Table:
+        keys = (
+            t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        h = _splitmix64(keys.view(np.uint64))
+        return pa.table(
+            {
+                "n_name": t["n_name"],
+                "rev_c": t["rev_c"],
+                "h_lo": pa.array(
+                    (h & np.uint64(0xFFFFFFFF)).astype(np.int64)
+                ),
+                "h_hi": pa.array((h >> np.uint64(32)).astype(np.int64)),
+            }
+        )
+
+    df = grouped_agg(
+        back.map_batches(audit, batch_format="pyarrow"),
+        ["n_name"],
+        {
+            "n_orders": ("rev_c", "count"),
+            "rev_c": ("rev_c", "sum"),
+            "h_lo": ("h_lo", "sum"),
+            "h_hi": ("h_hi", "sum"),
+        },
+    )
+    dg = (
+        df["h_hi"].to_numpy(np.uint64) * np.uint64(2**32)
+        + df["h_lo"].to_numpy(np.uint64)
+    )
+    df["digest_hi"] = (dg >> np.uint64(32)).astype(np.int64)
+    df["digest_lo"] = (dg & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    df = df.drop(columns=["h_lo", "h_hi"])
+    for c in ("n_orders", "rev_c", "digest_hi", "digest_lo"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("n_name").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -7146,6 +7307,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": q_curation_pipeline,
         "purchase_attribution": q_purchase_attribution,
         "rfm_segments": q_rfm_segments,
+        "incremental_view_merge": q_incremental_view_merge,
+        "mart_export_digest": q_mart_export_digest,
     }
 
 
@@ -9401,5 +9564,50 @@ SELECT r_tile, f_tile, m_tile,
        CAST(SUM(mon_c) AS BIGINT) AS mon_c_sum
 FROM t GROUP BY r_tile, f_tile, m_tile
 ORDER BY r_tile, f_tile, m_tile
+""",
+        "incremental_view_merge": r"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(month(o_orderdate) AS BIGINT) AS mo,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS rev_c
+FROM orders GROUP BY yr, mo ORDER BY yr, mo
+""",
+        "mart_export_digest": r"""
+WITH m AS (
+  SELECT o.o_orderkey, n.n_name,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS rev_c
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+), s1 AS (
+  SELECT n_name, rev_c,
+         CAST((CAST(o_orderkey AS UHUGEINT) + 11400714819323198485)
+              % 18446744073709551616 AS UBIGINT) AS z
+  FROM m
+), s2 AS (
+  SELECT n_name, rev_c,
+         CAST((CAST(xor(z, z >> 30) AS UHUGEINT) * 13787848793156543929)
+              % 18446744073709551616 AS UBIGINT) AS z
+  FROM s1
+), s3 AS (
+  SELECT n_name, rev_c,
+         CAST((CAST(xor(z, z >> 27) AS UHUGEINT) * 10723151780598845931)
+              % 18446744073709551616 AS UBIGINT) AS z
+  FROM s2
+), h AS (
+  SELECT n_name, rev_c, xor(z, z >> 31) AS h FROM s3
+), a AS (
+  SELECT n_name,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(rev_c) AS BIGINT) AS rev_c,
+         CAST(SUM(CAST(h AS HUGEINT)) % 18446744073709551616 AS UHUGEINT)
+           AS dg
+  FROM h GROUP BY n_name
+)
+SELECT n_name, n_orders, rev_c,
+       CAST(dg // 4294967296 AS BIGINT) AS digest_hi,
+       CAST(dg % 4294967296 AS BIGINT) AS digest_lo
+FROM a ORDER BY n_name
 """,
     }

@@ -190,6 +190,8 @@ BENCH_QUERIES = [
     "curation_pipeline",  # capstone: gate -> dedup -> chunk -> shard chain
     "purchase_attribution",  # last-touch backward LAG with a time band
     "rfm_segments",  # triple exact NTILE ranking -> 4^3 cell grid
+    "incremental_view_merge",  # base+delta partial-state merge vs recompute
+    "mart_export_digest",  # snowflake mart sink->read->content digest
 ]
 
 
