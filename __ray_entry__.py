@@ -7147,6 +7147,155 @@ def q_mart_export_digest(sf_dir: str):
     return df.sort_values("n_name").reset_index(drop=True)
 
 
+def q_compaction_roundtrip(sf_dir: str):
+    """Small-file COMPACTION (the operational fix for the many-tiny-
+    files problem): the corpus is first written as 64 deliberately tiny
+    files, then compacted by `repartition(8)` into 8 right-sized ones,
+    and the compacted copy is content-verified per source — counts,
+    char sums and an order-independent mod-2^64 doc_id digest — against
+    the original table via the SQL twin. File counts are asserted
+    in-query (64 then 8), so the hash match certifies compaction moved
+    every byte and invented none."""
+    import glob
+    import shutil
+
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.functions.hashing import _splitmix64
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    base = "/tmp/kio_compact_" + os.path.basename(os.path.normpath(sf_dir))
+    shutil.rmtree(base, ignore_errors=True)
+    tiny_dir, packed_dir = os.path.join(base, "tiny"), os.path.join(base, "packed")
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+    )
+    docs.repartition(64).write_parquet(tiny_dir)
+    n_tiny = len(glob.glob(os.path.join(tiny_dir, "*.parquet")))
+    if n_tiny != 64:
+        raise AssertionError(
+            f"compaction_roundtrip: expected 64 tiny files, got {n_tiny}"
+        )
+    rd.read_parquet(tiny_dir).repartition(8).write_parquet(packed_dir)
+    n_packed = len(glob.glob(os.path.join(packed_dir, "*.parquet")))
+    if n_packed != 8:
+        raise AssertionError(
+            f"compaction_roundtrip: expected 8 packed files, got {n_packed}"
+        )
+
+    def audit(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _splitmix64(ids.view(np.uint64))
+        return pa.table(
+            {
+                "source": t["source"],
+                "n_chars": t["n_chars"],
+                "h_lo": pa.array((h & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+                "h_hi": pa.array((h >> np.uint64(32)).astype(np.int64)),
+            }
+        )
+
+    df = grouped_agg(
+        rd.read_parquet(packed_dir).map_batches(audit, batch_format="pyarrow"),
+        ["source"],
+        {
+            "n_docs": ("n_chars", "count"),
+            "sum_chars": ("n_chars", "sum"),
+            "h_lo": ("h_lo", "sum"),
+            "h_hi": ("h_hi", "sum"),
+        },
+    )
+    dg = (
+        df["h_hi"].to_numpy(np.uint64) * np.uint64(2**32)
+        + df["h_lo"].to_numpy(np.uint64)
+    )
+    df["digest_hi"] = (dg >> np.uint64(32)).astype(np.int64)
+    df["digest_lo"] = (dg & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    df = df.drop(columns=["h_lo", "h_hi"])
+    for c in ("n_docs", "sum_chars", "digest_hi", "digest_lo"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("source").reset_index(drop=True)
+
+
+def q_sorted_export_audit(sf_dir: str):
+    """Range-partitioned SORTED export (the layout downstream merge
+    readers want): orders sort globally by (price cents, orderkey) and
+    write; the audit then proves the files' key ranges are DISJOINT
+    and cover the data in order (a structural property only a true
+    range-partitioned sort produces) and returns per-file row counts +
+    min/max cents. Self-asserting on the disjointness; the oracle
+    certifies the global count and sum survived the sort+write."""
+    import glob
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    base = "/tmp/kio_sorted_" + os.path.basename(os.path.normpath(sf_dir))
+    shutil.rmtree(base, ignore_errors=True)
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"],
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "price_c": pc.round(
+                    pc.multiply(t["o_totalprice"], 100.0)
+                ).cast(pa.int64()),
+            }
+        )
+
+    orders.map_batches(cents, batch_format="pyarrow").sort(
+        ["price_c", "o_orderkey"]
+    ).write_parquet(base)
+
+    files = sorted(glob.glob(os.path.join(base, "*.parquet")))
+    stats = []
+    for f in files:
+        t = pq.read_table(f, columns=["price_c", "o_orderkey"])
+        if t.num_rows == 0:
+            continue
+        stats.append(
+            (
+                int(pc.min(t["price_c"]).as_py()),
+                int(pc.max(t["price_c"]).as_py()),
+                t.num_rows,
+            )
+        )
+    stats.sort()
+    for (_lo1, hi1, _), (lo2, _hi2, _n2) in zip(stats, stats[1:]):
+        # ranges may touch at a shared boundary value (ties split
+        # across files) but must never interleave
+        if lo2 < hi1:
+            raise AssertionError(
+                f"sorted_export_audit: overlapping file key ranges "
+                f"({hi1} vs {lo2}) — not a range-partitioned sort"
+            )
+    if not stats:
+        raise AssertionError("sorted_export_audit: no non-empty files")
+    n_total = sum(n for _, _, n in stats)
+    sum_c = 0
+    for f in files:
+        t = pq.read_table(f, columns=["price_c"])
+        sum_c += int(pc.sum(t["price_c"]).as_py() or 0)
+    # file COUNT is a Ray layout detail, deliberately not in the
+    # comparable output — the disjointness assert above is the
+    # structural evidence
+    return pd.DataFrame(
+        {
+            "n_rows": pd.Series([n_total], dtype="int64"),
+            "sum_price_c": pd.Series([sum_c], dtype="int64"),
+            "min_c": pd.Series([stats[0][0]], dtype="int64"),
+            "max_c": pd.Series([max(h for _, h, _ in stats)], dtype="int64"),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -7309,6 +7458,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segments": q_rfm_segments,
         "incremental_view_merge": q_incremental_view_merge,
         "mart_export_digest": q_mart_export_digest,
+        "compaction_roundtrip": q_compaction_roundtrip,
+        "sorted_export_audit": q_sorted_export_audit,
     }
 
 
@@ -9609,5 +9760,46 @@ SELECT n_name, n_orders, rev_c,
        CAST(dg // 4294967296 AS BIGINT) AS digest_hi,
        CAST(dg % 4294967296 AS BIGINT) AS digest_lo
 FROM a ORDER BY n_name
+""",
+        "compaction_roundtrip": r"""
+WITH s1 AS (
+  SELECT source, n_chars,
+         CAST((CAST(doc_id AS UHUGEINT) + 11400714819323198485)
+              % 18446744073709551616 AS UBIGINT) AS z
+  FROM documents
+), s2 AS (
+  SELECT source, n_chars,
+         CAST((CAST(xor(z, z >> 30) AS UHUGEINT) * 13787848793156543929)
+              % 18446744073709551616 AS UBIGINT) AS z
+  FROM s1
+), s3 AS (
+  SELECT source, n_chars,
+         CAST((CAST(xor(z, z >> 27) AS UHUGEINT) * 10723151780598845931)
+              % 18446744073709551616 AS UBIGINT) AS z
+  FROM s2
+), h AS (
+  SELECT source, n_chars, xor(z, z >> 31) AS h FROM s3
+), a AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         CAST(SUM(CAST(h AS HUGEINT)) % 18446744073709551616 AS UHUGEINT)
+           AS dg
+  FROM h GROUP BY source
+)
+SELECT source, n_docs, sum_chars,
+       CAST(dg // 4294967296 AS BIGINT) AS digest_hi,
+       CAST(dg % 4294967296 AS BIGINT) AS digest_lo
+FROM a ORDER BY source
+""",
+        "sorted_export_audit": r"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_c,
+       CAST(MIN(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS min_c,
+       CAST(MAX(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS max_c
+FROM orders
 """,
     }

@@ -192,6 +192,8 @@ BENCH_QUERIES = [
     "rfm_segments",  # triple exact NTILE ranking -> 4^3 cell grid
     "incremental_view_merge",  # base+delta partial-state merge vs recompute
     "mart_export_digest",  # snowflake mart sink->read->content digest
+    "compaction_roundtrip",  # 64 tiny files -> 8, content-digest verified
+    "sorted_export_audit",  # range-partitioned sorted sink, disjoint files
 ]
 
 
