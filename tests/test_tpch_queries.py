@@ -118,6 +118,10 @@ def test_weighted_median_vs_duckdb(ray_session):
         "multimodal_payload_audit",
         "source_overlap_matrix",
         "nation_segments",
+        "incremental_view_merge",
+        "mart_export_digest",
+        "compaction_roundtrip",
+        "sorted_export_audit",
     ],
 )
 def test_new_query_matches_oracle_sf0001(ray_session, qname):
