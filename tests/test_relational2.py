@@ -2345,3 +2345,47 @@ def test_new_primitives_empty_inputs(ray_session):
         grouped_topk_distinct(empty_kv, "g", "v", 3), ["g", "rk"]
     )
     assert got.empty and list(got.columns) == ["g", "v", "n", "rk"]
+
+
+def test_rank_and_prefix_layout_invariance(ray_session):
+    """Block-layout invariance of the global ranking and prefix-sum
+    primitives: the SAME logical input split 3 different ways must
+    produce byte-identical rank/prefix columns (the property every
+    driver-scored window query rests on)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        collect_sorted,
+        global_prefix_sum,
+        global_row_number,
+    )
+
+    rng = np.random.Generator(np.random.Philox(key=[31, 7]))
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "v": rng.integers(0, 400, n).astype(np.int64),
+            "w": rng.integers(1, 9, n).astype(np.int64),
+        }
+    )
+    outs = []
+    for parts in (2, 7, 23):
+        ds = rd.from_pandas(df).repartition(parts)
+        ranked, n_total = global_row_number(ds, ["v", "id"], out_col="rn")
+        assert n_total == n
+        got = collect_sorted(ranked, ["rn"])[["id", "v", "rn"]]
+        outs.append(got.reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], outs[2])
+
+    pouts = []
+    for parts in (3, 11):
+        ds = rd.from_pandas(df).repartition(parts)
+        ranked, totals = global_prefix_sum(
+            ds, ["v", "id"], "w", out_col="pre"
+        )
+        got = collect_sorted(ranked, ["v", "id"])[["id", "pre"]]
+        pouts.append((got.reset_index(drop=True), totals))
+    pd.testing.assert_frame_equal(pouts[0][0], pouts[1][0])
+    assert pouts[0][1] == pouts[1][1]
