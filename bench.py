@@ -194,6 +194,7 @@ BENCH_QUERIES = [
     "mart_export_digest",  # snowflake mart sink->read->content digest
     "compaction_roundtrip",  # 64 tiny files -> 8, content-digest verified
     "sorted_export_audit",  # range-partitioned sorted sink, disjoint files
+    "embedding_quantization",  # int8 codes bit-identical across engines
 ]
 
 

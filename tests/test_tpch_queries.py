@@ -122,6 +122,7 @@ def test_weighted_median_vs_duckdb(ray_session):
         "mart_export_digest",
         "compaction_roundtrip",
         "sorted_export_audit",
+        "embedding_quantization",
     ],
 )
 def test_new_query_matches_oracle_sf0001(ray_session, qname):
