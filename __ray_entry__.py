@@ -7348,6 +7348,47 @@ def q_embedding_quantization(sf_dir: str):
     return df.sort_values("label").reset_index(drop=True)
 
 
+def q_table_profile(sf_dir: str):
+    """Distributed `describe` over the orders table: per column, null
+    count, EXACT distinct count and typed min/max — prices as cents,
+    dates as epoch days, everything engine-comparable. Null/min/max
+    merge via one Ray exchange (one row per column at the driver);
+    exact distincts are one value-bucket exchange per column, each
+    moving at most that column's distinct values."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.profile import profile_table
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"))
+    US_PER_DAY = np.int64(86_400_000_000)
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = t["o_orderdate"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "o_orderstatus": t["o_orderstatus"],
+                "o_orderpriority": t["o_orderpriority"],
+                "price_c": pc.round(
+                    pc.multiply(t["o_totalprice"], 100.0)
+                ).cast(pa.int64()),
+                "order_day": pa.array(
+                    ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+                    // US_PER_DAY
+                ),
+            }
+        )
+
+    return profile_table(
+        orders.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        int_cols=["o_orderkey", "o_custkey", "price_c", "order_day"],
+        str_cols=["o_orderstatus", "o_orderpriority"],
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -7513,6 +7554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compaction_roundtrip": q_compaction_roundtrip,
         "sorted_export_audit": q_sorted_export_audit,
         "embedding_quantization": q_embedding_quantization,
+        "table_profile": q_table_profile,
     }
 
 
@@ -9885,5 +9927,53 @@ SELECT label,
        CAST(MAX(q_max) AS BIGINT) AS q_max,
        CAST(SUM(n_sat) AS BIGINT) AS n_saturated
 FROM r GROUP BY label ORDER BY label
+""",
+        "table_profile": r"""
+WITH o AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         CAST(o_custkey AS BIGINT) AS o_custkey,
+         o_orderstatus, o_orderpriority,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS order_day
+  FROM orders
+)
+SELECT 'o_orderkey' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS min_v,
+       CAST(MAX(o_orderkey) AS VARCHAR) AS max_v
+FROM o
+UNION ALL
+SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+       CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+FROM o
+UNION ALL
+SELECT 'price_c', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(price_c) AS BIGINT),
+       CAST(COUNT(DISTINCT price_c) AS BIGINT),
+       CAST(MIN(price_c) AS VARCHAR), CAST(MAX(price_c) AS VARCHAR)
+FROM o
+UNION ALL
+SELECT 'order_day', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(order_day) AS BIGINT),
+       CAST(COUNT(DISTINCT order_day) AS BIGINT),
+       CAST(MIN(order_day) AS VARCHAR), CAST(MAX(order_day) AS VARCHAR)
+FROM o
+UNION ALL
+SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+       MIN(o_orderstatus), MAX(o_orderstatus)
+FROM o
+UNION ALL
+SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+       MIN(o_orderpriority), MAX(o_orderpriority)
+FROM o
+ORDER BY col
 """,
     }

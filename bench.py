@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     "compaction_roundtrip",  # 64 tiny files -> 8, content-digest verified
     "sorted_export_audit",  # range-partitioned sorted sink, disjoint files
     "embedding_quantization",  # int8 codes bit-identical across engines
+    "table_profile",  # distributed describe: nulls, exact distinct, min/max
 ]
 
 

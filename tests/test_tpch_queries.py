@@ -123,6 +123,7 @@ def test_weighted_median_vs_duckdb(ray_session):
         "compaction_roundtrip",
         "sorted_export_audit",
         "embedding_quantization",
+        "table_profile",
     ],
 )
 def test_new_query_matches_oracle_sf0001(ray_session, qname):
