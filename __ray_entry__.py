@@ -7389,6 +7389,88 @@ def q_table_profile(sf_dir: str):
     )
 
 
+CONC_KS = [10, 100, 1000]
+
+
+def q_revenue_concentration(sf_dir: str):
+    """Revenue concentration curve (the whale-customer diagnostic):
+    what share of total revenue the top-10/100/1000 customers hold.
+    Per-customer revenue folds in one custkey bucket exchange; ONE
+    distributed ranking (rev DESC, custkey) assigns positions; each
+    batch then emits per-k partial sums, merged via a tiny exchange —
+    shares in exact ppm (floor), no division drift."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        bucketed_group_agg,
+        global_row_number,
+        grouped_agg,
+    )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "rev_c": pc.round(
+                    pc.multiply(t["o_totalprice"], 100.0)
+                ).cast(pa.int64()),
+            }
+        )
+
+    per_cust = bucketed_group_agg(
+        orders.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        "o_custkey",
+        [("rev_c", "sum")],
+    ).map_batches(
+        lambda t: t.append_column(
+            "neg_rev", pc.negate(pc.cast(t["rev_c"], pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )
+    ranked, n_cust = global_row_number(
+        per_cust, ["neg_rev", "o_custkey"], out_col="rn"
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        rn = t["rn"].to_numpy(zero_copy_only=False)
+        rev = t["rev_c"].to_numpy(zero_copy_only=False)
+        ks, tops, tot = [], [], int(rev.sum())
+        for k in CONC_KS:
+            ks.append(k)
+            tops.append(int(rev[rn <= k].sum()))
+        return pa.table(
+            {
+                "k": pa.array(np.asarray(ks, np.int64)),
+                "top_rev_c": pa.array(np.asarray(tops, np.int64)),
+                "total_rev_c": pa.array(
+                    np.full(len(ks), tot, dtype=np.int64)
+                ),
+            }
+        )
+
+    df = grouped_agg(
+        ranked.map_batches(partial, batch_format="pyarrow"),
+        ["k"],
+        {
+            "top_rev_c": ("top_rev_c", "sum"),
+            "total_rev_c": ("total_rev_c", "sum"),
+        },
+    )
+    df["share_ppm"] = (
+        df["top_rev_c"].astype("int64") * 1_000_000
+        // df["total_rev_c"].astype("int64")
+    ).astype("int64")
+    df["n_customers"] = np.int64(n_cust)
+    for c in ("k", "top_rev_c", "total_rev_c", "share_ppm", "n_customers"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("k").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -7555,6 +7637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_export_audit": q_sorted_export_audit,
         "embedding_quantization": q_embedding_quantization,
         "table_profile": q_table_profile,
+        "revenue_concentration": q_revenue_concentration,
     }
 
 
@@ -9975,5 +10058,29 @@ SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
        MIN(o_orderpriority), MAX(o_orderpriority)
 FROM o
 ORDER BY col
+""",
+        "revenue_concentration": r"""
+WITH pc AS (
+  SELECT o_custkey,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+  FROM orders GROUP BY o_custkey
+), r AS (
+  SELECT rev_c,
+         ROW_NUMBER() OVER (ORDER BY rev_c DESC, o_custkey) AS rn,
+         COUNT(*) OVER () AS n_cust,
+         SUM(rev_c) OVER () AS tot
+  FROM pc
+), ks AS (
+  SELECT unnest([10, 100, 1000]) AS k
+)
+SELECT CAST(ks.k AS BIGINT) AS k,
+       CAST(SUM(CASE WHEN r.rn <= ks.k THEN r.rev_c ELSE 0 END)
+            AS BIGINT) AS top_rev_c,
+       CAST(MIN(r.tot) AS BIGINT) AS total_rev_c,
+       CAST(SUM(CASE WHEN r.rn <= ks.k THEN r.rev_c ELSE 0 END) * 1000000
+            // MIN(r.tot) AS BIGINT) AS share_ppm,
+       CAST(MIN(r.n_cust) AS BIGINT) AS n_customers
+FROM ks CROSS JOIN r
+GROUP BY ks.k ORDER BY k
 """,
     }

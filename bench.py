@@ -196,6 +196,7 @@ BENCH_QUERIES = [
     "sorted_export_audit",  # range-partitioned sorted sink, disjoint files
     "embedding_quantization",  # int8 codes bit-identical across engines
     "table_profile",  # distributed describe: nulls, exact distinct, min/max
+    "revenue_concentration",  # top-k whale share via one global ranking
 ]
 
 

@@ -124,6 +124,7 @@ def test_weighted_median_vs_duckdb(ray_session):
         "sorted_export_audit",
         "embedding_quantization",
         "table_profile",
+        "revenue_concentration",
     ],
 )
 def test_new_query_matches_oracle_sf0001(ray_session, qname):
