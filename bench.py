@@ -197,6 +197,7 @@ BENCH_QUERIES = [
     "embedding_quantization",  # int8 codes bit-identical across engines
     "table_profile",  # distributed describe: nulls, exact distinct, min/max
     "revenue_concentration",  # top-k whale share via one global ranking
+    "hard_negatives",  # contrastive mining: top-k sims, same-label masked
 ]
 
 

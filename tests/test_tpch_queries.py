@@ -125,6 +125,7 @@ def test_weighted_median_vs_duckdb(ray_session):
         "embedding_quantization",
         "table_profile",
         "revenue_concentration",
+        "hard_negatives",
     ],
 )
 def test_new_query_matches_oracle_sf0001(ray_session, qname):
