@@ -7556,6 +7556,65 @@ def q_hard_negatives(sf_dir: str):
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def q_order_fanout_histogram(sf_dir: str):
+    """Join-cardinality diagnostic: the distribution of lineitems per
+    order (how many orders have exactly k items) — the fan-out
+    histogram that predicts join blow-up and reducer skew. One orderkey
+    bucket exchange counts per-order items; the in-bucket post
+    collapses straight to (k, n_orders) partials, so the driver folds
+    buckets x distinct-k tiny rows."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        bucketed_group_agg,
+        collect_sorted,
+    )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey"]
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "l_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                    "n": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            )
+            .group_by("l_orderkey")
+            .aggregate([("n", "sum")])
+        )
+        return pa.table(
+            {"l_orderkey": g["l_orderkey"], "n": pc.cast(g["n_sum"], pa.int64())}
+        )
+
+    def post(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"k": t["n"]})
+            .group_by("k")
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "n_items": g["k"],
+                "n_orders": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    parts = bucketed_group_agg(
+        li.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True),
+        "l_orderkey",
+        [("n", "sum")],
+        post=post,
+    )
+    df = collect_sorted(parts, ["n_items"])
+    df = df.groupby("n_items", as_index=False)["n_orders"].sum()
+    for c in df.columns:
+        df[c] = df[c].astype("int64")
+    return df.sort_values("n_items").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -7724,6 +7783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_profile": q_table_profile,
         "revenue_concentration": q_revenue_concentration,
         "hard_negatives": q_hard_negatives,
+        "order_fanout_histogram": q_order_fanout_histogram,
     }
 
 
@@ -10188,5 +10248,13 @@ SELECT CAST(query_id AS BIGINT) AS query_id,
        CAST(vec_id AS BIGINT) AS vec_id,
        CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= 8 ORDER BY query_id, rank
+""",
+        "order_fanout_histogram": r"""
+WITH c AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT n_items, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM c GROUP BY n_items ORDER BY n_items
 """,
     }

@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "table_profile",  # distributed describe: nulls, exact distinct, min/max
     "revenue_concentration",  # top-k whale share via one global ranking
     "hard_negatives",  # contrastive mining: top-k sims, same-label masked
+    "order_fanout_histogram",  # group-size distribution (join fan-out)
 ]
 
 

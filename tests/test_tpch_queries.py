@@ -126,6 +126,7 @@ def test_weighted_median_vs_duckdb(ray_session):
         "table_profile",
         "revenue_concentration",
         "hard_negatives",
+        "order_fanout_histogram",
     ],
 )
 def test_new_query_matches_oracle_sf0001(ray_session, qname):
