@@ -7615,6 +7615,230 @@ def q_order_fanout_histogram(sf_dir: str):
     return df.sort_values("n_items").reset_index(drop=True)
 
 
+def q_freshness_lag(sf_dir: str):
+    """Data-freshness validation (the "is this partition stale?" gate a
+    100-TB ingest runs before promoting a load): per event_type, row
+    count, latest timestamp, its lag behind the GLOBAL latest timestamp
+    in whole seconds, and the trailing-7-day row count. Two streaming
+    passes — pass 1's per-type (count, max) exchange is 5 rows, the
+    driver folds the global max from it for free, pass 2 recounts only
+    rows past the cutoff. All integers (epoch micros / floor seconds);
+    nothing float crosses engines."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
+    )
+
+    def ts_us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+            }
+        )
+
+    ev_us = ev.map_batches(ts_us, batch_format="pyarrow", zero_copy_batch=True)
+    per = grouped_agg(
+        ev_us,
+        ["event_type"],
+        {"n_rows": ("ts_us", "count"), "max_ts_us": ("ts_us", "max")},
+    )
+    gmax = int(per["max_ts_us"].max())
+    cutoff = gmax - 7 * 86_400 * 1_000_000
+
+    def recent_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["ts_us"], cutoff))
+
+    rec = grouped_agg(
+        ev_us.map_batches(recent_only, batch_format="pyarrow"),
+        ["event_type"],
+        {"n_last_7d": ("ts_us", "count")},
+    )
+    out = per.merge(rec, on="event_type", how="left")
+    out["n_last_7d"] = out["n_last_7d"].fillna(0)
+    out["lag_s"] = (gmax - out["max_ts_us"].astype("int64")) // 1_000_000
+    for c in ("n_rows", "max_ts_us", "lag_s", "n_last_7d"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["event_type", "n_rows", "max_ts_us", "lag_s", "n_last_7d"]]
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
+def q_partition_count_anomaly(sf_dir: str):
+    """Row-count anomaly detection over ingest partitions (the load
+    monitor that catches a half-written day): daily row counts per
+    event_type, each day's z-score against that type's own mean/std.
+    One (type, day) grouped exchange moves only the bounded
+    types x days axis; z is computed from EXACT integer sums in one
+    fixed-order formula — z = (n*D - S) / sqrt(D*Sxx - S^2), two
+    correctly-rounded IEEE ops on exact int64 inputs, so bytes match
+    DuckDB's. Overflow-safe while D*Sxx < 2^63 (counts here are
+    ~thousands; at 10^12 rows/day switch the partial to int128 blobs
+    like the power-sum moments query)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    US_PER_DAY = np.int64(86_400_000_000)
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        ts = t["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        day = ts.cast(pa.int64()).to_numpy(zero_copy_only=False) // US_PER_DAY
+        return pa.table(
+            {"event_type": t["event_type"], "day": pa.array(day)}
+        )
+
+    d = grouped_agg(
+        ev.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "day"],
+        {"n": ("day", "count")},
+    )
+    n = d["n"].astype("int64").to_numpy()
+    # per-type exact moments over the bounded (type, day) axis
+    g = d.groupby("event_type")["n"]
+    D = g.transform("size").to_numpy().astype(np.int64)
+    S = g.transform("sum").to_numpy().astype(np.int64)
+    Sxx = (
+        d.assign(nsq=d["n"].astype("int64") ** 2)
+        .groupby("event_type")["nsq"]
+        .transform("sum")
+        .to_numpy()
+        .astype(np.int64)
+    )
+    num = n * D - S
+    den = D * Sxx - S * S
+    with np.errstate(invalid="ignore", divide="ignore"):
+        z = np.where(
+            den > 0, num.astype(np.float64) / np.sqrt(den.astype(np.float64)), 0.0
+        )
+    out = pd.DataFrame(
+        {
+            "event_type": d["event_type"],
+            "day": d["day"].astype("int64"),
+            "n": d["n"].astype("int64"),
+            "z": z,
+            "is_anomaly": np.abs(z) > 3.0,
+        }
+    )
+    return out.sort_values(["event_type", "day"]).reset_index(drop=True)
+
+
+DOC_CONTRACT: list[tuple[str, str]] = [
+    ("doc_id", "int64"),
+    ("text", "string"),
+    ("lang", "string"),
+    ("source", "string"),
+    ("n_chars", "int64"),
+    ("license", "string"),  # deliberately absent -> MISSING row
+]
+
+
+def q_schema_contract_check(sf_dir: str):
+    """Schema-contract validation (the structural check of SURVEY §2.2
+    lifted to table level): the documents table's ACTUAL Parquet schema
+    diffed against a declared column contract — OK / TYPE_MISMATCH /
+    MISSING (declared, absent) / UNEXPECTED (present, undeclared) per
+    column. Metadata-only: reads the Parquet footer, no data scan — the
+    shape that stays O(columns) at any row count."""
+    import ray.data as rd
+
+    _ARROW_NAME = {"int64": "int64", "string": "string", "large_string": "string"}
+
+    sch = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).schema()
+    actual = {
+        n: _ARROW_NAME.get(str(t), str(t))
+        for n, t in zip(sch.names, sch.types)
+    }
+    declared = dict(DOC_CONTRACT)
+    rows = []
+    for col in sorted(set(declared) | set(actual)):
+        exp, act = declared.get(col), actual.get(col)
+        if act is None:
+            status = "MISSING"
+        elif exp is None:
+            status = "UNEXPECTED"
+        elif exp == act:
+            status = "OK"
+        else:
+            status = "TYPE_MISMATCH"
+        rows.append((col, exp, act, status))
+    return pd.DataFrame(
+        rows, columns=["col", "expected_type", "actual_type", "status"]
+    )
+
+
+def q_dedup_rate_by_source(sf_dir: str):
+    """Duplication-rate scorecard per source (the curation dashboard
+    number that decides which crawl gets re-fetched): rows, distinct
+    texts, duplicate rows and an exact ppm rate. Texts never ride the
+    exchange — each batch maps text -> 64-bit content hash; one hash
+    bucket exchange then counts (source, hash) groups complete (equal
+    hashes co-locate), and each bucket emits per-source partials only.
+    Same no-collision contract as dedup/exact.py (driver-verified)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.functions.hashing import hash_string_array
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        collect_sorted,
+        resolve_num_buckets,
+        tag_bucket,
+    )
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+    nb = resolve_num_buckets(docs)
+
+    def pre(t: pa.Table) -> pa.Table:
+        h = hash_string_array(t["text"]).view(np.int64)  # bits, tag_bucket-safe
+        ht = pa.table({"source": t["source"], "h": pa.array(h)})
+        g = ht.group_by(["source", "h"]).aggregate([("h", "count")])
+        out = pa.table(
+            {
+                "source": g["source"],
+                "h": g["h"],
+                "c": pc.cast(g["h_count"], pa.int64()),
+            }
+        )
+        return tag_bucket(out, "h", nb)
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        gg = g.group_by(["source", "h"]).aggregate([("c", "sum")])
+        per = gg.group_by("source").aggregate([("c_sum", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "source": per["source"],
+                "n_docs": pc.cast(per["c_sum_sum"], pa.int64()),
+                "n_distinct": pc.cast(per["count_all"], pa.int64()),
+            }
+        )
+
+    parts = (
+        docs.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+    )
+    df = collect_sorted(parts, ["source"])
+    df = df.groupby("source", as_index=False).sum()
+    df["n_dup_rows"] = df["n_docs"] - df["n_distinct"]
+    df["dup_ppm"] = df["n_dup_rows"] * 1_000_000 // df["n_docs"]
+    for c in ("n_docs", "n_distinct", "n_dup_rows", "dup_ppm"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("source").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -7784,6 +8008,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_concentration": q_revenue_concentration,
         "hard_negatives": q_hard_negatives,
         "order_fanout_histogram": q_order_fanout_histogram,
+        "freshness_lag": q_freshness_lag,
+        "partition_count_anomaly": q_partition_count_anomaly,
+        "schema_contract_check": q_schema_contract_check,
+        "dedup_rate_by_source": q_dedup_rate_by_source,
     }
 
 
@@ -10256,5 +10484,79 @@ WITH c AS (
 )
 SELECT n_items, CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM c GROUP BY n_items ORDER BY n_items
+""",
+        "freshness_lag": r"""
+WITH g AS (SELECT max(epoch_us(ts)) AS gmax FROM events),
+per AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
+  FROM events GROUP BY event_type
+),
+recent AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_last_7d
+  FROM events CROSS JOIN g
+  WHERE epoch_us(ts) >= g.gmax - CAST(604800000000 AS BIGINT)
+  GROUP BY event_type
+)
+SELECT per.event_type, per.n_rows, per.max_ts_us,
+       CAST((g.gmax - per.max_ts_us) // 1000000 AS BIGINT) AS lag_s,
+       CAST(coalesce(recent.n_last_7d, 0) AS BIGINT) AS n_last_7d
+FROM per CROSS JOIN g
+LEFT JOIN recent ON per.event_type = recent.event_type
+ORDER BY per.event_type
+""",
+        "partition_count_anomaly": r"""
+WITH d AS (
+  SELECT event_type,
+         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS dd,
+         CAST(sum(n) AS BIGINT) AS S,
+         CAST(sum(n * n) AS BIGINT) AS Sxx
+  FROM d GROUP BY event_type
+),
+zc AS (
+  SELECT d.event_type, d.day, d.n,
+         CASE WHEN s.dd * s.Sxx - s.S * s.S <= 0 THEN 0.0
+              ELSE CAST(d.n * s.dd - s.S AS DOUBLE)
+                   / sqrt(CAST(s.dd * s.Sxx - s.S * s.S AS DOUBLE)) END AS z
+  FROM d JOIN s USING (event_type)
+)
+SELECT event_type, day, n, z, abs(z) > 3.0 AS is_anomaly
+FROM zc ORDER BY event_type, day
+""",
+        "schema_contract_check": r"""
+WITH actual AS (
+  SELECT column_name AS col,
+         CASE column_type
+           WHEN 'BIGINT' THEN 'int64'
+           WHEN 'VARCHAR' THEN 'string'
+           WHEN 'DOUBLE' THEN 'double'
+           WHEN 'INTEGER' THEN 'int32'
+           ELSE lower(column_type) END AS actual_type
+  FROM (DESCRIBE SELECT * FROM documents)
+),
+contract(col, expected_type) AS (
+  VALUES ('doc_id', 'int64'), ('text', 'string'), ('lang', 'string'),
+         ('source', 'string'), ('n_chars', 'int64'), ('license', 'string')
+)
+SELECT coalesce(c.col, a.col) AS col, c.expected_type, a.actual_type,
+       CASE WHEN a.col IS NULL THEN 'MISSING'
+            WHEN c.col IS NULL THEN 'UNEXPECTED'
+            WHEN c.expected_type = a.actual_type THEN 'OK'
+            ELSE 'TYPE_MISMATCH' END AS status
+FROM contract c FULL OUTER JOIN actual a ON c.col = a.col
+ORDER BY col
+""",
+        "dedup_rate_by_source": r"""
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT text) AS BIGINT) AS n_distinct,
+       CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_dup_rows,
+       CAST((count(*) - count(DISTINCT text)) * 1000000 // count(*)
+            AS BIGINT) AS dup_ppm
+FROM documents GROUP BY source ORDER BY source
 """,
     }
