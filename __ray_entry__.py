@@ -7839,6 +7839,303 @@ def q_dedup_rate_by_source(sf_dir: str):
     return df.sort_values("source").reset_index(drop=True)
 
 
+def q_gdpr_purge_audit(sf_dir: str):
+    """Right-to-be-forgotten purge audit: deletion requests (customers
+    with negative balance) are applied to the events stream as a
+    broadcast anti-membership pass, and the audit reports kept/purged
+    row counts plus distinct purged users per event_type. The request
+    key set ships once via ray.put (dimension-sized); events never
+    shuffle — the only exchanges are the two tiny per-type aggregates.
+    Reference analog: the reference's DB-side DELETE+audit trail
+    (tech_tables.sql) re-expressed as an immutable-data audit."""
+    import ray
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_acctbal"],
+    )
+
+    def keys_only(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.less(t["c_acctbal"], 0.0))
+        return pa.table({"k": pc.cast(f["c_custkey"], pa.int64())})
+
+    key_tables = [
+        t
+        for t in ray.get(
+            cust.map_batches(
+                keys_only, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    del_keys = (
+        pa.concat_tables(key_tables)["k"].combine_chunks()
+        if key_tables
+        else pa.array([], pa.int64())
+    )
+    kref = ray.put(del_keys)
+
+    class Tagger:
+        def __init__(self):
+            self.keys = ray.get(kref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            uid = pc.cast(t["user_id"], pa.int64())
+            purged = pc.is_in(uid, value_set=self.keys)
+            one, zero = pa.scalar(1, pa.int64()), pa.scalar(0, pa.int64())
+            return pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "user_id": uid,
+                    "kept": pc.if_else(purged, zero, one),
+                    "purged": pc.if_else(purged, one, zero),
+                }
+            )
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id"],
+    ).map_batches(Tagger, batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
+
+    counts = grouped_agg(
+        ev,
+        ["event_type"],
+        {"rows_kept": ("kept", "sum"), "rows_purged": ("purged", "sum")},
+    )
+    # distinct purged users: bounded (type x user) axis through one exchange
+    purged_users = grouped_agg(
+        ev.map_batches(
+            lambda t: t.filter(pc.equal(t["purged"], 1)),
+            batch_format="pyarrow",
+        ),
+        ["event_type", "user_id"],
+        {"n": ("user_id", "count")},
+    )
+    pu = (
+        purged_users.groupby("event_type")
+        .size()
+        .rename("users_purged")
+        .reset_index()
+    )
+    out = counts.merge(pu, on="event_type", how="left")
+    out["users_purged"] = out["users_purged"].fillna(0)
+    for c in ("rows_kept", "rows_purged", "users_purged"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_type_token_hapax(sf_dir: str):
+    """Lexical-diversity scorecard per source: total words, distinct
+    words, hapax legomena (frequency-1 words) and the type-token ratio
+    — the classic text-quality signals for corpus curation. Per-batch
+    Arrow hash-aggregates collapse (source, word) pairs BEFORE the
+    word-bucket exchange; same-word rows co-locate per bucket, so
+    hapax-ness is decidable in-bucket and only per-source partials
+    leave. TTR is ONE division of exact int64 counts — bit-equal to
+    DuckDB's."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        collect_sorted,
+        resolve_num_buckets,
+        tag_bucket,
+    )
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+    nb = resolve_num_buckets(docs)
+
+    def pre(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern(pc.utf8_lower(pc.fill_null(text, "")), " ")
+        flat = pc.list_flatten(words)
+        offsets = np.asarray(words.offsets, dtype=np.int64)
+        si = np.repeat(
+            np.arange(len(offsets) - 1, dtype=np.int64), np.diff(offsets)
+        )
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        pairs = pa.table({"source": src.take(pa.array(si)), "word": flat}).filter(
+            pc.not_equal(flat, "")
+        )
+        g = pairs.group_by(["source", "word"]).aggregate([("word", "count")])
+        out = pa.table(
+            {
+                "source": g["source"],
+                "word": g["word"],
+                "c": pc.cast(g["word_count"], pa.int64()),
+            }
+        )
+        return tag_bucket(out, "word", nb)
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        gg = g.group_by(["source", "word"]).aggregate([("c", "sum")])
+        hap = pc.cast(pc.equal(gg["c_sum"], 1), pa.int64())
+        per = (
+            pa.table(
+                {
+                    "source": gg["source"],
+                    "c": gg["c_sum"],
+                    "hap": hap,
+                }
+            )
+            .group_by("source")
+            .aggregate([("c", "sum"), ("hap", "sum"), ([], "count_all")])
+        )
+        return pa.table(
+            {
+                "source": per["source"],
+                "total_words": pc.cast(per["c_sum"], pa.int64()),
+                "hapax_words": pc.cast(per["hap_sum"], pa.int64()),
+                "distinct_words": pc.cast(per["count_all"], pa.int64()),
+            }
+        )
+
+    parts = (
+        docs.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+    )
+    df = collect_sorted(parts, ["source"])
+    df = df.groupby("source", as_index=False)[
+        ["total_words", "distinct_words", "hapax_words"]
+    ].sum()
+    for c in ("total_words", "distinct_words", "hapax_words"):
+        df[c] = df[c].astype("int64")
+    df["ttr"] = df["distinct_words"].to_numpy(np.float64) / df[
+        "total_words"
+    ].to_numpy(np.float64)
+    return (
+        df[["source", "total_words", "distinct_words", "hapax_words", "ttr"]]
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+
+
+def q_interleave_mix_schedule(sf_dir: str):
+    """Deterministic training-mix interleave: round-robin over sources
+    (sorted), within each source docs stream in doc_id order — the
+    schedule a data-loader would replay identically on every worker.
+    ONE distributed ranking over (source, doc_id) assigns global ranks;
+    per-source offsets (a dimension-sized driver fold) convert them to
+    in-source ranks, and epoch_pos = (rank-1)*n_sources + source_index
+    is pure per-batch arithmetic. No per-source sort, no second
+    exchange."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        collect_sorted,
+        global_row_number,
+        grouped_agg,
+    )
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+    per_src = grouped_agg(docs, ["source"], {"n": ("doc_id", "count")})
+    srcs = sorted(per_src["source"])
+    si = {s: i for i, s in enumerate(srcs)}
+    off, acc = {}, 0
+    for s in srcs:
+        off[s] = acc
+        acc += int(per_src.set_index("source")["n"][s])
+    S = len(srcs)
+
+    ranked, _n = global_row_number(docs, ["source", "doc_id"], out_col="rn")
+
+    def pos(t: pa.Table) -> pa.Table:
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        rn = t["rn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = np.array([off[s] for s in srcs], np.int64)
+        sidx = np.array([si[s] for s in srcs], np.int64)
+        code = pc.index_in(src, value_set=pa.array(srcs)).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        ri = rn - offs[code]
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "source": src,
+                "rank_in_source": pa.array(ri),
+                "epoch_pos": pa.array((ri - 1) * S + sidx[code]),
+            }
+        )
+
+    out = collect_sorted(
+        ranked.map_batches(pos, batch_format="pyarrow"), ["epoch_pos"]
+    )
+    for c in ("doc_id", "rank_in_source", "epoch_pos"):
+        out[c] = out[c].astype("int64")
+    return out[["doc_id", "source", "rank_in_source", "epoch_pos"]].reset_index(
+        drop=True
+    )
+
+
+ECDF_PROBES = [1.0, 5.0, 20.0, 100.0]
+
+
+def q_event_value_ecdf(sf_dir: str):
+    """Empirical CDF probes of the event value distribution per type —
+    the distribution-drift primitive evaluated at fixed thresholds
+    (how KS tests compare corpora without shipping raw values). Each
+    batch collapses to per-type indicator sums (#probes columns), one
+    tiny per-type exchange merges them; frac is one exact-int division
+    per row."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        cols = {"event_type": t["event_type"]}
+        one, zero = pa.scalar(1, pa.int64()), pa.scalar(0, pa.int64())
+        for i, p in enumerate(ECDF_PROBES):
+            cols[f"le_{i}"] = pc.if_else(
+                pc.less_equal(t["value"], p), one, zero
+            )
+        cols["n"] = pa.array(np.ones(t.num_rows, np.int64))
+        return pa.table(cols)
+
+    aggs = {f"le_{i}": (f"le_{i}", "sum") for i in range(len(ECDF_PROBES))}
+    aggs["n_total"] = ("n", "sum")
+    wide = grouped_agg(
+        ev.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"],
+        aggs,
+    )
+    rows = []
+    for _, r in wide.iterrows():
+        for i, p in enumerate(ECDF_PROBES):
+            n_le, n_tot = int(r[f"le_{i}"]), int(r["n_total"])
+            rows.append(
+                (
+                    r["event_type"],
+                    float(p),
+                    n_le,
+                    n_tot,
+                    np.float64(n_le) / np.float64(n_tot),
+                )
+            )
+    out = pd.DataFrame(
+        rows, columns=["event_type", "probe", "n_le", "n_total", "frac"]
+    )
+    for c in ("n_le", "n_total"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["event_type", "probe"]).reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -8012,6 +8309,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "partition_count_anomaly": q_partition_count_anomaly,
         "schema_contract_check": q_schema_contract_check,
         "dedup_rate_by_source": q_dedup_rate_by_source,
+        "gdpr_purge_audit": q_gdpr_purge_audit,
+        "type_token_hapax": q_type_token_hapax,
+        "interleave_mix_schedule": q_interleave_mix_schedule,
+        "event_value_ecdf": q_event_value_ecdf,
     }
 
 
@@ -10558,5 +10859,68 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST((count(*) - count(DISTINCT text)) * 1000000 // count(*)
             AS BIGINT) AS dup_ppm
 FROM documents GROUP BY source ORDER BY source
+""",
+        "gdpr_purge_audit": r"""
+WITH del AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0),
+t AS (
+  SELECT event_type, user_id,
+         user_id IN (SELECT c_custkey FROM del) AS purged
+  FROM events
+)
+SELECT event_type,
+       CAST(sum(CASE WHEN purged THEN 0 ELSE 1 END) AS BIGINT) AS rows_kept,
+       CAST(sum(CASE WHEN purged THEN 1 ELSE 0 END) AS BIGINT) AS rows_purged,
+       CAST(count(DISTINCT CASE WHEN purged THEN user_id END) AS BIGINT)
+         AS users_purged
+FROM t GROUP BY event_type ORDER BY event_type
+""",
+        "type_token_hapax": r"""
+WITH w AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS word
+  FROM documents
+),
+f AS (
+  SELECT source, word, count(*) AS c
+  FROM w WHERE word <> '' GROUP BY source, word
+)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS total_words,
+       CAST(count(*) AS BIGINT) AS distinct_words,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_words,
+       CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS ttr
+FROM f GROUP BY source ORDER BY source
+""",
+        "interleave_mix_schedule": r"""
+WITH s AS (
+  SELECT source, ROW_NUMBER() OVER (ORDER BY source) - 1 AS si
+  FROM (SELECT DISTINCT source FROM documents)
+),
+n AS (SELECT count(*) AS S FROM s),
+r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS ri
+  FROM documents
+)
+SELECT CAST(r.doc_id AS BIGINT) AS doc_id, r.source,
+       CAST(r.ri AS BIGINT) AS rank_in_source,
+       CAST((r.ri - 1) * n.S + s.si AS BIGINT) AS epoch_pos
+FROM r JOIN s USING (source) CROSS JOIN n
+ORDER BY epoch_pos
+""",
+        "event_value_ecdf": r"""
+WITH p AS (
+  SELECT unnest([CAST(1.0 AS DOUBLE), CAST(5.0 AS DOUBLE),
+                 CAST(20.0 AS DOUBLE), CAST(100.0 AS DOUBLE)]) AS probe
+),
+a AS (
+  SELECT event_type, probe,
+         CAST(sum(CASE WHEN value <= probe THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_le,
+         CAST(count(*) AS BIGINT) AS n_total
+  FROM events CROSS JOIN p GROUP BY event_type, probe
+)
+SELECT event_type, probe, n_le, n_total,
+       CAST(n_le AS DOUBLE) / CAST(n_total AS DOUBLE) AS frac
+FROM a ORDER BY event_type, probe
 """,
     }
