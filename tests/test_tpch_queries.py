@@ -127,6 +127,18 @@ def test_weighted_median_vs_duckdb(ray_session):
         "revenue_concentration",
         "hard_negatives",
         "order_fanout_histogram",
+        "freshness_lag",
+        "partition_count_anomaly",
+        "schema_contract_check",
+        "dedup_rate_by_source",
+        "gdpr_purge_audit",
+        "type_token_hapax",
+        "interleave_mix_schedule",
+        "event_value_ecdf",
+        "national_market_share",
+        "embedding_dim_stats",
+        "max_drawdown",
+        "stop_ship_gate",
     ],
 )
 def test_new_query_matches_oracle_sf0001(ray_session, qname):
