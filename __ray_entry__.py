@@ -8491,6 +8491,230 @@ def q_stop_ship_gate(sf_dir: str):
     return out.sort_values("partition").reset_index(drop=True)
 
 
+def q_revenue_gini(sf_dir: str):
+    """Gini coefficient of per-customer revenue — the inequality /
+    skew diagnostic a mixture designer reads before weighting sources.
+    Exact integer arithmetic end to end: per-customer revenue in cents
+    folds in one custkey bucket exchange; ONE distributed ascending
+    ranking (rev, custkey) assigns positions; per-batch partials of
+    SUM(rank*rev) and SUM(rev) merge through a tiny exchange, and the
+    driver evaluates G = (2*S_ix - (n+1)*S_x) / (n*S_x) with Python
+    ints (no float drift). A loud guard raises if n*max(rev) nears
+    2^62 (the per-batch int64 product bound); past that the hi/lo
+    split-accumulator idiom (embedding_covariance) applies."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        bucketed_group_agg,
+        global_row_number,
+        grouped_agg,
+    )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "rev_c": pc.round(
+                    pc.multiply(t["o_totalprice"], 100.0)
+                ).cast(pa.int64()),
+            }
+        )
+
+    per_cust = bucketed_group_agg(
+        orders.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        "o_custkey",
+        [("rev_c", "sum")],
+    )
+    ranked, n_cust = global_row_number(
+        per_cust, ["rev_c", "o_custkey"], out_col="rn"
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        rn = t["rn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = t["rev_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(rev) and int(rn.max()) * int(rev.max()) >= 1 << 62:
+            raise ValueError(
+                "revenue_gini: rank*rev product nears int64 — switch the "
+                "partial to the hi/lo split accumulator"
+            )
+        return pa.table(
+            {
+                "one": pa.array(np.asarray([1], np.int64)),
+                "s_ix": pa.array(np.asarray([int((rn * rev).sum())], np.int64)),
+                "s_x": pa.array(np.asarray([int(rev.sum())], np.int64)),
+            }
+        )
+
+    df = grouped_agg(
+        ranked.map_batches(partial, batch_format="pyarrow"),
+        ["one"],
+        {"s_ix": ("s_ix", "sum"), "s_x": ("s_x", "sum")},
+    )
+    s_ix, s_x, n = int(df["s_ix"].iloc[0]), int(df["s_x"].iloc[0]), int(n_cust)
+    num = 2 * s_ix - (n + 1) * s_x
+    return pd.DataFrame(
+        {
+            "n_customers": np.asarray([n], np.int64),
+            "total_rev_c": np.asarray([s_x], np.int64),
+            "gini_ppm": np.asarray([num * 1_000_000 // (n * s_x)], np.int64),
+        }
+    )
+
+
+BENFORD_PPM = {
+    d: int(np.floor(np.log10(1.0 + 1.0 / d) * 1e6)) for d in range(1, 10)
+}
+
+
+def q_benford_first_digit(sf_dir: str):
+    """Benford's-law first-digit audit over order totals — the classic
+    fabricated-data / unit-mixup detector for a financial fact table.
+    The leading digit is taken from the EXACT decimal rendering of the
+    int64 cents value (no float log10 near-boundary risk); counts fold
+    in one tiny 9-key exchange; observed shares are floor-ppm ints and
+    the Benford expectation is a shared module constant inlined into
+    the oracle SQL, so both engines compare literal-identical values."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_totalprice"]
+    )
+
+    def digit(t: pa.Table) -> pa.Table:
+        c = pc.round(pc.multiply(t["o_totalprice"], 100.0)).cast(pa.int64())
+        d = pc.utf8_slice_codeunits(pc.cast(c, pa.string()), 0, 1)
+        return pa.table({"digit": pc.cast(d, pa.int64())})
+
+    df = grouped_agg(
+        orders.map_batches(digit, batch_format="pyarrow", zero_copy_batch=True),
+        ["digit"],
+        {"n_orders": ("digit", "count")},
+    )
+    total = int(df["n_orders"].sum())
+    df["digit"] = df["digit"].astype("int64")
+    df["n_orders"] = df["n_orders"].astype("int64")
+    df["obs_ppm"] = (df["n_orders"] * 1_000_000 // total).astype("int64")
+    df["benford_ppm"] = df["digit"].map(BENFORD_PPM).astype("int64")
+    df["dev_ppm"] = (df["obs_ppm"] - df["benford_ppm"]).astype("int64")
+    return df.sort_values("digit").reset_index(drop=True)
+
+
+Q15_LO, Q15_HI = "1996-01-01", "1996-04-01"
+
+
+def q_top_supplier_q15(sf_dir: str):
+    """TPC-H Q15 (top supplier, WITH ties): revenue per supplier over a
+    three-month ship window, suppliers tied at the global max win.
+    Predicate pushdown ships the date window into the parquet scanner;
+    revenue is exact 1e-4-dollar units (cents x (100-bp)); the supplier
+    fold is one bucket exchange whose result axis is the bounded
+    supplier key set, so the driver-side max+tie filter and the name
+    join against the small dim are O(#suppliers), never row data."""
+    import pyarrow.dataset as pds
+
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        bucketed_group_agg,
+    )
+
+    lo = np.datetime64(Q15_LO + "T00:00:00", "us")
+    hi = np.datetime64(Q15_HI + "T00:00:00", "us")
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=((pds.field("l_shipdate") >= lo) & (pds.field("l_shipdate") < hi)),
+    )
+
+    def rev(t: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(t["l_extendedprice"], 100.0)).cast(pa.int64())
+        bp = pc.round(pc.multiply(t["l_discount"], 100.0)).cast(pa.int64())
+        return pa.table(
+            {
+                "l_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                "total_rev_e4": pc.multiply(cents, pc.subtract(100, bp)),
+            }
+        )
+
+    per_supp = bucketed_group_agg(
+        li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True),
+        "l_suppkey",
+        [("total_rev_e4", "sum")],
+    ).to_pandas()  # bounded: one row per supplier
+    best = int(per_supp["total_rev_e4"].max())
+    win = per_supp[per_supp["total_rev_e4"] == best]
+    names = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_name"]
+    ).to_pandas()
+    out = win.merge(names, left_on="l_suppkey", right_on="s_suppkey")
+    out = out[["s_suppkey", "s_name", "total_rev_e4"]]
+    for c in ("s_suppkey", "total_rev_e4"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
+Q6_LO, Q6_HI = "1996-01-01", "1997-01-01"
+
+
+def q_forecast_revenue_q6(sf_dir: str):
+    """TPC-H Q6 (forecast revenue change): the discount revenue that
+    would be reclaimed by dropping 5-7% discounts on small-quantity
+    1996 line items. The date window pushes into the scanner; the
+    discount band compares on integer basis points (no float-literal
+    equality risk); revenue = cents x bp is exact 1e-4-dollar units,
+    folded by one per-batch partial + tiny exchange."""
+    import pyarrow.dataset as pds
+
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    lo = np.datetime64(Q6_LO + "T00:00:00", "us")
+    hi = np.datetime64(Q6_HI + "T00:00:00", "us")
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=((pds.field("l_shipdate") >= lo) & (pds.field("l_shipdate") < hi)),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        bp = pc.round(pc.multiply(t["l_discount"], 100.0)).cast(pa.int64())
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(bp, 5), pc.less_equal(bp, 7)),
+            pc.less(t["l_quantity"], 24.0),
+        )
+        f = t.filter(keep)
+        cents = pc.round(pc.multiply(f["l_extendedprice"], 100.0)).cast(pa.int64())
+        fbp = pc.round(pc.multiply(f["l_discount"], 100.0)).cast(pa.int64())
+        rev = int(pc.sum(pc.multiply(cents, fbp)).as_py() or 0)
+        return pa.table(
+            {
+                "one": pa.array(np.asarray([1], np.int64)),
+                "revenue_e4": pa.array(np.asarray([rev], np.int64)),
+                "n_rows": pa.array(np.asarray([f.num_rows], np.int64)),
+            }
+        )
+
+    df = grouped_agg(
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["one"],
+        {"revenue_e4": ("revenue_e4", "sum"), "n_rows": ("n_rows", "sum")},
+    )
+    return pd.DataFrame(
+        {
+            "n_rows": np.asarray([int(df["n_rows"].iloc[0])], np.int64),
+            "revenue_e4": np.asarray([int(df["revenue_e4"].iloc[0])], np.int64),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -8672,6 +8896,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_stats": q_embedding_dim_stats,
         "max_drawdown": q_max_drawdown,
         "stop_ship_gate": q_stop_ship_gate,
+        "revenue_gini": q_revenue_gini,
+        "benford_first_digit": q_benford_first_digit,
+        "top_supplier_q15": q_top_supplier_q15,
+        "forecast_revenue_q6": q_forecast_revenue_q6,
     }
 
 
@@ -11356,5 +11584,69 @@ SELECT p AS partition, CAST(5 AS BIGINT) AS n_rules,
        CASE WHEN inv > 0 THEN 'BLOCK' WHEN ref > 0 THEN 'WARN'
             ELSE 'SHIP' END AS gate
 FROM per ORDER BY partition
+""",
+        "revenue_gini": r"""
+WITH pc AS (
+  SELECT o_custkey,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+  FROM orders GROUP BY o_custkey
+), r AS (
+  SELECT rev_c,
+         ROW_NUMBER() OVER (ORDER BY rev_c, o_custkey) AS rn
+  FROM pc
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(rev_c) AS BIGINT) AS total_rev_c,
+       CAST((2 * SUM(rn * rev_c) - (COUNT(*) + 1) * SUM(rev_c)) * 1000000
+            // (COUNT(*) * SUM(rev_c)) AS BIGINT) AS gini_ppm
+FROM r
+""",
+        "benford_first_digit": f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders
+), c AS (
+  SELECT digit, COUNT(*) AS n_orders FROM d GROUP BY digit
+), b AS (
+  SELECT unnest([{", ".join(str(d) for d in range(1, 10))}]) AS digit,
+         unnest([{", ".join(str(BENFORD_PPM[d]) for d in range(1, 10))}])
+           AS benford_ppm
+), t AS (SELECT SUM(n_orders) AS total FROM c)
+SELECT CAST(c.digit AS BIGINT) AS digit,
+       CAST(c.n_orders AS BIGINT) AS n_orders,
+       CAST(c.n_orders * 1000000 // t.total AS BIGINT) AS obs_ppm,
+       CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
+       CAST(c.n_orders * 1000000 // t.total - b.benford_ppm AS BIGINT)
+         AS dev_ppm
+FROM c JOIN b USING (digit) CROSS JOIN t ORDER BY digit
+""",
+        "top_supplier_q15": f"""
+WITH r AS (
+  SELECT l_suppkey,
+         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+           AS total_rev_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_LO}'
+    AND l_shipdate <  TIMESTAMP '{Q15_HI}'
+  GROUP BY l_suppkey
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+       CAST(total_rev_e4 AS BIGINT) AS total_rev_e4
+FROM r JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_rev_e4 = (SELECT MAX(total_rev_e4) FROM r)
+ORDER BY s_suppkey
+""",
+        "forecast_revenue_q6": f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * CAST(round(l_discount * 100) AS BIGINT)), 0)
+            AS BIGINT) AS revenue_e4
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_LO}'
+  AND l_shipdate <  TIMESTAMP '{Q6_HI}'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
 """,
     }

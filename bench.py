@@ -199,6 +199,10 @@ BENCH_QUERIES = [
     "revenue_concentration",  # top-k whale share via one global ranking
     "hard_negatives",  # contrastive mining: top-k sims, same-label masked
     "order_fanout_histogram",  # group-size distribution (join fan-out)
+    "revenue_gini",  # inequality index via global rank, exact int math
+    "benford_first_digit",  # fraud audit on exact decimal leading digits
+    "top_supplier_q15",  # Q15 windowed max-with-ties over a bounded axis
+    "forecast_revenue_q6",  # Q6 pushdown scan + integer-bp discount band
 ]
 
 

@@ -139,6 +139,10 @@ def test_weighted_median_vs_duckdb(ray_session):
         "embedding_dim_stats",
         "max_drawdown",
         "stop_ship_gate",
+        "revenue_gini",
+        "benford_first_digit",
+        "top_supplier_q15",
+        "forecast_revenue_q6",
     ],
 )
 def test_new_query_matches_oracle_sf0001(ray_session, qname):
