@@ -203,6 +203,10 @@ BENCH_QUERIES = [
     "benford_first_digit",  # fraud audit on exact decimal leading digits
     "top_supplier_q15",  # Q15 windowed max-with-ties over a bounded axis
     "forecast_revenue_q6",  # Q6 pushdown scan + integer-bp discount band
+    "systematic_sample",  # every-k-th eval slice off one global ranking
+    "supplier_balance_ranks",  # grouped DENSE_RANK + exact CUME_DIST
+    "acctbal_percentiles",  # interpolated percentile via value-axis ECDF
+    "bloom_prefilter_join",  # 128KiB bloom prefilter -> exact semi-join
 ]
 
 

@@ -909,3 +909,44 @@ def test_bpe_merges_deterministic_ties():
     a = learn_merges([("ba", 2), ("dc", 2)], 1)
     b = learn_merges([("dc", 2), ("ba", 2)], 1)
     assert a == b == [("a", "</w>", 2)]
+
+
+def test_bloom_no_false_negatives_and_low_fp():
+    """Every inserted key MUST probe true (bloom invariant the exact
+    prefilter-join correctness rests on); disjoint keys probe true at
+    roughly the configured false-positive rate, never ~1."""
+    import numpy as np
+
+    from etl_data_validation_kio_ray.functions.bloom import (
+        batch_bitmap,
+        probe_bloom,
+    )
+
+    m, k = 1 << 16, 4
+    keys = np.arange(0, 50_000, 10, dtype=np.int64)  # 5k keys
+    words = batch_bitmap(keys, m_bits=m, k=k)
+    assert probe_bloom(keys, words, m_bits=m, k=k).all()
+    other = np.arange(1, 50_000, 10, dtype=np.int64)
+    fp = probe_bloom(other, words, m_bits=m, k=k).mean()
+    # n=5k, m=64k, k=4 -> theoretical fp ~ (1-exp(-kn/m))^k ~ 0.024
+    assert fp < 0.1
+
+
+def test_bloom_build_matches_batch_or(ray_session):
+    """build_bloom's distributed OR-fold equals the single-batch bitmap
+    over the same keys (associativity of the fold)."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.functions.bloom import (
+        batch_bitmap,
+        build_bloom,
+    )
+
+    keys = np.arange(1000, dtype=np.int64) * 7919
+    ds = rd.from_pandas(pd.DataFrame({"key": keys})).repartition(8)
+    got = build_bloom(ds, "key", m_bits=1 << 14, k=3)
+    want = batch_bitmap(keys, m_bits=1 << 14, k=3)
+    assert (got == want).all()

@@ -143,6 +143,10 @@ def test_weighted_median_vs_duckdb(ray_session):
         "benford_first_digit",
         "top_supplier_q15",
         "forecast_revenue_q6",
+        "systematic_sample",
+        "supplier_balance_ranks",
+        "acctbal_percentiles",
+        "bloom_prefilter_join",
     ],
 )
 def test_new_query_matches_oracle_sf0001(ray_session, qname):
