@@ -9001,6 +9001,193 @@ def q_bloom_prefilter_join(sf_dir: str):
     ]
 
 
+def q_customer_order_counts(sf_dir: str):
+    """TPC-H Q13-shaped customer distribution: how many customers
+    placed exactly k orders, INCLUDING the zero-order customers a plain
+    inner join would drop — the LEFT-OUTER co-group shape. One tagged
+    union rides ONE hash-bucket exchange on the customer key: orders
+    collapse map-side to per-customer count partials (is_cust=0), the
+    customer side contributes presence markers (is_cust=1); in-bucket
+    the sums resolve per-customer order counts with OUTER semantics
+    (customers absent from orders keep n_ord=0; orphan orders, were
+    they possible, drop via is_cust=0), and each bucket folds straight
+    to a partial (c_count -> n_custs) histogram, so only histogram
+    rows leave the reducers. Exact int64 throughout."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        bucketed_group_agg,
+        grouped_agg,
+    )
+
+    def ord_partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "ckey": pc.cast(t["o_custkey"], pa.int64()),
+                    "one": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            )
+            .group_by("ckey")
+            .aggregate([("one", "sum")])
+        )
+        return pa.table(
+            {
+                "ckey": g["ckey"],
+                "n_ord": g["one_sum"],
+                "is_cust": pa.array(np.zeros(g.num_rows, np.int64)),
+            }
+        )
+
+    def cust_pad(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ckey": pc.cast(t["c_custkey"], pa.int64()),
+                "n_ord": pa.array(np.zeros(t.num_rows, np.int64)),
+                "is_cust": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+    ).map_batches(ord_partial, batch_format="pyarrow", zero_copy_batch=True)
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    ).map_batches(cust_pad, batch_format="pyarrow", zero_copy_batch=True)
+
+    def hist(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["is_cust"], 0))
+        g = (
+            pa.table(
+                {
+                    "c_count": t["n_ord"],
+                    "one": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            )
+            .group_by("c_count")
+            .aggregate([("one", "sum")])
+        )
+        return pa.table({"c_count": g["c_count"], "n_custs": g["one_sum"]})
+
+    parts = bucketed_group_agg(
+        orders.union(cust),
+        "ckey",
+        [("n_ord", "sum"), ("is_cust", "sum")],
+        post=hist,
+    )
+    out = grouped_agg(parts, ["c_count"], {"n_custs": ("n_custs", "sum")})
+    for c in ("c_count", "n_custs"):
+        out[c] = out[c].astype("int64")
+    return (
+        out.sort_values("c_count")
+        .reset_index(drop=True)[["c_count", "n_custs"]]
+    )
+
+
+ISLANDS_EVENT_TYPE = "purchase"
+
+
+def q_id_islands_profile(sf_dir: str):
+    """Id-space contiguity audit (gaps & islands) over the purchase
+    events' id column — the sequence-completeness validation that
+    catches dropped id ranges in an ingest feed. NO global sort: pass 1
+    is a per-batch min/max partial fold; pass 2 RANGE-buckets ids by
+    ``(id - mn) // W`` so each reducer owns a disjoint contiguous slice
+    and resolves its internal islands from a sorted-unique diff; the
+    driver then reconciles only BUCKET BOUNDARIES (#buckets tiny rows):
+    an island spanning two buckets merges iff the next bucket's first
+    id is the previous bucket's last id + 1. Exact scalars: id count,
+    min/max, island count, missing-id count, largest gap run."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        resolve_num_buckets,
+    )
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type"],
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], ISLANDS_EVENT_TYPE))
+        return pa.table({"id": pc.cast(t["event_id"], pa.int64())})
+
+    ids = ev.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+
+    def mm(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            e = pa.array([], pa.int64())
+            return pa.table({"mn": e, "mx": e})
+        v = t["id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "mn": pa.array([int(v.min())], pa.int64()),
+                "mx": pa.array([int(v.max())], pa.int64()),
+            }
+        )
+
+    mmdf = ids.map_batches(mm, batch_format="pyarrow").to_pandas()
+    if mmdf.empty:
+        raise ValueError(
+            f"id_islands_profile: no '{ISLANDS_EVENT_TYPE}' events — "
+            "an empty id space has no island profile"
+        )
+    mn, mx = int(mmdf["mn"].min()), int(mmdf["mx"].max())
+    nb = resolve_num_buckets(ids)
+    width = max(1, -(-(mx - mn + 1) // nb))
+
+    def tag(t: pa.Table) -> pa.Table:
+        v = t["id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "__b", pa.array(((v - mn) // width).astype(np.int64))
+        )
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        v = np.unique(g["id"].to_numpy(zero_copy_only=False))
+        d = np.diff(v)
+        return pa.table(
+            {
+                "b": pa.array([int(g["__b"][0].as_py())], pa.int64()),
+                "n_ids": pa.array([len(v)], pa.int64()),
+                "first_id": pa.array([int(v[0])], pa.int64()),
+                "last_id": pa.array([int(v[-1])], pa.int64()),
+                "starts_in": pa.array(
+                    [1 + int((d > 1).sum())], pa.int64()
+                ),
+                "max_gap_in": pa.array(
+                    [int(d.max()) - 1 if len(d) else 0], pa.int64()
+                ),
+            }
+        )
+
+    sm = (
+        ids.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("b")
+    )
+    n_ids = int(sm["n_ids"].sum())
+    firsts = sm["first_id"].to_numpy()
+    lasts = sm["last_id"].to_numpy()
+    between = firsts[1:] - lasts[:-1] - 1
+    n_islands = int(sm["starts_in"].sum()) - int((between == 0).sum())
+    max_gap = int(sm["max_gap_in"].max())
+    if len(between):
+        max_gap = max(max_gap, int(between.max()))
+    return pd.DataFrame(
+        {
+            "n_ids": [n_ids],
+            "min_id": [mn],
+            "max_id": [mx],
+            "n_islands": [n_islands],
+            "n_missing": [(mx - mn + 1) - n_ids],
+            "max_gap": [max_gap],
+        }
+    ).astype("int64")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -9190,6 +9377,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_balance_ranks": q_supplier_balance_ranks,
         "acctbal_percentiles": q_acctbal_percentiles,
         "bloom_prefilter_join": q_bloom_prefilter_join,
+        "customer_order_counts": q_customer_order_counts,
+        "id_islands_profile": q_id_islands_profile,
     }
 
 
@@ -11996,5 +12185,28 @@ FROM lineitem
 WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                      WHERE o_orderpriority = '1-URGENT')
 GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+        "customer_order_counts": """
+SELECT c_count, CAST(count(*) AS BIGINT) AS n_custs FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+) GROUP BY c_count ORDER BY c_count
+""",
+        "id_islands_profile": f"""
+WITH ids AS (
+  SELECT DISTINCT CAST(event_id AS BIGINT) AS id FROM events
+  WHERE event_type = '{ISLANDS_EVENT_TYPE}'
+), d AS (
+  SELECT id, id - lag(id) OVER (ORDER BY id) AS gap FROM ids
+)
+SELECT CAST(count(*) AS BIGINT) AS n_ids,
+       CAST(min(id) AS BIGINT) AS min_id,
+       CAST(max(id) AS BIGINT) AS max_id,
+       CAST(1 + coalesce(sum(CASE WHEN gap > 1 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_islands,
+       CAST(max(id) - min(id) + 1 - count(*) AS BIGINT) AS n_missing,
+       CAST(coalesce(max(gap), 1) - 1 AS BIGINT) AS max_gap
+FROM d
 """,
     }

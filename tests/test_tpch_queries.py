@@ -147,6 +147,8 @@ def test_weighted_median_vs_duckdb(ray_session):
         "supplier_balance_ranks",
         "acctbal_percentiles",
         "bloom_prefilter_join",
+        "customer_order_counts",
+        "id_islands_profile",
     ],
 )
 def test_new_query_matches_oracle_sf0001(ray_session, qname):
