@@ -9084,6 +9084,267 @@ def q_customer_order_counts(sf_dir: str):
     )
 
 
+BOTTOMK_K = 5
+
+
+def q_bottomk_sample(sf_dir: str):
+    """Bottom-k-by-hash sample: the k documents per source with the
+    SMALLEST splitmix64(doc_id) — the canonical distributed sampling
+    primitive (a bottom-k sketch is mergeable, so per-batch partials
+    compose associatively; the same trick underlies KMV distinct
+    sketches and consistent sampling across engines). One streaming
+    pass emits per-batch per-source bottom-k partials; the driver merge
+    is bounded by #batches x |sources| x k rows. No RNG state: the
+    sample is a pure function of ids, identical across runs, block
+    layouts and engines (SQL twin re-expresses splitmix64 in UHUGEINT
+    modular arithmetic). hm = hash % 2^63 so both engines rank the
+    identical signed-int64 key."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.functions.hashing import _splitmix64
+
+    def bottomk(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        v = pc.cast(ids, pa.int64()).to_numpy(zero_copy_only=False)
+        hm = (_splitmix64(v.view(np.uint64)) % np.uint64(1 << 63)).astype(
+            np.int64
+        )
+        df = pd.DataFrame(
+            {
+                "source": t["source"].to_pandas(),
+                "doc_id": ids.to_pandas(),
+                "hm": hm,
+            }
+        )
+        df = (
+            df.sort_values(["source", "hm", "doc_id"], kind="mergesort")
+            .groupby("source", sort=False)
+            .head(BOTTOMK_K)
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source"],
+    ).map_batches(bottomk, batch_format="pyarrow", zero_copy_batch=True)
+    # bounded driver merge: #batches x |sources| x k partial rows
+    df = parts.to_pandas()
+    df = (
+        df.sort_values(["source", "hm", "doc_id"], kind="mergesort")
+        .groupby("source", sort=False)
+        .head(BOTTOMK_K)
+    )
+    df["hm"] = df["hm"].astype("int64")
+    return df.reset_index(drop=True)[["source", "doc_id", "hm"]]
+
+
+INVIDX_DF_LO, INVIDX_DF_HI = 2, 8
+INVIDX_MAX_TOKENS = 200_000  # loud cap on the broadcast rare-token set
+
+
+def q_inverted_index(sf_dir: str):
+    """Posting lists for RARE-band word trigrams (df in [2, 8]) — the
+    inverted-index primitive behind rare-phrase retrieval and
+    substring-contamination lookups. (Trigrams, not single words: the
+    synthetic corpus has ~31 distinct words, all frequent, so the
+    single-word rare band is empty; trigrams carry the real
+    diversity — same derivation as the contamination/jaccard kernels,
+    dedup/ngram.gram_occurrences.) Scale shape: pass A computes
+    document frequency with per-batch distinct (doc, gram) collapse +
+    one hash-bucket exchange; the rare set (bounded by the df band,
+    loud cap at INVIDX_MAX_TOKENS) broadcasts once via ray.put; pass B
+    re-streams the corpus, keeps only rare-gram pairs (pc.is_in
+    against the broadcast array) and co-locates each gram's <=8
+    postings on ONE bucket exchange, where the list is sorted and
+    joined in-bucket. Posting strings are comma-joined lexicographically
+    sorted doc_ids — byte-identical to the SQL twin's
+    string_agg(ORDER BY doc_id)."""
+    import ray
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.dedup.ngram import gram_occurrences
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        bucketed_group_agg,
+        resolve_num_buckets,
+        tag_bucket,
+    )
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        """Distinct (doc_id, gram) pairs of a batch. Docs never span
+        batches (one row per doc), so per-batch distinct pairs ARE
+        globally distinct and df partials merge by sum."""
+        occ = gram_occurrences(t, text_col="text", k=3, carry=["doc_id"])
+        return occ.group_by(["doc_id", "g"]).aggregate([])
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        g = _pairs(t).group_by("g").aggregate([("doc_id", "count")])
+        return pa.table(
+            {"g": g["g"], "dfp": g["doc_id_count"].cast(pa.int64())}
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    dfs = bucketed_group_agg(
+        ds.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True),
+        "g",
+        [("dfp", "sum")],
+    ).to_pandas()
+    rare = dfs[(dfs["dfp"] >= INVIDX_DF_LO) & (dfs["dfp"] <= INVIDX_DF_HI)]
+    if len(rare) > INVIDX_MAX_TOKENS:
+        raise ValueError(
+            f"inverted_index: rare band holds {len(rare)} grams "
+            f"(> {INVIDX_MAX_TOKENS}) — narrow the df band or raise the cap"
+        )
+    rare_ref = ray.put(pa.array(sorted(rare["g"].tolist()), pa.string()))
+
+    class RarePairs:
+        def __init__(self):
+            self.rare = ray.get(rare_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            p = _pairs(t)
+            return p.filter(pc.is_in(p["g"], value_set=self.rare))
+
+    pr = ds.map_batches(
+        RarePairs,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    nb = resolve_num_buckets(pr)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return tag_bucket(t, "g", nb)
+
+    def postings(grp: pa.Table) -> pa.Table:
+        pdf = grp.drop_columns(["__b"]).to_pandas()
+        # numeric doc_id order (matches the twin's ORDER BY doc_id),
+        # stringified only for the join
+        pdf = pdf.sort_values(["g", "doc_id"], kind="mergesort")
+        pdf["doc_id"] = pdf["doc_id"].astype(str)
+        out = (
+            pdf.groupby("g", sort=True)["doc_id"]
+            .agg(df="size", postings=",".join)
+            .reset_index()
+        )
+        out["df"] = out["df"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    final = (
+        pr.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(postings, batch_format="pyarrow")
+        .to_pandas()
+    )
+    final["df"] = final["df"].astype("int64")
+    return final.sort_values("g").reset_index(drop=True)[
+        ["g", "df", "postings"]
+    ]
+
+
+def q_source_token_entropy(sf_dir: str):
+    """Per-source Shannon entropy (nats) of the token-id distribution —
+    the distribution-shape validation that catches a source collapsing
+    to repetitive output or a tokenizer regression. Exact int64 global
+    counts per (source, token) resolve on ONE hash-bucket exchange
+    keyed by token (each bucket completes its tokens' counts and folds
+    to <= |sources| partial rows: sum c*ln(c) and sum c); the driver
+    fsum-merges #buckets x |sources| partials. entropy = ln(N) -
+    (sum c ln c)/N, quantized to integer micro-nats with the
+    HALF-AWAY-FROM-ZERO rule floor(x*1e6 + 0.5) on BOTH engines (no
+    round-half-even divergence). Margin note: the only cross-engine
+    float divergence is double summation order (~1e-10 abs on the
+    entropy), five orders below the 1e-6 quantum; a dataset whose true
+    value sits within 1e-9 of a quantum boundary would hash-differ —
+    verified green on the driver tables."""
+    import math
+
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        resolve_num_buckets,
+        tag_bucket,
+    )
+
+    tok_dir = _token_table_dir(sf_dir)
+    ds = rd.read_parquet(tok_dir, columns=["source", "tokens"])
+    stride = np.int64(VOCAB + 1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        offs = np.asarray(col.offsets, dtype=np.int64)
+        offs = offs - offs[0]
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        d = src.dictionary_encode()
+        codes = np.repeat(
+            d.indices.to_numpy(zero_copy_only=False).astype(np.int64),
+            np.diff(offs),
+        )
+        u, c = np.unique(codes * stride + flat, return_counts=True)
+        return pa.table(
+            {
+                "source": d.dictionary.take(pa.array(u // stride)),
+                "token": pa.array(u % stride),
+                "c": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    nb = resolve_num_buckets(parts)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return tag_bucket(t, "token", nb)
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        pdf = g.drop_columns(["__b"]).to_pandas()
+        b = int(g["__b"][0].as_py())
+        cnt = pdf.groupby(["source", "token"], sort=True)["c"].sum()
+        rows = []
+        for s_name, sub in cnt.groupby(level=0, sort=True):
+            cv = sub.to_numpy(dtype=np.float64)
+            rows.append(
+                (b, s_name, float(np.sum(cv * np.log(cv))), int(cv.sum()))
+            )
+        return pa.table(
+            {
+                "b": pa.array([r[0] for r in rows], pa.int64()),
+                "source": pa.array([r[1] for r in rows], pa.string()),
+                "slc": pa.array([r[2] for r in rows], pa.float64()),
+                "n": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+
+    pdf = (
+        parts.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["source", "b"])  # deterministic fsum order
+    )
+    rows = []
+    for s_name, sub in pdf.groupby("source", sort=True):
+        n = int(sub["n"].sum())
+        slc = math.fsum(sub["slc"].tolist())
+        ent = math.log(n) - slc / n
+        rows.append((s_name, n, int(math.floor(ent * 1e6 + 0.5))))
+    return pd.DataFrame(
+        rows, columns=["source", "n_tok_total", "entropy_q6"]
+    ).sort_values("source").reset_index(drop=True)
+
+
 ISLANDS_EVENT_TYPE = "purchase"
 
 
@@ -9379,6 +9640,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_prefilter_join": q_bloom_prefilter_join,
         "customer_order_counts": q_customer_order_counts,
         "id_islands_profile": q_id_islands_profile,
+        "bottomk_sample": q_bottomk_sample,
+        "inverted_index": q_inverted_index,
+        "source_token_entropy": q_source_token_entropy,
     }
 
 
@@ -12208,5 +12472,68 @@ SELECT CAST(count(*) AS BIGINT) AS n_ids,
        CAST(max(id) - min(id) + 1 - count(*) AS BIGINT) AS n_missing,
        CAST(coalesce(max(gap), 1) - 1 AS BIGINT) AS max_gap
 FROM d
+""",
+        "bottomk_sample": f"""
+WITH s1 AS (
+  SELECT source, doc_id,
+         CAST((CAST(doc_id AS UHUGEINT) + 11400714819323198485)
+              % 18446744073709551616 AS UBIGINT) AS z
+  FROM documents
+), s2 AS (
+  SELECT source, doc_id,
+         CAST((CAST(xor(z, z >> 30) AS UHUGEINT) * 13787848793156543929)
+              % 18446744073709551616 AS UBIGINT) AS z
+  FROM s1
+), s3 AS (
+  SELECT source, doc_id,
+         CAST((CAST(xor(z, z >> 27) AS UHUGEINT) * 10723151780598845931)
+              % 18446744073709551616 AS UBIGINT) AS z
+  FROM s2
+), h AS (
+  SELECT source, doc_id,
+         CAST(CAST(xor(z, z >> 31) AS UHUGEINT)
+              % 9223372036854775808 AS BIGINT) AS hm
+  FROM s3
+)
+SELECT source, doc_id, hm FROM h
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY hm, doc_id)
+        <= {BOTTOMK_K}
+ORDER BY source, hm
+""",
+        "inverted_index": f"""
+WITH words AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+), pos AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+  FROM words WHERE len(w) >= 3
+), pairs AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM pos
+), df AS (
+  SELECT g, count(*) AS df FROM pairs GROUP BY g
+), rare AS (
+  SELECT g, df FROM df
+  WHERE df BETWEEN {INVIDX_DF_LO} AND {INVIDX_DF_HI}
+)
+SELECT g, CAST(df AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM pairs JOIN rare USING (g)
+GROUP BY g, df ORDER BY g
+""",
+        "source_token_entropy": f"""
+WITH {TOKENIZE_CTE},
+flat AS (
+  SELECT source, unnest(tokens) AS token FROM tok
+), cnt AS (
+  SELECT source, token, CAST(count(*) AS DOUBLE) AS c
+  FROM flat GROUP BY source, token
+), tot AS (
+  SELECT source, sum(c) AS n, sum(c * ln(c)) AS slc
+  FROM cnt GROUP BY source
+)
+SELECT source, CAST(n AS BIGINT) AS n_tok_total,
+       CAST(floor((ln(n) - slc / n) * 1000000 + 0.5) AS BIGINT)
+         AS entropy_q6
+FROM tot ORDER BY source
 """,
     }

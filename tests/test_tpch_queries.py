@@ -149,6 +149,9 @@ def test_weighted_median_vs_duckdb(ray_session):
         "bloom_prefilter_join",
         "customer_order_counts",
         "id_islands_profile",
+        "bottomk_sample",
+        "inverted_index",
+        "source_token_entropy",
     ],
 )
 def test_new_query_matches_oracle_sf0001(ray_session, qname):
