@@ -9449,6 +9449,264 @@ def q_id_islands_profile(sf_dir: str):
     ).astype("int64")
 
 
+LATE_SHIP_DAYS = 90  # lineitem shipped > 90 days after order = "late"
+_US_PER_DAY = np.int64(86_400_000_000)
+
+
+def q_late_shipment_priority(sf_dir: str):
+    """TPC-H Q12 shape (fact x fact row-level co-group + CASE counts):
+    per return flag, how many LATE-shipped lines (l_shipdate more than
+    LATE_SHIP_DAYS after o_orderdate) belong to critical-priority
+    orders ('1-URGENT'/'2-HIGH') vs the rest. Unlike the
+    fact_dim_cogroup queries, the late predicate needs BOTH sides'
+    row-level values (shipdate vs that order's date), so nothing can
+    pre-collapse map-side: both projections meet in ONE hash-bucket
+    exchange on the order key and each bucket resolves its lines'
+    order date via a vectorized index_in gather, folds to <= 3x2
+    partial counts, and only those leave the reducers. Timestamps
+    compare as raw int64 microseconds — identical on both engines."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        resolve_num_buckets,
+        tag_bucket,
+    )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_returnflag", "l_shipdate"],
+    )
+    od = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def pad_line(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "okey": pc.cast(t["l_orderkey"], pa.int64()),
+                "ship_us": pc.cast(
+                    pc.cast(t["l_shipdate"], pa.timestamp("us")), pa.int64()
+                ),
+                "rflag": t["l_returnflag"],
+                "odate_us": pa.nulls(n, pa.int64()),
+                "is_hi": pa.nulls(n, pa.int64()),
+            }
+        )
+
+    def pad_order(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        hi = pc.is_in(
+            t["o_orderpriority"],
+            value_set=pa.array(["1-URGENT", "2-HIGH"], pa.string()),
+        )
+        return pa.table(
+            {
+                "okey": pc.cast(t["o_orderkey"], pa.int64()),
+                "ship_us": pa.nulls(n, pa.int64()),
+                "rflag": pa.nulls(n, pa.string()),
+                "odate_us": pc.cast(
+                    pc.cast(t["o_orderdate"], pa.timestamp("us")), pa.int64()
+                ),
+                "is_hi": pc.cast(hi, pa.int64()),
+            }
+        )
+
+    both = li.map_batches(
+        pad_line, batch_format="pyarrow", zero_copy_batch=True
+    ).union(od.map_batches(pad_order, batch_format="pyarrow"))
+    nb = resolve_num_buckets(both)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return tag_bucket(t, "okey", nb)
+
+    cutoff = np.int64(LATE_SHIP_DAYS) * _US_PER_DAY
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        is_ord = pc.is_valid(g["odate_us"])
+        orders = g.filter(is_ord)
+        lines = g.filter(pc.invert(is_ord))
+        okeys = orders["okey"].combine_chunks()
+        pos = pc.index_in(lines["okey"], value_set=okeys)
+        # every line's order lands in the same bucket by construction
+        idx = pos.to_numpy(zero_copy_only=False).astype(np.int64)
+        odate = (
+            orders["odate_us"].to_numpy(zero_copy_only=False)[idx]
+        )
+        is_hi = orders["is_hi"].to_numpy(zero_copy_only=False)[idx]
+        ship = lines["ship_us"].to_numpy(zero_copy_only=False)
+        late = ship > odate + cutoff
+        part = pa.table(
+            {
+                "l_returnflag": lines["rflag"].filter(pa.array(late)),
+                "hi": pa.array(is_hi[late]),
+                "one": pa.array(np.ones(int(late.sum()), np.int64)),
+            }
+        ).group_by(["l_returnflag", "hi"]).aggregate([("one", "sum")])
+        return pa.table(
+            {
+                "l_returnflag": part["l_returnflag"],
+                "hi": part["hi"],
+                "n": part["one_sum"],
+            }
+        )
+
+    # partials: <= num_buckets x |rflag| x 2 rows — tiny driver merge
+    pdf = (
+        both.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = pdf.groupby(["l_returnflag", "hi"], sort=True)["n"].sum()
+    flags = sorted(pdf["l_returnflag"].unique())
+    rows = [
+        (
+            f,
+            int(agg.get((f, 1), 0)),
+            int(agg.get((f, 0), 0)),
+        )
+        for f in flags
+    ]
+    return pd.DataFrame(
+        rows, columns=["l_returnflag", "high_line_count", "low_line_count"]
+    )
+
+
+Q21_LATE_DAYS = 60  # supplier "kept the order waiting" threshold
+Q21_TOP_N = 10
+
+
+def q_sole_late_supplier(sf_dir: str):
+    """TPC-H Q21 shape (per-group EXISTS / NOT-EXISTS over a co-grouped
+    fact): suppliers who were the ONLY late shipper (l_shipdate more
+    than Q21_LATE_DAYS past o_orderdate) on a finished ('F')
+    multi-supplier order, ranked by how many orders they held up.
+    The EXISTS pair ("another supplier shipped this order" /
+    "no OTHER supplier shipped late") becomes per-order distinct
+    counts: one hash-bucket exchange on the order key co-locates each
+    order's lines with its order row; in-bucket, a vectorized gather
+    resolves order date + status per line, and per-order
+    nunique(supplier) / nunique(late supplier) decide the emit — each
+    qualifying order contributes exactly one (suppkey, 1) partial.
+    Supplier names resolve from the driver-read dimension (|supplier|
+    rows, broadcast-small by design). Top-N ties break on s_name."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        grouped_agg,
+        resolve_num_buckets,
+        tag_bucket,
+    )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    od = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderstatus"],
+    )
+
+    def pad_line(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "okey": pc.cast(t["l_orderkey"], pa.int64()),
+                "supp": pc.cast(t["l_suppkey"], pa.int64()),
+                "ship_us": pc.cast(
+                    pc.cast(t["l_shipdate"], pa.timestamp("us")), pa.int64()
+                ),
+                "odate_us": pa.nulls(n, pa.int64()),
+            }
+        )
+
+    def pad_order(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderstatus"], "F"))
+        n = t.num_rows
+        return pa.table(
+            {
+                "okey": pc.cast(t["o_orderkey"], pa.int64()),
+                "supp": pa.nulls(n, pa.int64()),
+                "ship_us": pa.nulls(n, pa.int64()),
+                "odate_us": pc.cast(
+                    pc.cast(t["o_orderdate"], pa.timestamp("us")), pa.int64()
+                ),
+            }
+        )
+
+    both = li.map_batches(
+        pad_line, batch_format="pyarrow", zero_copy_batch=True
+    ).union(od.map_batches(pad_order, batch_format="pyarrow"))
+    nb = resolve_num_buckets(both)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return tag_bucket(t, "okey", nb)
+
+    cutoff = np.int64(Q21_LATE_DAYS) * _US_PER_DAY
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        is_ord = pc.is_valid(g["odate_us"])
+        orders = g.filter(is_ord)
+        lines = g.filter(pc.invert(is_ord))
+        pos = pc.index_in(
+            lines["okey"], value_set=orders["okey"].combine_chunks()
+        )
+        # non-'F' orders were filtered map-side -> their lines miss
+        keep = pos.to_numpy(zero_copy_only=False)
+        hit = ~pd.isna(keep)
+        idx = np.where(hit, keep, 0).astype(np.int64)
+        odate = orders["odate_us"].to_numpy(zero_copy_only=False)[idx]
+        df = pd.DataFrame(
+            {
+                "okey": lines["okey"].to_numpy(zero_copy_only=False)[hit],
+                "supp": lines["supp"].to_numpy(zero_copy_only=False)[hit],
+                "late": (
+                    lines["ship_us"].to_numpy(zero_copy_only=False)[hit]
+                    > odate[hit] + cutoff
+                ),
+            }
+        )
+        if df.empty:
+            e = pa.array([], pa.int64())
+            return pa.table({"suppkey": e, "one": e})
+        per = df.groupby("okey", sort=False).agg(
+            nsupp=("supp", "nunique")
+        )
+        late = df[df["late"]]
+        nlate = late.groupby("okey", sort=False)["supp"].nunique()
+        lone = late.groupby("okey", sort=False)["supp"].max()
+        per["nlate"] = nlate.reindex(per.index, fill_value=0)
+        per["lone"] = lone.reindex(per.index)
+        win = per[(per["nsupp"] > 1) & (per["nlate"] == 1)]
+        return pa.table(
+            {
+                "suppkey": pa.array(win["lone"].astype(np.int64)),
+                "one": pa.array(np.ones(len(win), np.int64)),
+            }
+        )
+
+    waits = (
+        both.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+    )
+    counts = grouped_agg(waits, ["suppkey"], {"numwait": ("one", "sum")})
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name"],
+    ).to_pandas()
+    out = counts.merge(
+        supp, left_on="suppkey", right_on="s_suppkey", how="inner"
+    )
+    out["numwait"] = out["numwait"].astype("int64")
+    out = out.sort_values(
+        ["numwait", "s_name"], ascending=[False, True], kind="mergesort"
+    ).head(Q21_TOP_N)
+    return out.reset_index(drop=True)[["s_name", "numwait"]]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -9643,6 +9901,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bottomk_sample": q_bottomk_sample,
         "inverted_index": q_inverted_index,
         "source_token_entropy": q_source_token_entropy,
+        "late_shipment_priority": q_late_shipment_priority,
+        "sole_late_supplier": q_sole_late_supplier,
     }
 
 
@@ -12535,5 +12795,38 @@ SELECT source, CAST(n AS BIGINT) AS n_tok_total,
        CAST(floor((ln(n) - slc / n) * 1000000 + 0.5) AS BIGINT)
          AS entropy_q6
 FROM tot ORDER BY source
+""",
+        "late_shipment_priority": f"""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL {LATE_SHIP_DAYS} DAY
+GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+        "sole_late_supplier": f"""
+WITH l AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+),
+per AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS nsupp,
+         COUNT(DISTINCT CASE WHEN l_shipdate >
+               o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+               THEN l_suppkey END) AS nlate,
+         MAX(CASE WHEN l_shipdate >
+             o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+             THEN l_suppkey END) AS late_supp
+  FROM l GROUP BY l_orderkey
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM per JOIN supplier ON late_supp = s_suppkey
+WHERE nsupp > 1 AND nlate = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name LIMIT {Q21_TOP_N}
 """,
     }

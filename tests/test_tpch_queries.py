@@ -152,6 +152,8 @@ def test_weighted_median_vs_duckdb(ray_session):
         "bottomk_sample",
         "inverted_index",
         "source_token_entropy",
+        "late_shipment_priority",
+        "sole_late_supplier",
     ],
 )
 def test_new_query_matches_oracle_sf0001(ray_session, qname):
