@@ -154,6 +154,8 @@ def test_weighted_median_vs_duckdb(ray_session):
         "source_token_entropy",
         "late_shipment_priority",
         "sole_late_supplier",
+        "revenue_cusum",
+        "sorted_neighborhood_pairs",
     ],
 )
 def test_new_query_matches_oracle_sf0001(ray_session, qname):
