@@ -9860,6 +9860,204 @@ def q_sorted_neighborhood_pairs(sf_dir: str):
     )
 
 
+def q_compound_key_unique(sf_dir: str):
+    """Composite natural-key uniqueness — the multi-column twin of the
+    doc_id_unique rule (reference's PK checks are all single-column;
+    warehouse line tables key on (order, linenumber)). One hash-bucket
+    exchange on the ORDER key co-locates every row of a composite key
+    (the first key component alone determines the bucket, so no
+    composite hashing is needed); in-bucket an Arrow hash-aggregate
+    counts (orderkey, linenumber) groups and only the duplicated keys
+    leave the reducer. Planted duplicates in the synthetic lineitem
+    make the violation set non-trivial at every SF."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        resolve_num_buckets,
+        tag_bucket,
+    )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber"],
+    )
+    nb = resolve_num_buckets(li)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return tag_bucket(t, "l_orderkey", nb)
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        agg = g.group_by(["l_orderkey", "l_linenumber"]).aggregate(
+            [("l_orderkey", "count")]
+        )
+        agg = agg.filter(pc.greater(agg["l_orderkey_count"], 1))
+        n = agg.num_rows
+        return pa.table(
+            {
+                "rule_id": pa.array(["compound_key_unique"] * n, pa.string()),
+                "l_orderkey": agg["l_orderkey"],
+                "l_linenumber": agg["l_linenumber"],
+                "dup_count": agg["l_orderkey_count"].cast(pa.int64()),
+            }
+        )
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        collect_sorted,
+    )
+
+    out = collect_sorted(
+        li.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(reduce_bucket, batch_format="pyarrow"),
+        ["l_orderkey", "l_linenumber"],
+    )
+    return out.reset_index(drop=True)
+
+
+VOCAB_DRIFT_MIN_SHARED = 1  # pairs must share at least one word
+
+
+def q_vocab_drift(sf_dir: str):
+    """Pairwise word-distribution PSI between ALL sources — vocabulary
+    drift at word grain (the reference's drift family covers only
+    scalar columns; a corpus source whose WORD mix shifts is invisible
+    to n_tok drift). Exact int64 (source, word) counts complete on ONE
+    hash-bucket exchange keyed by word; per-source totals broadcast
+    (|sources| scalars); each bucket then folds its words straight to
+    per-PAIR partials (sum of (p-q)*ln(p/q) over shared words, shared /
+    one-sided word counts), so only |buckets| x |pairs| tiny rows reach
+    the driver, which fsum-merges in sorted order. PSI quantized to
+    micro-units with floor(x*1e6 + 0.5) on BOTH engines; the only
+    cross-engine float divergence is double summation order (~1e-12),
+    five-plus orders below the quantum (same margin argument as
+    source_token_entropy, driver-verified there)."""
+    import math
+    from itertools import combinations
+
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        grouped_agg,
+        resolve_num_buckets,
+        tag_bucket,
+    )
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+
+    def word_counts(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern(pc.utf8_lower(pc.fill_null(text, "")), " ")
+        flat = pc.list_flatten(words)
+        counts = np.diff(np.asarray(words.offsets, dtype=np.int64))
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        srcw = src.take(
+            pa.array(np.repeat(np.arange(len(counts), dtype=np.int64), counts))
+        )
+        g = (
+            pa.table({"source": srcw, "word": flat})
+            .filter(pc.not_equal(flat, ""))
+            .group_by(["source", "word"])
+            .aggregate([("word", "count")])
+        )
+        return pa.table(
+            {
+                "source": g["source"],
+                "word": g["word"],
+                "c": g["word_count"].cast(pa.int64()),
+            }
+        )
+
+    parts = docs.map_batches(
+        word_counts, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # per-source occurrence totals: |sources| scalars, broadcast via
+    # closure (read once per reducer task, never re-shipped per row)
+    tot_df = grouped_agg(parts, ["source"], {"t": ("c", "sum")})
+    totals = {s: int(v) for s, v in zip(tot_df["source"], tot_df["t"])}
+    srcs = sorted(totals)
+    pair_list = list(combinations(srcs, 2))
+    nb = resolve_num_buckets(parts)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return tag_bucket(t, "word", nb)
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        b = int(g["__b"][0].as_py())
+        pdf = g.drop_columns(["__b"]).to_pandas()
+        mat = (
+            pdf.groupby(["word", "source"], sort=True)["c"]
+            .sum()
+            .unstack(fill_value=0)
+        )
+        cols = {}
+        for s in srcs:
+            if s in mat.columns:
+                cols[s] = mat[s].to_numpy(dtype=np.float64) / totals[s]
+            else:
+                cols[s] = np.zeros(len(mat), dtype=np.float64)
+        rows = []
+        for a, bsrc in pair_list:
+            pa_, pb_ = cols[a], cols[bsrc]
+            both = (pa_ > 0) & (pb_ > 0)
+            one = int(((pa_ > 0) ^ (pb_ > 0)).sum())
+            term = (
+                float(
+                    np.sum(
+                        (pa_[both] - pb_[both]) * np.log(pa_[both] / pb_[both])
+                    )
+                )
+                if both.any()
+                else 0.0
+            )
+            rows.append((b, a, bsrc, term, int(both.sum()), one))
+        return pa.table(
+            {
+                "b": pa.array([r[0] for r in rows], pa.int64()),
+                "source_a": pa.array([r[1] for r in rows], pa.string()),
+                "source_b": pa.array([r[2] for r in rows], pa.string()),
+                "term": pa.array([r[3] for r in rows], pa.float64()),
+                "n_shared": pa.array([r[4] for r in rows], pa.int64()),
+                "n_onesided": pa.array([r[5] for r in rows], pa.int64()),
+            }
+        )
+
+    pdf = (
+        parts.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["source_a", "source_b", "b"])  # deterministic fsum
+    )
+    rows = []
+    for (a, bsrc), sub in pdf.groupby(["source_a", "source_b"], sort=True):
+        shared = int(sub["n_shared"].sum())
+        if shared < VOCAB_DRIFT_MIN_SHARED:
+            raise ValueError(
+                f"vocab_drift: sources {a!r}/{bsrc!r} share no vocabulary"
+            )
+        psi = math.fsum(sub["term"].tolist())
+        rows.append(
+            (
+                a,
+                bsrc,
+                shared,
+                int(sub["n_onesided"].sum()),
+                int(math.floor(psi * 1e6 + 0.5)),
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["source_a", "source_b", "n_shared", "n_onesided", "psi_q6"],
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -10058,6 +10256,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sole_late_supplier": q_sole_late_supplier,
         "revenue_cusum": q_revenue_cusum,
         "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
+        "compound_key_unique": q_compound_key_unique,
+        "vocab_drift": q_vocab_drift,
     }
 
 
@@ -13027,5 +13227,48 @@ WHERE nid IS NOT NULL
   AND levenshtein(tx, ntx) * 100 <= {SNM_NEAR_PCT} *
       greatest(octet_length(encode(tx)), octet_length(encode(ntx)))
 ORDER BY id_a, id_b
+""",
+        "compound_key_unique": """
+SELECT 'compound_key_unique' AS rule_id, l_orderkey, l_linenumber,
+       CAST(COUNT(*) AS BIGINT) AS dup_count
+FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1
+ORDER BY l_orderkey, l_linenumber
+""",
+        "vocab_drift": """
+WITH w AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS word
+  FROM documents
+),
+cnt AS (
+  SELECT source, word, CAST(count(*) AS DOUBLE) AS c
+  FROM w WHERE word <> '' GROUP BY source, word
+),
+tot AS (
+  SELECT source, sum(c) AS t, count(*) AS nw FROM cnt GROUP BY source
+),
+pairs AS (
+  SELECT a.source AS sa, a.t AS ta, a.nw AS nwa,
+         b.source AS sb, b.t AS tb, b.nw AS nwb
+  FROM tot a JOIN tot b ON a.source < b.source
+),
+j AS (
+  SELECT p.sa, p.sb, ca.c / p.ta AS pa, cb.c / p.tb AS pb
+  FROM pairs p
+  JOIN cnt ca ON ca.source = p.sa
+  JOIN cnt cb ON cb.source = p.sb AND cb.word = ca.word
+)
+SELECT p.sa AS source_a, p.sb AS source_b,
+       CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared,
+       CAST(p.nwa + p.nwb - 2 * coalesce(s.n_shared, 0) AS BIGINT)
+         AS n_onesided,
+       CAST(floor(coalesce(s.psi, 0.0) * 1000000 + 0.5) AS BIGINT)
+         AS psi_q6
+FROM pairs p
+LEFT JOIN (
+  SELECT sa, sb, count(*) AS n_shared,
+         sum((pa - pb) * ln(pa / pb)) AS psi
+  FROM j GROUP BY sa, sb
+) s ON s.sa = p.sa AND s.sb = p.sb
+ORDER BY source_a, source_b
 """,
     }

@@ -207,6 +207,11 @@ BENCH_QUERIES = [
     "supplier_balance_ranks",  # grouped DENSE_RANK + exact CUME_DIST
     "acctbal_percentiles",  # interpolated percentile via value-axis ECDF
     "bloom_prefilter_join",  # 128KiB bloom prefilter -> exact semi-join
+    # round 4 session 11: row-level fact x fact co-groups + new miners
+    "late_shipment_priority",  # Q12: both-sides row values in one exchange
+    "sole_late_supplier",  # Q21: per-order EXISTS pair via distinct counts
+    "revenue_cusum",  # changepoint scan, prefix-sum CUSUM identity
+    "sorted_neighborhood_pairs",  # merge/purge blocking + adjacent verify
 ]
 
 

@@ -156,6 +156,8 @@ def test_weighted_median_vs_duckdb(ray_session):
         "sole_late_supplier",
         "revenue_cusum",
         "sorted_neighborhood_pairs",
+        "compound_key_unique",
+        "vocab_drift",
     ],
 )
 def test_new_query_matches_oracle_sf0001(ray_session, qname):
