@@ -158,6 +158,7 @@ def test_weighted_median_vs_duckdb(ray_session):
         "sorted_neighborhood_pairs",
         "compound_key_unique",
         "vocab_drift",
+        "daily_volume_anomaly",
     ],
 )
 def test_new_query_matches_oracle_sf0001(ray_session, qname):
