@@ -2389,3 +2389,53 @@ def test_rank_and_prefix_layout_invariance(ray_session):
         pouts.append((got.reset_index(drop=True), totals))
     pd.testing.assert_frame_equal(pouts[0][0], pouts[1][0])
     assert pouts[0][1] == pouts[1][1]
+
+
+def test_ipc_source_roundtrip_and_schema_flag(ray_session, tmp_path):
+    """IPC sink -> reader roundtrip preserves the nested token column
+    bit-exact; a shard missing a required column surfaces in
+    SCHEMA_ERROR_COL instead of killing the read."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.sources.ipc import (
+        read_token_ipc,
+        write_token_ipc,
+    )
+    from etl_data_validation_kio_ray.sources.jsonl import (
+        SCHEMA_ERROR_COL,
+        TOKEN_SCHEMA,
+    )
+
+    src = pa.table(
+        {
+            "doc_id": pa.array(["a1", "a2"], pa.string()),
+            "tokens": pa.array([[1, 2, 3], []], pa.list_(pa.int32())),
+            "n_tok": pa.array([3, 0], pa.int32()),
+            "source": pa.array(["web", "books"], pa.string()),
+        }
+    )
+    out = tmp_path / "ipc"
+    manifest = write_token_ipc(rd.from_arrow(src), str(out))
+    assert sum(m["rows"] for m in manifest) == 2
+    t = pa.concat_tables(
+        b
+        for b in read_token_ipc(str(out), partition="pi").iter_batches(
+            batch_format="pyarrow", batch_size=10
+        )
+    )
+    t = t.sort_by("doc_id")
+    assert t.schema.equals(TOKEN_SCHEMA)
+    assert t["tokens"].to_pylist() == [[1, 2, 3], []]
+    assert t["partition"].to_pylist() == ["pi", "pi"]
+
+    bad_dir = tmp_path / "ipc_bad"
+    write_token_ipc(rd.from_arrow(src.drop_columns(["tokens"])), str(bad_dir))
+    bad = pa.concat_tables(
+        b
+        for b in read_token_ipc(str(bad_dir)).iter_batches(
+            batch_format="pyarrow", batch_size=10
+        )
+    )
+    assert SCHEMA_ERROR_COL in bad.column_names
+    msgs = [m for m in bad[SCHEMA_ERROR_COL].to_pylist() if m]
+    assert msgs and "tokens" in msgs[0]

@@ -159,6 +159,7 @@ def test_weighted_median_vs_duckdb(ray_session):
         "compound_key_unique",
         "vocab_drift",
         "daily_volume_anomaly",
+        "ipc_roundtrip",
     ],
 )
 def test_new_query_matches_oracle_sf0001(ray_session, qname):
