@@ -10192,6 +10192,27 @@ def q_ipc_roundtrip(sf_dir: str):
     return out.sort_values("source").reset_index(drop=True)
 
 
+_DECLARATIVE_SPEC_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "configs", "example_query.yml"
+)
+
+
+def q_declarative_pipeline(sf_dir: str):
+    """Declarative query-spec runner (2.10 user-extension surface,
+    extended from rules to full queries): configs/example_query.yml is
+    the SINGLE source of truth — pipelines/declarative compiles it to
+    the Ray pipeline executed here AND to the DuckDB SQL registered as
+    this query's oracle (oracle_sql() calls spec_to_sql on the same
+    file), so the driver's hash match certifies the spec compiler on
+    both engines, not a hand-paired query."""
+    from etl_data_validation_kio_ray.pipelines.declarative import (
+        load_query_spec,
+        run_spec,
+    )
+
+    return run_spec(sf_dir, load_query_spec(_DECLARATIVE_SPEC_PATH))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -10394,6 +10415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_drift": q_vocab_drift,
         "daily_volume_anomaly": q_daily_volume_anomaly,
         "ipc_roundtrip": q_ipc_roundtrip,
+        "declarative_pipeline": q_declarative_pipeline,
     }
 
 
@@ -10584,6 +10606,17 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END) AS BIGINT) AS n_match
 FROM s GROUP BY lang ORDER BY lang
 """
+
+
+def _declarative_twin_sql() -> str:
+    """The declarative spec's oracle is GENERATED from the same YAML
+    file the Ray side runs — see q_declarative_pipeline."""
+    from etl_data_validation_kio_ray.pipelines.declarative import (
+        load_query_spec,
+        spec_to_sql,
+    )
+
+    return spec_to_sql(load_query_spec(_DECLARATIVE_SPEC_PATH))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -13432,4 +13465,5 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
                             (a, b) -> a + b)) AS BIGINT) AS sum_tok
 FROM t GROUP BY source ORDER BY source
 """,
+        "declarative_pipeline": _declarative_twin_sql(),
     }

@@ -950,3 +950,47 @@ def test_bloom_build_matches_batch_or(ray_session):
     got = build_bloom(ds, "key", m_bits=1 << 14, k=3)
     want = batch_bitmap(keys, m_bits=1 << 14, k=3)
     assert (got == want).all()
+
+
+def test_declarative_spec_validation_and_sql():
+    import pytest as _pytest
+
+    from etl_data_validation_kio_ray.pipelines.declarative import (
+        _needed_columns,
+        spec_to_sql,
+    )
+
+    spec = {
+        "table": "orders",
+        "filters": [
+            {"col": "o_orderstatus", "op": "eq", "value": "F"},
+            {"col": "o_orderpriority", "op": "not_in", "value": ["5-LOW"]},
+        ],
+        "derive": {"price_c": {"fn": "cents", "col": "o_totalprice"}},
+        "group_by": ["o_orderpriority"],
+        "aggs": {"n": ["count"], "s": ["sum", "price_c"]},
+    }
+    # column pruning: derived inputs + filter cols + keys, no extras
+    assert _needed_columns(spec) == [
+        "o_orderpriority",
+        "o_orderstatus",
+        "o_totalprice",
+    ]
+    sql = spec_to_sql(spec)
+    assert "WHERE o_orderstatus = 'F'" in sql
+    assert "NOT IN ('5-LOW')" in sql
+    assert "CAST(round(o_totalprice * 100) AS BIGINT)" in sql
+    # string values are quoted with doubling, not injected
+    inj = dict(spec)
+    inj["filters"] = [{"col": "c", "op": "eq", "value": "x'; DROP--"}]
+    assert "'x''; DROP--'" in spec_to_sql(inj)
+
+    for bad in (
+        {"filters": [{"col": "a", "op": "like", "value": "x"}]},
+        {"derive": {"d": {"fn": "sqrt", "col": "a"}}},
+        {"aggs": {"o": ["avg", "a"]}},
+        {"aggs": {"o": ["sum"]}},
+    ):
+        s = {"table": "orders", "group_by": ["k"], **bad}
+        with _pytest.raises(ValueError):
+            spec_to_sql(s)

@@ -160,6 +160,7 @@ def test_weighted_median_vs_duckdb(ray_session):
         "vocab_drift",
         "daily_volume_anomaly",
         "ipc_roundtrip",
+        "declarative_pipeline",
     ],
 )
 def test_new_query_matches_oracle_sf0001(ray_session, qname):
