@@ -212,6 +212,9 @@ BENCH_QUERIES = [
     "sole_late_supplier",  # Q21: per-order EXISTS pair via distinct counts
     "revenue_cusum",  # changepoint scan, prefix-sum CUSUM identity
     "sorted_neighborhood_pairs",  # merge/purge blocking + adjacent verify
+    "compound_key_unique",  # composite-key uniqueness, planted dups
+    "vocab_drift",  # pairwise word-distribution PSI, word-owned buckets
+    "ipc_roundtrip",  # Arrow IPC sink -> validating reader roundtrip
 ]
 
 
