@@ -161,6 +161,7 @@ def test_weighted_median_vs_duckdb(ray_session):
         "daily_volume_anomaly",
         "ipc_roundtrip",
         "declarative_pipeline",
+        "bulk_part_suppliers",
     ],
 )
 def test_new_query_matches_oracle_sf0001(ray_session, qname):
