@@ -713,7 +713,7 @@ def q_multimodal_features(sf_dir: str):
         ImageFeatureStage,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=2,
+        concurrency=_pool(2),
         batch_size=256,  # binary rows: small batches (ray_guide memory-aware)
     )
     out = feats.map_batches(
@@ -739,7 +739,7 @@ def q_multimodal_features(sf_dir: str):
             ImageFeatureStage,
             batch_format="pyarrow",
             zero_copy_batch=True,
-            concurrency=2,
+            concurrency=_pool(2),
             batch_size=256,
         )
         .map_batches(
@@ -7898,7 +7898,9 @@ def q_gdpr_purge_audit(sf_dir: str):
     ev = rd.read_parquet(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_type", "user_id"],
-    ).map_batches(Tagger, batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
+    ).map_batches(
+        Tagger, batch_format="pyarrow", zero_copy_batch=True, concurrency=_pool(2)
+    )
 
     counts = grouped_agg(
         ev,
@@ -8136,6 +8138,23 @@ def q_event_value_ecdf(sf_dir: str):
     return out.sort_values(["event_type", "probe"]).reset_index(drop=True)
 
 
+def _pool(n: int) -> tuple[int, int]:
+    """Actor-pool ``concurrency`` for query-path ``map_batches``: an
+    AUTOSCALING (1, clamped-n) tuple, never a fixed int. A fixed pool
+    RESERVES its full size before processing; on a small session two
+    pools (or one pool the size of the cluster) then starve the
+    upstream read tasks of CPUs and the dataset wedges — observed as a
+    27-minute stall of q_national_market_share (pools 4+2 on the
+    4-CPU pytest session). With min=1 each pool starts on one CPU and
+    grows only when free CPUs exist; on a real cluster the max still
+    sizes the pool."""
+    from etl_data_validation_kio_ray.core.resources import (
+        clamp_actor_concurrency,
+    )
+
+    return (1, max(1, clamp_actor_concurrency(n)))
+
+
 def _gather_key_array(ds, col: str) -> pa.Array:
     """Collect ONE already-filtered key column as an Arrow int64 array
     via object refs (no pandas/tolist round-trip) for a ray.put
@@ -8278,7 +8297,7 @@ def q_national_market_share(sf_dir: str):
             "l_discount",
         ],
     ).map_batches(
-        LiPartial, batch_format="pyarrow", zero_copy_batch=True, concurrency=4
+        LiPartial, batch_format="pyarrow", zero_copy_batch=True, concurrency=_pool(4)
     )
 
     class OrdDim:
@@ -8299,7 +8318,9 @@ def q_national_market_share(sf_dir: str):
     orders = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
-    ).map_batches(OrdDim, batch_format="pyarrow", zero_copy_batch=True, concurrency=2)
+    ).map_batches(
+        OrdDim, batch_format="pyarrow", zero_copy_batch=True, concurrency=_pool(2)
+    )
 
     def per_year(t: pa.Table) -> pa.Table:
         g = t.group_by("yr").aggregate(
@@ -10302,6 +10323,420 @@ def q_bulk_part_suppliers(sf_dir: str):
     )
 
 
+Q9_NAME_SUBSTR = "widget"  # part-name filter ('%green%' analog)
+
+
+def q_profit_by_nation_year(sf_dir: str):
+    """TPC-H Q9 shape (product-type profit by supply nation and order
+    year — completes the 22-shape TPC-H suite together with
+    part_best_supplier/important_parts_value/part_supplier_counts; no
+    partsupp table exists, so profit = extendedprice*(1-discount) in
+    exact c4 integers). Scale shape: the part-name filter broadcasts
+    only qualifying PART KEYS (`ray.put` once, `pc.is_in` per batch);
+    the supplier→nation resolve is a broadcast `pc.index_in` lookup
+    (supplier is dimension-sized); lineitem collapses map-side to
+    per-(order, nation) partials — an order can span supplier nations,
+    so the per-order fold keeps the nation axis — and ONE hash-shuffle
+    join (relational.hash_join, both sides fact-sized) attaches the
+    order year before a tiny (nation × year) grouped_agg finishes.
+    Reference analog: the mart fact⋈dim KPI rollups
+    (/root/reference/sql/initdb/mart_views.sql:3-95)."""
+    import ray
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        grouped_agg,
+        hash_join,
+    )
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"]
+    )
+    pkeys = pc.cast(
+        part.filter(pc.match_substring(part["p_name"], Q9_NAME_SUBSTR))[
+            "p_partkey"
+        ],
+        pa.int64(),
+    ).combine_chunks()
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    )
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    nk = pa.array(nation["n_nationkey"].astype("int64"))
+    nname = pa.array(nation["n_name"].astype(str))
+    skeys = pc.cast(supp["s_suppkey"], pa.int64()).combine_chunks()
+    snation = pc.take(
+        nname, pc.index_in(pc.cast(supp["s_nationkey"], pa.int64()), nk)
+    ).combine_chunks()
+    pref = ray.put(pkeys)
+    sref = ray.put((skeys, snation))
+
+    class LiPartial:
+        def __init__(self):
+            self.pkeys = ray.get(pref)
+            self.skeys, self.snation = ray.get(sref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = t.filter(
+                pc.is_in(pc.cast(t["l_partkey"], pa.int64()), value_set=self.pkeys)
+            )
+            e = np.round(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100)
+            d = np.round(t["l_discount"].to_numpy(zero_copy_only=False) * 100)
+            rev = e.astype(np.int64) * (100 - d.astype(np.int64))
+            nat = pc.take(
+                self.snation,
+                pc.index_in(pc.cast(t["l_suppkey"], pa.int64()), self.skeys),
+            )
+            g = (
+                pa.table(
+                    {
+                        "okey": pc.cast(t["l_orderkey"], pa.int64()),
+                        "nation": nat,
+                        "profit_c4": pa.array(rev),
+                    }
+                )
+                .group_by(["okey", "nation"])
+                .aggregate([("profit_c4", "sum")])
+            )
+            return pa.table(
+                {
+                    "okey": g["okey"],
+                    "nation": g["nation"],
+                    "profit_c4": g["profit_c4_sum"],
+                }
+            )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        LiPartial, batch_format="pyarrow", zero_copy_batch=True, concurrency=_pool(4)
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "okey": pc.cast(t["o_orderkey"], pa.int64()),
+                "yr": pc.year(t["o_orderdate"]).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(li, orders, on=("okey",))
+    out = grouped_agg(
+        joined, ["nation", "yr"], {"profit_c4": ("profit_c4", "sum")}
+    )
+    for c in ("yr", "profit_c4"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["nation", "yr", "profit_c4"]]
+        .sort_values(["nation", "yr"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+Q2_PTYPE, Q2_MAX_SIZE = "STANDARD", 10  # Q2's '%BRASS' / size analog
+
+
+def q_part_best_supplier(sf_dir: str):
+    """TPC-H Q2 shape (best supplier per qualifying part; no partsupp
+    table, so the part↔supplier relation is the DISTINCT
+    (l_partkey, l_suppkey) pairs actually shipped and 'best' = max
+    s_acctbal, ties to the lower suppkey — Q2's min-supplycost
+    argmin re-expressed as an argmax over the same join topology).
+    Scale shape: qualifying PART KEYS broadcast once; lineitem
+    collapses per-batch to distinct pairs; ONE hash-bucket exchange on
+    the part key co-locates each part's pair set; in-bucket the
+    supplier's acctbal resolves by broadcast `pc.index_in` lookup and
+    a lexsort argmax picks one winner per part with no Python loop.
+    The name resolve at the end is a driver-side merge bounded by
+    #qualifying parts (dimension-sized). Reference analog: the
+    latest-per-entity top-1 selection
+    (/root/reference/sql/initdb/mart_views.sql:97-189)."""
+    import ray
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        resolve_num_buckets,
+        tag_bucket,
+    )
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_name", "p_type", "p_size"],
+    )
+    keep = pc.and_(
+        pc.equal(part["p_type"], Q2_PTYPE),
+        pc.less_equal(part["p_size"], Q2_MAX_SIZE),
+    )
+    qual = part.filter(keep)
+    pkeys = pc.cast(qual["p_partkey"], pa.int64()).combine_chunks()
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name", "s_acctbal"],
+    )
+    skeys = pc.cast(supp["s_suppkey"], pa.int64()).combine_chunks()
+    acct_c = pa.array(
+        np.round(supp["s_acctbal"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+    )
+    pref, sref = ray.put(pkeys), ray.put((skeys, acct_c))
+
+    class PairPartial:
+        def __init__(self):
+            self.pkeys = ray.get(pref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = t.filter(
+                pc.is_in(pc.cast(t["l_partkey"], pa.int64()), value_set=self.pkeys)
+            )
+            d = (
+                pa.table(
+                    {
+                        "part": pc.cast(t["l_partkey"], pa.int64()),
+                        "supp": pc.cast(t["l_suppkey"], pa.int64()),
+                    }
+                )
+                .group_by(["part", "supp"])
+                .aggregate([])
+            )
+            return d
+
+    pairs = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey"],
+    ).map_batches(
+        PairPartial, batch_format="pyarrow", zero_copy_batch=True, concurrency=_pool(4)
+    )
+    nb = resolve_num_buckets(pairs)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return tag_bucket(t, "part", nb)
+
+    def best_in_bucket(g: pa.Table) -> pa.Table:
+        skeys_l, acct_l = ray.get(sref)
+        d = g.drop_columns(["__b"]).group_by(["part", "supp"]).aggregate([])
+        p = d["part"].to_numpy(zero_copy_only=False)
+        s = d["supp"].to_numpy(zero_copy_only=False)
+        a = pc.take(acct_l, pc.index_in(d["supp"], skeys_l)).to_numpy(
+            zero_copy_only=False
+        )
+        # argmax per part: sort by (part asc, acct desc, supp asc), first wins
+        order = np.lexsort((s, -a, p))
+        p_s, s_s, a_s = p[order], s[order], a[order]
+        first = np.ones(len(p_s), dtype=bool)
+        first[1:] = p_s[1:] != p_s[:-1]
+        return pa.table(
+            {
+                "p_partkey": pa.array(p_s[first]),
+                "s_suppkey": pa.array(s_s[first]),
+                "acct_c": pa.array(a_s[first]),
+            }
+        )
+
+    best = (
+        pairs.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(best_in_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    pnames = qual.select(["p_partkey", "p_name"]).to_pandas()
+    pnames["p_partkey"] = pnames["p_partkey"].astype("int64")
+    snames = supp.select(["s_suppkey", "s_name"]).to_pandas()
+    snames["s_suppkey"] = snames["s_suppkey"].astype("int64")
+    out = best.merge(pnames, on="p_partkey").merge(snames, on="s_suppkey")
+    out = out.sort_values(
+        ["acct_c", "p_partkey"], ascending=[False, True], kind="mergesort"
+    ).head(100)
+    for c in ("p_partkey", "s_suppkey", "acct_c"):
+        out[c] = out[c].astype("int64")
+    return out[["p_partkey", "p_name", "s_suppkey", "s_name", "acct_c"]].reset_index(
+        drop=True
+    )
+
+
+Q11_NUM, Q11_DEN = 3, 2  # keep parts worth > 1.5x the MEAN part value
+
+
+def q_important_parts_value(sf_dir: str):
+    """TPC-H Q11 shape (parts whose revenue exceeds a GLOBAL correlated
+    scalar threshold — here 1.5x the mean per-part value, which unlike
+    Q11's fixed fraction stays selective at every scale factor):
+    per-part value folds in ONE hash-bucket exchange
+    (bucketed_group_agg on the part key with map-side partials), the
+    part-grain result materializes in the OBJECT STORE
+    (dimension-sized: one row per part, never the fact table), the
+    global total and part count reduce from those same blocks, and the
+    HAVING filter streams over the materialized per-part blocks with
+    an exact integer threshold — value > q where
+    q = total*NUM // (DEN*n_parts) in Python bigints, equivalent to
+    value*DEN*n_parts > total*NUM without overflow (certified:
+    total_c4 fits int64 up to ~9e14 in c4 units ≈ $92B revenue; the
+    driver corpus is ~$1e9). SQL twin uses the same integer
+    floor-division threshold.
+    Reference analog: metrics wide-aggregate + threshold verdicts
+    (/root/reference/src/app2/etl_validation/specs.py:240-259)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        bucketed_group_agg,
+        collect_sorted,
+    )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        e = np.round(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100)
+        d = np.round(t["l_discount"].to_numpy(zero_copy_only=False) * 100)
+        rev = e.astype(np.int64) * (100 - d.astype(np.int64))
+        g = (
+            pa.table(
+                {
+                    "p_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                    "value_c4": pa.array(rev),
+                }
+            )
+            .group_by("p_partkey")
+            .aggregate([("value_c4", "sum")])
+        )
+        return pa.table(
+            {"p_partkey": g["p_partkey"], "value_c4": g["value_c4_sum"]}
+        )
+
+    per_part = bucketed_group_agg(
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "p_partkey",
+        [("value_c4", "sum")],
+    ).materialize()
+    total = int(per_part.sum("value_c4"))
+    n_parts = per_part.count()
+    thresh = np.int64((total * Q11_NUM) // (Q11_DEN * n_parts))
+    kept = per_part.map_batches(
+        lambda t: t.filter(pc.greater(t["value_c4"], pa.scalar(thresh))),
+        batch_format="pyarrow",
+    )
+    out = collect_sorted(kept, ["value_c4", "p_partkey"])
+    out = out.sort_values(
+        ["value_c4", "p_partkey"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    for c in ("p_partkey", "value_c4"):
+        out[c] = out[c].astype("int64")
+    return out[["p_partkey", "value_c4"]]
+
+
+Q16_EXCL_BRAND, Q16_EXCL_TYPE, Q16_MAX_SIZE = "Brand#13", "PROMO", 25
+Q16_MIN_ACCT_C = 100_000  # exclude suppliers with acctbal < $1000
+
+
+def q_part_supplier_counts(sf_dir: str):
+    """TPC-H Q16 shape (supplier count per part attribute triple with
+    NOT-IN exclusions on both dimensions; the part↔supplier relation
+    is the DISTINCT shipped (l_partkey, l_suppkey) pairs, the
+    complaints exclusion becomes a low-acctbal supplier set). Scale
+    shape: both exclusion sets broadcast once (part attrs as parallel
+    arrays keyed by partkey, excluded suppkeys as a key set); lineitem
+    maps to (attr-triple, suppkey) rows with per-batch pair dedup; the
+    grouped COUNT(DISTINCT supplier) rides
+    relational.grouped_count_distinct — pairs hash-bucket on the
+    SUPPLIER value so a hot attribute triple spreads across buckets
+    and cross-batch dedup stays bucket-local; the attr triple travels
+    as one composite utf8 key and splits back driver-side on the
+    #triples-bounded result. Reference analog: the distinct-entity
+    reconciliation counts
+    (/root/reference/src/app2/dds/source_suite/matches_source.py:18-52)."""
+    import ray
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        grouped_count_distinct,
+    )
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+    )
+    keep = pc.and_(
+        pc.and_(
+            pc.not_equal(part["p_brand"], Q16_EXCL_BRAND),
+            pc.not_equal(part["p_type"], Q16_EXCL_TYPE),
+        ),
+        pc.less_equal(part["p_size"], Q16_MAX_SIZE),
+    )
+    qual = part.filter(keep)
+    pkeys = pc.cast(qual["p_partkey"], pa.int64()).combine_chunks()
+    attr = pc.binary_join_element_wise(
+        pc.cast(qual["p_brand"], pa.string()),
+        pc.cast(qual["p_type"], pa.string()),
+        pc.cast(qual["p_size"], pa.string()),
+        "|",
+    ).combine_chunks()
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_acctbal"],
+    )
+    bad_supp = pc.cast(
+        supp.filter(
+            pc.less(
+                pa.array(
+                    np.round(
+                        supp["s_acctbal"].to_numpy(zero_copy_only=False) * 100
+                    ).astype(np.int64)
+                ),
+                Q16_MIN_ACCT_C,
+            )
+        )["s_suppkey"],
+        pa.int64(),
+    ).combine_chunks()
+    ref = ray.put((pkeys, attr, bad_supp))
+
+    class AttrPairs:
+        def __init__(self):
+            self.pkeys, self.attr, self.bad = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            pk = pc.cast(t["l_partkey"], pa.int64())
+            sk = pc.cast(t["l_suppkey"], pa.int64())
+            mask = pc.and_(
+                pc.is_in(pk, value_set=self.pkeys),
+                pc.invert(pc.is_in(sk, value_set=self.bad)),
+            )
+            t2 = pa.table({"pk": pk, "s_suppkey": sk}).filter(mask)
+            a = pc.take(self.attr, pc.index_in(t2["pk"], self.pkeys))
+            return (
+                pa.table({"attr_key": a, "s_suppkey": t2["s_suppkey"]})
+                .group_by(["attr_key", "s_suppkey"])
+                .aggregate([])
+            )
+
+    pairs = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey"],
+    ).map_batches(
+        AttrPairs, batch_format="pyarrow", zero_copy_batch=True, concurrency=_pool(4)
+    )
+    out = grouped_count_distinct(pairs, "attr_key", "s_suppkey")
+    split = out["attr_key"].str.split("|", expand=True)
+    out["p_brand"], out["p_type"] = split[0], split[1]
+    out["p_size"] = split[2].astype("int64")
+    out["supplier_cnt"] = out["n_distinct"].astype("int64")
+    return (
+        out[["p_brand", "p_type", "p_size", "supplier_cnt"]]
+        .sort_values(
+            ["supplier_cnt", "p_brand", "p_type", "p_size"],
+            ascending=[False, True, True, True],
+            kind="mergesort",
+        )
+        .reset_index(drop=True)
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -10506,6 +10941,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ipc_roundtrip": q_ipc_roundtrip,
         "declarative_pipeline": q_declarative_pipeline,
         "bulk_part_suppliers": q_bulk_part_suppliers,
+        "profit_by_nation_year": q_profit_by_nation_year,
+        "part_best_supplier": q_part_best_supplier,
+        "important_parts_value": q_important_parts_value,
+        "part_supplier_counts": q_part_supplier_counts,
     }
 
 
@@ -13569,5 +14008,81 @@ g AS (
 SELECT DISTINCT s_suppkey, s_name
 FROM supplier JOIN g ON s_suppkey = l_suppkey
 ORDER BY s_name
+""",
+        "profit_by_nation_year": f"""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS profit_c4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE l_partkey IN (
+  SELECT p_partkey FROM part WHERE p_name LIKE '%{Q9_NAME_SUBSTR}%'
+)
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, yr
+""",
+        "part_best_supplier": f"""
+WITH pk AS (
+  SELECT p_partkey, p_name FROM part
+  WHERE p_type = '{Q2_PTYPE}' AND p_size <= {Q2_MAX_SIZE}
+),
+pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM pk)
+),
+best AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(round(s_acctbal * 100) AS BIGINT) AS acct_c,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_partkey
+           ORDER BY round(s_acctbal * 100) DESC, l_suppkey
+         ) AS rn
+  FROM pairs JOIN supplier ON l_suppkey = s_suppkey
+)
+SELECT CAST(l_partkey AS BIGINT) AS p_partkey, p_name,
+       CAST(l_suppkey AS BIGINT) AS s_suppkey, s_name, acct_c
+FROM best
+JOIN pk ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE rn = 1
+ORDER BY acct_c DESC, p_partkey
+LIMIT 100
+""",
+        "important_parts_value": f"""
+WITH v AS (
+  SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS value_c4
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p_partkey, value_c4 FROM v
+WHERE value_c4 > (
+  SELECT (SUM(value_c4) * {Q11_NUM}) // ({Q11_DEN} * COUNT(*)) FROM v
+)
+ORDER BY value_c4 DESC, p_partkey
+""",
+        "part_supplier_counts": f"""
+WITH pk AS (
+  SELECT p_partkey, p_brand, p_type, p_size FROM part
+  WHERE p_brand <> '{Q16_EXCL_BRAND}' AND p_type <> '{Q16_EXCL_TYPE}'
+    AND p_size <= {Q16_MAX_SIZE}
+),
+pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+  WHERE l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier
+    WHERE round(s_acctbal * 100) < {Q16_MIN_ACCT_C}
+  )
+)
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM pairs JOIN pk ON l_partkey = p_partkey
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 """,
     }

@@ -215,6 +215,11 @@ BENCH_QUERIES = [
     "compound_key_unique",  # composite-key uniqueness, planted dups
     "vocab_drift",  # pairwise word-distribution PSI, word-owned buckets
     "ipc_roundtrip",  # Arrow IPC sink -> validating reader roundtrip
+    # round 4 session 12: the four TPC-H shapes the suite still lacked
+    "profit_by_nation_year",  # Q9: broadcast dims + fact x fact hash join
+    "part_best_supplier",  # Q2: distinct pairs + in-bucket lexsort argmax
+    "important_parts_value",  # Q11: global correlated scalar HAVING
+    "part_supplier_counts",  # Q16: NOT-IN exclusions + grouped distinct
 ]
 
 

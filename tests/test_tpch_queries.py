@@ -162,6 +162,10 @@ def test_weighted_median_vs_duckdb(ray_session):
         "ipc_roundtrip",
         "declarative_pipeline",
         "bulk_part_suppliers",
+        "profit_by_nation_year",
+        "part_best_supplier",
+        "important_parts_value",
+        "part_supplier_counts",
     ],
 )
 def test_new_query_matches_oracle_sf0001(ray_session, qname):
