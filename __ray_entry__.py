@@ -10737,6 +10737,191 @@ def q_part_supplier_counts(sf_dir: str):
     )
 
 
+PR_TOTAL = 10**12  # fixed-point rank mass (picoshares)
+PR_ROUNDS = 3
+
+
+def q_supplier_pagerank(sf_dir: str):
+    """Fixed-iteration PageRank over the bipartite part↔supplier graph
+    (distinct shipped (l_partkey, l_suppkey) pairs), damping 0.85, 3
+    Gauss-Seidel rounds, EXACT int64 fixed-point (floor divisions —
+    bit-identical to the SQL twin's chained CTEs, no float drift).
+    The iterative-distributed-algorithm shape beyond k-means/BPE/
+    connected-components: per round, node state flows through the
+    edge list.
+
+    Scale shape: edges dedup + per-part degree in ONE hash-bucket
+    exchange on the part key (a part's pairs all land in its bucket),
+    then the augmented narrow edge table (p, s, deg_p — 24 B/edge)
+    MATERIALIZES once in the object store; each round is one
+    groupby-bucket pass over it with the SUPPLIER state broadcast
+    (`ray.put` of (key, rank, degree) arrays — the documented
+    partitioning assumption: one side of the bipartite graph is
+    dimension-sized; a general graph would keep both sides bucketed
+    like dedup/cluster.connected_components). In-bucket both updates
+    happen vectorized: part ranks from broadcast supplier ranks, then
+    per-edge contributions fold to per-bucket supplier partials, so
+    only #buckets × #suppliers partial rows leave the exchange.
+    Overflow: rank ≤ PR_TOTAL = 1e12, rank*85 ≤ 8.5e13 ≪ 2^63.
+    Reference analog: iterative mart refresh over staged facts
+    (/root/reference/src/app2/experiments/run.py:490-501)."""
+    import ray
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        grouped_agg,
+        resolve_num_buckets,
+        tag_bucket,
+    )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey"],
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {
+                    "p": pc.cast(t["l_partkey"], pa.int64()),
+                    "s": pc.cast(t["l_suppkey"], pa.int64()),
+                }
+            )
+            .group_by(["p", "s"])
+            .aggregate([])
+        )
+
+    pairs = li.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+    nb = resolve_num_buckets(pairs)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return tag_bucket(t, "p", nb)
+
+    def dedup_bucket(g: pa.Table) -> pa.Table:
+        d = g.drop_columns(["__b"]).group_by(["p", "s"]).aggregate([])
+        deg = d.group_by("p").aggregate([("s", "count")])
+        dp = pc.take(
+            pc.cast(deg["s_count"], pa.int64()), pc.index_in(d["p"], deg["p"])
+        )
+        p_np = d["p"].to_numpy(zero_copy_only=False)
+        firstp = np.zeros(len(p_np), dtype=np.int64)
+        firstp[np.unique(p_np, return_index=True)[1]] = 1
+        # keep the bucket tag: each round re-groups on it without
+        # re-hashing the key
+        b = g["__b"][0].as_py() if g.num_rows else 0
+        return pa.table(
+            {
+                "p": d["p"],
+                "s": d["s"],
+                "deg_p": dp,
+                "firstp": pa.array(firstp),
+                "__b": pa.array(np.full(len(p_np), b, dtype=np.int32)),
+            }
+        )
+
+    edges = (
+        pairs.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(dedup_bucket, batch_format="pyarrow")
+        .materialize()
+    )
+    n_parts = int(edges.sum("firstp"))
+    degs_df = grouped_agg(edges, ["s"], {"deg_s": ("p", "count")})
+    n_supp = len(degs_df)
+    n = n_parts + n_supp
+    base = (PR_TOTAL * 15) // (100 * n)
+    s_keys = pa.array(degs_df["s"].to_numpy().astype(np.int64))
+    deg_s = degs_df["deg_s"].to_numpy().astype(np.int64)
+    r_s = np.full(n_supp, PR_TOTAL // n, dtype=np.int64)
+
+    for _ in range(PR_ROUNDS):
+        ref = ray.put((s_keys, r_s.copy(), deg_s.copy()))
+
+        def round_bucket(g: pa.Table, _ref=ref, _base=base) -> pa.Table:
+            sk, rs, dgs = ray.get(_ref)
+            si = pc.index_in(g["s"], sk).to_numpy(zero_copy_only=False)
+            contrib_in = (rs[si] * 85) // (100 * dgs[si])
+            pr = (
+                pa.table({"p": g["p"], "c": pa.array(contrib_in)})
+                .group_by("p")
+                .aggregate([("c", "sum")])
+            )
+            r_p = pc.add(pr["c_sum"], pa.scalar(_base, pa.int64()))
+            rp_edge = pc.take(r_p, pc.index_in(g["p"], pr["p"])).to_numpy(
+                zero_copy_only=False
+            )
+            dgp = g["deg_p"].to_numpy(zero_copy_only=False)
+            out_c = (rp_edge * 85) // (100 * dgp)
+            o = (
+                pa.table({"s": g["s"], "partial": pa.array(out_c)})
+                .group_by("s")
+                .aggregate([("partial", "sum")])
+            )
+            return pa.table({"s": o["s"], "partial": o["partial_sum"]})
+
+        partials = (
+            edges.groupby("__b")
+            .map_groups(round_bucket, batch_format="pyarrow")
+            .to_pandas()
+        )
+        summed = partials.groupby("s", sort=False)["partial"].sum()
+        r_s = (
+            base + summed.reindex(s_keys.to_numpy(), fill_value=0).to_numpy()
+        ).astype(np.int64)
+
+    out = pd.DataFrame(
+        {"s_suppkey": s_keys.to_numpy().astype("int64"), "rank": r_s}
+    )
+    return (
+        out.sort_values(
+            ["rank", "s_suppkey"], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+    )
+
+
+def _pagerank_twin_sql() -> str:
+    """Chained-CTE twin of q_supplier_pagerank: same integer floor
+    divisions, same Gauss-Seidel order (parts from suppliers, then
+    suppliers from parts), PR_ROUNDS times."""
+    head = f"""
+WITH edges AS (
+  SELECT DISTINCT CAST(l_partkey AS BIGINT) AS p,
+                  CAST(l_suppkey AS BIGINT) AS s
+  FROM lineitem
+),
+degp AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY p),
+degs AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY s),
+consts AS (
+  SELECT (SELECT COUNT(*) FROM degp) + (SELECT COUNT(*) FROM degs) AS n,
+         CAST({PR_TOTAL} AS BIGINT) AS total
+),
+s0 AS (
+  SELECT s, (SELECT total // n FROM consts) AS r FROM degs
+)"""
+    body = ""
+    for k in range(1, PR_ROUNDS + 1):
+        body += f""",
+p{k} AS (
+  SELECT e.p,
+         CAST((SELECT (total * 15) // (100 * n) FROM consts)
+              + SUM((s{k - 1}.r * 85) // (100 * degs.d)) AS BIGINT) AS r
+  FROM edges e JOIN s{k - 1} ON e.s = s{k - 1}.s JOIN degs ON e.s = degs.s
+  GROUP BY e.p
+),
+s{k} AS (
+  SELECT e.s,
+         CAST((SELECT (total * 15) // (100 * n) FROM consts)
+              + SUM((p{k}.r * 85) // (100 * degp.d)) AS BIGINT) AS r
+  FROM edges e JOIN p{k} ON e.p = p{k}.p JOIN degp ON e.p = degp.p
+  GROUP BY e.s
+)"""
+    tail = f"""
+SELECT s AS s_suppkey, r AS rank FROM s{PR_ROUNDS}
+ORDER BY rank DESC, s_suppkey
+"""
+    return head + body + tail
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -10945,6 +11130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_best_supplier": q_part_best_supplier,
         "important_parts_value": q_important_parts_value,
         "part_supplier_counts": q_part_supplier_counts,
+        "supplier_pagerank": q_supplier_pagerank,
     }
 
 
@@ -14085,4 +14271,5 @@ FROM pairs JOIN pk ON l_partkey = p_partkey
 GROUP BY p_brand, p_type, p_size
 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 """,
+        "supplier_pagerank": _pagerank_twin_sql(),
     }

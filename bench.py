@@ -220,6 +220,7 @@ BENCH_QUERIES = [
     "part_best_supplier",  # Q2: distinct pairs + in-bucket lexsort argmax
     "important_parts_value",  # Q11: global correlated scalar HAVING
     "part_supplier_counts",  # Q16: NOT-IN exclusions + grouped distinct
+    "supplier_pagerank",  # 3-round integer PageRank, one exchange/round
 ]
 
 

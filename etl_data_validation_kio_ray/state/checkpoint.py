@@ -52,12 +52,16 @@ class AuditLog:
         self._lock = threading.Lock()
 
     def append(self, event: str, **fields: Any) -> None:
-        rec = {"ts": time.time(), "event": event, **fields}
-        # default=str: an unexpected field type (numpy scalar, Arrow
-        # timestamp) degrades to its string form instead of raising
-        # inside claim/finish and killing the run mid-pipeline
-        line = json.dumps(rec, sort_keys=True, default=str) + "\n"
+        # the timestamp is read INSIDE the lock: two thread-pooled
+        # claim/finish appenders that stamped first and appended second
+        # would otherwise interleave so file order disagrees with ts
+        # order (observed as a 3 ms inversion in the crash-resume test)
         with self._lock:
+            rec = {"ts": time.time(), "event": event, **fields}
+            # default=str: an unexpected field type (numpy scalar, Arrow
+            # timestamp) degrades to its string form instead of raising
+            # inside claim/finish and killing the run mid-pipeline
+            line = json.dumps(rec, sort_keys=True, default=str) + "\n"
             with open(self.path, "a") as f:
                 f.write(line)
 

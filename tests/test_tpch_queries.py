@@ -166,6 +166,7 @@ def test_weighted_median_vs_duckdb(ray_session):
         "part_best_supplier",
         "important_parts_value",
         "part_supplier_counts",
+        "supplier_pagerank",
     ],
 )
 def test_new_query_matches_oracle_sf0001(ray_session, qname):
