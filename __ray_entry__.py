@@ -10879,6 +10879,93 @@ def q_supplier_pagerank(sf_dir: str):
     )
 
 
+LATE_W_US = 3_600_000_000  # allowed lateness: 1 hour, in microseconds
+
+
+def q_late_arrivals(sf_dir: str):
+    """Event-time late-data accounting under a WATERMARK — the
+    streaming-ingest audit a batch engine expresses as a global running
+    max: the ARRIVAL order is a deterministic splitmix64 shuffle of
+    event_id (the synthetic events file is perfectly time-ordered, so
+    the shuffle simulates the out-of-order delivery a real ingest
+    sees; same permutation on both engines), the watermark after step
+    i is max(ts of the first i arrivals) - LATE_W, and an event is
+    LATE iff its event time has already been passed by more than the
+    allowed lateness (ts + W < exclusive running max of ts). Per event
+    type: late count, total count, and the worst lateness in exact µs.
+
+    Scale shape: relational.global_exclusive_running_max — ONE
+    range-partitioning sort on (event_id), per-block max summaries to
+    the driver (O(blocks)), broadcast exclusive prefix-max, zero-copy
+    in-block accumulate; the late test and per-type partials fold
+    per-block, so only #blocks × #types partial rows reach the final
+    tiny aggregate. Reference analog: the load_dttm freshness/ordering
+    checks (/root/reference/sql/initdb/stg_tables.sql:3-10,
+    tech_tables.sql:9-40)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        INT64_MIN,
+        global_exclusive_running_max,
+        grouped_agg,
+    )
+
+    from etl_data_validation_kio_ray.functions.hashing import _splitmix64
+
+    def pre(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        arr = (_splitmix64(ids.view(np.uint64)) % np.uint64(2**63)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "arr": pa.array(arr),
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+            }
+        )
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "event_type"],
+    ).map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+    wm = global_exclusive_running_max(
+        ev, ["arr", "event_id"], "ts_us", out_col="wm"
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        w = t["wm"].to_numpy(zero_copy_only=False)
+        late = (w > INT64_MIN) & (ts + LATE_W_US < w)
+        lateness = np.where(late, w - LATE_W_US - ts, 0)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "n_late": pa.array(late.astype(np.int64)),
+                "n_events": pa.array(np.ones(len(ts), dtype=np.int64)),
+                "max_lateness_us": pa.array(lateness),
+            }
+        )
+
+    out = grouped_agg(
+        wm.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"],
+        {
+            "n_late": ("n_late", "sum"),
+            "n_events": ("n_events", "sum"),
+            "max_lateness_us": ("max_lateness_us", "max"),
+        },
+    )
+    for c in ("n_late", "n_events", "max_lateness_us"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["event_type", "n_late", "n_events", "max_lateness_us"]]
+        .sort_values("event_type", kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
 def _pagerank_twin_sql() -> str:
     """Chained-CTE twin of q_supplier_pagerank: same integer floor
     divisions, same Gauss-Seidel order (parts from suppliers, then
@@ -11131,6 +11218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "important_parts_value": q_important_parts_value,
         "part_supplier_counts": q_part_supplier_counts,
         "supplier_pagerank": q_supplier_pagerank,
+        "late_arrivals": q_late_arrivals,
     }
 
 
@@ -14272,4 +14360,46 @@ GROUP BY p_brand, p_type, p_size
 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 """,
         "supplier_pagerank": _pagerank_twin_sql(),
+        "late_arrivals": f"""
+WITH s1 AS (
+  SELECT event_id, event_type, ts,
+         CAST((CAST(event_id AS UHUGEINT) + 11400714819323198485)
+              % 18446744073709551616 AS UBIGINT) AS z
+  FROM events
+), s2 AS (
+  SELECT event_id, event_type, ts,
+         CAST((CAST(xor(z, z >> 30) AS UHUGEINT) * 13787848793156543929)
+              % 18446744073709551616 AS UBIGINT) AS z
+  FROM s1
+), s3 AS (
+  SELECT event_id, event_type, ts,
+         CAST((CAST(xor(z, z >> 27) AS UHUGEINT) * 10723151780598845931)
+              % 18446744073709551616 AS UBIGINT) AS z
+  FROM s2
+), e AS (
+  SELECT event_id, event_type, ts,
+         CAST(xor(z, z >> 31) % 9223372036854775808 AS BIGINT) AS arr
+  FROM s3
+), w AS (
+  SELECT event_type, ts,
+         MAX(ts) OVER (
+           ORDER BY arr, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS wm
+  FROM e
+)
+SELECT event_type,
+       CAST(count(*) FILTER (
+         WHERE wm IS NOT NULL
+           AND epoch_us(ts) + {LATE_W_US} < epoch_us(wm)
+       ) AS BIGINT) AS n_late,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(COALESCE(MAX(
+         CASE WHEN wm IS NOT NULL
+                AND epoch_us(ts) + {LATE_W_US} < epoch_us(wm)
+              THEN epoch_us(wm) - {LATE_W_US} - epoch_us(ts)
+              ELSE 0 END
+       ), 0) AS BIGINT) AS max_lateness_us
+FROM w GROUP BY event_type ORDER BY event_type
+""",
     }

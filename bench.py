@@ -221,6 +221,7 @@ BENCH_QUERIES = [
     "important_parts_value",  # Q11: global correlated scalar HAVING
     "part_supplier_counts",  # Q16: NOT-IN exclusions + grouped distinct
     "supplier_pagerank",  # 3-round integer PageRank, one exchange/round
+    "late_arrivals",  # watermark late-data audit via global running max
 ]
 
 

@@ -2450,6 +2450,82 @@ def global_prefix_sum(
     return ranked, total
 
 
+INT64_MIN = np.iinfo(np.int64).min
+
+
+def global_exclusive_running_max(
+    ds, keys: list[str], value_col: str, *, out_col: str = "run_max"
+):
+    """Exact EXCLUSIVE running maximum of int64 ``value_col`` over the
+    global ORDER BY ``keys`` — SQL's
+    ``MAX(v) OVER (ORDER BY keys ROWS UNBOUNDED PRECEDING AND 1
+    PRECEDING)``, the watermark primitive for event-time late-data
+    accounting. Same two-pass sorted-block shape as
+    :func:`global_row_number`: one range-partitioning sort, per-block
+    (first-key, block-max) summaries to the driver (O(blocks)), an
+    exclusive prefix-max over the sorted summaries broadcast once, and
+    a zero-copy in-block ``np.maximum.accumulate`` attach. The first
+    global row gets ``INT64_MIN`` (SQL NULL's stand-in — callers must
+    treat it as "no predecessor", NOT as a real value; arithmetic on
+    it underflows). ``keys`` must be a total order with no nulls.
+    Rows never leave their workers; still a streaming Dataset."""
+    import ray
+
+    sorted_ds = ds.sort(keys).materialize()
+
+    def summarize(t: pa.Table) -> pa.Table:
+        head = min(1, t.num_rows)
+        cols = {f"k{i}": t[k].slice(0, head) for i, k in enumerate(keys)}
+        m = pc.max(pc.cast(t[value_col], pa.int64())).as_py()
+        cols["n"] = pa.array([m] if head else [], pa.int64())
+        return pa.table(cols)
+
+    summaries = sorted_ds.map_batches(
+        summarize, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).to_pandas()
+    key_cols = [f"k{i}" for i in range(len(keys))]
+    summaries = summaries.sort_values(key_cols, kind="mergesort").reset_index(
+        drop=True
+    )
+    firsts = [tuple(r) for r in summaries[key_cols].itertuples(index=False)]
+    if len(set(firsts)) != len(firsts):
+        raise ValueError(
+            "global_exclusive_running_max: duplicate block-first keys — "
+            "`keys` is not a total order (add a unique tiebreak column)"
+        )
+    maxes = summaries["n"].to_numpy(dtype=np.int64)
+    incoming = np.r_[
+        np.int64(INT64_MIN), np.maximum.accumulate(maxes)[:-1]
+    ]
+    omap_ref = ray.put(dict(zip(firsts, incoming)))
+
+    def attach(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        omap = ray.get(omap_ref)
+        first = tuple(t[k][0].as_py() for k in keys)
+        inc = omap.get(first)
+        if inc is None:
+            raise RuntimeError(
+                "global_exclusive_running_max: block first-key not found "
+                "in offset map — block/batch boundaries changed between "
+                "passes"
+            )
+        v = t[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        vals = pc.cast(v, pa.int64()).to_numpy(zero_copy_only=False)
+        run = np.maximum(
+            np.r_[np.int64(inc), np.maximum.accumulate(vals)[:-1]],
+            np.int64(inc),
+        )
+        return t.append_column(out_col, pa.array(run))
+
+    return sorted_ds.map_batches(
+        attach, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+
 def pack_concat_chunks(
     ds,
     *,

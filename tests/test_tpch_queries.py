@@ -167,6 +167,7 @@ def test_weighted_median_vs_duckdb(ray_session):
         "important_parts_value",
         "part_supplier_counts",
         "supplier_pagerank",
+        "late_arrivals",
     ],
 )
 def test_new_query_matches_oracle_sf0001(ray_session, qname):
