@@ -10966,6 +10966,77 @@ def q_late_arrivals(sf_dir: str):
     )
 
 
+VFS_STRIDE = 4  # sample every 4th frame
+
+
+def q_video_frame_sample(sf_dir: str):
+    """Video frame-sampling through the REAL multimodal plumbing
+    (multimodal/decode.VideoFrameSampleStage): sha256-seeded raw-frame
+    payloads ride the binary column in small batches through an
+    actor-pool explode stage (one row per sampled frame, energies
+    computed vectorized off the Arrow byte buffer), then a per-source
+    exact-integer aggregate: videos, sampled frames, sampled bytes,
+    byte-energy sum. The DuckDB twin recomputes every sampled frame's
+    byte sum from sha256 hex closed-form, so a hash match proves frame
+    SLICING (offsets, stride, per-video geometry) is exact — not just
+    that bytes moved. Reference analog: the payload → typed-entity
+    explode (/root/reference/src/app2/dds/load_dds.py:18-176)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.multimodal.decode import (
+        VideoFrameSampleStage,
+        synthesize_video_batch,
+    )
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source"],
+    )
+    frames = docs.map_batches(
+        lambda t: synthesize_video_batch(t, algo="sha256"),
+        batch_format="pyarrow",
+        batch_size=256,  # binary rows: small batches (memory-aware)
+    ).map_batches(
+        VideoFrameSampleStage,
+        fn_constructor_kwargs={"stride": VFS_STRIDE},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=256,
+        concurrency=_pool(2),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        first = pc.equal(t["frame_idx"], 0).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": t["source"],
+                "n_videos": pa.array(first.astype(np.int64)),
+                "n_frames": pa.array(np.ones(t.num_rows, np.int64)),
+                "sum_flen": pc.cast(t["f_len"], pa.int64()),
+                "sum_energy": pc.cast(t["f_energy"], pa.int64()),
+            }
+        )
+
+    out = grouped_agg(
+        frames.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"],
+        {
+            "n_videos": ("n_videos", "sum"),
+            "n_frames": ("n_frames", "sum"),
+            "sum_flen": ("sum_flen", "sum"),
+            "sum_energy": ("sum_energy", "sum"),
+        },
+    )
+    for c in ("n_videos", "n_frames", "sum_flen", "sum_energy"):
+        out[c] = out[c].astype("int64")
+    return (
+        out[["source", "n_videos", "n_frames", "sum_flen", "sum_energy"]]
+        .sort_values("source", kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
 def _pagerank_twin_sql() -> str:
     """Chained-CTE twin of q_supplier_pagerank: same integer floor
     divisions, same Gauss-Seidel order (parts from suppliers, then
@@ -11219,6 +11290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_supplier_counts": q_part_supplier_counts,
         "supplier_pagerank": q_supplier_pagerank,
         "late_arrivals": q_late_arrivals,
+        "video_frame_sample": q_video_frame_sample,
     }
 
 
@@ -14360,6 +14432,47 @@ GROUP BY p_brand, p_type, p_size
 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 """,
         "supplier_pagerank": _pagerank_twin_sql(),
+        "video_frame_sample": f"""
+WITH s AS (
+  SELECT doc_id, source, sha256(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+), b AS (
+  SELECT source,
+         list_transform(range(0, 8), i ->
+           CAST((strpos('0123456789abcdef',
+                        substr(hx, CAST(2*i+1 AS INT), 1)) - 1) * 16
+              + (strpos('0123456789abcdef',
+                        substr(hx, CAST(2*i+2 AS INT), 1)) - 1)
+                AS BIGINT)) AS sb
+  FROM s
+), m AS (
+  SELECT source, sb,
+         8 + sb[1] % 9 AS nf,
+         48 + sb[2] % 17 AS fb,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), sb),
+                     (a, c) -> a + c) AS seedsum
+  FROM b
+), v AS (
+  SELECT source, fb,
+         (nf + {VFS_STRIDE} - 1) // {VFS_STRIDE} AS n_samp,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(0, (nf + {VFS_STRIDE} - 1) // {VFS_STRIDE}),
+             f ->
+               (fb // 8) * seedsum
+               + list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(0, fb % 8), j ->
+                     sb[CAST((({VFS_STRIDE} * f * fb + j) % 8) + 1
+                             AS INT)])),
+                   (a, c) -> a + c)
+           )), (a, c) -> a + c) AS energy
+  FROM m
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_videos,
+       CAST(SUM(n_samp) AS BIGINT) AS n_frames,
+       CAST(SUM(n_samp * fb) AS BIGINT) AS sum_flen,
+       CAST(SUM(energy) AS BIGINT) AS sum_energy
+FROM v GROUP BY source ORDER BY source
+""",
         "late_arrivals": f"""
 WITH s1 AS (
   SELECT event_id, event_type, ts,

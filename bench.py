@@ -222,6 +222,7 @@ BENCH_QUERIES = [
     "part_supplier_counts",  # Q16: NOT-IN exclusions + grouped distinct
     "supplier_pagerank",  # 3-round integer PageRank, one exchange/round
     "late_arrivals",  # watermark late-data audit via global running max
+    "video_frame_sample",  # binary frame-sample explode, actor pool
 ]
 
 

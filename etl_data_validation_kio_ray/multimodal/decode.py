@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 FEATURE_DIM = 32
 
@@ -111,6 +112,128 @@ class AudioFeatureStage:
         return batch.append_column(
             "features", pa.array(list(feats))
         ).append_column("decoder", pa.array(["stub"] * len(payloads), pa.string()))
+
+
+class VideoFrameSampleStage:
+    """Frame-sampling for video payloads —
+    ``map_batches(VideoFrameSampleStage(stride=k), concurrency=N,
+    batch_size=SMALL, batch_format='pyarrow')``. EXPLODES each video
+    row into one row per sampled frame (every ``stride``-th frame):
+    (doc_id, source, frame_idx, f_len, f_energy) with the energy =
+    exact int64 sum of that frame's payload bytes — computed fully
+    vectorized off the Arrow binary buffer (one prefix-sum over the
+    batch's byte data, two gathers per sampled frame; no per-frame
+    Python loop).
+
+    Real path would use PyAV/ffmpeg (not in this container); payloads
+    here are raw concatenated fixed-size frames as declared by the
+    (n_frames, frame_bytes) metadata columns, which is exactly the
+    layout a real decode stage would hand to this sampler."""
+
+    def __init__(self, *, stride: int = 4):
+        if stride < 1:
+            raise ValueError("stride must be >= 1")
+        self.stride = stride
+        try:
+            import av  # noqa: F401
+
+            self._av = True
+        except ImportError:
+            self._av = False
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._av:
+            raise NotImplementedError(
+                "real video decode path not exercised in this container"
+            )
+        if batch.num_rows == 0:
+            e64 = pa.array([], pa.int64())
+            return pa.table(
+                {
+                    "doc_id": pa.array([], batch.schema.field("doc_id").type),
+                    "source": pa.array([], batch.schema.field("source").type),
+                    "frame_idx": e64,
+                    "f_len": e64,
+                    "f_energy": e64,
+                }
+            )
+        pl = batch["payload"]
+        if isinstance(pl, pa.ChunkedArray):
+            pl = pl.combine_chunks()
+        raw = np.frombuffer(pl.buffers()[1], dtype=np.int32)
+        offs = raw[pl.offset : pl.offset + len(pl) + 1].astype(np.int64)
+        data = np.frombuffer(pl.buffers()[2], dtype=np.uint8)
+        csum = np.zeros(len(data) + 1, dtype=np.int64)
+        np.cumsum(data, out=csum[1:])
+        nf = batch["n_frames"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fb = batch["frame_bytes"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        n_samp = (nf + self.stride - 1) // self.stride
+        total = int(n_samp.sum())
+        ridx = np.repeat(np.arange(len(nf)), n_samp)
+        k = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(n_samp) - n_samp, n_samp)
+        )
+        frame_idx = k * self.stride
+        start = offs[ridx] + frame_idx * fb[ridx]
+        energy = csum[start + fb[ridx]] - csum[start]
+        ridx_pa = pa.array(ridx)
+        return pa.table(
+            {
+                "doc_id": pc.take(batch["doc_id"], ridx_pa),
+                "source": pc.take(batch["source"], ridx_pa),
+                "frame_idx": pa.array(frame_idx),
+                "f_len": pa.array(fb[ridx]),
+                "f_energy": pa.array(energy),
+            }
+        )
+
+
+def synthesize_video_batch(
+    batch: pa.Table, id_col: str = "doc_id", *, algo: str = "blake2b"
+) -> pa.Table:
+    """Deterministic fake video table: an 8-byte id hash seeds
+    (n_frames ∈ [8, 16], frame_bytes ∈ [48, 64]) and the payload is the
+    seed tiled to n_frames × frame_bytes raw bytes — the concatenated
+    fixed-size-frame layout ``VideoFrameSampleStage`` consumes. Same
+    contract as :func:`synthesize_image_batch`: any worker produces
+    identical rows, and ``algo='sha256'`` lets a DuckDB oracle
+    recompute every byte."""
+    import hashlib
+
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    payloads, nfs, fbs = [], [], []
+    for i in ids.to_pylist():
+        if algo == "sha256":
+            seed = hashlib.sha256(str(i).encode()).digest()[:8]
+        else:
+            seed = hashlib.blake2b(str(i).encode(), digest_size=8).digest()
+        nf = 8 + seed[0] % 9
+        fb = 48 + seed[1] % 17
+        size = nf * fb
+        reps = -(-size // 8)
+        payloads.append((seed * reps)[:size])
+        nfs.append(nf)
+        fbs.append(fb)
+    src = (
+        batch["source"]
+        if "source" in batch.column_names
+        else pa.array(["synthetic"] * len(payloads), pa.string())
+    )
+    return pa.table(
+        {
+            "doc_id": ids,
+            "payload": pa.array(payloads, pa.binary()),
+            "n_frames": pa.array(nfs, pa.int32()),
+            "frame_bytes": pa.array(fbs, pa.int32()),
+            "format": pa.array(["fake-rawframes"] * len(payloads), pa.string()),
+            "source": src,
+        }
+    )
 
 
 def synthesize_image_batch(

@@ -2439,3 +2439,85 @@ def test_ipc_source_roundtrip_and_schema_flag(ray_session, tmp_path):
     assert SCHEMA_ERROR_COL in bad.column_names
     msgs = [m for m in bad[SCHEMA_ERROR_COL].to_pylist() if m]
     assert msgs and "tokens" in msgs[0]
+
+
+def test_global_exclusive_running_max_matches_numpy(ray_session):
+    """Exclusive running max over a shuffled order equals the numpy
+    reference on every row, across arbitrary block splits."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        INT64_MIN,
+        global_exclusive_running_max,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    order = rng.permutation(n).astype(np.int64)
+    vals = rng.integers(-10**9, 10**9, n).astype(np.int64)
+    ds = rd.from_arrow(
+        pa.table({"k": pa.array(order), "v": pa.array(vals)})
+    ).repartition(13)
+    out = (
+        global_exclusive_running_max(ds, ["k"], "v", out_col="rm")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    by_order = vals[np.argsort(order, kind="stable")]
+    expect = np.r_[
+        np.int64(INT64_MIN), np.maximum.accumulate(by_order)[:-1]
+    ]
+    assert (out["rm"].to_numpy() == expect).all()
+    assert out["rm"].iloc[0] == INT64_MIN
+
+
+def test_video_frame_sample_stage_geometry():
+    """Frame sampler slices exactly every stride-th frame with correct
+    per-frame byte sums, for both stride=1 (all frames) and stride=4."""
+    import numpy as np
+    import pyarrow as pa
+
+    from etl_data_validation_kio_ray.multimodal.decode import (
+        VideoFrameSampleStage,
+        synthesize_video_batch,
+    )
+
+    src = pa.table({"doc_id": pa.array([str(i) for i in range(7)])})
+    vids = synthesize_video_batch(src, algo="sha256")
+    for stride in (1, 4):
+        stage = VideoFrameSampleStage(stride=stride)
+        out = stage(vids)
+        # python reference over raw payload bytes
+        rows = []
+        for i in range(vids.num_rows):
+            p = vids["payload"][i].as_py()
+            nf = vids["n_frames"][i].as_py()
+            fb = vids["frame_bytes"][i].as_py()
+            assert len(p) == nf * fb
+            for f in range(0, nf, stride):
+                rows.append(
+                    (
+                        vids["doc_id"][i].as_py(),
+                        f,
+                        fb,
+                        int(np.frombuffer(
+                            p[f * fb : (f + 1) * fb], dtype=np.uint8
+                        ).sum()),
+                    )
+                )
+        got = list(
+            zip(
+                out["doc_id"].to_pylist(),
+                out["frame_idx"].to_pylist(),
+                out["f_len"].to_pylist(),
+                out["f_energy"].to_pylist(),
+            )
+        )
+        assert got == rows
+
+    empty = vids.slice(0, 0)
+    out0 = VideoFrameSampleStage(stride=4)(empty)
+    assert out0.num_rows == 0

@@ -168,6 +168,7 @@ def test_weighted_median_vs_duckdb(ray_session):
         "part_supplier_counts",
         "supplier_pagerank",
         "late_arrivals",
+        "video_frame_sample",
     ],
 )
 def test_new_query_matches_oracle_sf0001(ray_session, qname):
