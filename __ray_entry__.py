@@ -11037,6 +11037,146 @@ def q_video_frame_sample(sf_dir: str):
     )
 
 
+Z_BITS = 16  # per-key bits interleaved (keys certified < 2^16 at read)
+Z_FILES = 16
+
+
+def q_zorder_layout(sf_dir: str):
+    """Z-order (Morton) data-layout audit — the liquid-clustering step
+    a 100-TB table needs so range scans on EITHER of two keys prune
+    files: interleave the bits of (l_partkey, l_suppkey) into one
+    z-value, assign rows to Z_FILES files by exact NTILE over the
+    global z order, and profile each file's (min, max) span on BOTH
+    keys — the min/max footer stats a reader would prune on. A hash
+    match against the SQL twin proves the bit interleave, the global
+    ranking and the ANSI tile split are all exact. Scale shape: the
+    z kernel is one vectorized numpy pass; the global order rides
+    relational.global_row_number (sorted-block prefix offsets, rows
+    never leave workers); per-file spans fold per-batch before one
+    tiny exchange. The physical sink counterpart is
+    sorted_export_audit (range-partitioned files); keys are certified
+    < 2^Z_BITS loudly at read (widen Z_BITS for real key domains).
+    Reference analog: the layout/pruning intent of the staging
+    partition design (/root/reference/sql/initdb/stg_tables.sql:3-10)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        global_row_number,
+        grouped_agg,
+        ntile_from_rank,
+    )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+    )
+
+    def add_z(t: pa.Table) -> pa.Table:
+        p = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(p) and (
+            p.max() >= 2**Z_BITS or s.max() >= 2**Z_BITS or p.min() < 0 or s.min() < 0
+        ):
+            raise ValueError(
+                f"zorder_layout: key outside [0, 2^{Z_BITS}) — widen Z_BITS"
+            )
+        z = np.zeros(len(p), dtype=np.int64)
+        for b in range(Z_BITS):
+            z |= ((p >> b) & 1) << (2 * b)
+            z |= ((s >> b) & 1) << (2 * b + 1)
+        return pa.table(
+            {
+                "z": pa.array(z),
+                "okey": pc.cast(t["l_orderkey"], pa.int64()),
+                "ln": pc.cast(t["l_linenumber"], pa.int64()),
+                "p": pa.array(p),
+                "s": pa.array(s),
+            }
+        )
+
+    ranked, n_total = global_row_number(
+        li.map_batches(add_z, batch_format="pyarrow", zero_copy_batch=True),
+        ["z", "okey", "ln"],
+        out_col="rn",
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        tile = ntile_from_rank(
+            t["rn"].to_numpy(zero_copy_only=False), n_total, Z_FILES
+        )
+        g = (
+            pa.table(
+                {
+                    "file_id": pa.array(tile),
+                    "one": pa.array(np.ones(t.num_rows, np.int64)),
+                    "p": t["p"],
+                    "s": t["s"],
+                }
+            )
+            .group_by("file_id")
+            .aggregate(
+                [("one", "sum"), ("p", "min"), ("p", "max"),
+                 ("s", "min"), ("s", "max")]
+            )
+        )
+        return pa.table(
+            {
+                "file_id": g["file_id"],
+                "n_rows": g["one_sum"],
+                "min_p": g["p_min"],
+                "max_p": g["p_max"],
+                "min_s": g["s_min"],
+                "max_s": g["s_max"],
+            }
+        )
+
+    out = grouped_agg(
+        ranked.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["file_id"],
+        {
+            "n_rows": ("n_rows", "sum"),
+            "min_p": ("min_p", "min"),
+            "max_p": ("max_p", "max"),
+            "min_s": ("min_s", "min"),
+            "max_s": ("max_s", "max"),
+        },
+    )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return (
+        out[["file_id", "n_rows", "min_p", "max_p", "min_s", "max_s"]]
+        .sort_values("file_id", kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def _zorder_twin_sql() -> str:
+    terms = " + ".join(
+        f"(((l_partkey >> {b}) & 1) << {2 * b})"
+        f" + (((l_suppkey >> {b}) & 1) << {2 * b + 1})"
+        for b in range(Z_BITS)
+    )
+    return f"""
+WITH z AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         CAST({terms} AS BIGINT) AS z
+  FROM lineitem
+), r AS (
+  SELECT l_partkey, l_suppkey,
+         NTILE({Z_FILES}) OVER (ORDER BY z, l_orderkey, l_linenumber)
+           AS file_id
+  FROM z
+)
+SELECT CAST(file_id AS BIGINT) AS file_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(l_partkey) AS BIGINT) AS min_p,
+       CAST(MAX(l_partkey) AS BIGINT) AS max_p,
+       CAST(MIN(l_suppkey) AS BIGINT) AS min_s,
+       CAST(MAX(l_suppkey) AS BIGINT) AS max_s
+FROM r GROUP BY file_id ORDER BY file_id
+"""
+
+
 def _pagerank_twin_sql() -> str:
     """Chained-CTE twin of q_supplier_pagerank: same integer floor
     divisions, same Gauss-Seidel order (parts from suppliers, then
@@ -11291,6 +11431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_pagerank": q_supplier_pagerank,
         "late_arrivals": q_late_arrivals,
         "video_frame_sample": q_video_frame_sample,
+        "zorder_layout": q_zorder_layout,
     }
 
 
@@ -14432,6 +14573,7 @@ GROUP BY p_brand, p_type, p_size
 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 """,
         "supplier_pagerank": _pagerank_twin_sql(),
+        "zorder_layout": _zorder_twin_sql(),
         "video_frame_sample": f"""
 WITH s AS (
   SELECT doc_id, source, sha256(CAST(doc_id AS VARCHAR)) AS hx FROM documents

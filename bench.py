@@ -223,6 +223,7 @@ BENCH_QUERIES = [
     "supplier_pagerank",  # 3-round integer PageRank, one exchange/round
     "late_arrivals",  # watermark late-data audit via global running max
     "video_frame_sample",  # binary frame-sample explode, actor pool
+    "zorder_layout",  # Morton interleave + global NTILE + span profile
 ]
 
 

@@ -169,6 +169,7 @@ def test_weighted_median_vs_duckdb(ray_session):
         "supplier_pagerank",
         "late_arrivals",
         "video_frame_sample",
+        "zorder_layout",
     ],
 )
 def test_new_query_matches_oracle_sf0001(ray_session, qname):
