@@ -11220,6 +11220,284 @@ ORDER BY rank DESC, s_suppkey
     return head + body + tail
 
 
+BULK_QTY = 45.0  # bulk-item threshold for the co-supplier graph
+
+
+def q_bulk_cosupplier_triangles(sf_dir: str):
+    """Exact triangle census of the bulk co-supplier graph: nodes are
+    suppliers, edge {u, v} iff u and v both shipped a BULK item
+    (quantity > 45) inside the SAME order. Output: one row of exact
+    integers — incident nodes, edges, wedges (sum of deg-choose-2),
+    triangles, and the global clustering coefficient 3T/W in floor
+    ppm. The graph-census shape beyond PageRank/connected-components:
+    clique structure, not reachability.
+
+    Scale shape: pipelines/graph.cooccurrence_adjacency — per-batch
+    distinct (order, supplier) partials, ONE hash-bucket exchange on
+    the ORDER key (each order's members co-locate), per-bucket packed
+    S^2/8-byte bitset partials OR-merged at the driver (#buckets
+    fixed-size rows — never an edge list proportional to lineitem).
+    Documented assumption: the supplier axis is dimension-sized
+    (broadcast once via ray.put), same as supplier_pagerank; the
+    census matmul is float64-BLAS-exact (counts <= S^3 << 2^53).
+    Reference analog: pairwise entity co-occurrence reconciliation
+    (/root/reference/src/app2/dds/source_suite/matches_source.py:18-52)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.graph import (
+        cooccurrence_adjacency,
+        triangle_stats,
+    )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_quantity"],
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        keep = pc.greater(t["l_quantity"], BULK_QTY)
+        f = t.filter(keep)
+        return pa.table(
+            {
+                "ok": pc.cast(f["l_orderkey"], pa.int64()),
+                "sk": pc.cast(f["l_suppkey"], pa.int64()),
+            }
+        )
+
+    bulk = li.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey"]
+    )
+    node_keys = np.sort(
+        pc.cast(supp["s_suppkey"], pa.int64()).to_numpy(zero_copy_only=False)
+    )
+    adj = cooccurrence_adjacency(bulk, "ok", "sk", node_keys)
+    st = triangle_stats(adj)
+    return pd.DataFrame({k: [np.int64(v)] for k, v in st.items()})
+
+
+def q_nation_top_customer_list(sf_dir: str):
+    """Grouped ORDERED string aggregation (SQL string_agg ... ORDER BY
+    — the order-sensitive reduce no plain groupby expresses): per
+    nation, the customer count and the comma-joined names of its top-3
+    customers by (acctbal cents DESC, custkey ASC). Scale shape: the
+    candidate set rides relational.top_k_per_group (per-batch partial
+    top-k bounds the exchange to k rows per (nation, batch)); the
+    count is one grouped_agg partial exchange; the ordered join runs
+    on the k x #nations-bounded survivors; the nation dim is
+    dimension-sized. Reference analog: the per-check ORDER BY ...
+    LIMIT sample rows
+    (/root/reference/src/app2/etl_validation/sql_runner.py:107-139)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        grouped_agg,
+        top_k_per_group,
+    )
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"],
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        ab_c = pc.round(pc.multiply(t["c_acctbal"], 100.0)).cast(pa.int64())
+        return pa.table(
+            {
+                "c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+                "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                "c_name": t["c_name"],
+                "ab_c": ab_c,
+            }
+        )
+
+    ds = cust.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+    top3 = top_k_per_group(
+        ds, "c_nationkey", [("ab_c", True), ("c_custkey", False)], 3
+    )
+    counts = grouped_agg(
+        ds, ["c_nationkey"], {"n_customers": ("c_custkey", "count")}
+    )
+    joined = (
+        top3.sort_values(
+            ["c_nationkey", "ab_c", "c_custkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        .groupby("c_nationkey", sort=True)["c_name"]
+        .agg(",".join)
+        .rename("top3_names")
+        .reset_index()
+    )
+    out = counts.merge(joined, on="c_nationkey")
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    ).to_pandas()
+    nat["n_nationkey"] = nat["n_nationkey"].astype("int64")
+    out = out.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    out["n_customers"] = out["n_customers"].astype("int64")
+    return (
+        out[["n_name", "n_customers", "top3_names"]]
+        .sort_values("n_name", kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def q_revenue_ewma(sf_dir: str):
+    """Integer EWMA over monthly revenue (the sequential smoothing
+    recurrence — SQL needs a RECURSIVE CTE for it): monthly gross
+    revenue in exact cents, smoothed by e_0 = r_0, e_i = floor((r_i +
+    e_{i-1}) / 2). Alpha = 1/2 in floor fixed-point keeps both engines
+    bit-identical — no float decay powers. Scale shape: the heavy work
+    (monthly sums over orders) is one grouped_agg partial exchange;
+    the recurrence itself is inherently sequential and folds
+    driver-side over the #months-bounded axis, exactly like the SQL
+    window over the grouped CTE (the documented small-axis fold, same
+    as monthly_order_deltas)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderdate", "o_totalprice"],
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "yr": pc.year(t["o_orderdate"]).cast(pa.int64()),
+                "mo": pc.month(t["o_orderdate"]).cast(pa.int64()),
+                "price_c": pc.round(pc.multiply(t["o_totalprice"], 100.0)).cast(
+                    pa.int64()
+                ),
+            }
+        )
+
+    m = grouped_agg(
+        orders.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True),
+        ["yr", "mo"],
+        {"rev_c": ("price_c", "sum")},
+    ).sort_values(["yr", "mo"])
+    rev = m["rev_c"].to_numpy().astype(np.int64)
+    ewma = np.empty_like(rev)
+    run = 0
+    for i, r in enumerate(rev):
+        run = int(r) if i == 0 else (int(r) + run) // 2
+        ewma[i] = run
+    m = m.reset_index(drop=True)
+    m["ewma_c"] = ewma
+    for c in ("yr", "mo", "rev_c", "ewma_c"):
+        m[c] = m[c].astype("int64")
+    return m[["yr", "mo", "rev_c", "ewma_c"]]
+
+
+def q_cms_user_counts(sf_dir: str):
+    """Count-min sketch point estimates vs exact truth: the event
+    stream folds into a fixed (4 x 2048) counter sketch (mergeable
+    per-batch partials, sketches/cms.py), and the 20 heaviest users
+    (exact counts via one grouped exchange) are estimated from the
+    merged sketch. Output: user_id, exact count, CMS estimate, and the
+    overcount — the sketch's one-sided guarantee (est >= true, always)
+    is ASSERTED, and the SQL twin recomputes every counter bit-exactly
+    through the proven UHUGEINT splitmix64 chain, making this a fully
+    hash-verified SKETCH (beyond the self-asserting HLL/t-digest).
+
+    Scale shape: the sketch pass moves #batches x 64 KiB fixed-size
+    partials — never per-key state; the exact side reuses grouped_agg
+    (per-batch partial counts, one exchange bounded by #users)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+    from etl_data_validation_kio_ray.sketches.cms import (
+        cms_estimate,
+        cms_merge,
+        cms_partial_table,
+    )
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
+    rows = ev.map_batches(
+        lambda t: cms_partial_table(t, "user_id"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()  # bounded: #batches x 64 KiB partials
+    cms = cms_merge(rows)
+
+    exact = grouped_agg(ev, ["user_id"], {"true_n": ("user_id", "count")})
+    exact["true_n"] = exact["true_n"].astype("int64")
+    exact["user_id"] = exact["user_id"].astype("int64")
+    top = (
+        exact.sort_values(
+            ["true_n", "user_id"], ascending=[False, True], kind="mergesort"
+        )
+        .head(20)
+        .reset_index(drop=True)
+    )
+    est = cms_estimate(cms, top["user_id"].to_numpy())
+    if np.any(est < top["true_n"].to_numpy()):
+        raise AssertionError(
+            "count-min sketch undercounted — the one-sided guarantee is broken"
+        )
+    top["cms_est"] = est.astype("int64")
+    top["overcount"] = (top["cms_est"] - top["true_n"]).astype("int64")
+    return top[["user_id", "true_n", "cms_est", "overcount"]]
+
+
+def _cms_twin_sql() -> str:
+    """DuckDB twin of q_cms_user_counts: every (row j, bucket) counter
+    is recomputed from the per-user exact counts through the same
+    splitmix64 chain as the engine (UHUGEINT modular arithmetic —
+    identical to the train_shards twin), then each top-20 user takes
+    the min over its d row counters."""
+    from etl_data_validation_kio_ray.sketches.cms import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        GOLDEN,
+    )
+
+    return f"""
+WITH ucnt AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id
+), z0 AS (
+  SELECT user_id, n, CAST(j AS UBIGINT) AS j,
+         CAST((CAST(user_id AS UHUGEINT)
+               + CAST(j AS UHUGEINT) * {GOLDEN}
+               + {GOLDEN}) % 18446744073709551616 AS UBIGINT) AS z
+  FROM ucnt CROSS JOIN range({CMS_DEPTH}) AS t(j)
+), z1 AS (
+  SELECT user_id, n, j,
+         CAST((CAST(xor(z, z >> 30) AS UHUGEINT) * 13787848793156543929)
+              % 18446744073709551616 AS UBIGINT) AS z
+  FROM z0
+), z2 AS (
+  SELECT user_id, n, j,
+         CAST((CAST(xor(z, z >> 27) AS UHUGEINT) * 10723151780598845931)
+              % 18446744073709551616 AS UBIGINT) AS z
+  FROM z1
+), h AS (
+  SELECT user_id, n, CAST(j AS BIGINT) AS j,
+         CAST(xor(z, z >> 31) % {CMS_WIDTH} AS BIGINT) AS b
+  FROM z2
+), cnt AS (
+  SELECT j, b, CAST(sum(n) AS BIGINT) AS c FROM h GROUP BY j, b
+), top AS (
+  SELECT user_id, n AS true_n FROM ucnt
+  ORDER BY n DESC, user_id LIMIT 20
+), est AS (
+  SELECT t.user_id, t.true_n, min(c.c) AS cms_est
+  FROM top t
+  JOIN h ON h.user_id = t.user_id
+  JOIN cnt c ON c.j = h.j AND c.b = h.b
+  GROUP BY t.user_id, t.true_n
+)
+SELECT user_id, true_n, CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - true_n AS BIGINT) AS overcount
+FROM est ORDER BY true_n DESC, user_id
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -11432,6 +11710,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_arrivals": q_late_arrivals,
         "video_frame_sample": q_video_frame_sample,
         "zorder_layout": q_zorder_layout,
+        "bulk_cosupplier_triangles": q_bulk_cosupplier_triangles,
+        "nation_top_customer_list": q_nation_top_customer_list,
+        "revenue_ewma": q_revenue_ewma,
+        "cms_user_counts": q_cms_user_counts,
     }
 
 
@@ -14657,4 +14939,76 @@ SELECT event_type,
        ), 0) AS BIGINT) AS max_lateness_us
 FROM w GROUP BY event_type ORDER BY event_type
 """,
+        "bulk_cosupplier_triangles": f"""
+WITH b AS (
+  SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS ok,
+                  CAST(l_suppkey AS BIGINT) AS sk
+  FROM lineitem WHERE l_quantity > {BULK_QTY}
+), e AS (
+  SELECT DISTINCT a.sk AS s1, b2.sk AS s2
+  FROM b a JOIN b b2 ON a.ok = b2.ok AND a.sk < b2.sk
+), deg AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT s1 AS s FROM e UNION ALL SELECT s2 FROM e) GROUP BY s
+), tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS t
+  FROM e e1
+  JOIN e e2 ON e2.s1 = e1.s2
+  JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+), agg AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+         (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+         (SELECT CAST(COALESCE(sum(d * (d - 1) // 2), 0) AS BIGINT)
+            FROM deg) AS n_wedges,
+         (SELECT t FROM tri) AS n_triangles
+)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       CAST(CASE WHEN n_wedges = 0 THEN 0
+                 ELSE (3000000 * n_triangles) // n_wedges
+            END AS BIGINT) AS clustering_ppm
+FROM agg
+""",
+        "nation_top_customer_list": """
+WITH c AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_name,
+         CAST(c_custkey AS BIGINT) AS c_custkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS ab_c
+  FROM customer
+), r AS (
+  SELECT c_nationkey, c_name,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY ab_c DESC, c_custkey) AS rn
+  FROM c
+), t AS (
+  SELECT c_nationkey, string_agg(c_name, ',' ORDER BY rn) AS top3_names
+  FROM r WHERE rn <= 3 GROUP BY c_nationkey
+), n AS (
+  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers
+  FROM c GROUP BY c_nationkey
+)
+SELECT nat.n_name AS n_name, n.n_customers, t.top3_names
+FROM n JOIN t USING (c_nationkey)
+JOIN nation nat ON CAST(nat.n_nationkey AS BIGINT) = n.c_nationkey
+ORDER BY n_name
+""",
+        "revenue_ewma": """
+WITH RECURSIVE m AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(month(o_orderdate) AS BIGINT) AS mo,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_c,
+         row_number() OVER (ORDER BY CAST(year(o_orderdate) AS BIGINT),
+                                     CAST(month(o_orderdate) AS BIGINT))
+           AS rn
+  FROM orders GROUP BY yr, mo
+), r AS (
+  SELECT rn, yr, mo, rev_c, rev_c AS ewma_c FROM m WHERE rn = 1
+  UNION ALL
+  SELECT m.rn, m.yr, m.mo, m.rev_c, (m.rev_c + r.ewma_c) // 2
+  FROM m JOIN r ON m.rn = r.rn + 1
+)
+SELECT yr, mo, rev_c, CAST(ewma_c AS BIGINT) AS ewma_c
+FROM r ORDER BY yr, mo
+""",
+        "cms_user_counts": _cms_twin_sql(),
     }

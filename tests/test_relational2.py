@@ -2521,3 +2521,54 @@ def test_video_frame_sample_stage_geometry():
     empty = vids.slice(0, 0)
     out0 = VideoFrameSampleStage(stride=4)(empty)
     assert out0.num_rows == 0
+
+
+def test_triangle_stats_known_graph():
+    from etl_data_validation_kio_ray.pipelines.graph import triangle_stats
+
+    # K4 plus one pendant vertex plus one isolate
+    adj = np.zeros((6, 6), dtype=bool)
+    for i in range(4):
+        for j in range(4):
+            if i != j:
+                adj[i, j] = True
+    adj[3, 4] = adj[4, 3] = True
+    st = triangle_stats(adj)
+    assert st["n_nodes"] == 5
+    assert st["n_edges"] == 7
+    assert st["n_triangles"] == 4  # C(4,3)
+    # degrees 3,3,3,4,1,0 -> wedges 3+3+3+6+0 = 15
+    assert st["n_wedges"] == 15
+    assert st["clustering_ppm"] == 3_000_000 * 4 // 15
+    empty = triangle_stats(np.zeros((0, 0), dtype=bool))
+    assert empty["n_triangles"] == 0 and empty["clustering_ppm"] == 0
+
+
+def test_cooccurrence_adjacency_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.graph import (
+        cooccurrence_adjacency,
+    )
+
+    rng = np.random.Generator(np.random.Philox(key=[3, 9]))
+    n = 5_000
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 800, n).astype(np.int64),
+            "v": rng.integers(0, 40, n).astype(np.int64) * 3 + 1,
+        }
+    )
+    nodes = np.sort(df["v"].unique())
+    adj = cooccurrence_adjacency(
+        rd.from_pandas(df).repartition(7), "g", "v", nodes
+    )
+    expect = np.zeros((len(nodes), len(nodes)), dtype=bool)
+    pos = {k: i for i, k in enumerate(nodes)}
+    for _, sub in df.groupby("g"):
+        idx = [pos[v] for v in sub["v"].unique()]
+        for a in idx:
+            for b in idx:
+                if a != b:
+                    expect[a, b] = True
+    assert np.array_equal(adj, expect)

@@ -153,3 +153,30 @@ def test_grouped_hll_close_to_exact(ray_session):
         exact = sub["v"].nunique()
         est = sketches[g].estimate()
         assert abs(est - exact) / exact < 5 * 1.04 / np.sqrt(1 << 12)
+
+
+def test_cms_one_sided_and_mergeable():
+    from collections import Counter
+
+    from etl_data_validation_kio_ray.sketches.cms import (
+        cms_estimate,
+        cms_merge,
+        cms_partial,
+    )
+
+    rng = np.random.Generator(np.random.Philox(key=[7, 13]))
+    keys = rng.zipf(1.3, 50_000).astype(np.int64) % 10_000
+    # split into 5 batches, merge partials (order-independence)
+    parts = [cms_partial(b) for b in np.array_split(keys, 5)]
+    merged = cms_merge({"cms": p.tobytes()} for p in parts)
+    merged_rev = cms_merge({"cms": p.tobytes()} for p in reversed(parts))
+    assert np.array_equal(merged, merged_rev)
+    whole = cms_partial(keys)
+    assert np.array_equal(merged, whole)
+    true = Counter(keys.tolist())
+    probe = np.array(sorted(true, key=true.get, reverse=True)[:50], dtype=np.int64)
+    est = cms_estimate(merged, probe)
+    exact = np.array([true[k] for k in probe.tolist()])
+    assert np.all(est >= exact)  # the one-sided guarantee
+    # 4 rows of width 2048 over 50k items: overcount stays << N
+    assert np.all(est - exact <= 4 * len(keys) // 2048)

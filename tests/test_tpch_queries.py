@@ -170,6 +170,10 @@ def test_weighted_median_vs_duckdb(ray_session):
         "late_arrivals",
         "video_frame_sample",
         "zorder_layout",
+        "bulk_cosupplier_triangles",
+        "nation_top_customer_list",
+        "revenue_ewma",
+        "cms_user_counts",
     ],
 )
 def test_new_query_matches_oracle_sf0001(ray_session, qname):
