@@ -224,6 +224,11 @@ BENCH_QUERIES = [
     "late_arrivals",  # watermark late-data audit via global running max
     "video_frame_sample",  # binary frame-sample explode, actor pool
     "zorder_layout",  # Morton interleave + global NTILE + span profile
+    # round 4 session 13: graph census, ordered reduce, recurrence, sketch
+    "bulk_cosupplier_triangles",  # clique census via bitset partials
+    "nation_top_customer_list",  # ordered string_agg over partial top-k
+    "revenue_ewma",  # integer fixed-point smoothing recurrence
+    "cms_user_counts",  # count-min sketch, sum-mergeable partials
 ]
 
 
