@@ -11444,6 +11444,190 @@ def q_cms_user_counts(sf_dir: str):
     return top[["user_id", "true_n", "cms_est", "overcount"]]
 
 
+PRORATE_MOD = 16  # o_orderkey % 16 == 0 keeps the audited slice bounded
+
+
+def q_order_price_proration(sf_dir: str):
+    """Exact largest-remainder money allocation (the finance-ETL
+    proration op): each audited order's total cents are distributed
+    across its lineitems proportionally to extendedprice, floor shares
+    first, then one extra cent to the items with the largest integer
+    remainders (tie: linenumber ASC) — so every order's allocation sums
+    to its total EXACTLY, no float ever appears. Audited slice:
+    o_orderkey % 16 == 0 (hash-sampled, engine-independent).
+
+    Scale shape: tagged union of the two fact tables, ONE key-bucket
+    exchange on the order key; the in-bucket reducer is fully
+    vectorized (lexsort + reduceat segment sums + within-segment rank
+    via arange offsets — no Python loop). int64 bound: tot*ep <=
+    ~5e14 << 2^63. Reference analog: the per-entity financial
+    reconciliation checks
+    (/root/reference/src/app2/validators/dds/rules_suite/points_formula.py:15-49)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        resolve_num_buckets,
+        tag_bucket,
+    )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"],
+    )
+
+    def li_side(t: pa.Table) -> pa.Table:
+        okey = pc.cast(t["l_orderkey"], pa.int64())
+        f = t.filter(pc.equal(pc.bit_wise_and(okey, PRORATE_MOD - 1), 0))
+        okey = pc.cast(f["l_orderkey"], pa.int64())
+        return pa.table(
+            {
+                "okey": okey,
+                "ln": pc.cast(f["l_linenumber"], pa.int64()),
+                "ep": pc.round(pc.multiply(f["l_extendedprice"], 100.0)).cast(
+                    pa.int64()
+                ),
+                "tot": pa.nulls(f.num_rows, pa.int64()),
+            }
+        )
+
+    def o_side(t: pa.Table) -> pa.Table:
+        okey = pc.cast(t["o_orderkey"], pa.int64())
+        f = t.filter(pc.equal(pc.bit_wise_and(okey, PRORATE_MOD - 1), 0))
+        return pa.table(
+            {
+                "okey": pc.cast(f["o_orderkey"], pa.int64()),
+                "ln": pa.nulls(f.num_rows, pa.int64()),
+                "ep": pa.nulls(f.num_rows, pa.int64()),
+                "tot": pc.round(pc.multiply(f["o_totalprice"], 100.0)).cast(
+                    pa.int64()
+                ),
+            }
+        )
+
+    both = li.map_batches(
+        li_side, batch_format="pyarrow", zero_copy_batch=True
+    ).union(orders.map_batches(o_side, batch_format="pyarrow", zero_copy_batch=True))
+    nb = resolve_num_buckets(both)
+
+    def bucket_prorate(g: pa.Table) -> pa.Table:
+        tot_mask = pc.is_valid(g["tot"]).to_numpy(zero_copy_only=False)
+        ok = g["okey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o_keys = ok[tot_mask]
+        o_tot = g["tot"].to_numpy(zero_copy_only=False)[tot_mask].astype(np.int64)
+        oo = np.argsort(o_keys, kind="stable")
+        o_keys, o_tot = o_keys[oo], o_tot[oo]
+        i_mask = ~tot_mask
+        ik = ok[i_mask]
+        ln = g["ln"].to_numpy(zero_copy_only=False)[i_mask].astype(np.int64)
+        ep = g["ep"].to_numpy(zero_copy_only=False)[i_mask].astype(np.int64)
+        order = np.lexsort((ln, ik))
+        ik, ln, ep = ik[order], ln[order], ep[order]
+        # inner join: keep items whose order exists in this bucket
+        pos = np.searchsorted(o_keys, ik)
+        ok_hit = (pos < len(o_keys)) & (o_keys[np.minimum(pos, len(o_keys) - 1)] == ik)
+        ik, ln, ep, pos = ik[ok_hit], ln[ok_hit], ep[ok_hit], pos[ok_hit]
+        if not len(ik):
+            return pa.table(
+                {
+                    "l_orderkey": pa.array([], pa.int64()),
+                    "l_linenumber": pa.array([], pa.int64()),
+                    "prorated_c": pa.array([], pa.int64()),
+                }
+            )
+        starts = np.flatnonzero(np.r_[True, ik[1:] != ik[:-1]])
+        seg_sum = np.add.reduceat(ep, starts)
+        seg_id = np.cumsum(np.r_[0, (ik[1:] != ik[:-1]).astype(np.int64)])
+        S = seg_sum[seg_id]
+        tot = o_tot[pos]
+        fl = (tot * ep) // S
+        rem = (tot * ep) % S
+        extra = (tot - np.add.reduceat(fl, starts)[seg_id]).astype(np.int64)
+        # within-order rank by (rem DESC, ln ASC): lexsort minor->major
+        rk = np.lexsort((ln, -rem, ik))
+        rank = np.empty(len(ik), dtype=np.int64)
+        rank[rk] = np.arange(len(ik)) - starts[seg_id[rk]]
+        out = fl + (rank < extra)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(ik),
+                "l_linenumber": pa.array(ln),
+                "prorated_c": pa.array(out.astype(np.int64)),
+            }
+        )
+
+    res = (
+        both.map_batches(lambda t: tag_bucket(t, "okey", nb), batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(bucket_prorate, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return (
+        res.sort_values(["l_orderkey", "l_linenumber"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def q_monthly_gap_fill(sf_dir: str):
+    """Calendar-spine gap fill (the warehouse 'no missing months' op):
+    revenue cents per (order priority, month) with EVERY month between
+    the global min and max present for every priority, zero-filled —
+    the LEFT JOIN against a generated date spine that plain grouping
+    can't express. Scale shape: the heavy work is one grouped_agg
+    partial exchange at the finest grain; the spine cross-product and
+    reindex run driver-side on the #priorities x #months-bounded axis
+    (the documented small-axis fold, same as monthly_order_deltas)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderpriority", "o_orderdate", "o_totalprice"],
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        k = pc.add(
+            pc.multiply(pc.year(t["o_orderdate"]).cast(pa.int64()), 12),
+            pc.subtract(pc.month(t["o_orderdate"]).cast(pa.int64()), 1),
+        )
+        return pa.table(
+            {
+                "pri": t["o_orderpriority"],
+                "mk": k,
+                "price_c": pc.round(pc.multiply(t["o_totalprice"], 100.0)).cast(
+                    pa.int64()
+                ),
+            }
+        )
+
+    m = grouped_agg(
+        orders.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True),
+        ["pri", "mk"],
+        {"rev_c": ("price_c", "sum")},
+    )
+    lo, hi = int(m["mk"].min()), int(m["mk"].max())
+    spine = pd.MultiIndex.from_product(
+        [sorted(m["pri"].unique()), range(lo, hi + 1)], names=["pri", "mk"]
+    )
+    full = (
+        m.set_index(["pri", "mk"])
+        .reindex(spine, fill_value=0)
+        .reset_index()
+    )
+    full["yr"] = (full["mk"] // 12).astype("int64")
+    full["mo"] = (full["mk"] % 12 + 1).astype("int64")
+    full["rev_c"] = full["rev_c"].astype("int64")
+    return (
+        full[["pri", "yr", "mo", "rev_c"]]
+        .sort_values(["pri", "yr", "mo"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
 def _cms_twin_sql() -> str:
     """DuckDB twin of q_cms_user_counts: every (row j, bucket) counter
     is recomputed from the per-user exact counts through the same
@@ -11714,6 +11898,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_top_customer_list": q_nation_top_customer_list,
         "revenue_ewma": q_revenue_ewma,
         "cms_user_counts": q_cms_user_counts,
+        "order_price_proration": q_order_price_proration,
+        "monthly_gap_fill": q_monthly_gap_fill,
     }
 
 
@@ -15011,4 +15197,55 @@ SELECT yr, mo, rev_c, CAST(ewma_c AS BIGINT) AS ewma_c
 FROM r ORDER BY yr, mo
 """,
         "cms_user_counts": _cms_twin_sql(),
+        "order_price_proration": f"""
+WITH o AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS okey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS tot
+  FROM orders WHERE o_orderkey % {PRORATE_MOD} = 0
+), l AS (
+  SELECT CAST(l_orderkey AS BIGINT) AS okey,
+         CAST(l_linenumber AS BIGINT) AS ln,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS ep
+  FROM lineitem WHERE l_orderkey % {PRORATE_MOD} = 0
+), s AS (
+  SELECT okey, CAST(sum(ep) AS BIGINT) AS S FROM l GROUP BY okey
+), base AS (
+  SELECT l.okey, l.ln, o.tot, l.ep, s.S,
+         (o.tot * l.ep) // s.S AS fl,
+         (o.tot * l.ep) % s.S AS rem
+  FROM l JOIN s USING (okey) JOIN o USING (okey)
+), r AS (
+  SELECT okey, ln, fl, rem,
+         row_number() OVER (PARTITION BY okey ORDER BY rem DESC, ln) AS rn,
+         tot - sum(fl) OVER (PARTITION BY okey) AS extra
+  FROM base
+)
+SELECT okey AS l_orderkey, ln AS l_linenumber,
+       CAST(fl + CASE WHEN rn <= extra THEN 1 ELSE 0 END AS BIGINT)
+         AS prorated_c
+FROM r ORDER BY l_orderkey, l_linenumber
+""",
+        "monthly_gap_fill": """
+WITH m AS (
+  SELECT o_orderpriority AS pri,
+         CAST(year(o_orderdate) AS BIGINT) * 12
+           + CAST(month(o_orderdate) AS BIGINT) - 1 AS mk,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM orders GROUP BY pri, mk
+), b AS (
+  SELECT min(mk) AS lo, max(mk) AS hi FROM m
+), spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi)) AS BIGINT) AS mk FROM b
+), pris AS (
+  SELECT DISTINCT pri FROM m
+), full_grid AS (
+  SELECT p.pri, s.mk FROM pris p CROSS JOIN spine s
+)
+SELECT f.pri, CAST(f.mk // 12 AS BIGINT) AS yr,
+       CAST(f.mk % 12 + 1 AS BIGINT) AS mo,
+       CAST(COALESCE(m.rev_c, 0) AS BIGINT) AS rev_c
+FROM full_grid f LEFT JOIN m ON m.pri = f.pri AND m.mk = f.mk
+ORDER BY f.pri, yr, mo
+""",
     }

@@ -229,6 +229,8 @@ BENCH_QUERIES = [
     "nation_top_customer_list",  # ordered string_agg over partial top-k
     "revenue_ewma",  # integer fixed-point smoothing recurrence
     "cms_user_counts",  # count-min sketch, sum-mergeable partials
+    "order_price_proration",  # largest-remainder allocation, exact cents
+    "monthly_gap_fill",  # calendar-spine LEFT join, zero-filled months
 ]
 
 

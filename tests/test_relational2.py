@@ -2572,3 +2572,27 @@ def test_cooccurrence_adjacency_matches_bruteforce(ray_session):
                 if a != b:
                     expect[a, b] = True
     assert np.array_equal(adj, expect)
+
+
+def test_proration_preserves_order_totals(ray_session):
+    """Largest-remainder invariant: every audited order's allocated
+    cents sum EXACTLY to its total, and each share is within 1 cent of
+    the exact proportional value."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    out = m.q_order_price_proration(sf)
+    orders = pd.read_parquet(
+        f"{sf}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    orders = orders[orders["o_orderkey"] % 16 == 0]
+    tot = (orders["o_totalprice"] * 100).round().astype("int64")
+    tot.index = orders["o_orderkey"].to_numpy()
+    got = out.groupby("l_orderkey")["prorated_c"].sum()
+    # inner-join semantics: audited orders that have lineitems
+    common = got.index.intersection(tot.index)
+    assert len(common) == len(got)
+    assert (got.loc[common] == tot.loc[common]).all()

@@ -174,6 +174,8 @@ def test_weighted_median_vs_duckdb(ray_session):
         "nation_top_customer_list",
         "revenue_ewma",
         "cms_user_counts",
+        "order_price_proration",
+        "monthly_gap_fill",
     ],
 )
 def test_new_query_matches_oracle_sf0001(ray_session, qname):
