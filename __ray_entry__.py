@@ -11628,6 +11628,274 @@ def q_monthly_gap_fill(sf_dir: str):
     )
 
 
+REORDER_WINDOW_D = 7  # rapid-reorder band, in days
+SHIP_COVER_D = 7  # shipping interval width, in days
+IMPUTE_MOD = 7  # c_custkey % 7 == 0 plays the missing-value role
+
+
+def q_rapid_reorder_pairs(sf_dir: str):
+    """Banded SELF-join pair mining (pair OUTPUT, unlike the 1-NN
+    as-of join): all pairs of orders by the SAME customer placed
+    within 7 days of each other, with the exact day gap. Pair rule is
+    total: earlier date first; same-day ties ordered by orderkey.
+
+    Scale shape: one hash-bucket exchange on the customer key; the
+    in-bucket band enumeration is fully vectorized — composite
+    (customer, day) sort, np.searchsorted upper bounds, repeat/arange
+    expansion; no Python loop, no all-pairs blowup (the band bounds
+    each row's fan-out). Reference analog: the duplicate-event
+    proximity checks
+    (/root/reference/src/app2/validators/stg/checks.py:51-84)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        resolve_num_buckets,
+        tag_bucket,
+    )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey", "o_orderdate"],
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        d = pc.cast(
+            pc.divide(pc.cast(t["o_orderdate"], pa.int64()), 86_400_000_000),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "ck": pc.cast(t["o_custkey"], pa.int64()),
+                "ok": pc.cast(t["o_orderkey"], pa.int64()),
+                "d": d,
+            }
+        )
+
+    ds = orders.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+    nb = resolve_num_buckets(ds)
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ck = g["ck"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = g["ok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = g["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ok, d, ck))
+        ck, ok, d = ck[order], ok[order], d[order]
+        # composite key keeps the band search inside one customer:
+        # K > max_day + window so ck*K + d + window < (ck+1)*K
+        K = np.int64(int(d.max() if len(d) else 0) + REORDER_WINDOW_D + 2)
+        comp = ck * K + d
+        hi = np.searchsorted(comp, comp + REORDER_WINDOW_D, side="right")
+        n_i = hi - np.arange(len(comp)) - 1
+        n_i = np.maximum(n_i, 0)
+        left = np.repeat(np.arange(len(comp)), n_i)
+        offs = np.arange(len(left)) - np.repeat(
+            np.cumsum(np.r_[0, n_i[:-1]]), n_i
+        )
+        right = left + 1 + offs
+        return pa.table(
+            {
+                "o_custkey": pa.array(ck[left]),
+                "ok1": pa.array(ok[left]),
+                "ok2": pa.array(ok[right]),
+                "gap_days": pa.array(d[right] - d[left]),
+            }
+        )
+
+    res = (
+        ds.map_batches(lambda t: tag_bucket(t, "ck", nb), batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return (
+        res.sort_values(["o_custkey", "ok1", "ok2"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def q_supplier_ship_coverage(sf_dir: str):
+    """Sweep-line interval UNION per supplier (the coverage measure no
+    plain aggregate expresses): each lineitem opens a fixed 7-day
+    shipping window [day, day+7); the result is the exact number of
+    distinct days covered per supplier after merging overlaps, plus
+    the interval count. Scale shape: one hash-bucket exchange on the
+    supplier key; the in-bucket sweep is fully vectorized — composite
+    (supplier, start) sort and a segment-safe exclusive running max of
+    interval ends (the ck*K offset trick makes cross-segment carryover
+    strictly negative), then clipped contributions sum per supplier.
+    Reference analog: the freshness/interval audits
+    (/root/reference/src/app2/validators/stg/checks.py:20-49)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        grouped_agg,
+        resolve_num_buckets,
+        tag_bucket,
+    )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_shipdate"],
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        d = pc.cast(
+            pc.divide(pc.cast(t["l_shipdate"], pa.int64()), 86_400_000_000),
+            pa.int64(),
+        )
+        return pa.table({"sk": pc.cast(t["l_suppkey"], pa.int64()), "s": d})
+
+    ds = li.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+    nb = resolve_num_buckets(ds)
+
+    def bucket_sweep(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "s_suppkey": pa.array([], pa.int64()),
+                    "covered_days": pa.array([], pa.int64()),
+                    "n_intervals": pa.array([], pa.int64()),
+                }
+            )
+        sk = g["sk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = g["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((s, sk))
+        sk, s = sk[order], s[order]
+        e = s + SHIP_COVER_D
+        # segment-safe exclusive running max: K > max(e) so an earlier
+        # supplier's carried max maps to a negative prev_end here
+        K = np.int64(int(e.max() if len(e) else 0) + 1)
+        run = np.maximum.accumulate(e + sk * K)
+        prev = np.empty_like(run)
+        prev[0] = np.iinfo(np.int64).min // 2
+        prev[1:] = run[:-1]
+        prev_end = prev - sk * K
+        contrib = np.clip(e - np.maximum(s, prev_end), 0, None)
+        out = (
+            pa.table(
+                {
+                    "sk": pa.array(sk),
+                    "c": pa.array(contrib.astype(np.int64)),
+                    "one": pa.array(np.ones(len(sk), dtype=np.int64)),
+                }
+            )
+            .group_by("sk")
+            .aggregate([("c", "sum"), ("one", "sum")])
+        )
+        return pa.table(
+            {
+                "s_suppkey": out["sk"],
+                "covered_days": out["c_sum"],
+                "n_intervals": out["one_sum"],
+            }
+        )
+
+    res = (
+        ds.map_batches(lambda t: tag_bucket(t, "sk", nb), batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(bucket_sweep, batch_format="pyarrow")
+        .to_pandas()
+    )
+    for c in ("s_suppkey", "covered_days", "n_intervals"):
+        res[c] = res[c].astype("int64")
+    return res.sort_values("s_suppkey", kind="mergesort").reset_index(drop=True)
+
+
+def q_acctbal_imputation(sf_dir: str):
+    """Grouped-median NULL imputation (the data-cleaning fill op):
+    customers with c_custkey % 7 == 0 play the missing-value role;
+    each is filled with its nation's LOWER MEDIAN of the present
+    account balances in exact cents (rank-selected — no division, so
+    no floor/rounding divergence is possible). Output: one row per
+    imputed customer. Scale shape: the median candidates ride ONE
+    grouped exchange bucketed on the nation key (per-batch partials
+    can't pre-collapse an exact median, but the nation axis bounds
+    each reducer); the imputed slice is a broadcast-filtered fused
+    scan. Reference analog: the completeness/default-fill checks
+    (/root/reference/src/app2/validators/stg/checks.py:86-118)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        resolve_num_buckets,
+        tag_bucket,
+    )
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ck": pc.cast(t["c_custkey"], pa.int64()),
+                "nk": pc.cast(t["c_nationkey"], pa.int64()),
+                "ab_c": pc.round(pc.multiply(t["c_acctbal"], 100.0)).cast(
+                    pa.int64()
+                ),
+            }
+        )
+
+    ds = cust.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+    nb = resolve_num_buckets(ds)
+
+    def present_only(t: pa.Table) -> pa.Table:
+        # ck % 7 != 0 via subtract/multiply/divide (integer pc.divide)
+        return t.filter(
+            pc.not_equal(
+                pc.subtract(
+                    t["ck"], pc.multiply(pc.divide(t["ck"], IMPUTE_MOD), IMPUTE_MOD)
+                ),
+                0,
+            )
+        )
+
+    def bucket_median(g: pa.Table) -> pa.Table:
+        nk = g["nk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ab = g["ab_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ab, nk))
+        nk, ab = nk[order], ab[order]
+        starts = np.flatnonzero(np.r_[True, nk[1:] != nk[:-1]])
+        ends = np.r_[starts[1:], len(nk)]
+        mids = starts + (ends - starts - 1) // 2  # lower median
+        return pa.table(
+            {"nk": pa.array(nk[starts]), "median_c": pa.array(ab[mids])}
+        )
+
+    med = (
+        ds.map_batches(present_only, batch_format="pyarrow")
+        .map_batches(lambda t: tag_bucket(t, "nk", nb), batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(bucket_median, batch_format="pyarrow")
+        .to_pandas()
+    )
+    med_map = dict(zip(med["nk"].astype("int64"), med["median_c"].astype("int64")))
+
+    def missing_only(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.equal(
+                pc.subtract(
+                    t["ck"], pc.multiply(pc.divide(t["ck"], IMPUTE_MOD), IMPUTE_MOD)
+                ),
+                0,
+            )
+        )
+
+    miss = ds.map_batches(missing_only, batch_format="pyarrow").to_pandas()
+    # inner-join semantics: a nation with NO present values yields no
+    # median and its missing rows drop (mirrors the SQL twin's JOIN)
+    miss = miss[miss["nk"].isin(med_map)].copy()
+    miss["imputed_c"] = miss["nk"].map(med_map).astype("int64")
+    miss = miss.rename(columns={"ck": "c_custkey", "nk": "c_nationkey"})
+    for c in ("c_custkey", "c_nationkey"):
+        miss[c] = miss[c].astype("int64")
+    return (
+        miss[["c_custkey", "c_nationkey", "imputed_c"]]
+        .sort_values("c_custkey", kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
 def _cms_twin_sql() -> str:
     """DuckDB twin of q_cms_user_counts: every (row j, bucket) counter
     is recomputed from the per-user exact counts through the same
@@ -11900,6 +12168,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_user_counts": q_cms_user_counts,
         "order_price_proration": q_order_price_proration,
         "monthly_gap_fill": q_monthly_gap_fill,
+        "rapid_reorder_pairs": q_rapid_reorder_pairs,
+        "supplier_ship_coverage": q_supplier_ship_coverage,
+        "acctbal_imputation": q_acctbal_imputation,
     }
 
 
@@ -15247,5 +15518,56 @@ SELECT f.pri, CAST(f.mk // 12 AS BIGINT) AS yr,
        CAST(COALESCE(m.rev_c, 0) AS BIGINT) AS rev_c
 FROM full_grid f LEFT JOIN m ON m.pri = f.pri AND m.mk = f.mk
 ORDER BY f.pri, yr, mo
+""",
+        "rapid_reorder_pairs": f"""
+WITH o AS (
+  SELECT CAST(o_custkey AS BIGINT) AS ck, CAST(o_orderkey AS BIGINT) AS ok,
+         CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS d
+  FROM orders
+)
+SELECT a.ck AS o_custkey, a.ok AS ok1, b.ok AS ok2,
+       CAST(b.d - a.d AS BIGINT) AS gap_days
+FROM o a JOIN o b ON a.ck = b.ck
+ AND b.d - a.d BETWEEN 0 AND {REORDER_WINDOW_D}
+ AND (a.d < b.d OR (a.d = b.d AND a.ok < b.ok))
+ORDER BY o_custkey, ok1, ok2
+""",
+        "supplier_ship_coverage": f"""
+WITH iv AS (
+  SELECT CAST(l_suppkey AS BIGINT) AS sk,
+         CAST(epoch_us(l_shipdate) // 86400000000 AS BIGINT) AS s
+  FROM lineitem
+), w AS (
+  SELECT sk, s, s + {SHIP_COVER_D} AS e,
+         max(s + {SHIP_COVER_D}) OVER (
+           PARTITION BY sk ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+  FROM iv
+)
+SELECT sk AS s_suppkey,
+       CAST(sum(CASE WHEN pe IS NULL OR pe < s THEN {SHIP_COVER_D}
+                     WHEN pe < e THEN e - pe ELSE 0 END) AS BIGINT)
+         AS covered_days,
+       CAST(count(*) AS BIGINT) AS n_intervals
+FROM w GROUP BY sk ORDER BY s_suppkey
+""",
+        "acctbal_imputation": f"""
+WITH c AS (
+  SELECT CAST(c_custkey AS BIGINT) AS ck, CAST(c_nationkey AS BIGINT) AS nk,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS ab_c
+  FROM customer
+), present AS (
+  SELECT nk, ab_c,
+         row_number() OVER (PARTITION BY nk ORDER BY ab_c) AS rn,
+         count(*) OVER (PARTITION BY nk) AS n
+  FROM c WHERE ck % {IMPUTE_MOD} <> 0
+), med AS (
+  SELECT nk, ab_c AS median_c FROM present WHERE rn = (n + 1) // 2
+)
+SELECT c.ck AS c_custkey, c.nk AS c_nationkey,
+       CAST(m.median_c AS BIGINT) AS imputed_c
+FROM c JOIN med m ON m.nk = c.nk
+WHERE c.ck % {IMPUTE_MOD} = 0
+ORDER BY c_custkey
 """,
     }

@@ -231,6 +231,9 @@ BENCH_QUERIES = [
     "cms_user_counts",  # count-min sketch, sum-mergeable partials
     "order_price_proration",  # largest-remainder allocation, exact cents
     "monthly_gap_fill",  # calendar-spine LEFT join, zero-filled months
+    "rapid_reorder_pairs",  # banded self-join pair mining per customer
+    "supplier_ship_coverage",  # sweep-line interval union per supplier
+    "acctbal_imputation",  # grouped lower-median NULL fill
 ]
 
 

@@ -176,6 +176,9 @@ def test_weighted_median_vs_duckdb(ray_session):
         "cms_user_counts",
         "order_price_proration",
         "monthly_gap_fill",
+        "rapid_reorder_pairs",
+        "supplier_ship_coverage",
+        "acctbal_imputation",
     ],
 )
 def test_new_query_matches_oracle_sf0001(ray_session, qname):
