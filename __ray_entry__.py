@@ -11896,6 +11896,135 @@ def q_acctbal_imputation(sf_dir: str):
     )
 
 
+KANON_K = 5  # k-anonymity threshold
+KANON_BAL_BUCKET = 100_000  # $1000 account-balance buckets (cents)
+
+
+def q_spearman_qty_price(sf_dir: str):
+    """Exact SPEARMAN rank correlation between lineitem quantity and
+    extended price (the distribution-free dependence measure —
+    Pearson-on-ranks with a deterministic total order, so both engines
+    rank identically): two global ROW_NUMBER rankings with the
+    (orderkey, linenumber) tiebreak, then rho = 1 - 6*sum(d^2)/(n(n^2-1))
+    reported in floor ppm via an all-integer shifted division (the
+    +1e6*nn shift keeps the numerator nonnegative, so floor == // in
+    both engines even for negative rho). Scale shape: two
+    range-partitioning sorts (relational.global_row_number — per-block
+    offset summaries, rows never leave workers), one co-carried pass
+    attaches both ranks, and sum(d^2) folds from per-batch int64
+    partials into Python ints at the driver."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        global_row_number,
+    )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ok": pc.cast(t["l_orderkey"], pa.int64()),
+                "ln": pc.cast(t["l_linenumber"], pa.int64()),
+                "qty": pc.round(t["l_quantity"]).cast(pa.int64()),
+                "price_c": pc.round(
+                    pc.multiply(t["l_extendedprice"], 100.0)
+                ).cast(pa.int64()),
+            }
+        )
+
+    ds = li.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+    ds, _ = global_row_number(ds, ["qty", "ok", "ln"], out_col="rx")
+    ds, _ = global_row_number(ds, ["price_c", "ok", "ln"], out_col="ry")
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["rx"].to_numpy(zero_copy_only=False).astype(np.int64) - t[
+            "ry"
+        ].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "sd2": pa.array([int(np.dot(d, d))], pa.int64()),
+                "n": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in rows)
+    sd2 = sum(r["sd2"] for r in rows)
+    nn = n * (n * n - 1)
+    rho_ppm = (
+        (1_000_000 * (nn - 6 * sd2) + 1_000_000 * nn) // nn - 1_000_000
+        if nn
+        else 0
+    )
+    return pd.DataFrame(
+        {
+            "n": [np.int64(n)],
+            "sum_d2": [np.int64(sd2)],
+            "rho_ppm": [np.int64(rho_ppm)],
+        }
+    )
+
+
+def q_k_anonymity_audit(sf_dir: str):
+    """k-anonymity privacy audit over the quasi-identifier triple
+    (market segment, nation, $1000 account-balance bucket): how many
+    quasi-identifier groups exist, how many have fewer than k=5
+    members, how many customers those small groups re-identify, and
+    the smallest group size — the release-safety check a privacy
+    review runs before publishing a 'de-identified' table. Scale
+    shape: one grouped_agg partial exchange at the finest
+    quasi-identifier grain; the scalar fold runs on the bounded
+    #segments x #nations x #buckets group axis. Reference analog: the
+    completeness/grouping verdict scalars
+    (/root/reference/src/app2/etl_validation/sql_runner.py:64-105)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_mktsegment", "c_nationkey", "c_acctbal"],
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        ab_c = pc.round(pc.multiply(t["c_acctbal"], 100.0)).cast(pa.int64())
+        # floor division toward -inf on both engines: shift negatives
+        # out of the way by using numpy floor_divide
+        bucket = pa.array(
+            np.floor_divide(
+                ab_c.to_numpy(zero_copy_only=False), KANON_BAL_BUCKET
+            )
+        )
+        return pa.table(
+            {
+                "seg": t["c_mktsegment"],
+                "nk": pc.cast(t["c_nationkey"], pa.int64()),
+                "bal_b": bucket,
+            }
+        )
+
+    g = grouped_agg(
+        cust.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True),
+        ["seg", "nk", "bal_b"],
+        {"n": ("nk", "count")},
+    )
+    n = g["n"].astype("int64")
+    small = n < KANON_K
+    return pd.DataFrame(
+        {
+            "total_groups": [np.int64(len(g))],
+            "small_groups": [np.int64(int(small.sum()))],
+            "reidentifiable_rows": [np.int64(int(n[small].sum()))],
+            "min_group": [np.int64(int(n.min())) if len(g) else np.int64(0)],
+            "k": [np.int64(KANON_K)],
+        }
+    )
+
+
 def _cms_twin_sql() -> str:
     """DuckDB twin of q_cms_user_counts: every (row j, bucket) counter
     is recomputed from the per-user exact counts through the same
@@ -12171,6 +12300,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rapid_reorder_pairs": q_rapid_reorder_pairs,
         "supplier_ship_coverage": q_supplier_ship_coverage,
         "acctbal_imputation": q_acctbal_imputation,
+        "spearman_qty_price": q_spearman_qty_price,
+        "k_anonymity_audit": q_k_anonymity_audit,
     }
 
 
@@ -15569,5 +15700,54 @@ SELECT c.ck AS c_custkey, c.nk AS c_nationkey,
 FROM c JOIN med m ON m.nk = c.nk
 WHERE c.ck % {IMPUTE_MOD} = 0
 ORDER BY c_custkey
+""",
+        "spearman_qty_price": """
+WITH l AS (
+  SELECT CAST(l_orderkey AS BIGINT) AS ok,
+         CAST(l_linenumber AS BIGINT) AS ln,
+         CAST(round(l_quantity) AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+  FROM lineitem
+), r AS (
+  SELECT row_number() OVER (ORDER BY qty, ok, ln) AS rx,
+         row_number() OVER (ORDER BY price_c, ok, ln) AS ry
+  FROM l
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
+  FROM r
+)
+SELECT n, sum_d2,
+       CAST(CASE WHEN n <= 1 THEN 0 ELSE
+         (1000000 * (CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1)
+                     - 6 * CAST(sum_d2 AS HUGEINT))
+          + 1000000 * (CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1)))
+         // (CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1)) - 1000000
+       END AS BIGINT) AS rho_ppm
+FROM s
+""",
+        "k_anonymity_audit": f"""
+WITH c AS (
+  SELECT c_mktsegment AS seg, CAST(c_nationkey AS BIGINT) AS nk,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS ab_c
+  FROM customer
+), b AS (
+  -- exact floor division toward -inf (DuckDB // truncates): subtract
+  -- the positive mod first, then divide the exact multiple
+  SELECT seg, nk,
+         (ab_c - ((ab_c % {KANON_BAL_BUCKET}) + {KANON_BAL_BUCKET})
+                  % {KANON_BAL_BUCKET}) // {KANON_BAL_BUCKET} AS bal_b
+  FROM c
+), g AS (
+  SELECT seg, nk, bal_b, CAST(count(*) AS BIGINT) AS n
+  FROM b GROUP BY seg, nk, bal_b
+)
+SELECT CAST(count(*) AS BIGINT) AS total_groups,
+       CAST(count(*) FILTER (n < {KANON_K}) AS BIGINT) AS small_groups,
+       CAST(COALESCE(sum(n) FILTER (n < {KANON_K}), 0) AS BIGINT)
+         AS reidentifiable_rows,
+       CAST(min(n) AS BIGINT) AS min_group,
+       CAST({KANON_K} AS BIGINT) AS k
+FROM g
 """,
     }

@@ -234,6 +234,8 @@ BENCH_QUERIES = [
     "rapid_reorder_pairs",  # banded self-join pair mining per customer
     "supplier_ship_coverage",  # sweep-line interval union per supplier
     "acctbal_imputation",  # grouped lower-median NULL fill
+    "spearman_qty_price",  # exact rank correlation, two global ranks
+    "k_anonymity_audit",  # quasi-identifier group-size privacy audit
 ]
 
 

@@ -179,6 +179,8 @@ def test_weighted_median_vs_duckdb(ray_session):
         "rapid_reorder_pairs",
         "supplier_ship_coverage",
         "acctbal_imputation",
+        "spearman_qty_price",
+        "k_anonymity_audit",
     ],
 )
 def test_new_query_matches_oracle_sf0001(ray_session, qname):
