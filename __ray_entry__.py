@@ -11896,6 +11896,76 @@ def q_acctbal_imputation(sf_dir: str):
     )
 
 
+BFS_MAX_HOPS = 8  # hop cap for the co-supplier BFS (graph diameter bound)
+
+
+def q_supplier_hop_distance(sf_dir: str):
+    """Exact BFS hop distance (single-source shortest path on an
+    unweighted graph — reachability WITH depth, beyond connected
+    components): distance from the minimum shipping supplier to every
+    reachable supplier in the bulk co-supplier graph (same graph as
+    bulk_cosupplier_triangles), capped at 8 hops. Scale shape: the
+    adjacency builds through pipelines/graph.cooccurrence_adjacency's
+    bucket exchange (OR-merged bitset partials, the dimension-sized
+    node-axis assumption); the frontier expansion then runs on the
+    merged S x S matrix driver-side — S-bounded boolean matvecs, one
+    per hop, never data-proportional. The SQL twin is a recursive-CTE
+    BFS with per-round MIN-dedup."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.graph import (
+        cooccurrence_adjacency,
+    )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_quantity"],
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.greater(t["l_quantity"], BULK_QTY))
+        return pa.table(
+            {
+                "ok": pc.cast(f["l_orderkey"], pa.int64()),
+                "sk": pc.cast(f["l_suppkey"], pa.int64()),
+            }
+        )
+
+    bulk = li.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey"]
+    )
+    node_keys = np.sort(
+        pc.cast(supp["s_suppkey"], pa.int64()).to_numpy(zero_copy_only=False)
+    )
+    adj = cooccurrence_adjacency(bulk, "ok", "sk", node_keys)
+    deg = adj.sum(axis=1)
+    incident = np.flatnonzero(deg > 0)
+    if not len(incident):
+        return pd.DataFrame(
+            {"s_suppkey": pd.Series([], dtype="int64"),
+             "hops": pd.Series([], dtype="int64")}
+        )
+    src = int(incident[0])  # minimum incident supplier key (sorted axis)
+    dist = np.full(len(node_keys), -1, dtype=np.int64)
+    dist[src] = 0
+    frontier = np.zeros(len(node_keys), dtype=bool)
+    frontier[src] = True
+    for hop in range(1, BFS_MAX_HOPS + 1):
+        nxt = adj[frontier].any(axis=0) & (dist < 0)
+        if not nxt.any():
+            break
+        dist[nxt] = hop
+        frontier = nxt
+    reach = dist >= 0
+    return pd.DataFrame(
+        {
+            "s_suppkey": node_keys[reach].astype("int64"),
+            "hops": dist[reach].astype("int64"),
+        }
+    )
+
+
 KANON_K = 5  # k-anonymity threshold
 KANON_BAL_BUCKET = 100_000  # $1000 account-balance buckets (cents)
 
@@ -12302,6 +12372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "acctbal_imputation": q_acctbal_imputation,
         "spearman_qty_price": q_spearman_qty_price,
         "k_anonymity_audit": q_k_anonymity_audit,
+        "supplier_hop_distance": q_supplier_hop_distance,
     }
 
 
@@ -15749,5 +15820,25 @@ SELECT CAST(count(*) AS BIGINT) AS total_groups,
        CAST(min(n) AS BIGINT) AS min_group,
        CAST({KANON_K} AS BIGINT) AS k
 FROM g
+""",
+        "supplier_hop_distance": f"""
+WITH RECURSIVE b AS (
+  SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS ok,
+                  CAST(l_suppkey AS BIGINT) AS sk
+  FROM lineitem WHERE l_quantity > {BULK_QTY}
+), e AS (
+  SELECT DISTINCT a.sk AS s1, b2.sk AS s2
+  FROM b a JOIN b b2 ON a.ok = b2.ok AND a.sk <> b2.sk
+), src AS (
+  SELECT min(s1) AS s FROM e
+), walk(node, hops) AS (
+  SELECT s, CAST(0 AS BIGINT) FROM src
+  UNION
+  SELECT e.s2, w.hops + 1
+  FROM walk w JOIN e ON e.s1 = w.node
+  WHERE w.hops < {BFS_MAX_HOPS}
+)
+SELECT node AS s_suppkey, CAST(min(hops) AS BIGINT) AS hops
+FROM walk GROUP BY node ORDER BY s_suppkey
 """,
     }

@@ -236,6 +236,7 @@ BENCH_QUERIES = [
     "acctbal_imputation",  # grouped lower-median NULL fill
     "spearman_qty_price",  # exact rank correlation, two global ranks
     "k_anonymity_audit",  # quasi-identifier group-size privacy audit
+    "supplier_hop_distance",  # BFS depth over the co-supplier graph
 ]
 
 

@@ -181,6 +181,7 @@ def test_weighted_median_vs_duckdb(ray_session):
         "acctbal_imputation",
         "spearman_qty_price",
         "k_anonymity_audit",
+        "supplier_hop_distance",
     ],
 )
 def test_new_query_matches_oracle_sf0001(ray_session, qname):
