@@ -11707,6 +11707,9 @@ def q_rapid_reorder_pairs(sf_dir: str):
         .map_groups(bucket_pairs, batch_format="pyarrow")
         .to_pandas()
     )
+    cols = ["o_custkey", "ok1", "ok2", "gap_days"]
+    if res.empty:  # all-empty buckets lose the schema through to_pandas
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
     return (
         res.sort_values(["o_custkey", "ok1", "ok2"], kind="mergesort")
         .reset_index(drop=True)
@@ -11796,7 +11799,10 @@ def q_supplier_ship_coverage(sf_dir: str):
         .map_groups(bucket_sweep, batch_format="pyarrow")
         .to_pandas()
     )
-    for c in ("s_suppkey", "covered_days", "n_intervals"):
+    cols = ("s_suppkey", "covered_days", "n_intervals")
+    if res.empty:  # all-empty buckets lose the schema through to_pandas
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    for c in cols:
         res[c] = res[c].astype("int64")
     return res.sort_values("s_suppkey", kind="mergesort").reset_index(drop=True)
 
@@ -11882,6 +11888,13 @@ def q_acctbal_imputation(sf_dir: str):
         )
 
     miss = ds.map_batches(missing_only, batch_format="pyarrow").to_pandas()
+    if miss.empty:  # empty filter result loses the schema through to_pandas
+        return pd.DataFrame(
+            {
+                c: pd.Series([], dtype="int64")
+                for c in ("c_custkey", "c_nationkey", "imputed_c")
+            }
+        )
     # inner-join semantics: a nation with NO present values yields no
     # median and its missing rows drop (mirrors the SQL twin's JOIN)
     miss = miss[miss["nk"].isin(med_map)].copy()

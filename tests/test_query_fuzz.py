@@ -1,0 +1,286 @@
+"""Query-level fuzzing: hypothesis generates adversarial mini-corpora
+(tie-heavy, gap-heavy, single-row and empty-group shapes the fixed
+testdata can't produce), writes them as parquet with the driver
+schemas, and asserts the Ray query matches its DuckDB twin through the
+SAME bit-exact compare the local gate uses. This is the strongest
+edge-case net for the tie/boundary logic in the session-13 operators
+(largest-remainder ranks, 7-day band edges, interval adjacency,
+even/odd median groups)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+DAY_US = 86_400_000_000
+EPOCH_1995 = 9131  # days
+
+
+def _write(dirpath: str, name: str, table: pa.Table) -> None:
+    os.makedirs(dirpath, exist_ok=True)
+    pq.write_table(table, os.path.join(dirpath, f"{name}.parquet"))
+
+
+def _orders_table(rows) -> pa.Table:
+    # rows: list of (orderkey, custkey, total_cents, day_offset, priority)
+    ok, ck, tc, d, pri = (
+        zip(*rows) if rows else ((), (), (), (), ())
+    )
+    return pa.table(
+        {
+            "o_orderkey": pa.array(ok, pa.int64()),
+            "o_custkey": pa.array(ck, pa.int64()),
+            "o_orderstatus": pa.array(["O"] * len(rows), pa.string()),
+            "o_totalprice": pa.array(
+                [c / 100.0 for c in tc], pa.float64()
+            ),
+            "o_orderdate": pa.array(
+                [(EPOCH_1995 + int(x)) * DAY_US for x in d],
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(list(pri), pa.string()),
+        }
+    )
+
+
+def _lineitem_table(rows) -> pa.Table:
+    # rows: list of (orderkey, linenumber, ep_cents, suppkey, qty, day)
+    if rows:
+        ok, ln, ep, sk, qty, d = zip(*rows)
+    else:
+        ok = ln = ep = sk = qty = d = ()
+    n = len(rows)
+    return pa.table(
+        {
+            "l_orderkey": pa.array(ok, pa.int64()),
+            "l_partkey": pa.array([1] * n, pa.int64()),
+            "l_suppkey": pa.array(sk, pa.int64()),
+            "l_linenumber": pa.array(ln, pa.int32()),
+            "l_quantity": pa.array([float(q) for q in qty], pa.float64()),
+            "l_extendedprice": pa.array(
+                [c / 100.0 for c in ep], pa.float64()
+            ),
+            "l_discount": pa.array([0.0] * n, pa.float64()),
+            "l_tax": pa.array([0.0] * n, pa.float64()),
+            "l_returnflag": pa.array(["N"] * n, pa.string()),
+            "l_linestatus": pa.array(["O"] * n, pa.string()),
+            "l_shipdate": pa.array(
+                [(EPOCH_1995 + int(x)) * DAY_US for x in d],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+
+
+def _compare(qname: str, sf_dir: str) -> None:
+    from check_oracles import compare, normalize, to_df
+
+    import __ray_entry__ as m
+
+    ray_df = normalize(to_df(m.queries()[qname](sf_dir)))
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "customer", "nation", "supplier"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    sql_df = normalize(con.execute(m.oracle_sql()[qname]).fetchdf())
+    con.close()
+    problems = compare(qname, ray_df, sql_df)
+    assert not problems, problems
+
+
+_fuzz = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@_fuzz
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 25),  # orderkey selector (collisions on purpose)
+            st.integers(1, 400_000),  # ep cents
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    tot=st.lists(st.integers(1, 5_000_000), min_size=26, max_size=26),
+)
+def test_fuzz_order_price_proration(ray_session, tmp_path_factory, data, tot):
+    """Remainder ties, single-item orders, orders with no lineitems —
+    the allocation must stay bit-identical to the SQL twin."""
+    d = str(tmp_path_factory.mktemp("prorate"))
+    # orderkeys are multiples of 16 so every order is audited
+    li = []
+    per = {}
+    for oksel, ep in data:
+        ok = oksel * 16
+        per[ok] = per.get(ok, 0) + 1
+        li.append((ok, per[ok], ep, 1, 1, 0))
+    orders = [(k * 16, 1, tot[k], 0, "1-URGENT") for k in range(26)]
+    _write(d, "orders", _orders_table(orders))
+    _write(d, "lineitem", _lineitem_table(li))
+    _compare("order_price_proration", d)
+
+
+@_fuzz
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(1, 4),  # custkey
+            st.integers(0, 20),  # day
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_fuzz_rapid_reorder_pairs(ray_session, tmp_path_factory, data):
+    """Same-day multi-orders and exactly-7-day boundary gaps."""
+    d = str(tmp_path_factory.mktemp("reorder"))
+    orders = [
+        (i + 1, ck, 100, day, "1-URGENT")
+        for i, (ck, day) in enumerate(data)
+    ]
+    _write(d, "orders", _orders_table(orders))
+    _compare("rapid_reorder_pairs", d)
+
+
+@_fuzz
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(1, 3),  # suppkey
+            st.integers(0, 30),  # ship day (forces overlap/adjacency)
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_fuzz_supplier_ship_coverage(ray_session, tmp_path_factory, data):
+    """Duplicate intervals, exact adjacency (gap == width), overlaps."""
+    d = str(tmp_path_factory.mktemp("cover"))
+    li = [
+        (i + 1, 1, 100, sk, 1, day) for i, (sk, day) in enumerate(data)
+    ]
+    _write(d, "lineitem", _lineitem_table(li))
+    _compare("supplier_ship_coverage", d)
+
+
+@_fuzz
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 3),  # nationkey
+            st.integers(-99_999, 999_999),  # acctbal cents (negatives!)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_fuzz_acctbal_imputation(ray_session, tmp_path_factory, data):
+    """Even/odd group sizes, duplicate balances, negative balances,
+    nations whose customers are ALL missing (ck % 7 == 0)."""
+    d = str(tmp_path_factory.mktemp("impute"))
+    cust = pa.table(
+        {
+            "c_custkey": pa.array(
+                [i + 1 for i in range(len(data))], pa.int64()
+            ),
+            "c_name": pa.array(
+                [f"Customer#{i+1}" for i in range(len(data))], pa.string()
+            ),
+            "c_nationkey": pa.array([nk for nk, _ in data], pa.int32()),
+            "c_acctbal": pa.array(
+                [c / 100.0 for _, c in data], pa.float64()
+            ),
+            "c_mktsegment": pa.array(["BUILDING"] * len(data), pa.string()),
+        }
+    )
+    _write(d, "customer", cust)
+    _compare("acctbal_imputation", d)
+
+
+@_fuzz
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 2),  # nationkey
+            st.integers(-5_000, 5_000),  # acctbal cents — tie-heavy
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_fuzz_nation_top_customer_list(ray_session, tmp_path_factory, data):
+    """Acctbal ties resolved by custkey on both engines."""
+    d = str(tmp_path_factory.mktemp("stragg"))
+    n = len(data)
+    cust = pa.table(
+        {
+            "c_custkey": pa.array([i + 1 for i in range(n)], pa.int64()),
+            "c_name": pa.array(
+                [f"Customer#{i+1:09d}" for i in range(n)], pa.string()
+            ),
+            "c_nationkey": pa.array([nk for nk, _ in data], pa.int32()),
+            "c_acctbal": pa.array([c / 100.0 for _, c in data], pa.float64()),
+            "c_mktsegment": pa.array(["AUTOMOBILE"] * n, pa.string()),
+        }
+    )
+    nat = pa.table(
+        {
+            "n_nationkey": pa.array([0, 1, 2], pa.int32()),
+            "n_name": pa.array(["ALGERIA", "BRAZIL", "CANADA"], pa.string()),
+            "n_regionkey": pa.array([0, 1, 1], pa.int32()),
+        }
+    )
+    _write(d, "customer", cust)
+    _write(d, "nation", nat)
+    _compare("nation_top_customer_list", d)
+
+
+@_fuzz
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 36),  # month offset (gaps guaranteed)
+            st.integers(1, 1_000_000),  # total cents
+            st.sampled_from(["1-URGENT", "2-HIGH", "3-MEDIUM"]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_fuzz_monthly_gap_fill(ray_session, tmp_path_factory, data):
+    """Sparse months with real gaps; every priority gets the full
+    spine, zero-filled."""
+    d = str(tmp_path_factory.mktemp("gapfill"))
+    orders = [
+        (i + 1, 1, cents, mo * 31, pri)
+        for i, (mo, cents, pri) in enumerate(data)
+    ]
+    _write(d, "orders", _orders_table(orders))
+    _compare("monthly_gap_fill", d)
+
+
+@pytest.mark.parametrize("n_orders", [1, 2])
+def test_revenue_ewma_single_and_two_months(ray_session, tmp_path_factory, n_orders):
+    """Degenerate spine: recurrence base case and one step."""
+    d = str(tmp_path_factory.mktemp("ewma"))
+    orders = [(i + 1, 1, 777 + i, i * 40, "1-URGENT") for i in range(n_orders)]
+    _write(d, "orders", _orders_table(orders))
+    _compare("revenue_ewma", d)
