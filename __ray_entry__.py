@@ -12162,6 +12162,322 @@ FROM est ORDER BY true_n DESC, user_id
 """
 
 
+# ------------------------------------------------------- session 14 queries
+
+WINDOW_DEDUP_GAP_US = 3_600_000_000  # <= 1 h after the previous same-key event
+SEMDEDUP_NUM, SEMDEDUP_DEN = 3, 10  # cosine threshold 0.3 (synthetic corpus
+#   has no true embedding near-dups — global max cos 0.51 — so the pair miner
+#   is tuned to surface the similar-pair tail instead of returning empty)
+SEMDEDUP_QSCALE = 256.0  # power of two: x*256 is EXACT in both engines
+SKEW_TOPK = 20
+
+
+def q_substring_dedup(sf_dir: str):
+    """Exact substring (16-token window) dedup — Lee et al. 2022
+    (arXiv:2107.06499) re-expressed for a partitioned token table: per
+    document, how many window positions carry a window whose exact
+    content occurs >= 2 times corpus-wide. Scale shape: the two-pass
+    hash-then-confirm candidate scan (dedup/substring.py) — pass A
+    ships only 12 B per window position through the generic duplicate
+    scan, pass B gathers only candidate positions with packed window
+    bytes (loud cap) and confirms on exact content, so hash collisions
+    cannot fabricate a duplicate. The SQL twin slices every window with
+    list_slice and groups by the window list itself."""
+    from etl_data_validation_kio_ray.dedup.substring import (
+        duplicated_window_report,
+    )
+    from etl_data_validation_kio_ray.sources.tokenize import tokenize_documents
+
+    def mk():
+        return tokenize_documents(_docs(sf_dir, ["doc_id", "text", "source"]))
+
+    return duplicated_window_report(mk)
+
+
+def q_fd_violations(sf_dir: str):
+    """Functional-dependency audit (the classic data-quality check the
+    reference's per-column rules can't express — cross-COLUMN
+    determinism): does ``source`` determine ``lang``, and ``lang``
+    determine ``source``, over documents? Emits every violating LHS
+    value with its row count and distinct-RHS count. Scale shape:
+    per-batch Arrow hash-aggregate collapses rows to distinct
+    (source, lang, n) partials BEFORE anything leaves a worker; the
+    driver fold is bounded by |sources| x |langs| (dimension-sized,
+    like the other dim folds)."""
+    import ray.data as rd
+
+    ds = _docs(sf_dir, ["source", "lang"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "source": t["source"],
+                    "lang": t["lang"],
+                    "n": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            )
+            .group_by(["source", "lang"])
+            .aggregate([("n", "sum")])
+        )
+        return pa.table(
+            {"source": g["source"], "lang": g["lang"], "n": g["n_sum"]}
+        )
+
+    pairs = (
+        ds.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .groupby(["source", "lang"], dropna=False, sort=False)["n"]
+        .sum()
+        .reset_index()
+    )
+
+    def fd(lhs: str, rhs: str) -> pd.DataFrame:
+        g = pairs.groupby(lhs, dropna=False).agg(
+            n_rows=("n", "sum"), n_distinct_rhs=(rhs, "nunique")
+        )
+        g = g[g["n_distinct_rhs"] > 1].reset_index()
+        return pd.DataFrame(
+            {
+                "fd_id": f"{lhs}->{rhs}",
+                "lhs": g[lhs].astype(object),
+                "n_rows": g["n_rows"].astype("int64"),
+                "n_distinct_rhs": g["n_distinct_rhs"].astype("int64"),
+            }
+        )
+
+    out = pd.concat([fd("source", "lang"), fd("lang", "source")])
+    return out.sort_values(["fd_id", "lhs"]).reset_index(drop=True)
+
+
+def q_key_skew_profile(sf_dir: str):
+    """Join-key skew profiler — the operational pre-check every shuffle
+    at 100 TB needs: exact per-key counts of orders.o_custkey, the
+    top-20 hottest keys with their exact ppm share of all rows, and an
+    integer 'overload_x' (ceil of hot-key count over the mean per-key
+    load — the salt factor that would level that key). Scale shape:
+    map-side per-batch hash-agg partials -> ONE bucketed_group_agg
+    exchange; each bucket emits only its top-20 candidates plus a
+    2-int summary row (every key lives in exactly one bucket, so the
+    global top-20 is inside the union of per-bucket top-20s); the
+    driver folds buckets x 21 rows."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        bucketed_group_agg,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "ckey": pc.cast(t["o_custkey"], pa.int64()),
+                    "cnt": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            )
+            .group_by("ckey")
+            .aggregate([("cnt", "sum")])
+        )
+        return pa.table({"ckey": g["ckey"], "cnt": g["cnt_sum"]})
+
+    parts = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def post(out: pa.Table) -> pa.Table:
+        keys = out["ckey"].to_numpy(zero_copy_only=False)
+        cnt = out["cnt"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, -cnt))[:SKEW_TOPK]
+        zeros = np.zeros(len(order), np.int64)
+        return pa.table(
+            {
+                "ckey": pa.array(
+                    np.concatenate([keys[order], [0]]), pa.int64()
+                ),
+                "cnt": pa.array(np.concatenate([cnt[order], [0]]), pa.int64()),
+                "tot": pa.array(
+                    np.concatenate([zeros, [cnt.sum()]]), pa.int64()
+                ),
+                "nk": pa.array(
+                    np.concatenate([zeros, [len(keys)]]), pa.int64()
+                ),
+                "is_sum": pa.array(
+                    np.concatenate([zeros, [1]]), pa.int64()
+                ),
+            }
+        )
+
+    folded = bucketed_group_agg(
+        parts, "ckey", [("cnt", "sum")], post=post
+    ).to_pandas()
+    summ = folded[folded["is_sum"] == 1]
+    tot = int(summ["tot"].sum())
+    nk = int(summ["nk"].sum())
+    top = (
+        folded[folded["is_sum"] == 0]
+        .sort_values(["cnt", "ckey"], ascending=[False, True], kind="mergesort")
+        .head(SKEW_TOPK)
+        .reset_index(drop=True)
+    )
+    cnt = top["cnt"].astype("int64")
+    return pd.DataFrame(
+        {
+            "o_custkey": top["ckey"].astype("int64"),
+            "cnt": cnt,
+            "share_ppm": (cnt * 1_000_000 // tot).astype("int64"),
+            "overload_x": ((cnt * nk + tot - 1) // tot).astype("int64"),
+            "rnk": np.arange(1, len(top) + 1, dtype=np.int64),
+        }
+    )
+
+
+def q_window_dedup_events(sf_dir: str):
+    """Time-window streaming dedup (the keep-first-in-window filter a
+    streaming ingest runs before anything else): an event is flagged
+    when it lands within 1 h of the PREVIOUS event of the same
+    (user_id, event_type) — exactly SQL LAG semantics with the
+    (ts, event_id) tiebreak. Scale shape: ONE hash-bucket exchange on
+    user_id co-locates each key's history; in-bucket one lexsort +
+    np.diff masked at (user, type) run starts — no per-key loop; only
+    flagged rows leave the reducers."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        collect_sorted,
+        resolve_num_buckets,
+        tag_bucket,
+    )
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    nb = resolve_num_buckets(ev)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return tag_bucket(t, "user_id", nb)
+
+    def bucket_dups(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        g = g.take(
+            pc.sort_indices(
+                g,
+                sort_keys=[
+                    ("user_id", "ascending"),
+                    ("event_type", "ascending"),
+                    ("ts", "ascending"),
+                    ("event_id", "ascending"),
+                ],
+            )
+        )
+        if g.num_rows < 2:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string()),
+                    "gap_us": pa.array([], pa.int64()),
+                }
+            )
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        tsv = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        same_run = (uid[1:] == uid[:-1]) & (et[1:] == et[:-1])
+        gap = tsv[1:] - tsv[:-1]
+        flag = same_run & (gap <= WINDOW_DEDUP_GAP_US)
+        idx = np.flatnonzero(flag) + 1
+        return pa.table(
+            {
+                "event_id": pc.cast(g["event_id"], pa.int64()).take(
+                    pa.array(idx)
+                ),
+                "user_id": pc.cast(g["user_id"], pa.int64()).take(
+                    pa.array(idx)
+                ),
+                "event_type": g["event_type"].take(pa.array(idx)),
+                "gap_us": pa.array(gap[idx - 1], pa.int64()),
+            }
+        )
+
+    out = collect_sorted(
+        ev.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(bucket_dups, batch_format="pyarrow"),
+        ["event_id"],
+    )
+    for c in ("event_id", "user_id", "gap_us"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def q_semdedup_pairs(sf_dir: str):
+    """SemDeDup-shaped within-cluster similar-pair mining (Abbas et al.
+    2023, arXiv:2303.09540: prune near-duplicates INSIDE each semantic
+    cluster instead of all-pairs): using the embeddings table's label
+    as the cluster id, find every within-label pair whose QUANTIZED
+    integer cosine is >= 0.3. Quantization q = floor(x * 256) (a
+    power-of-two scale, exact in float64 on both engines) makes the
+    cosine test all-integer — dot > 0 and dot^2 * 100 >= |a|^2 |b|^2 * 9
+    — so Ray and DuckDB agree bit-exactly with no float summation-order
+    hazard. Scale shape: groupby(label) co-locates each cluster; one
+    int64 matmul per cluster (the SemDeDup trade: per-cluster quadratic,
+    corpus-level linear in #clusters); only qualifying pairs leave."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.functions.vectors import batch_vectors
+
+    emb = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+    )
+    num2 = SEMDEDUP_NUM * SEMDEDUP_NUM
+    den2 = SEMDEDUP_DEN * SEMDEDUP_DEN
+
+    def cluster_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "label": pa.array([], pa.int64()),
+                "vec_id_a": pa.array([], pa.int64()),
+                "vec_id_b": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows < 2:
+            return empty
+        v = batch_vectors(g, "embedding").astype(np.float64)
+        q = np.floor(v * SEMDEDUP_QSCALE).astype(np.int64)
+        G = q @ q.T
+        nrm = np.diag(G)
+        i, j = np.triu_indices(len(q), 1)
+        dot = G[i, j]
+        mask = (dot > 0) & (dot * dot * den2 >= nrm[i] * nrm[j] * num2)
+        if not mask.any():
+            return empty
+        ids = pc.cast(g["vec_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        a, b = ids[i[mask]], ids[j[mask]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        lab = pc.cast(g["label"], pa.int64()).to_numpy(zero_copy_only=False)[
+            i[mask]
+        ]
+        order = np.lexsort((hi, lo))
+        return pa.table(
+            {
+                "label": pa.array(lab[order], pa.int64()),
+                "vec_id_a": pa.array(lo[order], pa.int64()),
+                "vec_id_b": pa.array(hi[order], pa.int64()),
+            }
+        )
+
+    from etl_data_validation_kio_ray.pipelines.relational import collect_sorted
+
+    out = collect_sorted(
+        emb.groupby("label").map_groups(cluster_pairs, batch_format="pyarrow"),
+        ["label", "vec_id_a", "vec_id_b"],
+    )
+    for c in ("label", "vec_id_a", "vec_id_b"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -12386,6 +12702,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman_qty_price": q_spearman_qty_price,
         "k_anonymity_audit": q_k_anonymity_audit,
         "supplier_hop_distance": q_supplier_hop_distance,
+        # --- round-4 session 14 ---
+        "substring_dedup": q_substring_dedup,
+        "fd_violations": q_fd_violations,
+        "key_skew_profile": q_key_skew_profile,
+        "window_dedup_events": q_window_dedup_events,
+        "semdedup_pairs": q_semdedup_pairs,
     }
 
 
@@ -15853,5 +16175,100 @@ WITH RECURSIVE b AS (
 )
 SELECT node AS s_suppkey, CAST(min(hops) AS BIGINT) AS hops
 FROM walk GROUP BY node ORDER BY s_suppkey
+""",
+        "substring_dedup": f"""
+WITH {TOKENIZE_CTE},
+w AS (
+  SELECT doc_id, n_tok, list_slice(tokens, i, i + 15) AS w
+  FROM (SELECT doc_id, n_tok, tokens,
+               unnest(generate_series(1, greatest(n_tok - 15, 0))) AS i
+        FROM tok)
+),
+rep AS (SELECT w FROM w GROUP BY w HAVING COUNT(*) >= 2)
+SELECT w.doc_id,
+       CAST(any_value(w.n_tok) - 15 AS BIGINT) AS n_windows,
+       CAST(COUNT(*) AS BIGINT) AS dup_windows
+FROM w JOIN rep r ON w.w = r.w
+GROUP BY w.doc_id
+ORDER BY doc_id
+""",
+        "fd_violations": """
+WITH p AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY source, lang
+)
+SELECT 'source->lang' AS fd_id, source AS lhs,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_distinct_rhs
+FROM p GROUP BY source HAVING COUNT(DISTINCT lang) > 1
+UNION ALL
+SELECT 'lang->source', lang,
+       CAST(SUM(n) AS BIGINT),
+       CAST(COUNT(DISTINCT source) AS BIGINT)
+FROM p GROUP BY lang HAVING COUNT(DISTINCT source) > 1
+ORDER BY fd_id, lhs
+""",
+        "key_skew_profile": f"""
+WITH c AS (
+  SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY o_custkey
+),
+t AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS nk
+  FROM c
+),
+r AS (
+  SELECT o_custkey, cnt,
+         CAST((cnt * 1000000) // tot AS BIGINT) AS share_ppm,
+         CAST((cnt * nk + tot - 1) // tot AS BIGINT) AS overload_x,
+         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, o_custkey) AS BIGINT)
+           AS rnk
+  FROM c, t
+)
+SELECT o_custkey, cnt, share_ppm, overload_x, rnk
+FROM r WHERE rnk <= {SKEW_TOPK} ORDER BY rnk
+""",
+        "window_dedup_events": f"""
+WITH x AS (
+  SELECT event_id, user_id, event_type, ts,
+         LAG(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS pts
+  FROM events
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       event_type,
+       CAST(date_diff('microsecond', pts, ts) AS BIGINT) AS gap_us
+FROM x
+WHERE pts IS NOT NULL
+  AND date_diff('microsecond', pts, ts) <= {WINDOW_DEDUP_GAP_US}
+ORDER BY event_id
+""",
+        "semdedup_pairs": f"""
+WITH q AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         unnest(generate_series(1, len(embedding))) AS pos,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {int(SEMDEDUP_QSCALE)})
+              AS BIGINT) AS qv
+  FROM embeddings
+),
+n AS (SELECT vec_id, SUM(qv * qv) AS nn FROM q GROUP BY vec_id),
+d AS (
+  SELECT a.label, a.vec_id AS va, b.vec_id AS vb, SUM(a.qv * b.qv) AS dot
+  FROM q a
+  JOIN q b ON a.label = b.label AND a.pos = b.pos AND a.vec_id < b.vec_id
+  GROUP BY a.label, a.vec_id, b.vec_id
+)
+SELECT d.label,
+       CAST(d.va AS BIGINT) AS vec_id_a,
+       CAST(d.vb AS BIGINT) AS vec_id_b
+FROM d
+JOIN n x ON x.vec_id = d.va
+JOIN n y ON y.vec_id = d.vb
+WHERE d.dot > 0
+  AND d.dot * d.dot * {SEMDEDUP_DEN * SEMDEDUP_DEN}
+      >= x.nn * y.nn * {SEMDEDUP_NUM * SEMDEDUP_NUM}
+ORDER BY label, vec_id_a, vec_id_b
 """,
     }

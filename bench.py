@@ -237,6 +237,12 @@ BENCH_QUERIES = [
     "spearman_qty_price",  # exact rank correlation, two global ranks
     "k_anonymity_audit",  # quasi-identifier group-size privacy audit
     "supplier_hop_distance",  # BFS depth over the co-supplier graph
+    # round 4 session 14: substring dedup + data-ops audits
+    "substring_dedup",  # K-token window dedup, hash-then-confirm scan
+    "fd_violations",  # cross-column functional-dependency audit
+    "key_skew_profile",  # hot-key profiler with exact ppm shares
+    "window_dedup_events",  # keep-first-in-window streaming dedup
+    "semdedup_pairs",  # within-cluster integer-cosine pair mining
 ]
 
 

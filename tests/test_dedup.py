@@ -1012,3 +1012,72 @@ def test_grouped_prefix_sum_and_packing(ray_session):
         .reset_index()
     )
     assert bins.values.tolist() == want.values.tolist()
+
+
+def test_substring_window_positions_and_hashes():
+    """Window enumeration: only fully-in-document starts are valid;
+    the window hash is a pure function of the K token values
+    (same window content in different docs => same hash)."""
+    from etl_data_validation_kio_ray.dedup.substring import (
+        WINDOW_K,
+        _window_hashes,
+        _window_positions,
+    )
+
+    short = list(range(WINDOW_K - 1))  # no window
+    exact = list(range(100, 100 + WINDOW_K))  # exactly one
+    longer = [7] * (WINDOW_K + 3)  # four, all identical content
+    col = pa.array([short, exact, longer, exact], type=pa.list_(pa.int32()))
+    flat, rows, starts = _window_positions(col)
+    assert rows.tolist() == [1] + [2] * 4 + [3]
+    h = _window_hashes(flat, starts)
+    # doc1 and doc3 share the exact same window content
+    assert h[0] == h[-1]
+    # the four identical-content windows of doc2 all hash alike
+    assert len(set(h[1:5].tolist())) == 1
+    assert h[0] != h[1]
+
+
+def test_substring_dedup_report_planted(ray_session):
+    """End-to-end two-pass report on a tiny corpus with a planted
+    repeated K-window: only documents sharing the window appear, with
+    exact position counts; unique docs are absent."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.dedup.substring import (
+        WINDOW_K,
+        duplicated_window_report,
+    )
+
+    rng = np.random.default_rng(7)
+    shared = rng.integers(0, 50_000, WINDOW_K).tolist()
+    docs = {
+        # shared window at offset 3 (n_tok = K+6 -> 7 windows)
+        "a": rng.integers(0, 50_000, 3).tolist()
+        + shared
+        + rng.integers(0, 50_000, 3).tolist(),
+        # shared window at offset 0 (n_tok = K+2 -> 3 windows)
+        "b": shared + rng.integers(0, 50_000, 2).tolist(),
+        # no repeats anywhere
+        "c": rng.integers(60_000, 99_000, WINDOW_K + 5).tolist(),
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(docs)),
+            "tokens": pa.array(list(docs.values()), type=pa.list_(pa.int32())),
+            "n_tok": pa.array(
+                [len(v) for v in docs.values()], type=pa.int32()
+            ),
+        }
+    )
+    out = duplicated_window_report(lambda: rd.from_arrow(t).repartition(3))
+    assert out["doc_id"].tolist() == ["a", "b"]
+    assert out["n_windows"].tolist() == [7, 3]
+    assert out["dup_windows"].tolist() == [1, 1]
+
+    # corpus with no K-window repeated at all -> empty, stable schema
+    t2 = t.filter(pa.array([False, False, True]))
+    out2 = duplicated_window_report(lambda: rd.from_arrow(t2))
+    assert len(out2) == 0
+    assert list(out2.columns) == ["doc_id", "n_windows", "dup_windows"]
+    assert str(out2["dup_windows"].dtype) == "int64"

@@ -182,6 +182,11 @@ def test_weighted_median_vs_duckdb(ray_session):
         "spearman_qty_price",
         "k_anonymity_audit",
         "supplier_hop_distance",
+        "substring_dedup",
+        "fd_violations",
+        "key_skew_profile",
+        "window_dedup_events",
+        "semdedup_pairs",
     ],
 )
 def test_new_query_matches_oracle_sf0001(ray_session, qname):
