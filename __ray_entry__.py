@@ -12478,6 +12478,196 @@ def q_semdedup_pairs(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+PCTL_CONT = [("p25", 25, 100), ("p50", 50, 100), ("p75", 75, 100), ("p90", 90, 100)]
+
+
+def q_percentile_cont_prices(sf_dir: str):
+    """EXACT interpolated PERCENTILE_CONT per order priority — the
+    quantile flavor grouped_quantiles (percentile_disc) and the t-digest
+    (approximate) don't cover. All-integer interpolation: with
+    pos = num*(n-1), idx = pos // den, rem = pos %% den, the output is
+    v[idx]*(den-rem) + v[idx+1]*rem in exact cent-hundredths — no float
+    fraction ever computed, so Ray and DuckDB agree bit-for-bit.
+
+    Scale shape: per-group counts fold driver-side (|priorities| ints);
+    ONE range-partitioned sort feeds relational.global_row_number
+    (per-block offset summaries — rows never leave workers); the two
+    bracketing ranks per (group, percentile) are probed with a
+    broadcast is_in filter, so only 5 groups x 4 pctl x 2 rows stream
+    out of a table of any size."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        global_row_number,
+    )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice", "o_orderpriority"],
+    )
+
+    def cnt_partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "pri": t["o_orderpriority"],
+                    "n": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            )
+            .group_by("pri")
+            .aggregate([("n", "sum")])
+        )
+        return pa.table({"pri": g["pri"], "n": g["n_sum"]})
+
+    counts = (
+        orders.map_batches(cnt_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .groupby("pri")["n"]
+        .sum()
+        .sort_index()
+    )
+    cols = ["o_orderpriority"] + [name for name, _, _ in PCTL_CONT]
+    if counts.empty:
+        return pd.DataFrame(
+            {
+                "o_orderpriority": pd.Series(dtype=object),
+                **{name: pd.Series(dtype="int64") for name, _, _ in PCTL_CONT},
+            }
+        )
+    starts = counts.cumsum().shift(fill_value=0)
+
+    # group-local bracketing ranks -> global 1-based ranks
+    need: dict[tuple[str, str], tuple[int, int, int]] = {}
+    want: set[int] = set()
+    for pri, n in counts.items():
+        s = int(starts[pri])
+        for name, num, den in PCTL_CONT:
+            pos = num * (int(n) - 1)
+            idx, rem = pos // den, pos % den
+            lo_rn = s + idx + 1
+            hi_rn = lo_rn + 1 if rem else lo_rn
+            need[(pri, name)] = (lo_rn, hi_rn, rem)
+            want.update((lo_rn, hi_rn))
+
+    ranked, _n_total = global_row_number(
+        orders, ["o_orderpriority", "o_totalprice", "o_orderkey"], out_col="rn"
+    )
+    want_arr = pa.array(sorted(want), pa.int64())
+
+    def probe(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["rn"], value_set=want_arr))
+        price_c = pc.round(pc.multiply(t["o_totalprice"], 100.0)).cast(pa.int64())
+        return pa.table({"rn": t["rn"], "price_c": price_c})
+
+    hits = (
+        ranked.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .set_index("rn")["price_c"]
+    )
+    rows = []
+    for pri in counts.index:
+        row: dict = {"o_orderpriority": pri}
+        for name, _num, den in PCTL_CONT:
+            lo_rn, hi_rn, rem = need[(pri, name)]
+            vlo, vhi = int(hits[lo_rn]), int(hits[hi_rn])
+            row[name] = np.int64(vlo * (den - rem) + vhi * rem)
+        rows.append(row)
+    out = pd.DataFrame(rows, columns=cols).sort_values("o_orderpriority")
+    for name, _n, _d in PCTL_CONT:
+        out[name] = out[name].astype("int64")
+    return out.reset_index(drop=True)
+
+
+HLL_INTERSECT_P = 12  # 4096 registers, ~1.6% rel. std error per sketch
+
+
+def q_hll_intersection(sf_dir: str):
+    """Sketch COMPOSITION: estimate |view-users ∩ purchase-users| by
+    HLL inclusion-exclusion (est_a + est_b - est_union; union is the
+    native mergeable op, intersection is not) and SELF-ASSERT the
+    estimate against the exact distributed both-flags count within 5
+    combined standard errors. The exact side rides one
+    bucketed_group_agg exchange on user_id (per-user max-flags, buckets
+    emit only a count). Rows-only by design: the output embeds the
+    sketch estimates, which no SQL twin reproduces."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        bucketed_group_agg,
+    )
+    from etl_data_validation_kio_ray.sketches.hll import grouped_hll
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id"],
+    )
+
+    def only_ab(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.is_in(t["event_type"], value_set=pa.array(["view", "purchase"]))
+        )
+
+    ab = ev.map_batches(only_ab, batch_format="pyarrow", zero_copy_batch=True)
+    sketches = grouped_hll(ab, "event_type", "user_id", p=HLL_INTERSECT_P)
+    if set(sketches) != {"view", "purchase"}:
+        raise AssertionError(
+            f"hll_intersection: expected view/purchase sketches, got "
+            f"{sorted(sketches)}"
+        )
+    ha, hb = sketches["view"], sketches["purchase"]
+    est_a, est_b = ha.estimate(), hb.estimate()
+    est_u = ha.merge(hb).estimate()
+    est_i = est_a + est_b - est_u
+
+    def flag_partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "has_a": pc.cast(pc.equal(et, "view"), pa.int64()),
+                "has_b": pc.cast(pc.equal(et, "purchase"), pa.int64()),
+            }
+        )
+
+    def count_both(out: pa.Table) -> pa.Table:
+        both = pc.and_(
+            pc.greater(out["has_a"], 0), pc.greater(out["has_b"], 0)
+        )
+        n = int(pc.sum(pc.cast(both, pa.int64())).as_py() or 0)
+        return pa.table({"n_both": pa.array([n], pa.int64())})
+
+    exact = int(
+        bucketed_group_agg(
+            ab.map_batches(
+                flag_partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            "user_id",
+            [("has_a", "max"), ("has_b", "max")],
+            post=count_both,
+        )
+        .to_pandas()["n_both"]
+        .sum()
+    )
+    # 5x the combined standard error of the three estimates the
+    # inclusion-exclusion sums (each ~1.04/sqrt(m) relative)
+    se = 1.04 / float(np.sqrt(1 << HLL_INTERSECT_P))
+    bound = 5.0 * se * (est_a + est_b + est_u)
+    if abs(est_i - exact) > bound:
+        raise AssertionError(
+            f"HLL intersection estimate {est_i:.1f} deviates from exact "
+            f"{exact} by more than {bound:.1f}"
+        )
+    return pd.DataFrame(
+        {
+            "est_view": [np.int64(round(est_a))],
+            "est_purchase": [np.int64(round(est_b))],
+            "est_union": [np.int64(round(est_u))],
+            "est_intersection": [np.int64(round(est_i))],
+            "exact_intersection": [np.int64(exact)],
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -12708,6 +12898,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_skew_profile": q_key_skew_profile,
         "window_dedup_events": q_window_dedup_events,
         "semdedup_pairs": q_semdedup_pairs,
+        "percentile_cont_prices": q_percentile_cont_prices,
+        "hll_intersection": q_hll_intersection,
     }
 
 
@@ -16270,5 +16462,41 @@ WHERE d.dot > 0
   AND d.dot * d.dot * {SEMDEDUP_DEN * SEMDEDUP_DEN}
       >= x.nn * y.nn * {SEMDEDUP_NUM * SEMDEDUP_NUM}
 ORDER BY label, vec_id_a, vec_id_b
+""",
+        "percentile_cont_prices": """
+WITH r AS (
+  SELECT o_orderpriority AS pri,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+  FROM orders
+),
+p AS (
+  SELECT * FROM (VALUES ('p25', CAST(25 AS BIGINT), CAST(100 AS BIGINT)),
+                        ('p50', 50, 100), ('p75', 75, 100),
+                        ('p90', 90, 100)) v(name, num, den)
+),
+sel AS (
+  SELECT r.pri, p.name, p.den,
+         MAX(CASE WHEN r.rn = (p.num * (r.n - 1)) // p.den + 1
+                  THEN r.price_c END) AS vlo,
+         MAX(CASE WHEN r.rn = (p.num * (r.n - 1)) // p.den + 2
+                  THEN r.price_c END) AS vhi,
+         MAX((p.num * (r.n - 1)) % p.den) AS rem
+  FROM r CROSS JOIN p
+  GROUP BY r.pri, p.name, p.den
+),
+val AS (
+  SELECT pri, name,
+         CAST(vlo * (den - rem) + COALESCE(vhi, vlo) * rem AS BIGINT) AS v
+  FROM sel
+)
+SELECT pri AS o_orderpriority,
+       MAX(CASE WHEN name = 'p25' THEN v END) AS p25,
+       MAX(CASE WHEN name = 'p50' THEN v END) AS p50,
+       MAX(CASE WHEN name = 'p75' THEN v END) AS p75,
+       MAX(CASE WHEN name = 'p90' THEN v END) AS p90
+FROM val GROUP BY pri ORDER BY pri
 """,
     }

@@ -243,6 +243,8 @@ BENCH_QUERIES = [
     "key_skew_profile",  # hot-key profiler with exact ppm shares
     "window_dedup_events",  # keep-first-in-window streaming dedup
     "semdedup_pairs",  # within-cluster integer-cosine pair mining
+    "percentile_cont_prices",  # exact-integer interpolated PERCENTILE_CONT
+    "hll_intersection",  # sketch composition: inclusion-exclusion overlap
 ]
 
 

@@ -180,3 +180,28 @@ def test_cms_one_sided_and_mergeable():
     assert np.all(est >= exact)  # the one-sided guarantee
     # 4 rows of width 2048 over 50k items: overcount stays << N
     assert np.all(est - exact <= 4 * len(keys) // 2048)
+
+
+def test_hll_intersection_query_self_asserts(ray_session):
+    """The inclusion-exclusion composition query: runs end-to-end (it
+    raises internally past 5 combined standard errors), emits one row,
+    and its exact side equals a pandas ground truth."""
+    import pandas as pd
+
+    import __ray_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    out = m.queries()["hll_intersection"](sf)
+    assert len(out) == 1
+    assert set(out.columns) == {
+        "est_view", "est_purchase", "est_union",
+        "est_intersection", "exact_intersection",
+    }
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["event_type", "user_id"])
+    a = set(ev.loc[ev.event_type == "view", "user_id"])
+    b = set(ev.loc[ev.event_type == "purchase", "user_id"])
+    assert int(out["exact_intersection"].iloc[0]) == len(a & b)
+    # union estimate can never undershoot either side's estimate
+    assert out["est_union"].iloc[0] >= max(
+        out["est_view"].iloc[0], out["est_purchase"].iloc[0]
+    )

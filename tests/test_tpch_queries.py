@@ -187,6 +187,7 @@ def test_weighted_median_vs_duckdb(ray_session):
         "key_skew_profile",
         "window_dedup_events",
         "semdedup_pairs",
+        "percentile_cont_prices",
     ],
 )
 def test_new_query_matches_oracle_sf0001(ray_session, qname):
