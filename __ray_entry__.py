@@ -10169,12 +10169,24 @@ def q_ipc_roundtrip(sf_dir: str):
         raise AssertionError("ipc_roundtrip: sink wrote no rows")
     ds = read_token_ipc(out_dir)
 
+    return _token_roundtrip_sums(ds, "ipc_roundtrip")
+
+
+def _token_roundtrip_sums(ds, what: str) -> pd.DataFrame:
+    """Shared verification reduce of the source/sink roundtrip family
+    (json/csv/ipc/orc): raises if the validating reader recorded any
+    schema error on clean data, then folds per-source (n_docs,
+    sum n_tok, sum of token ids) — the content digest all four readers
+    share one SQL twin shape for."""
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+    from etl_data_validation_kio_ray.sources.jsonl import SCHEMA_ERROR_COL
+
     def partial(t: pa.Table) -> pa.Table:
         if SCHEMA_ERROR_COL in t.column_names:
             bad = t.filter(pc.is_valid(t[SCHEMA_ERROR_COL]))
             if bad.num_rows:
                 raise AssertionError(
-                    "ipc_roundtrip: reader recorded schema errors on "
+                    f"{what}: reader recorded schema errors on "
                     f"clean data: {bad[SCHEMA_ERROR_COL][0].as_py()}"
                 )
         toks = t["tokens"]
@@ -10211,6 +10223,38 @@ def q_ipc_roundtrip(sf_dir: str):
     for c in ("n_docs", "sum_ntok", "sum_tok"):
         out[c] = out[c].astype("int64")
     return out.sort_values("source").reset_index(drop=True)
+
+
+def q_orc_roundtrip(sf_dir: str):
+    """ORC source/sink roundtrip — the second columnar interchange
+    codec next to Arrow IPC (sources/orc): the tokenized corpus is
+    written as one ``.orc`` shard per task (atomic tmp+replace, only a
+    manifest row returns to the driver) and read BACK through the
+    validating ORC reader; ORC carries ``tokens: list<int32>``
+    natively, so the content digest must match the direct-tokenize twin
+    bit-for-bit. Same twin family as json/csv/ipc_roundtrip."""
+    import shutil
+
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.sources.orc import (
+        read_token_orc,
+        write_token_orc,
+    )
+    from etl_data_validation_kio_ray.sources.tokenize import tokenize_documents
+
+    out_dir = "/tmp/kio_orc_roundtrip_" + os.path.basename(
+        os.path.normpath(sf_dir)
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    manifest = write_token_orc(tokenize_documents(docs), out_dir)
+    if not manifest or sum(m["rows"] for m in manifest) == 0:
+        raise AssertionError("orc_roundtrip: sink wrote no rows")
+    return _token_roundtrip_sums(read_token_orc(out_dir), "orc_roundtrip")
 
 
 _DECLARATIVE_SPEC_PATH = os.path.join(
@@ -12900,6 +12944,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_pairs": q_semdedup_pairs,
         "percentile_cont_prices": q_percentile_cont_prices,
         "hll_intersection": q_hll_intersection,
+        "orc_roundtrip": q_orc_roundtrip,
     }
 
 
@@ -15937,6 +15982,19 @@ FROM dev, md WHERE dv > {MAD_K} * mad
 ORDER BY day
 """,
         "ipc_roundtrip": r"""
+WITH t AS (
+  SELECT source,
+         list_transform(string_split(text, ' '),
+           w -> CAST((length(w) * 2654435761) % 50257 AS BIGINT)) AS toks
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(toks)) AS BIGINT) AS sum_ntok,
+       CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT), toks),
+                            (a, b) -> a + b)) AS BIGINT) AS sum_tok
+FROM t GROUP BY source ORDER BY source
+""",
+        "orc_roundtrip": r"""
 WITH t AS (
   SELECT source,
          list_transform(string_split(text, ' '),

@@ -245,6 +245,7 @@ BENCH_QUERIES = [
     "semdedup_pairs",  # within-cluster integer-cosine pair mining
     "percentile_cont_prices",  # exact-integer interpolated PERCENTILE_CONT
     "hll_intersection",  # sketch composition: inclusion-exclusion overlap
+    "orc_roundtrip",  # ORC sink -> validating reader roundtrip
 ]
 
 

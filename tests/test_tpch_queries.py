@@ -188,6 +188,7 @@ def test_weighted_median_vs_duckdb(ray_session):
         "window_dedup_events",
         "semdedup_pairs",
         "percentile_cont_prices",
+        "orc_roundtrip",
     ],
 )
 def test_new_query_matches_oracle_sf0001(ray_session, qname):
