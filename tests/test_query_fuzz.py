@@ -90,7 +90,10 @@ def _compare(qname: str, sf_dir: str) -> None:
 
     ray_df = normalize(to_df(m.queries()[qname](sf_dir)))
     con = duckdb.connect()
-    for t in ("orders", "lineitem", "customer", "nation", "supplier"):
+    for t in (
+        "orders", "lineitem", "customer", "nation", "supplier",
+        "events", "documents", "embeddings",
+    ):
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(
@@ -284,3 +287,181 @@ def test_revenue_ewma_single_and_two_months(ray_session, tmp_path_factory, n_ord
     orders = [(i + 1, 1, 777 + i, i * 40, "1-URGENT") for i in range(n_orders)]
     _write(d, "orders", _orders_table(orders))
     _compare("revenue_ewma", d)
+
+
+# ----------------------------------------------------- session-14 operators
+
+
+def _events_table(rows) -> pa.Table:
+    # rows: list of (event_id, us_offset, user_id, event_type)
+    if rows:
+        ei, us, ui, et = zip(*rows)
+    else:
+        ei = us = ui = et = ()
+    n = len(rows)
+    return pa.table(
+        {
+            "event_id": pa.array(ei, pa.int64()),
+            "ts": pa.array(
+                [EPOCH_1995 * DAY_US + int(x) for x in us], pa.timestamp("us")
+            ),
+            "user_id": pa.array(ui, pa.int64()),
+            "event_type": pa.array(list(et), pa.string()),
+            "value": pa.array([1.0] * n, pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+
+
+def _documents_table(texts) -> pa.Table:
+    # texts: list of (text, source)
+    t, s = zip(*texts) if texts else ((), ())
+    return pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(list(t), pa.string()),
+            "lang": pa.array(["xx"] * len(texts), pa.string()),
+            "source": pa.array(list(s), pa.string()),
+            "n_chars": pa.array([len(x) for x in t], pa.int64()),
+        }
+    )
+
+
+@_fuzz
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 6),  # user selector (collisions on purpose)
+            st.sampled_from(["view", "purchase"]),
+            # gaps straddling the <= 1h boundary exactly
+            st.sampled_from([0, 1, 3_599_999_999, 3_600_000_000,
+                             3_600_000_001, 10 * DAY_US]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_fuzz_window_dedup_events(ray_session, tmp_path_factory, data):
+    """Equal timestamps (event_id tiebreak), gaps exactly AT the 1-hour
+    boundary, and interleaved event types — the LAG-window edges."""
+    sf = str(tmp_path_factory.mktemp("wdedup"))
+    rows, t = [], {}
+    for i, (u, et, gap) in enumerate(data):
+        t[(u, et)] = t.get((u, et), 0) + gap  # cumulative per key
+        rows.append((i, t[(u, et)], u, et))
+    _write(sf, "events", _events_table(rows))
+    _compare("window_dedup_events", sf)
+
+
+@_fuzz
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 8),  # custkey (hot keys on purpose)
+            st.integers(1, 99_999),  # cents
+            st.sampled_from(["1-URGENT", "2-HIGH", "5-LOW"]),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_fuzz_percentile_cont_and_key_skew(ray_session, tmp_path_factory, data):
+    """Single-row groups (rem always 0), two-row groups (every
+    percentile lands between the same two rows), price ties (orderkey
+    tiebreak), count ties at the skew top-k boundary."""
+    sf = str(tmp_path_factory.mktemp("pctl"))
+    rows = [
+        (i, ck, cents, i % 7, pri) for i, (ck, cents, pri) in enumerate(data)
+    ]
+    _write(sf, "orders", _orders_table(rows))
+    _compare("percentile_cont_prices", sf)
+    _compare("key_skew_profile", sf)
+
+
+@_fuzz
+@given(
+    texts=st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from(["a", "bb", "ccc", "dddd"]),
+                min_size=1,
+                max_size=40,
+            ).map(" ".join),
+            st.sampled_from(["s1", "s2"]),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_fuzz_substring_dedup(ray_session, tmp_path_factory, texts):
+    """Tiny 4-word alphabet forces 16-token window collisions within
+    and across documents; docs shorter than K contribute no windows;
+    all-identical docs duplicate every window."""
+    sf = str(tmp_path_factory.mktemp("substr"))
+    _write(sf, "documents", _documents_table(texts))
+    _compare("substring_dedup", sf)
+
+
+@_fuzz
+@given(
+    texts=st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2", "s3"]),
+            st.sampled_from(["en", "de"]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_fuzz_fd_violations(ray_session, tmp_path_factory, texts):
+    """FDs that hold, FDs violated by exactly one extra RHS value,
+    single-row LHS groups."""
+    sf = str(tmp_path_factory.mktemp("fd"))
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(["w"] * len(texts), pa.string()),
+            "lang": pa.array([l for _s, l in texts], pa.string()),
+            "source": pa.array([s for s, _l in texts], pa.string()),
+            "n_chars": pa.array([1] * len(texts), pa.int64()),
+        }
+    )
+    _write(sf, "documents", t)
+    _compare("fd_violations", sf)
+
+
+@_fuzz
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(0, 2),  # label (small clusters, collisions)
+            st.lists(
+                # exact multiples of 1/256 (quantization boundaries) and
+                # off-grid values (float32 rounding on both engines)
+                st.sampled_from(
+                    [0.0, 1 / 256, -1 / 256, 0.5, -0.5, 0.1, -0.3, 0.251]
+                ),
+                min_size=4,
+                max_size=4,
+            ),
+        ),
+        min_size=2,
+        max_size=20,
+    )
+)
+def test_fuzz_semdedup_pairs(ray_session, tmp_path_factory, vecs):
+    """Quantization boundary values, zero vectors (dot=0 excluded),
+    identical vectors (cos exactly 1), threshold ties where
+    dot^2*100 == na*nb*81 exactly."""
+    sf = str(tmp_path_factory.mktemp("semdedup"))
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(
+                [v for _l, v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([l for l, _v in vecs], pa.int32()),
+        }
+    )
+    _write(sf, "embeddings", t)
+    _compare("semdedup_pairs", sf)
