@@ -12238,6 +12238,27 @@ def q_substring_dedup(sf_dir: str):
     return duplicated_window_report(mk)
 
 
+def q_dup_spans(sf_dir: str):
+    """Longest duplicated SPAN per document — the actual Lee et al.
+    2022 deliverable (the token range you would cut): a run of R
+    consecutive duplicated window starts covers R + K - 1 tokens.
+    Composes the substring-dedup two-pass scan
+    (dedup/substring.confirmed_dup_positions) with a gaps-and-islands
+    reduce (pos - rank constant within a run — the same identity as
+    the SQL twin's i - ROW_NUMBER()). Scale shape identical to
+    substring_dedup: 12 B/position exchange, loud-capped confirm
+    gather proportional to the TRUE duplicated volume."""
+    from etl_data_validation_kio_ray.dedup.substring import (
+        duplicated_span_report,
+    )
+    from etl_data_validation_kio_ray.sources.tokenize import tokenize_documents
+
+    def mk():
+        return tokenize_documents(_docs(sf_dir, ["doc_id", "text", "source"]))
+
+    return duplicated_span_report(mk)
+
+
 def q_fd_violations(sf_dir: str):
     """Functional-dependency audit (the classic data-quality check the
     reference's per-column rules can't express — cross-COLUMN
@@ -12938,6 +12959,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_hop_distance": q_supplier_hop_distance,
         # --- round-4 session 14 ---
         "substring_dedup": q_substring_dedup,
+        "dup_spans": q_dup_spans,
         "fd_violations": q_fd_violations,
         "key_skew_profile": q_key_skew_profile,
         "window_dedup_events": q_window_dedup_events,
@@ -16440,6 +16462,32 @@ SELECT w.doc_id,
        CAST(COUNT(*) AS BIGINT) AS dup_windows
 FROM w JOIN rep r ON w.w = r.w
 GROUP BY w.doc_id
+ORDER BY doc_id
+""",
+        "dup_spans": f"""
+WITH {TOKENIZE_CTE},
+w AS (
+  SELECT doc_id, n_tok, i, list_slice(tokens, i, i + 15) AS w
+  FROM (SELECT doc_id, n_tok, tokens,
+               unnest(generate_series(1, greatest(n_tok - 15, 0))) AS i
+        FROM tok)
+),
+rep AS (SELECT w FROM w GROUP BY w HAVING COUNT(*) >= 2),
+d AS (SELECT w.doc_id, w.i FROM w JOIN rep r ON w.w = r.w),
+isl AS (
+  SELECT doc_id, i,
+         i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM d
+),
+runs AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS run_len
+  FROM isl GROUP BY doc_id, grp
+)
+SELECT doc_id,
+       CAST(SUM(run_len) AS BIGINT) AS dup_windows,
+       CAST(MAX(run_len) AS BIGINT) AS longest_run,
+       CAST(MAX(run_len) + 15 AS BIGINT) AS span_tok
+FROM runs GROUP BY doc_id
 ORDER BY doc_id
 """,
         "fd_violations": """

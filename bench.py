@@ -246,6 +246,7 @@ BENCH_QUERIES = [
     "percentile_cont_prices",  # exact-integer interpolated PERCENTILE_CONT
     "hll_intersection",  # sketch composition: inclusion-exclusion overlap
     "orc_roundtrip",  # ORC sink -> validating reader roundtrip
+    "dup_spans",  # longest duplicated token span, gaps-and-islands
 ]
 
 

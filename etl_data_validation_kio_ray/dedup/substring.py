@@ -47,9 +47,12 @@ MAX_CANDIDATE_ROWS = 2_000_000  # loud driver gather cap (dedup/scan idiom)
 _ROLL_BASE = np.uint64(0x100000001B3)  # FNV-ish odd base for the lane fold
 
 
-def _window_positions(tokens_col) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _window_positions(
+    tokens_col,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """ListArray -> (flat int32 tokens, int64 row index per valid
-    window start, int64 flat start offset per valid window start).
+    window start, int64 flat start offset per valid window start,
+    int64 WITHIN-document 0-based window position).
 
     A start offset ``s`` is valid when the whole window
     ``flat[s:s+K]`` lies inside one document.
@@ -66,7 +69,7 @@ def _window_positions(tokens_col) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     within = np.arange(len(base), dtype=np.int64) - np.repeat(
         np.concatenate(([0], np.cumsum(n_win)))[:-1], n_win
     )
-    return flat, row_idx, base + within
+    return flat, row_idx, base + within, within
 
 
 def _window_hashes(flat: np.ndarray, starts: np.ndarray) -> np.ndarray:
@@ -96,29 +99,28 @@ def _window_bytes(flat: np.ndarray, starts: np.ndarray) -> pa.Array:
     )
 
 
-def duplicated_window_report(
+def confirmed_dup_positions(
     make_tokens_ds,
     *,
     id_col: str = "doc_id",
     max_rows: int = MAX_CANDIDATE_ROWS,
 ) -> pd.DataFrame:
-    """Per-document repeated-window report.
+    """The shared two-pass scan: returns one row per CONFIRMED
+    duplicated window position — DataFrame (``id_col``: str,
+    n_tok: int64, pos: int64 0-based within-doc window start) —
+    where "confirmed" means the window's exact CONTENT occurs >= 2
+    times corpus-wide. Empty (stable dtypes) when nothing repeats.
 
     ``make_tokens_ds()`` lazily builds a Dataset in the canonical token
-    schema (``id_col``, tokens:list<int32>, n_tok:int32, ...); it is
-    called once per pass so nothing full-width is pinned.
-
-    Returns a DataFrame (``id_col``: str, n_windows: int64,
-    dup_windows: int64) — one row per document that has at least one
-    window whose exact content occurs >= 2 times corpus-wide, sorted by
-    ``id_col``. ``n_windows`` = n_tok - K + 1.
+    schema; it is called once per pass so nothing full-width is pinned.
+    The driver-side gather is capped loudly at ``max_rows``.
     """
     import ray
 
     from ..stages.uniqueness import dup_int64_column
 
     def hash_only(t: pa.Table) -> pa.Table:
-        flat, _rows, starts = _window_positions(t["tokens"])
+        flat, _rows, starts, _within = _window_positions(t["tokens"])
         return pa.table(
             {"h": pa.array(_window_hashes(flat, starts).view(np.int64))}
         )
@@ -129,8 +131,8 @@ def duplicated_window_report(
     empty = pd.DataFrame(
         {
             id_col: pd.Series(dtype=object),
-            "n_windows": pd.Series(dtype="int64"),
-            "dup_windows": pd.Series(dtype="int64"),
+            "n_tok": pd.Series(dtype="int64"),
+            "pos": pd.Series(dtype="int64"),
         }
     )
     if cand.num_rows == 0:
@@ -140,13 +142,13 @@ def duplicated_window_report(
     cand_ref = ray.put(cand_sorted)
 
     def keep_candidates(t: pa.Table) -> pa.Table:
-        flat, rows, starts = _window_positions(t["tokens"])
+        flat, rows, starts, within = _window_positions(t["tokens"])
         h = _window_hashes(flat, starts).view(np.int64)
         cs = ray.get(cand_ref)
         idx = np.searchsorted(cs, h)
         idx[idx == len(cs)] = 0
         mask = cs[idx] == h
-        rows, starts = rows[mask], starts[mask]
+        rows, starts, within = rows[mask], starts[mask], within[mask]
         ids = pc.cast(t[id_col], pa.string()).take(pa.array(rows))
         ntok = pc.cast(t["n_tok"], pa.int64()).take(pa.array(rows))
         return pa.table(
@@ -154,6 +156,7 @@ def duplicated_window_report(
                 "w": _window_bytes(flat, starts),
                 id_col: ids,
                 "n_tok": ntok,
+                "pos": pa.array(within, pa.int64()),
             }
         )
 
@@ -173,12 +176,37 @@ def duplicated_window_report(
         return empty
     # exact confirm: only windows whose CONTENT occurs >= 2 times count
     wc = gathered.groupby("w", sort=False)["w"].transform("size")
-    dup = gathered[wc >= 2]
+    dup = gathered.loc[wc >= 2, [id_col, "n_tok", "pos"]]
     if dup.empty:
         return empty
+    return dup.reset_index(drop=True)
+
+
+def duplicated_window_report(
+    make_tokens_ds,
+    *,
+    id_col: str = "doc_id",
+    max_rows: int = MAX_CANDIDATE_ROWS,
+) -> pd.DataFrame:
+    """Per-document repeated-window report: DataFrame (``id_col``: str,
+    n_windows: int64, dup_windows: int64) — one row per document that
+    has at least one window whose exact content occurs >= 2 times
+    corpus-wide, sorted by ``id_col``. ``n_windows`` = n_tok - K + 1.
+    """
+    dup = confirmed_dup_positions(
+        make_tokens_ds, id_col=id_col, max_rows=max_rows
+    )
+    if dup.empty:
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(dtype=object),
+                "n_windows": pd.Series(dtype="int64"),
+                "dup_windows": pd.Series(dtype="int64"),
+            }
+        )
     per_doc = (
         dup.groupby(id_col, sort=True)
-        .agg(n_tok=("n_tok", "first"), dup_windows=("w", "size"))
+        .agg(n_tok=("n_tok", "first"), dup_windows=("pos", "size"))
         .reset_index()
     )
     return pd.DataFrame(
@@ -186,5 +214,55 @@ def duplicated_window_report(
             id_col: per_doc[id_col].astype(object),
             "n_windows": (per_doc["n_tok"] - WINDOW_K + 1).astype("int64"),
             "dup_windows": per_doc["dup_windows"].astype("int64"),
+        }
+    )
+
+
+def duplicated_span_report(
+    make_tokens_ds,
+    *,
+    id_col: str = "doc_id",
+    max_rows: int = MAX_CANDIDATE_ROWS,
+) -> pd.DataFrame:
+    """Per-document LONGEST duplicated span — the quantity Lee et al.
+    actually remove: a run of R consecutive duplicated window starts
+    covers a span of R + K - 1 tokens. Gaps-and-islands over the
+    confirmed positions (pos - rank is constant within a run — the
+    same identity the SQL twin uses). Returns (``id_col``: str,
+    dup_windows: int64, longest_run: int64, span_tok: int64), one row
+    per document with any duplicated window, sorted by ``id_col``."""
+    dup = confirmed_dup_positions(
+        make_tokens_ds, id_col=id_col, max_rows=max_rows
+    )
+    if dup.empty:
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(dtype=object),
+                "dup_windows": pd.Series(dtype="int64"),
+                "longest_run": pd.Series(dtype="int64"),
+                "span_tok": pd.Series(dtype="int64"),
+            }
+        )
+    dup = dup.sort_values([id_col, "pos"], kind="mergesort")
+    grp = dup["pos"].to_numpy() - dup.groupby(id_col, sort=False).cumcount().to_numpy()
+    runs = (
+        dup.assign(_g=grp)
+        .groupby([id_col, "_g"], sort=False)
+        .size()
+        .reset_index(name="run_len")
+    )
+    per_doc = (
+        runs.groupby(id_col, sort=True)
+        .agg(dup_windows=("run_len", "sum"), longest_run=("run_len", "max"))
+        .reset_index()
+    )
+    return pd.DataFrame(
+        {
+            id_col: per_doc[id_col].astype(object),
+            "dup_windows": per_doc["dup_windows"].astype("int64"),
+            "longest_run": per_doc["longest_run"].astype("int64"),
+            "span_tok": (per_doc["longest_run"] + WINDOW_K - 1).astype(
+                "int64"
+            ),
         }
     )

@@ -1028,8 +1028,9 @@ def test_substring_window_positions_and_hashes():
     exact = list(range(100, 100 + WINDOW_K))  # exactly one
     longer = [7] * (WINDOW_K + 3)  # four, all identical content
     col = pa.array([short, exact, longer, exact], type=pa.list_(pa.int32()))
-    flat, rows, starts = _window_positions(col)
+    flat, rows, starts, within = _window_positions(col)
     assert rows.tolist() == [1] + [2] * 4 + [3]
+    assert within.tolist() == [0, 0, 1, 2, 3, 0]
     h = _window_hashes(flat, starts)
     # doc1 and doc3 share the exact same window content
     assert h[0] == h[-1]

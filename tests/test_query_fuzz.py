@@ -400,6 +400,7 @@ def test_fuzz_substring_dedup(ray_session, tmp_path_factory, texts):
     sf = str(tmp_path_factory.mktemp("substr"))
     _write(sf, "documents", _documents_table(texts))
     _compare("substring_dedup", sf)
+    _compare("dup_spans", sf)
 
 
 @_fuzz

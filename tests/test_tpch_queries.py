@@ -183,6 +183,7 @@ def test_weighted_median_vs_duckdb(ray_session):
         "k_anonymity_audit",
         "supplier_hop_distance",
         "substring_dedup",
+        "dup_spans",
         "fd_violations",
         "key_skew_profile",
         "window_dedup_events",
