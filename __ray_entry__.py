@@ -12733,6 +12733,489 @@ def q_hll_intersection(sf_dir: str):
     )
 
 
+# ------------------------------------------------- session-15 operators
+
+
+def _source_token_counts(sf_dir: str):
+    """Lazy Dataset of exact int64 ``(source, token, c)`` partial counts
+    over the derived token table — per-batch ``np.unique`` collapse on
+    the packed key ``source_code * (VOCAB+1) + token``, so each batch
+    emits at most |sources| × |batch vocab| rows before any exchange.
+    Shared by the divergence / rare-token analytics (same kernel as
+    q_source_token_entropy, factored for reuse)."""
+    import ray.data as rd
+
+    tok_dir = _token_table_dir(sf_dir)
+    ds = rd.read_parquet(tok_dir, columns=["source", "tokens"])
+    stride = np.int64(VOCAB + 1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        offs = np.asarray(col.offsets, dtype=np.int64)
+        offs = offs - offs[0]
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        d = src.dictionary_encode()
+        codes = np.repeat(
+            d.indices.to_numpy(zero_copy_only=False).astype(np.int64),
+            np.diff(offs),
+        )
+        u, c = np.unique(codes * stride + flat, return_counts=True)
+        return pa.table(
+            {
+                "source": d.dictionary.take(pa.array(u // stride)),
+                "token": pa.array(u % stride),
+                "c": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_kl_by_source(sf_dir: str):
+    """Per-source KL divergence KL(P_source ‖ P_corpus) of the token-id
+    distribution in integer micro-nats — the drift-style validation
+    that ranks sources by how far their token mix sits from the corpus
+    mix (reference analog: the per-partition distribution checks
+    echoed by stages/drift.py, re-expressed as an exact-count
+    divergence).  Same exchange shape as q_source_token_entropy: exact
+    (source, token) counts resolve on ONE hash-bucket exchange keyed by
+    token; each bucket owns its tokens' COMPLETE corpus counts C_t, so
+    it folds Σ_t c_st·(ln c_st − ln C_t) and Σ_t c_st per source
+    locally (deterministic sorted-group order); the driver fsum-merges
+    #buckets × |sources| partials and applies
+    KL_s = ln N − ln N_s + S_s/N_s, quantized floor(x·1e6 + 0.5) on
+    BOTH engines (half-away-from-zero; cross-engine float drift is
+    summation order only, ~1e-10 ≪ the 1e-6 quantum)."""
+    import math
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        resolve_num_buckets,
+        tag_bucket,
+    )
+
+    parts = _source_token_counts(sf_dir)
+    nb = resolve_num_buckets(parts)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return tag_bucket(t, "token", nb)
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        pdf = g.drop_columns(["__b"]).to_pandas()
+        b = int(g["__b"][0].as_py())
+        cnt = (
+            pdf.groupby(["source", "token"], sort=True)["c"]
+            .sum()
+            .reset_index()
+        )
+        glob = cnt.groupby("token")["c"].transform("sum").to_numpy(np.float64)
+        cv = cnt["c"].to_numpy(np.float64)
+        cnt["term"] = cv * (np.log(cv) - np.log(glob))
+        out = (
+            cnt.groupby("source", sort=True)
+            .agg(term=("term", "sum"), n=("c", "sum"))
+            .reset_index()
+        )
+        out.insert(0, "b", np.int64(b))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    pdf = (
+        parts.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["source", "b"])  # deterministic fsum order
+    )
+    n_total = int(pdf["n"].sum())
+    rows = []
+    for s_name, sub in pdf.groupby("source", sort=True):
+        n_s = int(sub["n"].sum())
+        s = math.fsum(sub["term"].tolist())
+        kl = math.log(n_total) - math.log(n_s) + s / n_s
+        rows.append((s_name, n_s, int(math.floor(kl * 1e6 + 0.5))))
+    return (
+        pd.DataFrame(rows, columns=["source", "n_tok_total", "kl_q6"])
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+
+
+RARE_GLOBAL_MAX = 2  # a token is corpus-rare if its global count <= this
+
+
+def q_rare_token_share(sf_dir: str):
+    """Per-source share (exact integer ppm) of token OCCURRENCES whose
+    corpus-wide frequency is ≤ RARE_GLOBAL_MAX — the tail-mass audit
+    that flags a source padded with near-unique noise tokens (a
+    tokenizer or ingest regression signature).  Exact int64 arithmetic
+    end to end, no float ever: counts bucket by token (each bucket owns
+    complete corpus counts, so the rare mark is local), per-source
+    int64 partials fold at the driver with Python ints, and the share
+    is the floor division rare·1e6 // total — HUGEINT on the DuckDB
+    twin (both operands non-negative, so // truncation == floor on
+    both engines)."""
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        resolve_num_buckets,
+        tag_bucket,
+    )
+
+    parts = _source_token_counts(sf_dir)
+    nb = resolve_num_buckets(parts)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return tag_bucket(t, "token", nb)
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        pdf = g.drop_columns(["__b"]).to_pandas()
+        cnt = (
+            pdf.groupby(["source", "token"], sort=True)["c"]
+            .sum()
+            .reset_index()
+        )
+        glob = cnt.groupby("token")["c"].transform("sum")
+        cnt["rare"] = np.where(
+            glob.to_numpy() <= RARE_GLOBAL_MAX, cnt["c"].to_numpy(), 0
+        ).astype(np.int64)
+        out = (
+            cnt.groupby("source", sort=True)
+            .agg(rare=("rare", "sum"), tot=("c", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    pdf = (
+        parts.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    rows = []
+    for s_name, sub in pdf.groupby("source", sort=True):
+        rare = int(sub["rare"].sum())
+        tot = int(sub["tot"].sum())
+        rows.append((s_name, rare, tot, rare * 1_000_000 // tot))
+    return pd.DataFrame(
+        rows,
+        columns=["source", "rare_occurrences", "total_occurrences", "rare_ppm"],
+    ).astype(
+        {
+            "rare_occurrences": "int64",
+            "total_occurrences": "int64",
+            "rare_ppm": "int64",
+        }
+    )
+
+
+ZIPF_TOP_K = 100
+
+
+def q_zipf_fit(sf_dir: str):
+    """Zipf's-law fit of the corpus unigram distribution: OLS slope and
+    intercept of ln(freq) on ln(rank) over the top-K corpus tokens —
+    the one-row distribution fingerprint a curation pipeline tracks
+    across snapshots (a tokenizer swap or dedup regression moves the
+    slope).  Counts resolve distributed (per-batch unique-collapse →
+    one vocab-bounded hash-bucket exchange); ONLY ≤ VOCAB (50,257)
+    total-count rows reach the driver (vocab-bounded — documented cap,
+    not data-proportional), where top-K selection (count desc, token
+    asc) and the closed-form OLS on K points run in numpy using the
+    SAME algebraic arrangement as the SQL twin:
+    slope = (Σxy − K·x̄·ȳ) / (Σx² − K·x̄²).  Quantized
+    floor(x·1e6 + 0.5); slope is negative — floor() floors toward −∞
+    identically on both engines."""
+    import math
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        bucketed_group_agg,
+    )
+
+    parts = _source_token_counts(sf_dir).map_batches(
+        lambda t: t.select(["token", "c"]), batch_format="pyarrow"
+    )
+    pdf = bucketed_group_agg(parts, "token", [("c", "sum")]).to_pandas()
+    pdf = pdf.sort_values(["c", "token"], ascending=[False, True]).head(
+        ZIPF_TOP_K
+    )
+    k = len(pdf)
+    x = np.log(np.arange(1, k + 1, dtype=np.float64))
+    y = np.log(pdf["c"].to_numpy(np.float64))
+    sxy = math.fsum(x * y)
+    sxx = math.fsum(x * x)
+    xb = math.fsum(x) / k
+    yb = math.fsum(y) / k
+    slope = (sxy - k * xb * yb) / (sxx - k * xb * xb)
+    intercept = yb - slope * xb
+    return pd.DataFrame(
+        {
+            "top_k": [np.int64(k)],
+            "slope_q6": [np.int64(math.floor(slope * 1e6 + 0.5))],
+            "intercept_q6": [np.int64(math.floor(intercept * 1e6 + 0.5))],
+        }
+    )
+
+
+def q_brand_ols_slope(sf_dir: str):
+    """Per-brand OLS slope of line price (integer cents) on quantity —
+    EXACT rational arithmetic end to end: per-batch int64 partials
+    (n, Σx, Σy, Σxy, Σx²) per partkey, brand attached via the
+    fact_dim_cogroup join-elimination exchange, per-batch per-brand
+    int64 re-partials, and the final fold at the driver in unbounded
+    Python ints, so slope_q6 = (n·Σxy − Σx·Σy)·1e6 // (n·Σxx − Σx²) is
+    an exact floor — HUGEINT on the DuckDB twin (numerator/denominator
+    are provably ≥ 0 here; the Ray side raises loudly if not, because
+    DuckDB // truncates toward zero while Python // floors).  Int64
+    partial overflow bound: per-batch Σxy ≤ batch_rows · 50 · 1e7 ≈
+    3e13 at 64k rows — five orders under the int64 ceiling; the
+    unbounded driver fold removes any whole-data bound."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        fact_dim_cogroup,
+    )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["l_partkey"], pa.int64())
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        kv = key.to_numpy(zero_copy_only=False)
+        x = np.round(
+            t["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        y = np.round(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        u, inv = np.unique(kv, return_inverse=True)
+        return pa.table(
+            {
+                "p_partkey": pa.array(u),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+                "sx": pa.array(np.bincount(inv, weights=x).astype(np.int64)),
+                "sy": pa.array(np.bincount(inv, weights=y).astype(np.int64)),
+                "sxy": pa.array(
+                    np.bincount(inv, weights=x * y).astype(np.int64)
+                ),
+                "sxx": pa.array(
+                    np.bincount(inv, weights=x * x).astype(np.int64)
+                ),
+            }
+        )
+
+    part = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
+    )
+    per_part = fact_dim_cogroup(
+        li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True),
+        part,
+        key="p_partkey",
+        fact_cols=["n", "sx", "sy", "sxy", "sxx"],
+        dim_cols=["p_brand"],
+    )
+
+    def brand_partial(t: pa.Table) -> pa.Table:
+        pdf = t.to_pandas()
+        out = (
+            pdf.groupby("p_brand", sort=True)[["n", "sx", "sy", "sxy", "sxx"]]
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    pdf = per_part.map_batches(brand_partial, batch_format="pyarrow").to_pandas()
+    rows = []
+    for brand, sub in pdf.groupby("p_brand", sort=True):
+        n = int(sub["n"].sum())
+        sx = int(sub["sx"].sum())
+        sy = int(sub["sy"].sum())
+        sxy = int(sub["sxy"].sum())
+        sxx = int(sub["sxx"].sum())
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        if den <= 0:
+            raise AssertionError(
+                f"brand_ols_slope: non-positive denominator ({den}) for "
+                f"{brand}; the floor-division SQL twin assumes den > 0"
+            )
+        # Python // floors toward -inf for negative numerators; the SQL
+        # twin reproduces floor explicitly via the non-negative remainder
+        rows.append((brand, n, num * 1_000_000 // den))
+    return pd.DataFrame(
+        rows, columns=["p_brand", "n_items", "slope_q6"]
+    ).astype({"n_items": "int64", "slope_q6": "int64"})
+
+
+def q_chi2_lang_source(sf_dir: str):
+    """Independence test statistic for the lang × source contingency —
+    the scalar companion to q_lang_source_contingency.  EXACT integer
+    arithmetic: with observed o, row marginal r, column marginal c and
+    total N, the statistic is defined as the per-cell-floored quantized
+    chi-square Σ_cells ⌊1e6·(o·N − r·c)² / (N·r·c)⌋ over the FULL R×C
+    grid (absent cells enter with o=0 — they contribute r·c·1e6 // N,
+    which a naive observed-cells-only sum would silently drop).  Both
+    engines compute the identical integer per cell (Python bigints /
+    HUGEINT), so the result is bit-exact by construction; it differs
+    from the real-valued χ² by < R·C micro-units.  One finest-grain
+    grouped exchange (|sources| × |langs| cells); marginals and the
+    grid fold driver-side on that tiny table."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "lang"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "source": t["source"],
+                "lang": t["lang"],
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    cells = grouped_agg(docs, ["source", "lang"], {"o": ("one", "sum")})
+    obs = {
+        (s, l): int(o)
+        for s, l, o in zip(cells["source"], cells["lang"], cells["o"])
+    }
+    rmar = {}
+    cmar = {}
+    for (s, l), o in obs.items():
+        rmar[s] = rmar.get(s, 0) + o
+        cmar[l] = cmar.get(l, 0) + o
+    n = sum(rmar.values())
+    stat = 0
+    for s, r in rmar.items():
+        for l, c in cmar.items():
+            o = obs.get((s, l), 0)
+            d = o * n - r * c
+            stat += d * d * 1_000_000 // (n * r * c)
+    return pd.DataFrame(
+        {
+            "n_docs": [np.int64(n)],
+            "n_sources": [np.int64(len(rmar))],
+            "n_langs": [np.int64(len(cmar))],
+            "dof": [np.int64((len(rmar) - 1) * (len(cmar) - 1))],
+            "chi2_q6": [np.int64(stat)],
+        }
+    )
+
+
+NOVELTY_SHARDS = 8
+
+
+def q_bigram_novelty(sf_dir: str):
+    """Bigram novelty curve across doc-id shards — the dedup-health
+    metric a curation run tracks as it appends shards: for shard s (a
+    contiguous doc_id range, shard = doc_id·S // (max_id+1)), how many
+    distinct bigrams appear for the FIRST time in s, and how many
+    bigram occurrences s contributes.  A collapsing novelty curve means
+    new shards only repeat old content.  Distributed shape: per-batch
+    (shard, gram) unique-collapse partials → ONE hash-bucket exchange
+    keyed by gram (each bucket owns a gram's complete shard set, so
+    first-shard = min is local) → per-(bucket, shard) int64 partials →
+    tiny driver fold.  No shuffle carries a row per occurrence."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        resolve_num_buckets,
+        tag_bucket,
+    )
+
+    docs_max = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).max("doc_id")
+    s_count = np.int64(NOVELTY_SHARDS)
+    denom = np.int64(int(docs_max) + 1)
+
+    tok_dir = _token_table_dir(sf_dir)
+    ds = rd.read_parquet(tok_dir, columns=["doc_id", "tokens"])
+    vocab = np.int64(VOCAB)
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        offs = np.asarray(col.offsets, dtype=np.int64)
+        offs = offs - offs[0]
+        ids = (
+            pc.cast(t["doc_id"], pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        shard = ids * s_count // denom
+        lens = np.diff(offs)
+        # bigram codes: a position may be a LEFT token iff it is not the
+        # last position of its list (empty lists set an already-False
+        # slot — idempotent; offs[j]-1 == -1 for leading empties wraps
+        # to the final slot, which [: -1] drops anyway)
+        left_mask = np.ones(flat.shape[0], dtype=bool)
+        if flat.shape[0]:
+            left_mask[offs[1:] - 1] = False  # last token of each list
+        left = flat[:-1][left_mask[:-1]] if flat.shape[0] else flat[:0]
+        right = flat[1:][left_mask[:-1]] if flat.shape[0] else flat[:0]
+        code = left * vocab + right
+        reps = np.maximum(lens - 1, 0)
+        sh = np.repeat(shard, reps)
+        u, c = np.unique(code * s_count + sh, return_counts=True)
+        return pa.table(
+            {
+                "gram": pa.array(u // s_count),
+                "shard": pa.array(u % s_count),
+                "c": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    nb = resolve_num_buckets(parts)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return tag_bucket(t, "gram", nb)
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        pdf = g.drop_columns(["__b"]).to_pandas()
+        cnt = (
+            pdf.groupby(["gram", "shard"], sort=True)["c"].sum().reset_index()
+        )
+        first = cnt.groupby("gram")["shard"].transform("min")
+        cnt["novel"] = (cnt["shard"] == first).astype(np.int64)
+        out = (
+            cnt.groupby("shard", sort=True)
+            .agg(novel=("novel", "sum"), occ=("c", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    pdf = (
+        parts.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = (
+        pdf.groupby("shard", sort=True)
+        .agg(novel_bigrams=("novel", "sum"), occurrences=("occ", "sum"))
+        .reset_index()
+        .astype(
+            {"shard": "int64", "novel_bigrams": "int64", "occurrences": "int64"}
+        )
+    )
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -12967,6 +13450,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentile_cont_prices": q_percentile_cont_prices,
         "hll_intersection": q_hll_intersection,
         "orc_roundtrip": q_orc_roundtrip,
+        "kl_by_source": q_kl_by_source,
+        "rare_token_share": q_rare_token_share,
+        "zipf_fit": q_zipf_fit,
+        "brand_ols_slope": q_brand_ols_slope,
+        "chi2_lang_source": q_chi2_lang_source,
+        "bigram_novelty": q_bigram_novelty,
     }
 
 
@@ -16604,5 +17093,117 @@ SELECT pri AS o_orderpriority,
        MAX(CASE WHEN name = 'p75' THEN v END) AS p75,
        MAX(CASE WHEN name = 'p90' THEN v END) AS p90
 FROM val GROUP BY pri ORDER BY pri
+""",
+        "kl_by_source": f"""
+WITH {TOKENIZE_CTE},
+flat AS (SELECT source, unnest(tokens) AS token FROM tok),
+cnt AS (SELECT source, token, CAST(count(*) AS DOUBLE) AS c
+        FROM flat GROUP BY source, token),
+g AS (SELECT token, sum(c) AS ct FROM cnt GROUP BY token),
+per AS (SELECT source, sum(c) AS n_s,
+               sum(c * (ln(c) - ln(ct))) AS s
+        FROM cnt JOIN g USING (token) GROUP BY source),
+tot AS (SELECT sum(n_s) AS n FROM per)
+SELECT source, CAST(n_s AS BIGINT) AS n_tok_total,
+       CAST(floor((ln(tot.n) - ln(n_s) + s / n_s) * 1000000 + 0.5)
+            AS BIGINT) AS kl_q6
+FROM per, tot ORDER BY source
+""",
+        "rare_token_share": f"""
+WITH {TOKENIZE_CTE},
+flat AS (SELECT source, unnest(tokens) AS token FROM tok),
+cnt AS (SELECT source, token, count(*) AS c
+        FROM flat GROUP BY source, token),
+g AS (SELECT token, sum(c) AS ct FROM cnt GROUP BY token),
+per AS (SELECT source,
+               sum(CASE WHEN ct <= {RARE_GLOBAL_MAX} THEN c ELSE 0 END)
+                 AS rare_occ,
+               sum(c) AS tot
+        FROM cnt JOIN g USING (token) GROUP BY source)
+SELECT source, CAST(rare_occ AS BIGINT) AS rare_occurrences,
+       CAST(tot AS BIGINT) AS total_occurrences,
+       CAST((CAST(rare_occ AS HUGEINT) * 1000000) // CAST(tot AS HUGEINT)
+            AS BIGINT) AS rare_ppm
+FROM per ORDER BY source
+""",
+        "zipf_fit": f"""
+WITH {TOKENIZE_CTE},
+flat AS (SELECT unnest(tokens) AS token FROM tok),
+cnt AS (SELECT token, CAST(count(*) AS DOUBLE) AS c
+        FROM flat GROUP BY token),
+top AS (SELECT c, row_number() OVER (ORDER BY c DESC, token) AS r
+        FROM cnt QUALIFY r <= {ZIPF_TOP_K}),
+pts AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(c) AS y FROM top),
+s AS (SELECT CAST(count(*) AS DOUBLE) AS k, avg(x) AS xb, avg(y) AS yb,
+             sum(x * y) AS sxy, sum(x * x) AS sxx FROM pts)
+SELECT CAST(k AS BIGINT) AS top_k,
+       CAST(floor(((sxy - k * xb * yb) / (sxx - k * xb * xb)) * 1000000
+                  + 0.5) AS BIGINT) AS slope_q6,
+       CAST(floor((yb - ((sxy - k * xb * yb) / (sxx - k * xb * xb)) * xb)
+                  * 1000000 + 0.5) AS BIGINT) AS intercept_q6
+FROM s
+""",
+        "brand_ols_slope": """
+WITH j AS (
+  SELECT p_brand,
+         CAST(round(l_quantity) AS HUGEINT) AS x,
+         CAST(round(l_extendedprice * 100) AS HUGEINT) AS y
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+s AS (SELECT p_brand, CAST(count(*) AS HUGEINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM j GROUP BY p_brand),
+nd AS (SELECT p_brand, n,
+              (n * sxy - sx * sy) * 1000000 AS num,
+              n * sxx - sx * sx AS den
+       FROM s)
+-- floor division for a possibly-negative numerator (DuckDB // truncates
+-- toward zero; Python // floors): subtract the non-negative remainder
+SELECT p_brand, CAST(n AS BIGINT) AS n_items,
+       CAST((num - ((num % den) + den) % den) / den AS BIGINT) AS slope_q6
+FROM nd ORDER BY p_brand
+""",
+        "chi2_lang_source": """
+WITH cellt AS (SELECT source, lang, CAST(count(*) AS HUGEINT) AS o
+               FROM documents GROUP BY source, lang),
+r AS (SELECT source, sum(o) AS rn FROM cellt GROUP BY source),
+cm AS (SELECT lang, sum(o) AS cn FROM cellt GROUP BY lang),
+tot AS (SELECT sum(o) AS n FROM cellt),
+grid AS (SELECT source, lang, rn, cn FROM r CROSS JOIN cm),
+cells AS (SELECT g.source, g.lang, g.rn, g.cn, COALESCE(c.o, 0) AS o
+          FROM grid g LEFT JOIN cellt c USING (source, lang)),
+terms AS (
+  SELECT ((o * tot.n - rn * cn) * (o * tot.n - rn * cn) * 1000000)
+         // (tot.n * rn * cn) AS term
+  FROM cells, tot
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n_docs,
+       (SELECT CAST(count(*) AS BIGINT) FROM r) AS n_sources,
+       (SELECT CAST(count(*) AS BIGINT) FROM cm) AS n_langs,
+       (SELECT CAST((count(*) - 1) AS BIGINT) FROM r)
+         * (SELECT CAST((count(*) - 1) AS BIGINT) FROM cm) AS dof,
+       CAST(sum(term) AS BIGINT) AS chi2_q6
+FROM terms
+""",
+        "bigram_novelty": f"""
+WITH {TOKENIZE_CTE},
+mx AS (SELECT max(doc_id) AS m FROM documents),
+b AS (
+  SELECT (CAST(t.doc_id AS BIGINT) * {NOVELTY_SHARDS}) // (mx.m + 1)
+           AS shard,
+         unnest(list_transform(range(1, len(tokens)),
+                i -> CAST(tokens[i] AS BIGINT) * {VOCAB} + tokens[i + 1]))
+           AS code
+  FROM tok t, mx WHERE len(tokens) >= 2
+),
+cnt AS (SELECT shard, code, count(*) AS c FROM b GROUP BY shard, code),
+fst AS (SELECT code, min(shard) AS fs FROM cnt GROUP BY code),
+nov AS (SELECT fs AS shard, count(*) AS novel FROM fst GROUP BY fs),
+occ AS (SELECT shard, sum(c) AS occurrences FROM cnt GROUP BY shard)
+SELECT occ.shard,
+       CAST(COALESCE(nov.novel, 0) AS BIGINT) AS novel_bigrams,
+       CAST(occurrences AS BIGINT) AS occurrences
+FROM occ LEFT JOIN nov USING (shard) ORDER BY occ.shard
 """,
     }

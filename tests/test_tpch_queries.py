@@ -38,6 +38,13 @@ QUERIES = [
     "lang_source_contingency",
     "rolling_3mo_revenue",
     "order_percent_rank",
+    # session-15 additions
+    "kl_by_source",
+    "rare_token_share",
+    "zipf_fit",
+    "brand_ols_slope",
+    "chi2_lang_source",
+    "bigram_novelty",
 ]
 
 
