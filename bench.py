@@ -247,6 +247,13 @@ BENCH_QUERIES = [
     "hll_intersection",  # sketch composition: inclusion-exclusion overlap
     "orc_roundtrip",  # ORC sink -> validating reader roundtrip
     "dup_spans",  # longest duplicated token span, gaps-and-islands
+    # round 4 session 15: distribution analytics
+    "kl_by_source",  # per-source KL divergence vs corpus token mix
+    "rare_token_share",  # exact-integer rare-token tail-mass audit
+    "zipf_fit",  # OLS Zipf slope/intercept over top-K unigrams
+    "brand_ols_slope",  # exact-rational per-brand price~qty OLS
+    "chi2_lang_source",  # full-grid integer chi-square independence stat
+    "bigram_novelty",  # first-seen bigram novelty curve by doc shard
 ]
 
 
