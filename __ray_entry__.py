@@ -12943,6 +12943,16 @@ def q_zipf_fit(sf_dir: str):
         ZIPF_TOP_K
     )
     k = len(pdf)
+    if k < 2:
+        # one distinct token: rank variance is zero, slope undefined —
+        # both engines return the empty frame (SQL twin: WHERE k >= 2)
+        return pd.DataFrame(
+            {
+                "top_k": pd.Series([], dtype="int64"),
+                "slope_q6": pd.Series([], dtype="int64"),
+                "intercept_q6": pd.Series([], dtype="int64"),
+            }
+        )
     x = np.log(np.arange(1, k + 1, dtype=np.float64))
     y = np.log(pdf["c"].to_numpy(np.float64))
     sxy = math.fsum(x * y)
@@ -13032,6 +13042,14 @@ def q_brand_ols_slope(sf_dir: str):
         return pa.Table.from_pandas(out, preserve_index=False)
 
     pdf = per_part.map_batches(brand_partial, batch_format="pyarrow").to_pandas()
+    if pdf.empty:  # no fact-dim match at all: empty frame, stable schema
+        return pd.DataFrame(
+            {
+                "p_brand": pd.Series([], dtype="object"),
+                "n_items": pd.Series([], dtype="int64"),
+                "slope_q6": pd.Series([], dtype="int64"),
+            }
+        )
     rows = []
     for brand, sub in pdf.groupby("p_brand", sort=True):
         n = int(sub["n"].sum())
@@ -13041,11 +13059,10 @@ def q_brand_ols_slope(sf_dir: str):
         sxx = int(sub["sxx"].sum())
         num = n * sxy - sx * sy
         den = n * sxx - sx * sx
-        if den <= 0:
-            raise AssertionError(
-                f"brand_ols_slope: non-positive denominator ({den}) for "
-                f"{brand}; the floor-division SQL twin assumes den > 0"
-            )
+        if den == 0:
+            # all quantities in the brand identical — slope undefined;
+            # both engines drop the brand (SQL twin: WHERE den <> 0)
+            continue
         # Python // floors toward -inf for negative numerators; the SQL
         # twin reproduces floor explicitly via the non-negative remainder
         rows.append((brand, n, num * 1_000_000 // den))
@@ -13205,6 +13222,14 @@ def q_bigram_novelty(sf_dir: str):
         .map_groups(reduce_bucket, batch_format="pyarrow")
         .to_pandas()
     )
+    if pdf.empty:  # no doc has >= 2 tokens: empty frame, stable schema
+        return pd.DataFrame(
+            {
+                "shard": pd.Series([], dtype="int64"),
+                "novel_bigrams": pd.Series([], dtype="int64"),
+                "occurrences": pd.Series([], dtype="int64"),
+            }
+        )
     out = (
         pdf.groupby("shard", sort=True)
         .agg(novel_bigrams=("novel", "sum"), occurrences=("occ", "sum"))
@@ -17141,7 +17166,7 @@ SELECT CAST(k AS BIGINT) AS top_k,
                   + 0.5) AS BIGINT) AS slope_q6,
        CAST(floor((yb - ((sxy - k * xb * yb) / (sxx - k * xb * xb)) * xb)
                   * 1000000 + 0.5) AS BIGINT) AS intercept_q6
-FROM s
+FROM s WHERE k >= 2
 """,
         "brand_ols_slope": """
 WITH j AS (
@@ -17159,10 +17184,11 @@ nd AS (SELECT p_brand, n,
               n * sxx - sx * sx AS den
        FROM s)
 -- floor division for a possibly-negative numerator (DuckDB // truncates
--- toward zero; Python // floors): subtract the non-negative remainder
+-- toward zero; Python // floors): subtract the non-negative remainder.
+-- den = 0 (all quantities identical): slope undefined, brand dropped.
 SELECT p_brand, CAST(n AS BIGINT) AS n_items,
        CAST((num - ((num % den) + den) % den) / den AS BIGINT) AS slope_q6
-FROM nd ORDER BY p_brand
+FROM nd WHERE den <> 0 ORDER BY p_brand
 """,
         "chi2_lang_source": """
 WITH cellt AS (SELECT source, lang, CAST(count(*) AS HUGEINT) AS o

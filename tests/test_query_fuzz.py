@@ -92,7 +92,7 @@ def _compare(qname: str, sf_dir: str) -> None:
     con = duckdb.connect()
     for t in (
         "orders", "lineitem", "customer", "nation", "supplier",
-        "events", "documents", "embeddings",
+        "part", "events", "documents", "embeddings",
     ):
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
@@ -466,3 +466,110 @@ def test_fuzz_semdedup_pairs(ray_session, tmp_path_factory, vecs):
     )
     _write(sf, "embeddings", t)
     _compare("semdedup_pairs", sf)
+
+
+# ---------------------------------------------------------------- session 15
+
+
+def _part_table(brands) -> pa.Table:
+    # brands: list of brand strings, one part per entry (partkey = index)
+    n = len(brands)
+    return pa.table(
+        {
+            "p_partkey": pa.array(range(n), pa.int64()),
+            "p_name": pa.array([f"part {i}" for i in range(n)], pa.string()),
+            "p_brand": pa.array(list(brands), pa.string()),
+            "p_type": pa.array(["t"] * n, pa.string()),
+            "p_size": pa.array([1] * n, pa.int32()),
+            "p_retailprice": pa.array([1.0] * n, pa.float64()),
+        }
+    )
+
+
+@_fuzz
+@given(
+    texts=st.lists(
+        st.tuples(
+            st.lists(
+                # 4-length alphabet -> heavy token collisions; "" token too
+                st.sampled_from(["", "a", "bb", "ccc", "dddd"]),
+                min_size=0,
+                max_size=25,
+            ).map(" ".join),
+            st.sampled_from(["s1", "s2", "s3"]),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_fuzz_token_distribution(ray_session, tmp_path_factory, texts):
+    """Single-source corpora (KL exactly 0), tokens unique to one source
+    (rare-mask edges at the <= RARE_GLOBAL_MAX boundary), corpora with
+    one distinct token (zipf slope undefined -> empty frame), and docs
+    shorter than 2 tokens (no bigrams at all)."""
+    sf = str(tmp_path_factory.mktemp("tokdist"))
+    _write(sf, "documents", _documents_table(texts))
+    _compare("kl_by_source", sf)
+    _compare("rare_token_share", sf)
+    _compare("zipf_fit", sf)
+    _compare("bigram_novelty", sf)
+
+
+@_fuzz
+@given(
+    cells=st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2", "s3", "s4"]),
+            st.sampled_from(["en", "de", "zh"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_fuzz_chi2_lang_source(ray_session, tmp_path_factory, cells):
+    """Sparse grids where most (source, lang) combinations are ABSENT —
+    the o=0 grid cells a naive observed-cells-only chi-square drops —
+    plus single-row marginals and the 1x1 grid (dof 0, stat 0)."""
+    sf = str(tmp_path_factory.mktemp("chi2"))
+    texts = [("w", s) for s, _l in cells]
+    t = _documents_table(texts)
+    t = t.set_column(
+        t.schema.get_field_index("lang"),
+        "lang",
+        pa.array([l for _s, l in cells], pa.string()),
+    )
+    _write(sf, "documents", t)
+    _compare("chi2_lang_source", sf)
+
+
+@_fuzz
+@given(
+    items=st.lists(
+        st.tuples(
+            st.integers(0, 5),  # partkey selector (6 parts / 3 brands)
+            st.integers(1, 50),  # quantity
+            st.integers(1, 400_000),  # extendedprice cents
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_fuzz_brand_ols_slope(ray_session, tmp_path_factory, items):
+    """Brands where every line has the SAME quantity (denominator 0 ->
+    brand dropped on both engines), negative-slope brands (floor of a
+    negative rational: Python // vs the SQL remainder trick), and
+    single-line brands."""
+    sf = str(tmp_path_factory.mktemp("ols"))
+    rows = [
+        (i, 1, cents, 1, qty, 0) for i, (_pk, qty, cents) in enumerate(items)
+    ]
+    li = _lineitem_table(rows)
+    # overwrite l_partkey with the fuzzed selector (builder pins it to 1)
+    li = li.set_column(
+        li.schema.get_field_index("l_partkey"),
+        "l_partkey",
+        pa.array([pk for pk, _q, _c in items], pa.int64()),
+    )
+    _write(sf, "lineitem", li)
+    _write(sf, "part", _part_table(["B1", "B1", "B2", "B2", "B3", "B3"]))
+    _compare("brand_ols_slope", sf)
