@@ -13241,6 +13241,228 @@ def q_bigram_novelty(sf_dir: str):
     return out
 
 
+def q_nation_balance_outer(sf_dir: str):
+    """FULL OUTER join as a first-class co-group: per-nation AUTOMOBILE
+    customer balances vs NEGATIVE-balance supplier balances — two
+    grouped sides whose key sets genuinely diverge (21 of 25 nations
+    appear on one side only at sf0.01), so the outer semantics are
+    exercised, not degenerate.  Shape: each side folds map-side into
+    zero-padded int64 partials (its own columns live, the other side's
+    zeroed), the tagged UNION resolves in ONE bucketed hash exchange,
+    and — unlike fact_dim_cogroup's inner filter — every key present on
+    EITHER side survives.  Missing-side semantics are COALESCE-to-0
+    with explicit has_customers / has_suppliers presence flags (exact
+    int columns; a nullable-BIGINT outer join would force pandas
+    float64 on both engines — presence flags keep the contract
+    float-free)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        bucketed_group_agg,
+    )
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+    supp = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_nationkey", "s_acctbal"],
+    )
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["c_mktsegment"], "AUTOMOBILE"))
+        nk = pc.cast(t["c_nationkey"], pa.int64())
+        if isinstance(nk, pa.ChunkedArray):
+            nk = nk.combine_chunks()
+        kv = nk.to_numpy(zero_copy_only=False)
+        bal = np.round(
+            t["c_acctbal"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        u, inv = np.unique(kv, return_inverse=True)
+        z = np.zeros(len(u), dtype=np.int64)
+        return pa.table(
+            {
+                "nationkey": pa.array(u),
+                "customers": pa.array(np.bincount(inv).astype(np.int64)),
+                "customer_bal_cents": pa.array(
+                    np.bincount(inv, weights=bal).astype(np.int64)
+                ),
+                "neg_suppliers": pa.array(z),
+                "supplier_bal_cents": pa.array(z),
+            }
+        )
+
+    def supp_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["s_acctbal"], 0.0))
+        nk = pc.cast(t["s_nationkey"], pa.int64())
+        if isinstance(nk, pa.ChunkedArray):
+            nk = nk.combine_chunks()
+        kv = nk.to_numpy(zero_copy_only=False)
+        bal = np.round(
+            t["s_acctbal"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        u, inv = np.unique(kv, return_inverse=True)
+        z = np.zeros(len(u), dtype=np.int64)
+        return pa.table(
+            {
+                "nationkey": pa.array(u),
+                "customers": pa.array(z),
+                "customer_bal_cents": pa.array(z),
+                "neg_suppliers": pa.array(np.bincount(inv).astype(np.int64)),
+                "supplier_bal_cents": pa.array(
+                    np.bincount(inv, weights=bal).astype(np.int64)
+                ),
+            }
+        )
+
+    both = cust.map_batches(
+        cust_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        supp.map_batches(
+            supp_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    pdf = bucketed_group_agg(
+        both,
+        "nationkey",
+        [
+            ("customers", "sum"),
+            ("customer_bal_cents", "sum"),
+            ("neg_suppliers", "sum"),
+            ("supplier_bal_cents", "sum"),
+        ],
+    ).to_pandas()
+    pdf["has_customers"] = (pdf["customers"] > 0).astype("int64")
+    pdf["has_suppliers"] = (pdf["neg_suppliers"] > 0).astype("int64")
+    return (
+        pdf.sort_values("nationkey")
+        .reset_index(drop=True)
+        .astype(
+            {
+                "nationkey": "int64",
+                "customers": "int64",
+                "customer_bal_cents": "int64",
+                "neg_suppliers": "int64",
+                "supplier_bal_cents": "int64",
+            }
+        )
+    )
+
+
+def q_bigram_lm_scores(sf_dir: str):
+    """Per-source average bigram-LM log-probability (add-one smoothing
+    over the V=50,257 vocabulary) — the LM-based quality score a
+    curation pipeline uses to rank sources (the bigram upgrade of
+    lm_scores' unigram model; train and score on the same corpus).
+    Key insight that makes it ONE exchange: bucketing bigrams by their
+    LEFT token puts a gram's complete corpus count c(ab) AND its left
+    marginal c(a·) in the same bucket, so
+    Σ ln P = Σ occ·ln(c(ab)+1) − Σ occ·ln(c(a·)+V) folds locally per
+    (bucket, source); the driver fsum-merges #buckets × |sources|
+    partials and quantizes floor(x·1e6 + 0.5).  No per-occurrence row
+    ever crosses the exchange — only (source, gram, count) partials."""
+    import math
+
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        resolve_num_buckets,
+        tag_bucket,
+    )
+
+    tok_dir = _token_table_dir(sf_dir)
+    ds = rd.read_parquet(tok_dir, columns=["source", "tokens"])
+    vocab = np.int64(VOCAB)
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        offs = np.asarray(col.offsets, dtype=np.int64)
+        offs = offs - offs[0]
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        d = src.dictionary_encode()
+        scodes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(offs)
+        left_mask = np.ones(flat.shape[0], dtype=bool)
+        if flat.shape[0]:
+            left_mask[offs[1:] - 1] = False
+        left = flat[:-1][left_mask[:-1]] if flat.shape[0] else flat[:0]
+        right = flat[1:][left_mask[:-1]] if flat.shape[0] else flat[:0]
+        reps = np.maximum(lens - 1, 0)
+        sc = np.repeat(scodes, reps)
+        n_src = np.int64(len(d.dictionary))
+        packed = (left * vocab + right) * n_src + sc
+        u, c = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "source": d.dictionary.take(pa.array(u % n_src)),
+                "gram": pa.array(u // n_src),
+                "c": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    nb = resolve_num_buckets(parts)
+
+    def tag(t: pa.Table) -> pa.Table:
+        # bucket by the LEFT token so c(ab) and c(a.) co-locate
+        t = t.append_column(
+            "left_tok", pc.cast(pc.divide(t["gram"], int(vocab)), pa.int64())
+        )
+        t = tag_bucket(t, "left_tok", nb)
+        return t.drop_columns(["left_tok"])
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        pdf = g.drop_columns(["__b"]).to_pandas()
+        b = int(g["__b"][0].as_py())
+        cnt = (
+            pdf.groupby(["source", "gram"], sort=True)["c"].sum().reset_index()
+        )
+        # corpus count per gram and per-left-token marginal — both
+        # COMPLETE inside this bucket because bucketing keys on left token
+        cg_series = cnt.groupby("gram")["c"].sum()
+        ca_series = cg_series.groupby(
+            cg_series.index.to_numpy(np.int64) // int(vocab)
+        ).sum()
+        cg = cg_series.loc[cnt["gram"]].to_numpy(np.float64)
+        left = cnt["gram"].to_numpy(np.int64) // int(vocab)
+        ca = ca_series.loc[left].to_numpy(np.float64)
+        occ = cnt["c"].to_numpy(np.float64)
+        cnt["term"] = occ * (np.log(cg + 1.0) - np.log(ca + float(vocab)))
+        out = (
+            cnt.groupby("source", sort=True)
+            .agg(term=("term", "sum"), n=("c", "sum"))
+            .reset_index()
+        )
+        out.insert(0, "b", np.int64(b))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    pdf = (
+        parts.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["source", "b"])  # deterministic fsum order
+    )
+    rows = []
+    for s_name, sub in pdf.groupby("source", sort=True):
+        n = int(sub["n"].sum())
+        s = math.fsum(sub["term"].tolist())
+        rows.append((s_name, n, int(math.floor(s / n * 1e6 + 0.5))))
+    return (
+        pd.DataFrame(rows, columns=["source", "n_bigrams", "avg_logprob_q6"])
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -13481,6 +13703,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_ols_slope": q_brand_ols_slope,
         "chi2_lang_source": q_chi2_lang_source,
         "bigram_novelty": q_bigram_novelty,
+        "nation_balance_outer": q_nation_balance_outer,
+        "bigram_lm_scores": q_bigram_lm_scores,
     }
 
 
@@ -17231,5 +17455,51 @@ SELECT occ.shard,
        CAST(COALESCE(nov.novel, 0) AS BIGINT) AS novel_bigrams,
        CAST(occurrences AS BIGINT) AS occurrences
 FROM occ LEFT JOIN nov USING (shard) ORDER BY occ.shard
+""",
+        "nation_balance_outer": """
+WITH c AS (
+  SELECT c_nationkey AS nk, count(*) AS c_cnt,
+         sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS c_bal
+  FROM customer WHERE c_mktsegment = 'AUTOMOBILE' GROUP BY c_nationkey
+),
+s AS (
+  SELECT s_nationkey AS nk, count(*) AS s_cnt,
+         sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS s_bal
+  FROM supplier WHERE s_acctbal < 0 GROUP BY s_nationkey
+)
+SELECT CAST(COALESCE(c.nk, s.nk) AS BIGINT) AS nationkey,
+       CAST(COALESCE(c_cnt, 0) AS BIGINT) AS customers,
+       CAST(COALESCE(c_bal, 0) AS BIGINT) AS customer_bal_cents,
+       CAST(COALESCE(s_cnt, 0) AS BIGINT) AS neg_suppliers,
+       CAST(COALESCE(s_bal, 0) AS BIGINT) AS supplier_bal_cents,
+       CAST(CASE WHEN c.nk IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS has_customers,
+       CAST(CASE WHEN s.nk IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS has_suppliers
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+ORDER BY nationkey
+""",
+        "bigram_lm_scores": f"""
+WITH {TOKENIZE_CTE},
+big AS (
+  SELECT source,
+         unnest(list_transform(range(1, len(tokens)),
+                i -> CAST(tokens[i] AS BIGINT) * {VOCAB} + tokens[i + 1]))
+           AS gram
+  FROM tok WHERE len(tokens) >= 2
+),
+cnt AS (SELECT source, gram, count(*) AS occ FROM big GROUP BY source, gram),
+g AS (SELECT gram, CAST(sum(occ) AS DOUBLE) AS cg FROM cnt GROUP BY gram),
+la AS (SELECT gram // {VOCAB} AS ltok, sum(cg) AS ca FROM g GROUP BY ltok),
+per AS (
+  SELECT source, sum(occ) AS n,
+         sum(CAST(occ AS DOUBLE)
+             * (ln(cg + 1) - ln(ca + {VOCAB}))) AS s
+  FROM cnt JOIN g USING (gram) JOIN la ON cnt.gram // {VOCAB} = la.ltok
+  GROUP BY source
+)
+SELECT source, CAST(n AS BIGINT) AS n_bigrams,
+       CAST(floor(s / n * 1000000 + 0.5) AS BIGINT) AS avg_logprob_q6
+FROM per ORDER BY source
 """,
     }

@@ -254,6 +254,8 @@ BENCH_QUERIES = [
     "brand_ols_slope",  # exact-rational per-brand price~qty OLS
     "chi2_lang_source",  # full-grid integer chi-square independence stat
     "bigram_novelty",  # first-seen bigram novelty curve by doc shard
+    "nation_balance_outer",  # full-outer co-group with presence flags
+    "bigram_lm_scores",  # add-one bigram LM source quality scores
 ]
 
 

@@ -45,6 +45,8 @@ QUERIES = [
     "brand_ols_slope",
     "chi2_lang_source",
     "bigram_novelty",
+    "nation_balance_outer",
+    "bigram_lm_scores",
 ]
 
 
