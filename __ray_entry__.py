@@ -13463,6 +13463,219 @@ def q_bigram_lm_scores(sf_dir: str):
     )
 
 
+def q_rolling_median3(sf_dir: str):
+    """Per-user rolling MEDIAN over the last 3 events (ROWS BETWEEN 2
+    PRECEDING AND CURRENT ROW) — an order-statistic window frame, the
+    one aggregate a prefix-sum rolling window (user_rolling_24h) cannot
+    express.  For w=3 the median is exactly a+b+c−min−max, so the whole
+    frame computation stays vectorized int64: ONE hash-bucket exchange
+    co-locates each user's history, the in-bucket kernel lexsorts by
+    (user, ts, event_id) — event_id unique ⇒ total order, deterministic
+    ties — and shifted-array min/max/sum produce every frame at once.
+    Rows with fewer than 3 prior-or-current events are dropped (the SQL
+    twin filters rn >= 3).  Exact integer cents; the twin's median()
+    over 3 BIGINTs is the middle value, exactly representable."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        collect_sorted,
+        resolve_num_buckets,
+        tag_bucket,
+    )
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        v = np.round(t["value"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "ts": t["ts"],
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "c": pa.array(v),
+            }
+        )
+
+    proj_ds = ev.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+    nb = resolve_num_buckets(proj_ds, floor=16)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return tag_bucket(t, "user_id", nb)
+
+    def med3_bucket(g: pa.Table) -> pa.Table:
+        pdf = g.drop_columns(["__b"]).to_pandas()
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = pdf["user_id"].to_numpy(np.int64)
+        v = pdf["c"].to_numpy(np.int64)
+        n = len(pdf)
+        if n < 3:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "event_id": pa.array([], pa.int64()),
+                    "med3_cents": pa.array([], pa.int64()),
+                }
+            )
+        a, b, c = v[:-2], v[1:-1], v[2:]
+        med = (
+            a + b + c
+            - np.minimum(np.minimum(a, b), c)
+            - np.maximum(np.maximum(a, b), c)
+        )
+        # frame valid only when all three rows belong to the same user
+        same = (u[2:] == u[1:-1]) & (u[1:-1] == u[:-2])
+        return pa.table(
+            {
+                "user_id": pa.array(u[2:][same]),
+                "event_id": pa.array(
+                    pdf["event_id"].to_numpy(np.int64)[2:][same]
+                ),
+                "med3_cents": pa.array(med[same]),
+            }
+        )
+
+    out = (
+        proj_ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(med3_bucket, batch_format="pyarrow")
+    )
+    res = collect_sorted(out, ["user_id", "event_id"])
+    return res[["user_id", "event_id", "med3_cents"]].astype(
+        {"user_id": "int64", "event_id": "int64", "med3_cents": "int64"}
+    )
+
+
+def q_region_share_hierarchy(sf_dir: str):
+    """Two-level share-of-parent rollup: each nation's order revenue as
+    an exact-ppm share of its REGION, and each region's share of the
+    TOTAL — the hierarchical mix report (floor division, Python
+    ints / HUGEINT, no float).  Scale shape: orders pre-aggregate
+    map-side per custkey, ONE fact_dim_cogroup exchange attaches
+    c_nationkey, per-batch per-nation int64 re-partials fold at the
+    driver (≤ 25 nations); the nation→region lineage joins
+    driver-side from the two tiny dims read directly (dozens of
+    rows — never a distributed exchange)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        fact_dim_cogroup,
+    )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    )
+
+    def ord_partial(t: pa.Table) -> pa.Table:
+        ck = pc.cast(t["o_custkey"], pa.int64())
+        if isinstance(ck, pa.ChunkedArray):
+            ck = ck.combine_chunks()
+        kv = ck.to_numpy(zero_copy_only=False)
+        cents = np.round(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        u, inv = np.unique(kv, return_inverse=True)
+        return pa.table(
+            {
+                "c_custkey": pa.array(u),
+                "n_orders": pa.array(np.bincount(inv).astype(np.int64)),
+                "cents": pa.array(
+                    np.bincount(inv, weights=cents).astype(np.int64)
+                ),
+            }
+        )
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                "c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    per_cust = fact_dim_cogroup(
+        orders.map_batches(
+            ord_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        cust,
+        key="c_custkey",
+        fact_cols=["n_orders", "cents"],
+        dim_cols=["c_nationkey"],
+    )
+
+    def nation_partial(t: pa.Table) -> pa.Table:
+        pdf = t.to_pandas()
+        out = (
+            pdf.groupby("c_nationkey", sort=True)[["n_orders", "cents"]]
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    pdf = per_cust.map_batches(
+        nation_partial, batch_format="pyarrow"
+    ).to_pandas()
+    nat_cents = {
+        int(k): int(v)
+        for k, v in pdf.groupby("c_nationkey")["cents"].sum().items()
+    }
+    # tiny dims: driver-side read (dozens of rows)
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).to_pandas()
+    region = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"),
+        columns=["r_regionkey", "r_name"],
+    ).to_pandas()
+    nation = nation.merge(
+        region, left_on="n_regionkey", right_on="r_regionkey"
+    )
+    nation["cents"] = (
+        nation["n_nationkey"].map(nat_cents).fillna(0).astype("int64")
+    )
+    reg_cents = nation.groupby("r_name")["cents"].sum()
+    total = int(nation["cents"].sum())
+    rows = []
+    for _, r in nation.sort_values("n_name").iterrows():
+        rc = int(reg_cents.loc[r["r_name"]])
+        c = int(r["cents"])
+        rows.append(
+            (
+                r["r_name"],
+                r["n_name"],
+                c,
+                c * 1_000_000 // rc if rc else 0,
+                rc * 1_000_000 // total if total else 0,
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "r_name",
+            "n_name",
+            "nation_cents",
+            "nation_share_of_region_ppm",
+            "region_share_of_total_ppm",
+        ],
+    ).astype(
+        {
+            "nation_cents": "int64",
+            "nation_share_of_region_ppm": "int64",
+            "region_share_of_total_ppm": "int64",
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -13705,6 +13918,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_novelty": q_bigram_novelty,
         "nation_balance_outer": q_nation_balance_outer,
         "bigram_lm_scores": q_bigram_lm_scores,
+        "rolling_median3": q_rolling_median3,
+        "region_share_hierarchy": q_region_share_hierarchy,
     }
 
 
@@ -17501,5 +17716,43 @@ per AS (
 SELECT source, CAST(n AS BIGINT) AS n_bigrams,
        CAST(floor(s / n * 1000000 + 0.5) AS BIGINT) AS avg_logprob_q6
 FROM per ORDER BY source
+""",
+        "rolling_median3": """
+WITH v AS (
+  SELECT user_id, event_id,
+         row_number() OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         CAST(median(CAST(round(value * 100) AS BIGINT)) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS med3_cents
+  FROM events
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(event_id AS BIGINT) AS event_id, med3_cents
+FROM v WHERE rn >= 3 ORDER BY user_id, event_id
+""",
+        "region_share_hierarchy": """
+WITH nat AS (
+  SELECT n_nationkey, n_name, r_name,
+         CAST(COALESCE(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0)
+              AS BIGINT) AS cents
+  FROM nation
+  JOIN region ON n_regionkey = r_regionkey
+  LEFT JOIN customer ON c_nationkey = n_nationkey
+  LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY n_nationkey, n_name, r_name
+),
+reg AS (SELECT r_name, sum(cents) AS rc FROM nat GROUP BY r_name),
+tot AS (SELECT sum(cents) AS t FROM nat)
+SELECT r_name, n_name, nat.cents AS nation_cents,
+       CAST(CASE WHEN rc = 0 THEN 0
+            ELSE (CAST(nat.cents AS HUGEINT) * 1000000) // rc END
+            AS BIGINT) AS nation_share_of_region_ppm,
+       CAST(CASE WHEN tot.t = 0 THEN 0
+            ELSE (CAST(rc AS HUGEINT) * 1000000) // tot.t END
+            AS BIGINT) AS region_share_of_total_ppm
+FROM nat JOIN reg USING (r_name), tot
+ORDER BY n_name
 """,
     }

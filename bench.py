@@ -256,6 +256,8 @@ BENCH_QUERIES = [
     "bigram_novelty",  # first-seen bigram novelty curve by doc shard
     "nation_balance_outer",  # full-outer co-group with presence flags
     "bigram_lm_scores",  # add-one bigram LM source quality scores
+    "rolling_median3",  # order-statistic window frame, vectorized med-of-3
+    "region_share_hierarchy",  # two-level exact-ppm share-of-parent rollup
 ]
 
 

@@ -47,6 +47,8 @@ QUERIES = [
     "bigram_novelty",
     "nation_balance_outer",
     "bigram_lm_scores",
+    "rolling_median3",
+    "region_share_hierarchy",
 ]
 
 
