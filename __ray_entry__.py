@@ -13676,6 +13676,136 @@ def q_region_share_hierarchy(sf_dir: str):
     )
 
 
+def q_interp_fill_daily(sf_dir: str):
+    """Time-series imputation by LINEAR INTERPOLATION: per user, the
+    daily purchase-cents series with every interior missing day filled
+    as ⌊(v_prev·(next−d) + v_next·(d−prev)) / (next−prev)⌋ — the gap
+    repair a drift-baseline builder runs before comparing daily
+    distributions (the value-interpolating upgrade of monthly_gap_fill's
+    zero-fill).  Exact integer cents end to end; no extrapolation
+    (spine bounded per user by its min/max day).  Scale shape: per-batch
+    (user, day) int64 partials, ONE hash-bucket exchange by user
+    co-locates each user's series, and the in-bucket kernel resolves
+    present-day sums + gap interpolation fully vectorized
+    (searchsorted on the present days; no Python loop per day).
+    `interpolated` flags synthetic rows.  Day rides as int64 epoch
+    days — both engines integer, no timestamp dtype skew."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        collect_sorted,
+        resolve_num_buckets,
+        tag_bucket,
+    )
+
+    DAY_US = 86_400_000_000
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type", "value"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        uid = pc.cast(t["user_id"], pa.int64())
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        u = uid.to_numpy(zero_copy_only=False)
+        ts = (
+            pc.cast(t["ts"], pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        d = ts // DAY_US
+        c = np.round(t["value"].to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        packed = u * np.int64(1 << 20) + d  # epoch-day < 2^20 for centuries
+        ku, inv = np.unique(packed, return_inverse=True)
+        return pa.table(
+            {
+                "user_id": pa.array(ku // (1 << 20)),
+                "d": pa.array(ku % (1 << 20)),
+                "c": pa.array(np.bincount(inv, weights=c).astype(np.int64)),
+            }
+        )
+
+    parts = ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    nb = resolve_num_buckets(parts, floor=16)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return tag_bucket(t, "user_id", nb)
+
+    def fill_bucket(g: pa.Table) -> pa.Table:
+        pdf = g.drop_columns(["__b"]).to_pandas()
+        cnt = pdf.groupby(["user_id", "d"], sort=True)["c"].sum().reset_index()
+        if cnt.empty:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "day_idx": pa.array([], pa.int64()),
+                    "cents": pa.array([], pa.int64()),
+                    "interpolated": pa.array([], pa.int64()),
+                }
+            )
+        users = cnt["user_id"].to_numpy(np.int64)
+        days = cnt["d"].to_numpy(np.int64)
+        vals = cnt["c"].to_numpy(np.int64)
+        # vectorized across ALL users in the bucket (no per-user loop):
+        # each user's span = [first_day, last_day]; build the
+        # concatenated spans with repeat/arange arithmetic
+        starts = np.flatnonzero(
+            np.concatenate(([True], users[1:] != users[:-1]))
+        )
+        ends = np.concatenate((starts[1:], [len(users)])) - 1
+        firsts, lasts = days[starts], days[ends]
+        lens = lasts - firsts + 1
+        total = int(lens.sum())
+        offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        span = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(offs, lens)
+            + np.repeat(firsts, lens)
+        )
+        span_u = np.repeat(users[starts], lens)
+        # nearest present day at-or-before each span day, via the packed
+        # (user, day) key — safe because span stays inside its user's
+        # [first, last] window, so pi / pi+1 never cross users
+        kbit = np.int64(1 << 20)
+        packed_present = users * kbit + days
+        packed_span = span_u * kbit + span
+        pi = np.searchsorted(packed_present, packed_span, side="right") - 1
+        present = packed_present[pi] == packed_span
+        ni = np.clip(pi + 1, 0, len(days) - 1)
+        pd_, nd_ = days[pi], days[ni]
+        pv, nv = vals[pi], vals[ni]
+        gap = np.maximum(nd_ - pd_, 1)
+        interp = (pv * (nd_ - span) + nv * (span - pd_)) // gap
+        filled = np.where(present, vals[pi], interp)
+        return pa.table(
+            {
+                "user_id": pa.array(span_u),
+                "day_idx": pa.array(span),
+                "cents": pa.array(filled.astype(np.int64)),
+                "interpolated": pa.array((~present).astype(np.int64)),
+            }
+        )
+
+    out = (
+        parts.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(fill_bucket, batch_format="pyarrow")
+    )
+    res = collect_sorted(out, ["user_id", "day_idx"])
+    return res[["user_id", "day_idx", "cents", "interpolated"]].astype(
+        {
+            "user_id": "int64",
+            "day_idx": "int64",
+            "cents": "int64",
+            "interpolated": "int64",
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -13920,6 +14050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_lm_scores": q_bigram_lm_scores,
         "rolling_median3": q_rolling_median3,
         "region_share_hierarchy": q_region_share_hierarchy,
+        "interp_fill_daily": q_interp_fill_daily,
     }
 
 
@@ -17754,5 +17885,42 @@ SELECT r_name, n_name, nat.cents AS nation_cents,
             AS BIGINT) AS region_share_of_total_ppm
 FROM nat JOIN reg USING (r_name), tot
 ORDER BY n_name
+""",
+        "interp_fill_daily": """
+WITH f AS (
+  SELECT user_id,
+         CAST(date_trunc('day', ts)::DATE - DATE '1970-01-01' AS BIGINT)
+           AS d,
+         sum(CAST(round(value * 100) AS BIGINT)) AS c
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, d
+),
+bounds AS (SELECT user_id, min(d) AS lo, max(d) AS hi FROM f
+           GROUP BY user_id),
+spine AS (SELECT user_id, unnest(range(lo, hi + 1)) AS d FROM bounds),
+j AS (SELECT s.user_id, s.d, f.c FROM spine s
+      LEFT JOIN f ON s.user_id = f.user_id AND s.d = f.d),
+w AS (
+  SELECT user_id, d, c,
+         last_value(CASE WHEN c IS NOT NULL THEN d END IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY d
+            ROWS UNBOUNDED PRECEDING) AS pd,
+         last_value(c IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY d
+            ROWS UNBOUNDED PRECEDING) AS pv,
+         first_value(CASE WHEN c IS NOT NULL THEN d END IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY d
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd,
+         first_value(c IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY d
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+  FROM j
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, d AS day_idx,
+       CAST(CASE WHEN c IS NOT NULL THEN c
+            ELSE (CAST(pv AS HUGEINT) * (nd - d) + CAST(nv AS HUGEINT)
+                  * (d - pd)) // (nd - pd) END AS BIGINT) AS cents,
+       CAST(CASE WHEN c IS NOT NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS interpolated
+FROM w ORDER BY user_id, d
 """,
     }

@@ -258,6 +258,7 @@ BENCH_QUERIES = [
     "bigram_lm_scores",  # add-one bigram LM source quality scores
     "rolling_median3",  # order-statistic window frame, vectorized med-of-3
     "region_share_hierarchy",  # two-level exact-ppm share-of-parent rollup
+    "interp_fill_daily",  # linear-interpolation gap imputation per user
 ]
 
 

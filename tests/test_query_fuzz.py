@@ -573,3 +573,34 @@ def test_fuzz_brand_ols_slope(ray_session, tmp_path_factory, items):
     _write(sf, "lineitem", li)
     _write(sf, "part", _part_table(["B1", "B1", "B2", "B2", "B3", "B3"]))
     _compare("brand_ols_slope", sf)
+
+
+@_fuzz
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 4),  # user selector
+            st.integers(0, 12),  # day offset (small -> dense AND gappy)
+            st.integers(1, 99_999),  # cents
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_fuzz_interp_fill_daily(ray_session, tmp_path_factory, data):
+    """Single-day users (span 1, nothing to fill), adjacent-day series
+    (gap 0), multi-day interior gaps with non-round interpolation
+    (floor semantics on both engines), same-day multi-event sums."""
+    sf = str(tmp_path_factory.mktemp("interp"))
+    rows = [
+        (i, u * DAY_US * 400 + d * DAY_US, u, "purchase")
+        for i, (u, d, _c) in enumerate(data)
+    ]
+    t = _events_table(rows)
+    t = t.set_column(
+        t.schema.get_field_index("value"),
+        "value",
+        pa.array([c / 100.0 for _u, _d, c in data], pa.float64()),
+    )
+    _write(sf, "events", t)
+    _compare("interp_fill_daily", sf)

@@ -49,6 +49,7 @@ QUERIES = [
     "bigram_lm_scores",
     "rolling_median3",
     "region_share_hierarchy",
+    "interp_fill_daily",
 ]
 
 
