@@ -13806,6 +13806,145 @@ def q_interp_fill_daily(sf_dir: str):
     )
 
 
+ATTR_WINDOW_US = 24 * 3600 * 1_000_000
+
+
+def q_linear_attribution(sf_dir: str):
+    """MULTI-TOUCH linear attribution: every purchase's cents split
+    across ALL of the user's view events in the preceding 24 h
+    ([t−24h, t), ts-inclusive lower edge) by the largest-remainder
+    rule — v//k each, the first v%k views in (ts, event_id) order get
+    +1 — so the allocation is exact-integer and sums back to the
+    purchase value (the multi-touch upgrade of purchase_attribution's
+    last-touch LAG).  Scale shape: ONE user-bucket exchange; in-bucket
+    each purchase's view window is two composite-key searchsorted
+    probes (dense user code × time span, the conversion_within idiom),
+    and the per-view credits resolve with DIFFERENCE ARRAYS
+    (np.add.at on window endpoints + one prefix sum) — no pair
+    expansion, no per-purchase loop, even when a hot view sits inside
+    thousands of windows.  Output: per credited view event, total
+    credited cents."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        collect_sorted,
+        resolve_num_buckets,
+        tag_bucket,
+    )
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    W = np.int64(ATTR_WINDOW_US)
+
+    def project(t: pa.Table) -> pa.Table:
+        keep = pc.or_(
+            pc.equal(t["event_type"], "view"),
+            pc.equal(t["event_type"], "purchase"),
+        )
+        t = t.filter(keep)
+        ts = t["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        if pa.types.is_timestamp(ts.type) and ts.type.unit != "us":
+            ts = ts.cast(pa.timestamp("us"))
+        cents = np.round(
+            t["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "ts": ts.cast(pa.int64()),
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "is_p": pc.cast(
+                    pc.equal(t["event_type"], "purchase"), pa.int8()
+                ),
+                "cents": pa.array(cents),
+            }
+        )
+
+    proj = ev.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    nb = resolve_num_buckets(proj, floor=16)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return tag_bucket(t, "user_id", nb)
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "event_id": pa.array([], pa.int64()),
+            "credit_cents": pa.array([], pa.int64()),
+        }
+    )
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        users = g["user_id"].to_numpy(zero_copy_only=False)
+        if len(users) == 0:
+            return empty
+        ts = g["ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_p = g["is_p"].to_numpy(zero_copy_only=False).astype(bool)
+        cents = g["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tmin = np.int64(ts.min())
+        rel = ts - tmin
+        span = np.int64(int(rel.max()) + 2)
+        uniq, codes = np.unique(users, return_inverse=True)
+        if int(span) * len(uniq) >= 2**62:
+            raise ValueError(
+                "linear_attribution: composite key (users x time span) "
+                "exceeds int64 in one bucket — raise num_buckets"
+            )
+        codes = codes.astype(np.int64)
+        # views sorted by (user, ts, event_id) — the allocation order
+        vm = ~is_p
+        order = np.lexsort((eid[vm], rel[vm], codes[vm]))
+        v_codes = codes[vm][order]
+        v_rel = rel[vm][order]
+        v_eid = eid[vm][order]
+        v_user = users[vm][order]
+        vkey = v_codes * span + v_rel
+        # per-purchase window via two searchsorted probes
+        p_codes, p_rel, p_cents = codes[is_p], rel[is_p], cents[is_p]
+        lo = np.searchsorted(
+            vkey, p_codes * span + np.maximum(p_rel - W, 0), side="left"
+        )
+        hi = np.searchsorted(vkey, p_codes * span + p_rel, side="left")
+        k = hi - lo
+        elig = k > 0
+        lo, hi, k = lo[elig], hi[elig], k[elig]
+        v = p_cents[elig]
+        base = v // k
+        r = v % k
+        nv = len(vkey)
+        dbase = np.zeros(nv + 1, dtype=np.int64)
+        np.add.at(dbase, lo, base)
+        np.add.at(dbase, hi, -base)
+        drem = np.zeros(nv + 1, dtype=np.int64)
+        np.add.at(drem, lo, 1)
+        np.add.at(drem, lo + r, -1)
+        credit = np.cumsum(dbase)[:nv] + np.cumsum(drem)[:nv]
+        keep = credit > 0
+        return pa.table(
+            {
+                "user_id": pa.array(v_user[keep]),
+                "event_id": pa.array(v_eid[keep]),
+                "credit_cents": pa.array(credit[keep]),
+            }
+        )
+
+    out = (
+        proj.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+    )
+    res = collect_sorted(out, ["user_id", "event_id"])
+    return res[["user_id", "event_id", "credit_cents"]].astype(
+        {"user_id": "int64", "event_id": "int64", "credit_cents": "int64"}
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -14051,6 +14190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_median3": q_rolling_median3,
         "region_share_hierarchy": q_region_share_hierarchy,
         "interp_fill_daily": q_interp_fill_daily,
+        "linear_attribution": q_linear_attribution,
     }
 
 
@@ -17922,5 +18062,34 @@ SELECT CAST(user_id AS BIGINT) AS user_id, d AS day_idx,
        CAST(CASE WHEN c IS NOT NULL THEN 0 ELSE 1 END AS BIGINT)
          AS interpolated
 FROM w ORDER BY user_id, d
+""",
+        "linear_attribution": """
+WITH p AS (
+  SELECT user_id, ts, event_id AS pid,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events WHERE event_type = 'purchase'
+),
+vw AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
+),
+w AS (
+  SELECT p.pid, p.v, vw.event_id AS vid, vw.user_id,
+         row_number() OVER (PARTITION BY p.pid
+                            ORDER BY vw.ts, vw.event_id) AS rnk,
+         count(*) OVER (PARTITION BY p.pid) AS k
+  FROM p JOIN vw ON p.user_id = vw.user_id
+       AND vw.ts < p.ts AND vw.ts >= p.ts - INTERVAL 24 HOUR
+),
+alloc AS (
+  SELECT user_id, vid,
+         v // k + CASE WHEN rnk <= v % k THEN 1 ELSE 0 END AS credit
+  FROM w
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(vid AS BIGINT) AS event_id,
+       CAST(sum(credit) AS BIGINT) AS credit_cents
+FROM alloc GROUP BY user_id, vid
+HAVING sum(credit) > 0
+ORDER BY user_id, event_id
 """,
     }

@@ -259,6 +259,7 @@ BENCH_QUERIES = [
     "rolling_median3",  # order-statistic window frame, vectorized med-of-3
     "region_share_hierarchy",  # two-level exact-ppm share-of-parent rollup
     "interp_fill_daily",  # linear-interpolation gap imputation per user
+    "linear_attribution",  # multi-touch largest-remainder credit split
 ]
 
 

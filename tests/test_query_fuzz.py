@@ -604,3 +604,38 @@ def test_fuzz_interp_fill_daily(ray_session, tmp_path_factory, data):
     )
     _write(sf, "events", t)
     _compare("interp_fill_daily", sf)
+
+
+@_fuzz
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 3),  # user
+            st.sampled_from(["view", "purchase"]),
+            # gaps straddling the 24h window edge exactly
+            st.sampled_from([0, 1, DAY_US - 1, DAY_US, DAY_US + 1]),
+            st.integers(0, 700),  # purchase cents (v < k forces base 0)
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_fuzz_linear_attribution(ray_session, tmp_path_factory, data):
+    """Window edges exactly AT 24h (inclusive lower, exclusive upper),
+    same-timestamp view ties (event_id order), purchases with v < k
+    (base 0, only remainder +1s), purchases with no views (dropped),
+    overlapping windows crediting one hot view repeatedly."""
+    sf = str(tmp_path_factory.mktemp("attr"))
+    rows, t, vals = [], {}, []
+    for i, (u, et, gap, cents) in enumerate(data):
+        t[u] = t.get(u, 0) + gap
+        rows.append((i, t[u], u, et))
+        vals.append(cents / 100.0)
+    tbl = _events_table(rows)
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("value"),
+        "value",
+        pa.array(vals, pa.float64()),
+    )
+    _write(sf, "events", tbl)
+    _compare("linear_attribution", sf)

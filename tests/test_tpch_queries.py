@@ -50,6 +50,7 @@ QUERIES = [
     "rolling_median3",
     "region_share_hierarchy",
     "interp_fill_daily",
+    "linear_attribution",
 ]
 
 
