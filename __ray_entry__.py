@@ -13945,6 +13945,190 @@ def q_linear_attribution(sf_dir: str):
     )
 
 
+PPS_N = 50
+
+
+def q_pps_sample(sf_dir: str):
+    """Probability-proportional-to-size SYSTEMATIC sample of orders by
+    revenue — the weighted sampler a mixture builder uses when rows
+    must be drawn ∝ value yet bit-reproducibly (no RNG): thresholds
+    t_j = ⌊(2j+1)·T / 2N⌋ (midpoint rule, exact ints) walk the global
+    cumulative-cents axis ordered by o_orderkey, and an order is
+    selected once per threshold inside its (prefix, prefix+cents] span
+    — big orders may be drawn multiple times (times_selected).  Scale
+    shape: :func:`global_prefix_sum` (range-partition sort + O(blocks)
+    driver offsets), thresholds broadcast once via ``ray.put``, and
+    each block resolves its selections with two vectorized
+    searchsorted probes.  No float, no RNG, no driver row data."""
+    import ray
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        collect_sorted,
+        global_prefix_sum,
+    )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"],
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = np.round(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "cents": pa.array(c),
+            }
+        )
+
+    ds = orders.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    ranked, total = global_prefix_sum(
+        ds, ["o_orderkey"], "cents", out_col="prefix"
+    )
+    thr = np.array(
+        [((2 * j + 1) * int(total)) // (2 * PPS_N) for j in range(PPS_N)],
+        dtype=np.int64,
+    )
+    thr_ref = ray.put(thr)
+
+    def select(t: pa.Table) -> pa.Table:
+        th = ray.get(thr_ref)
+        pre = t["prefix"].to_numpy(zero_copy_only=False)
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        times = np.searchsorted(th, pre + c, side="right") - np.searchsorted(
+            th, pre, side="right"
+        )
+        keep = times > 0
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    t["o_orderkey"].to_numpy(zero_copy_only=False)[keep]
+                ),
+                "cents": pa.array(c[keep]),
+                "times_selected": pa.array(times[keep].astype(np.int64)),
+            }
+        )
+
+    out = ranked.map_batches(
+        select, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    res = collect_sorted(out, ["o_orderkey"])
+    return res[["o_orderkey", "cents", "times_selected"]].astype(
+        {"o_orderkey": "int64", "cents": "int64", "times_selected": "int64"}
+    )
+
+
+def q_business_days_to_ship(sf_dir: str):
+    """Per-priority shipping latency in BUSINESS days (Mon–Fri), the
+    calendar-arithmetic scalar the SLA report needs: business days in
+    (orderdate, shipdate] via the closed form
+    b(d) = 5·⌊(d+4)/7⌋ + min((d+4) mod 7, 5) − 3 (epoch day d;
+    1970-01-01 is a Thursday — verified against a brute-force calendar
+    walk for 40 consecutive days).  Exact integers end to end: both
+    engines evaluate the SAME algebraic expression, so no weekday
+    library, no timezone, no float.  One co-group exchange
+    (lineitem⋈orders by orderkey via fact_dim_cogroup) then a tiny
+    per-priority fold."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        fact_dim_cogroup,
+    )
+
+    DAY_US = 86_400_000_000
+
+    def bdays(d: np.ndarray) -> np.ndarray:
+        s = d + 3
+        return 5 * ((s + 1) // 7) + np.minimum((s + 1) % 7, 5) - 3
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"],
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        ok = pc.cast(t["l_orderkey"], pa.int64())
+        if isinstance(ok, pa.ChunkedArray):
+            ok = ok.combine_chunks()
+        kv = ok.to_numpy(zero_copy_only=False)
+        sd = (
+            pc.cast(t["l_shipdate"], pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            // DAY_US
+        )
+        b = bdays(sd)
+        u, inv = np.unique(kv, return_inverse=True)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(u),
+                "n_lines": pa.array(np.bincount(inv).astype(np.int64)),
+                "b_ship_sum": pa.array(
+                    np.bincount(inv, weights=b).astype(np.int64)
+                ),
+            }
+        )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "o_orderpriority": t["o_orderpriority"],
+                "odate": pa.array(
+                    pc.cast(t["o_orderdate"], pa.int64())
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                    // DAY_US
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    per_order = fact_dim_cogroup(
+        li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True),
+        orders,
+        key="o_orderkey",
+        fact_cols=["n_lines", "b_ship_sum"],
+        dim_cols=["o_orderpriority", "odate"],
+    )
+
+    def pri_partial(t: pa.Table) -> pa.Table:
+        pdf = t.to_pandas()
+        od = pdf["odate"].to_numpy(np.int64)
+        # business days between = b(ship) - b(order), summed per order:
+        # b_ship_sum - n_lines * b(odate)
+        pdf["bdays_total"] = pdf["b_ship_sum"].to_numpy(np.int64) - pdf[
+            "n_lines"
+        ].to_numpy(np.int64) * bdays(od)
+        out = (
+            pdf.groupby("o_orderpriority", sort=True)[
+                ["n_lines", "bdays_total"]
+            ]
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    pdf = per_order.map_batches(pri_partial, batch_format="pyarrow").to_pandas()
+    rows = []
+    for pri, sub in pdf.groupby("o_orderpriority", sort=True):
+        n = int(sub["n_lines"].sum())
+        b = int(sub["bdays_total"].sum())
+        rows.append((pri, n, b, b * 1_000_000 // n))
+    return pd.DataFrame(
+        rows,
+        columns=["o_orderpriority", "n_lines", "bdays_total", "avg_bdays_ppm"],
+    ).astype(
+        {"n_lines": "int64", "bdays_total": "int64", "avg_bdays_ppm": "int64"}
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -14191,6 +14375,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_share_hierarchy": q_region_share_hierarchy,
         "interp_fill_daily": q_interp_fill_daily,
         "linear_attribution": q_linear_attribution,
+        "pps_sample": q_pps_sample,
+        "business_days_to_ship": q_business_days_to_ship,
     }
 
 
@@ -18091,5 +18277,52 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
 FROM alloc GROUP BY user_id, vid
 HAVING sum(credit) > 0
 ORDER BY user_id, event_id
+""",
+        "pps_sample": f"""
+WITH o AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+),
+cum AS (
+  SELECT o_orderkey, c,
+         sum(CAST(c AS HUGEINT)) OVER
+           (ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING) AS cm
+  FROM o
+),
+tot AS (SELECT sum(CAST(c AS HUGEINT)) AS t FROM o),
+thr AS (
+  SELECT ((2 * CAST(j AS HUGEINT) + 1) * (SELECT t FROM tot))
+           // (2 * {PPS_N}) AS tv
+  FROM range(0, {PPS_N}) r(j)
+)
+SELECT o_orderkey, c AS cents,
+       CAST(count(*) AS BIGINT) AS times_selected
+FROM cum JOIN thr ON thr.tv > cum.cm - cum.c AND thr.tv <= cum.cm
+GROUP BY o_orderkey, c
+ORDER BY o_orderkey
+""",
+        "business_days_to_ship": """
+WITH li AS (
+  SELECT o_orderpriority,
+         CAST(l_shipdate::DATE - DATE '1970-01-01' AS BIGINT) AS sd,
+         CAST(o_orderdate::DATE - DATE '1970-01-01' AS BIGINT) AS od
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+b AS (
+  -- business days in (order, ship]: b(d) = 5*((d+4)//7) + least((d+4)%7, 5) - 3
+  SELECT o_orderpriority,
+         (5 * ((sd + 4) // 7) + least((sd + 4) % 7, 5))
+         - (5 * ((od + 4) // 7) + least((od + 4) % 7, 5)) AS bd
+  FROM li
+),
+s AS (SELECT o_orderpriority, count(*) AS n,
+             sum(CAST(bd AS HUGEINT)) AS bt FROM b GROUP BY o_orderpriority),
+nd AS (SELECT o_orderpriority, n, bt, bt * 1000000 AS num,
+              CAST(n AS HUGEINT) AS den FROM s)
+SELECT o_orderpriority, CAST(n AS BIGINT) AS n_lines,
+       CAST(bt AS BIGINT) AS bdays_total,
+       CAST((num - ((num % den) + den) % den) / den AS BIGINT)
+         AS avg_bdays_ppm
+FROM nd ORDER BY o_orderpriority
 """,
     }

@@ -260,6 +260,8 @@ BENCH_QUERIES = [
     "region_share_hierarchy",  # two-level exact-ppm share-of-parent rollup
     "interp_fill_daily",  # linear-interpolation gap imputation per user
     "linear_attribution",  # multi-touch largest-remainder credit split
+    "pps_sample",  # deterministic PPS systematic sample on global cumsum
+    "business_days_to_ship",  # closed-form weekday arithmetic per priority
 ]
 
 

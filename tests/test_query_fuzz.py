@@ -639,3 +639,59 @@ def test_fuzz_linear_attribution(ray_session, tmp_path_factory, data):
     )
     _write(sf, "events", tbl)
     _compare("linear_attribution", sf)
+
+
+@_fuzz
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 5_000_00),  # order cents (zeros allowed)
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_fuzz_pps_sample(ray_session, tmp_path_factory, data):
+    """Zero-value orders (empty selection span), one giant order
+    absorbing many thresholds, totals smaller than the sample size
+    (threshold collisions at 0)."""
+    sf = str(tmp_path_factory.mktemp("pps"))
+    orders = [
+        (i + 1, 1, c, 0, "1-URGENT") for i, (c,) in enumerate(data)
+    ]
+    _write(sf, "orders", _orders_table(orders))
+    _compare("pps_sample", sf)
+
+
+@_fuzz
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 9),  # orderkey selector
+            st.integers(0, 20),  # ship delay days (0 = same day)
+            st.integers(0, 13),  # order day offset (covers every weekday)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_fuzz_business_days(ray_session, tmp_path_factory, data):
+    """Same-day shipping (0 business days), weekend-spanning windows,
+    order dates on every weekday — the closed-form b(d) must agree
+    with DuckDB's identical algebra on all alignments."""
+    sf = str(tmp_path_factory.mktemp("bdays"))
+    orders = {}
+    li = []
+    for i, (oksel, delay, od) in enumerate(data):
+        ok = oksel + 1
+        orders.setdefault(ok, od)
+        li.append((ok, i + 1, 100, 1, 1, orders[ok] + delay))
+    _write(
+        sf,
+        "orders",
+        _orders_table(
+            [(ok, 1, 100, od, "1-URGENT") for ok, od in orders.items()]
+        ),
+    )
+    _write(sf, "lineitem", _lineitem_table(li))
+    _compare("business_days_to_ship", sf)

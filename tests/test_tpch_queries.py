@@ -51,6 +51,8 @@ QUERIES = [
     "region_share_hierarchy",
     "interp_fill_daily",
     "linear_attribution",
+    "pps_sample",
+    "business_days_to_ship",
 ]
 
 
