@@ -14129,6 +14129,83 @@ def q_business_days_to_ship(sf_dir: str):
     )
 
 
+def q_dedup_survivorship(sf_dir: str):
+    """SURVIVORSHIP merge — the record-consolidation step after
+    near-dedup clustering: per duplicate cluster, ONE canonical merged
+    record carrying the survivor id (min doc_id), the member count,
+    the sorted-distinct source lineage (comma string_agg), and the
+    richest payload size (max n_chars) — what a curation pipeline
+    actually writes back after deciding which near-dups to collapse
+    (completes detect → verify → cluster → MERGE).  Scale shape: the
+    audited LSH→verify→components chain produces the (node, canonical)
+    map (bounded by dup-pair count); member metadata gathers through a
+    distributed broadcast `is_in` filter — only duplicate docs' rows
+    ever collect; the merge folds driver-side on that bounded set.
+    Oracle: the near_dedup_keep recursive transitive-closure CTE
+    extended with the documents join + grouped survivorship rules."""
+    import ray
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.dedup import minhash_dedup_pairs
+    from etl_data_validation_kio_ray.dedup.cluster import connected_components
+
+    cols = ["canonical", "n_members", "sources", "max_n_chars"]
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    pairs = minhash_dedup_pairs(ds, jaccard_threshold=0.8, concurrency=2)
+    if not len(pairs):
+        return pd.DataFrame(
+            {
+                "canonical": pd.Series(dtype="int64"),
+                "n_members": pd.Series(dtype="int64"),
+                "sources": pd.Series(dtype="object"),
+                "max_n_chars": pd.Series(dtype="int64"),
+            }
+        )
+    comp = connected_components(
+        rd.from_pandas(pairs[["id_a", "id_b"]]), "id_a", "id_b"
+    )
+    # full membership (canonical maps to itself)
+    memb = dict(
+        zip(comp["node"].astype(int), comp["component"].astype(int))
+    )
+    member_ids = ray.put(pa.array(sorted(memb), pa.int64()))
+
+    def gather(t: pa.Table) -> pa.Table:
+        ids = ray.get(member_ids)
+        keep = pc.is_in(pc.cast(t["doc_id"], pa.int64()), value_set=ids)
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "source": t["source"],
+                "n_chars": pc.cast(t["n_chars"], pa.int64()),
+            }
+        )
+
+    meta = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "source", "n_chars"],
+        )
+        .map_batches(gather, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    meta["canonical"] = meta["doc_id"].map(memb).astype("int64")
+    rows = []
+    for canon, sub in meta.groupby("canonical", sort=True):
+        rows.append(
+            (
+                int(canon),
+                len(sub),
+                ",".join(sorted(set(sub["source"]))),
+                int(sub["n_chars"].max()),
+            )
+        )
+    return pd.DataFrame(rows, columns=cols).astype(
+        {"canonical": "int64", "n_members": "int64", "max_n_chars": "int64"}
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -14377,6 +14454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linear_attribution": q_linear_attribution,
         "pps_sample": q_pps_sample,
         "business_days_to_ship": q_business_days_to_ship,
+        "dedup_survivorship": q_dedup_survivorship,
     }
 
 
@@ -18324,5 +18402,38 @@ SELECT o_orderpriority, CAST(n AS BIGINT) AS n_lines,
        CAST((num - ((num % den) + den) % den) / den AS BIGINT)
          AS avg_bdays_ppm
 FROM nd ORDER BY o_orderpriority
+""",
+        "dedup_survivorship": """
+WITH RECURSIVE sh AS (
+  SELECT doc_id, list_distinct(
+    list_transform(range(1, len(ws) - 1),
+                   i -> ws[i] || chr(31) || ws[i+1] || chr(31) || ws[i+2])) AS s
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents)
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+    AND len(list_intersect(a.s, b.s)) * 1.0
+        / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+),
+d AS (
+  SELECT id_a AS x, id_b AS y FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach (x, y) AS (
+  SELECT x, y FROM d
+  UNION
+  SELECT r.x, d.y FROM reach r JOIN d ON r.y = d.x
+),
+memb AS (
+  SELECT x AS node, least(x, min(y)) AS canonical FROM reach GROUP BY x
+)
+SELECT CAST(m.canonical AS BIGINT) AS canonical,
+       CAST(count(*) AS BIGINT) AS n_members,
+       string_agg(DISTINCT doc.source, ',' ORDER BY doc.source) AS sources,
+       CAST(max(doc.n_chars) AS BIGINT) AS max_n_chars
+FROM memb m JOIN documents doc ON doc.doc_id = m.node
+GROUP BY m.canonical ORDER BY canonical
 """,
     }

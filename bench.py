@@ -262,6 +262,7 @@ BENCH_QUERIES = [
     "linear_attribution",  # multi-touch largest-remainder credit split
     "pps_sample",  # deterministic PPS systematic sample on global cumsum
     "business_days_to_ship",  # closed-form weekday arithmetic per priority
+    "dedup_survivorship",  # cluster-merge canonical records with source lineage
 ]
 
 

@@ -53,6 +53,7 @@ QUERIES = [
     "linear_attribution",
     "pps_sample",
     "business_days_to_ship",
+    "dedup_survivorship",
 ]
 
 
