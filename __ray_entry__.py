@@ -14206,6 +14206,220 @@ def q_dedup_survivorship(sf_dir: str):
     )
 
 
+ROLLING_DISTINCT_MAX_TYPES = 64
+
+
+def q_rolling_distinct_types(sf_dir: str):
+    """Per-event rolling COUNT(DISTINCT event_type) over the user's
+    last 24 h (SQL RANGE frame, peer-inclusive) — the windowed
+    DISTINCT aggregate, which no prefix-sum trick covers (distinct is
+    not subtractable).  Vectorized exact algorithm: sort each user
+    bucket once by (user, ts, event_id); for each of the ≤ 64 distinct
+    types (enum cardinality asserted loudly), a masked
+    ``np.maximum.accumulate`` over the composite key (user code × time
+    span) yields every row's most-recent sighting of that type, and the
+    window test is two integer compares — |types| linear passes, no
+    per-row loop, no pair expansion.  RANGE peer semantics (ties by ts
+    share one answer) resolve by evaluating at each (user, ts) run end
+    and broadcasting back over the run."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        collect_sorted,
+        resolve_num_buckets,
+        tag_bucket,
+    )
+
+    W = np.int64(24 * 3600 * 1_000_000)
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        ts = t["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        if pa.types.is_timestamp(ts.type) and ts.type.unit != "us":
+            ts = ts.cast(pa.timestamp("us"))
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "ts": ts.cast(pa.int64()),
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "event_type": t["event_type"],
+            }
+        )
+
+    proj = ev.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    nb = resolve_num_buckets(proj, floor=16)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return tag_bucket(t, "user_id", nb)
+
+    empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "event_id": pa.array([], pa.int64()),
+            "distinct_types_24h": pa.array([], pa.int64()),
+        }
+    )
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__b"])
+        if g.num_rows == 0:
+            return empty
+        users = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        et = g["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        tcodes_arr = et.dictionary_encode()
+        tcodes = tcodes_arr.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        n_types = len(tcodes_arr.dictionary)
+        if n_types > ROLLING_DISTINCT_MAX_TYPES:
+            raise ValueError(
+                f"rolling_distinct_types: {n_types} distinct types exceeds "
+                f"the {ROLLING_DISTINCT_MAX_TYPES}-pass bound — this "
+                "operator assumes enum-cardinality types"
+            )
+        tmin = np.int64(ts.min())
+        rel = ts - tmin
+        span = np.int64(int(rel.max()) + 2)
+        uniq, codes = np.unique(users, return_inverse=True)
+        if int(span) * len(uniq) >= 2**62:
+            raise ValueError(
+                "rolling_distinct_types: users x span exceeds int64 in "
+                "one bucket — raise num_buckets"
+            )
+        codes = codes.astype(np.int64)
+        order = np.lexsort((eid, rel, codes))
+        codes, rel, eid_s, tco, usr = (
+            codes[order],
+            rel[order],
+            eid[order],
+            tcodes[order],
+            users[order],
+        )
+        key = codes * span + rel
+        n = len(key)
+        count = np.zeros(n, dtype=np.int64)
+        NEG = np.int64(-1)
+        for tcode in range(n_types):
+            masked = np.where(tco == tcode, key, NEG)
+            last = np.maximum.accumulate(masked)
+            seen = last >= 0
+            same_user = (last // span) == codes
+            in_window = (last % span) >= (rel - W)
+            count += (seen & same_user & in_window).astype(np.int64)
+        # RANGE peer semantics: all rows of a (user, ts) run share the
+        # run-END answer (the accumulate has seen every peer there)
+        run_start = np.concatenate(
+            ([True], (codes[1:] != codes[:-1]) | (rel[1:] != rel[:-1]))
+        )
+        run_id = np.cumsum(run_start) - 1
+        run_end = np.concatenate((run_start[1:], [True]))
+        count = count[run_end][run_id]
+        return pa.table(
+            {
+                "user_id": pa.array(usr),
+                "event_id": pa.array(eid_s),
+                "distinct_types_24h": pa.array(count),
+            }
+        )
+
+    out = (
+        proj.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+    )
+    res = collect_sorted(out, ["user_id", "event_id"])
+    return res[["user_id", "event_id", "distinct_types_24h"]].astype(
+        {"user_id": "int64", "event_id": "int64", "distinct_types_24h": "int64"}
+    )
+
+
+def q_selfjoin_size(sf_dir: str):
+    """Exact SELF-JOIN SIZE (second frequency moment F2) of the user
+    distribution per event type — the statistic a join planner needs
+    to predict user⋈user blowup, and the quantity AMS sketches
+    estimate; here computed EXACTLY: Σ_u cnt(u)² per type, plus the
+    distinct-user count.  One hash-bucket exchange keyed by user (each
+    bucket owns its users' complete per-type counts, so cnt² folds
+    locally); #buckets × |types| int64 partials reach the driver."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        resolve_num_buckets,
+        tag_bucket,
+    )
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        d = et.dictionary_encode()
+        tc = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        u = (
+            pc.cast(t["user_id"], pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        nt = np.int64(len(d.dictionary))
+        uu, cc = np.unique(u * nt + tc, return_counts=True)
+        return pa.table(
+            {
+                "user_id": pa.array(uu // nt),
+                "event_type": d.dictionary.take(pa.array(uu % nt)),
+                "c": pa.array(cc.astype(np.int64)),
+            }
+        )
+
+    parts = ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    nb = resolve_num_buckets(parts)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return tag_bucket(t, "user_id", nb)
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        pdf = g.drop_columns(["__b"]).to_pandas()
+        cnt = (
+            pdf.groupby(["event_type", "user_id"], sort=True)["c"]
+            .sum()
+            .reset_index()
+        )
+        cnt["c2"] = cnt["c"] * cnt["c"]
+        out = (
+            cnt.groupby("event_type", sort=True)
+            .agg(n=("c", "sum"), users=("c", "count"), f2=("c2", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    pdf = (
+        parts.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    rows = []
+    for et, sub in pdf.groupby("event_type", sort=True):
+        rows.append(
+            (et, int(sub["n"].sum()), int(sub["users"].sum()), int(sub["f2"].sum()))
+        )
+    return pd.DataFrame(
+        rows, columns=["event_type", "n_events", "n_users", "selfjoin_size"]
+    ).astype({"n_events": "int64", "n_users": "int64", "selfjoin_size": "int64"})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -14455,6 +14669,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pps_sample": q_pps_sample,
         "business_days_to_ship": q_business_days_to_ship,
         "dedup_survivorship": q_dedup_survivorship,
+        "rolling_distinct_types": q_rolling_distinct_types,
+        "selfjoin_size": q_selfjoin_size,
     }
 
 
@@ -18435,5 +18651,24 @@ SELECT CAST(m.canonical AS BIGINT) AS canonical,
        CAST(max(doc.n_chars) AS BIGINT) AS max_n_chars
 FROM memb m JOIN documents doc ON doc.doc_id = m.node
 GROUP BY m.canonical ORDER BY canonical
+""",
+        "rolling_distinct_types": """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(event_id AS BIGINT) AS event_id,
+       CAST(count(DISTINCT event_type) OVER
+            (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 24 HOUR PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS distinct_types_24h
+FROM events ORDER BY user_id, event_id
+""",
+        "selfjoin_size": """
+WITH c AS (
+  SELECT event_type, user_id, count(*) AS n
+  FROM events GROUP BY event_type, user_id
+)
+SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(n * n) AS BIGINT) AS selfjoin_size
+FROM c GROUP BY event_type ORDER BY event_type
 """,
     }

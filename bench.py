@@ -263,6 +263,8 @@ BENCH_QUERIES = [
     "pps_sample",  # deterministic PPS systematic sample on global cumsum
     "business_days_to_ship",  # closed-form weekday arithmetic per priority
     "dedup_survivorship",  # cluster-merge canonical records with source lineage
+    "rolling_distinct_types",  # windowed COUNT DISTINCT, masked running-max passes
+    "selfjoin_size",  # exact F2 second frequency moment per event type
 ]
 
 

@@ -695,3 +695,29 @@ def test_fuzz_business_days(ray_session, tmp_path_factory, data):
     )
     _write(sf, "lineitem", _lineitem_table(li))
     _compare("business_days_to_ship", sf)
+
+
+@_fuzz
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 3),  # user
+            st.sampled_from(["a", "b", "c"]),
+            # gaps straddling the 24h RANGE edge exactly, plus 0 (ties)
+            st.sampled_from([0, 1, DAY_US - 1, DAY_US, DAY_US + 1]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_fuzz_rolling_distinct_types(ray_session, tmp_path_factory, data):
+    """Equal timestamps (RANGE peer semantics: every tie shares the
+    run-end answer), gaps exactly AT the 24h inclusive edge, types
+    leaving the window one at a time."""
+    sf = str(tmp_path_factory.mktemp("rdt"))
+    rows, t = [], {}
+    for i, (u, et, gap) in enumerate(data):
+        t[u] = t.get(u, 0) + gap
+        rows.append((i, t[u], u, et))
+    _write(sf, "events", _events_table(rows))
+    _compare("rolling_distinct_types", sf)

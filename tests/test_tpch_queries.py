@@ -54,6 +54,8 @@ QUERIES = [
     "pps_sample",
     "business_days_to_ship",
     "dedup_survivorship",
+    "rolling_distinct_types",
+    "selfjoin_size",
 ]
 
 
