@@ -265,6 +265,7 @@ BENCH_QUERIES = [
     "dedup_survivorship",  # cluster-merge canonical records with source lineage
     "rolling_distinct_types",  # windowed COUNT DISTINCT, masked running-max passes
     "selfjoin_size",  # exact F2 second frequency moment per event type
+    "conversion_lift",  # NTILE(10) gains table with exact-ppm conversion
 ]
 
 

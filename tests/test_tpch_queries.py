@@ -56,6 +56,7 @@ QUERIES = [
     "dedup_survivorship",
     "rolling_distinct_types",
     "selfjoin_size",
+    "conversion_lift",
 ]
 
 
