@@ -14528,6 +14528,31 @@ def q_conversion_lift(sf_dir: str):
     )
 
 
+def q_containment_pairs(sf_dir: str):
+    """Asymmetric CONTAINMENT near-dup pairs: doc pairs where
+    |A∩B| / min(|A|,|B|) ≥ 0.9 over df-capped word-3-grams — the
+    subset-duplication detector (a short doc pasted inside a long one)
+    that symmetric Jaccard structurally dilutes (union grows with the
+    big doc).  Same three-exchange exact miner as ngram_jaccard_pairs
+    (dedup/ngram.py) with the min-size denominator; exact integer test
+    inter·10 ≥ 9·min(sa,sb), score in exact millionths."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.dedup.ngram import ngram_jaccard_pairs
+    from etl_data_validation_kio_ray.pipelines.relational import collect_sorted
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return collect_sorted(
+        ngram_jaccard_pairs(
+            docs, k=3, df_cap=64, tau_num=9, tau_den=10,
+            measure="containment",
+        ),
+        ["doc_a", "doc_b"],
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -14780,6 +14805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_distinct_types": q_rolling_distinct_types,
         "selfjoin_size": q_selfjoin_size,
         "conversion_lift": q_conversion_lift,
+        "containment_pairs": q_containment_pairs,
     }
 
 
@@ -18801,5 +18827,33 @@ SELECT CAST(decile AS BIGINT) AS decile,
        CAST((CAST(sum(conv) AS HUGEINT) * 1000000) // count(*) AS BIGINT)
          AS conversion_ppm
 FROM t GROUP BY decile ORDER BY decile
+""",
+        "containment_pairs": r"""
+WITH words AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+), pos AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+  FROM words WHERE len(w) >= 3
+), grams AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM pos
+), df AS (
+  SELECT g, count(*) AS df FROM grams GROUP BY g
+), kept AS (
+  SELECT doc_id, g FROM grams JOIN df USING (g) WHERE df <= 64
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM kept GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+  FROM kept a JOIN kept b USING (g)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+       inter * 1000000 // least(sa.sz, sb.sz) AS cont_x1e6
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter * 10 >= 9 * least(sa.sz, sb.sz)
+ORDER BY doc_a, doc_b
 """,
     }

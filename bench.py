@@ -266,6 +266,7 @@ BENCH_QUERIES = [
     "rolling_distinct_types",  # windowed COUNT DISTINCT, masked running-max passes
     "selfjoin_size",  # exact F2 second frequency moment per event type
     "conversion_lift",  # NTILE(10) gains table with exact-ppm conversion
+    "containment_pairs",  # asymmetric subset-duplication pair mining
 ]
 
 

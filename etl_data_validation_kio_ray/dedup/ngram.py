@@ -316,6 +316,7 @@ def ngram_jaccard_pairs(
     tau_num: int = 1,
     tau_den: int = 2,
     num_partitions: int | None = None,
+    measure: str = "jaccard",
 ):
     """Exact n-gram-Jaccard near-duplicate pair mining — the third
     dedup family next to MinHash (probabilistic candidates) and exact
@@ -471,13 +472,14 @@ def ngram_jaccard_pairs(
         order = np.argsort(sdocs, kind="stable")
         sdocs, ssizes = sdocs[order], ssizes[order]
         pr = g.filter(pa.array(kind == 1))
+        out_score = "cont_x1e6" if measure == "containment" else "jac_x1e6"
         ecols = {
             "doc_a": pa.array([], pa.int64()),
             "doc_b": pa.array([], pa.int64()),
             "inter": pa.array([], pa.int64()),
             "size_a": pa.array([], pa.int64()),
             "size_b": pa.array([], pa.int64()),
-            "jac_x1e6": pa.array([], pa.int64()),
+            out_score: pa.array([], pa.int64()),
         }
         if not pr.num_rows:
             return pa.table(ecols)
@@ -494,9 +496,17 @@ def ngram_jaccard_pairs(
                 "bucket — routing invariant broken"
             )
         sb = ssizes[pos]
-        union = sa + sb - iv
-        keep = iv * np.int64(tau_den) >= np.int64(tau_num) * union
-        jac = iv[keep] * np.int64(1_000_000) // union[keep]
+        # measure denominator: union (Jaccard) or the SMALLER set
+        # (containment — catches a doc wholly embedded in a larger one,
+        # which symmetric Jaccard dilutes); both exact-int tests
+        if measure == "containment":
+            den = np.minimum(sa, sb)
+            score_col = "cont_x1e6"
+        else:
+            den = sa + sb - iv
+            score_col = "jac_x1e6"
+        keep = iv * np.int64(tau_den) >= np.int64(tau_num) * den
+        score = iv[keep] * np.int64(1_000_000) // den[keep]
         return pa.table(
             {
                 "doc_a": pa.array(av[keep]),
@@ -504,7 +514,7 @@ def ngram_jaccard_pairs(
                 "inter": pa.array(iv[keep]),
                 "size_a": pa.array(sa[keep]),
                 "size_b": pa.array(sb[keep]),
-                "jac_x1e6": pa.array(jac),
+                score_col: pa.array(score),
             }
         )
 
@@ -519,11 +529,12 @@ def ngram_jaccard_pairs(
     # the declared schema so callers always see the columns.
     import ray.data as rd
 
+    score_name = "cont_x1e6" if measure == "containment" else "jac_x1e6"
     seed = rd.from_arrow(
         pa.table(
             {
                 c: pa.array([], pa.int64())
-                for c in ("doc_a", "doc_b", "inter", "size_a", "size_b", "jac_x1e6")
+                for c in ("doc_a", "doc_b", "inter", "size_a", "size_b", score_name)
             }
         )
     )

@@ -57,6 +57,7 @@ QUERIES = [
     "rolling_distinct_types",
     "selfjoin_size",
     "conversion_lift",
+    "containment_pairs",
 ]
 
 
