@@ -14553,6 +14553,44 @@ def q_containment_pairs(sf_dir: str):
     )
 
 
+NUCLEUS_PS = [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
+
+
+def q_vocab_nucleus(sf_dir: str):
+    """Nucleus vocabulary coverage: for p ∈ {0.5, 0.9, 0.99}, the
+    MINIMAL number of distinct token ids (taken most-frequent-first,
+    ties by token asc) whose occurrences cover ≥ p of the corpus — the
+    head-heaviness fingerprint a tokenizer audit tracks (a shrinking
+    p99 vocab means the corpus is collapsing onto boilerplate).  Exact
+    integers: the coverage test is cum·den ≥ num·N (no division), and
+    the achieved coverage reports in exact ppm.  Counts resolve
+    distributed (per-batch collapse → one vocab-bounded exchange);
+    only ≤ VOCAB total-count rows reach the driver (the documented
+    vocab-bounded cap, as in zipf_fit), where the sort + cumsum is
+    O(V log V)."""
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        bucketed_group_agg,
+    )
+
+    parts = _source_token_counts(sf_dir).map_batches(
+        lambda t: t.select(["token", "c"]), batch_format="pyarrow"
+    )
+    pdf = bucketed_group_agg(parts, "token", [("c", "sum")]).to_pandas()
+    pdf = pdf.sort_values(["c", "token"], ascending=[False, True])
+    cum = pdf["c"].to_numpy(np.int64).cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    rows = []
+    for label, num, den in NUCLEUS_PS:
+        if n == 0:
+            rows.append((label, 0, 0))
+            continue
+        idx = int(np.searchsorted(cum * den, num * n, side="left"))
+        rows.append((label, idx + 1, int(cum[idx]) * 1_000_000 // n))
+    return pd.DataFrame(
+        rows, columns=["p", "tokens_needed", "coverage_ppm"]
+    ).astype({"tokens_needed": "int64", "coverage_ppm": "int64"})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -14806,6 +14844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "selfjoin_size": q_selfjoin_size,
         "conversion_lift": q_conversion_lift,
         "containment_pairs": q_containment_pairs,
+        "vocab_nucleus": q_vocab_nucleus,
     }
 
 
@@ -18855,5 +18894,27 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE inter * 10 >= 9 * least(sa.sz, sb.sz)
 ORDER BY doc_a, doc_b
+""",
+        "vocab_nucleus": f"""
+WITH {TOKENIZE_CTE},
+flat AS (SELECT unnest(tokens) AS token FROM tok),
+cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS c
+        FROM flat GROUP BY token),
+cum AS (
+  SELECT token, c,
+         sum(CAST(c AS HUGEINT)) OVER
+           (ORDER BY c DESC, token ROWS UNBOUNDED PRECEDING) AS cm,
+         row_number() OVER (ORDER BY c DESC, token) AS rn
+  FROM cnt
+),
+tot AS (SELECT sum(CAST(c AS HUGEINT)) AS n FROM cnt),
+ps(p, num, den) AS (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100))
+SELECT ps.p,
+       CAST(min(cum.rn) AS BIGINT) AS tokens_needed,
+       CAST((min(cum.cm * 1000000) // tot.n) AS BIGINT) AS coverage_ppm
+FROM ps, tot, cum
+WHERE cum.cm * ps.den >= ps.num * tot.n
+GROUP BY ps.p, tot.n
+ORDER BY ps.p
 """,
     }

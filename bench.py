@@ -267,6 +267,7 @@ BENCH_QUERIES = [
     "selfjoin_size",  # exact F2 second frequency moment per event type
     "conversion_lift",  # NTILE(10) gains table with exact-ppm conversion
     "containment_pairs",  # asymmetric subset-duplication pair mining
+    "vocab_nucleus",  # minimal top-p vocabulary coverage fingerprint
 ]
 
 

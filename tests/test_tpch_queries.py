@@ -58,6 +58,7 @@ QUERIES = [
     "selfjoin_size",
     "conversion_lift",
     "containment_pairs",
+    "vocab_nucleus",
 ]
 
 
