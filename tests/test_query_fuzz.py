@@ -721,3 +721,87 @@ def test_fuzz_rolling_distinct_types(ray_session, tmp_path_factory, data):
         rows.append((i, t[u], u, et))
     _write(sf, "events", _events_table(rows))
     _compare("rolling_distinct_types", sf)
+
+
+@_fuzz
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 11),  # user (close to the 10-tile count)
+            st.sampled_from(["view", "purchase"]),
+            st.sampled_from([0, 100, 100, 2500]),  # tie-heavy cents
+        ),
+        min_size=1,
+        max_size=35,
+    )
+)
+def test_fuzz_conversion_lift(ray_session, tmp_path_factory, data):
+    """Fewer users than tiles, view-cents ties at NTILE boundaries
+    (user_id tiebreak), purchase-only users (view_cents 0)."""
+    sf = str(tmp_path_factory.mktemp("lift"))
+    rows, vals = [], []
+    for i, (u, et, cents) in enumerate(data):
+        rows.append((i, i * 1000, u, et))
+        vals.append(cents / 100.0)
+    tbl = _events_table(rows)
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("value"),
+        "value",
+        pa.array(vals, pa.float64()),
+    )
+    _write(sf, "events", tbl)
+    _compare("conversion_lift", sf)
+
+
+@_fuzz
+@given(
+    texts=st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from(["a", "bb", "ccc", "dddd", "ee"]),
+                min_size=0,
+                max_size=20,
+            ).map(" ".join),
+            st.sampled_from(["s1", "s2"]),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_fuzz_containment_and_nucleus(ray_session, tmp_path_factory, texts):
+    """Identical docs (containment exactly 1), docs shorter than 3
+    words (no grams), subset docs (prefix of a longer doc — the case
+    containment catches and Jaccard misses), single-token corpora
+    (nucleus p50 = 1 token at 100% coverage)."""
+    sf = str(tmp_path_factory.mktemp("contnuc"))
+    _write(sf, "documents", _documents_table(texts))
+    _compare("containment_pairs", sf)
+    _compare("vocab_nucleus", sf)
+
+
+@_fuzz
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 4),  # user (hot keys)
+            st.sampled_from(["a", "b"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_fuzz_selfjoin_and_median3(ray_session, tmp_path_factory, data):
+    """Single-event users (F2 contribution 1, median3 drops them),
+    two-event users (median3 still drops), value ties in the frame."""
+    sf = str(tmp_path_factory.mktemp("f2med"))
+    rows = [(i, i * 7_000_000, u, et) for i, (u, et) in enumerate(data)]
+    tbl = _events_table(rows)
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("value"),
+        "value",
+        pa.array([((i * 37) % 5) / 100.0 for i in range(len(data))],
+                 pa.float64()),
+    )
+    _write(sf, "events", tbl)
+    _compare("selfjoin_size", sf)
+    _compare("rolling_median3", sf)
