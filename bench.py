@@ -268,6 +268,7 @@ BENCH_QUERIES = [
     "conversion_lift",  # NTILE(10) gains table with exact-ppm conversion
     "containment_pairs",  # asymmetric subset-duplication pair mining
     "vocab_nucleus",  # minimal top-p vocabulary coverage fingerprint
+    "ks_even_odd",  # exact rational two-sample KS statistic
 ]
 
 

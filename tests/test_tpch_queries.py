@@ -59,6 +59,7 @@ QUERIES = [
     "conversion_lift",
     "containment_pairs",
     "vocab_nucleus",
+    "ks_even_odd",
 ]
 
 
