@@ -14642,6 +14642,59 @@ def q_ks_even_odd(sf_dir: str):
     )
 
 
+def q_mannwhitney_even_odd(sf_dir: str):
+    """EXACT Mann-Whitney U (rank-sum) between even- and odd-doc_id
+    n_chars — the second exact two-sample test next to ks_even_odd,
+    and the one whose normalized form IS the AUC: U/(n1·n2) =
+    P(X₁ > X₂) + ½P(X₁ = X₂).  Tie handling is exact by DOUBLING:
+    2·midrank(v) = 2·cum_before(v) + cnt(v) + 1 is always an integer,
+    so R1·2 = Σ_v cnt1(v)·midrank2(v), U1·2 = R1·2 − n1(n1+1), and
+    auc_ppm = U1·2·1e6 // (2·n1·n2) are all integer on both engines —
+    no fractional midranks, no float.  Same value-keyed grouped
+    exchange as KS (domain-bounded distinct values), driver cumsums."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "v": pc.cast(t["n_chars"], pa.int64()),
+                "even": pc.cast(
+                    pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0), pa.int64()
+                ),
+                "odd": pc.cast(
+                    pc.equal(pc.bit_wise_and(t["doc_id"], 1), 1), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    pdf = grouped_agg(
+        docs, ["v"], {"c1": ("even", "sum"), "c2": ("odd", "sum")}
+    ).sort_values("v")
+    c1 = pdf["c1"].to_numpy(np.int64)
+    c2 = pdf["c2"].to_numpy(np.int64)
+    call = c1 + c2
+    cum_before = np.concatenate(([0], call.cumsum()[:-1]))
+    midrank2 = 2 * cum_before + call + 1
+    n1, n2 = int(c1.sum()), int(c2.sum())
+    if n1 == 0 or n2 == 0:
+        raise ValueError("mannwhitney_even_odd: one split is empty")
+    r1_2 = int((c1 * midrank2).sum())
+    u1_2 = r1_2 - n1 * (n1 + 1)
+    return pd.DataFrame(
+        {
+            "n_even": [np.int64(n1)],
+            "n_odd": [np.int64(n2)],
+            "u2": [np.int64(u1_2)],
+            "auc_ppm": [np.int64(u1_2 * 1_000_000 // (2 * n1 * n2))],
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -14897,6 +14950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": q_containment_pairs,
         "vocab_nucleus": q_vocab_nucleus,
         "ks_even_odd": q_ks_even_odd,
+        "mannwhitney_even_odd": q_mannwhitney_even_odd,
     }
 
 
@@ -18993,5 +19047,28 @@ SELECT CAST(n.n1 AS BIGINT) AS n_even, CAST(n.n2 AS BIGINT) AS n_odd,
        CAST((d.num_max * 1000000) // (CAST(n.n1 AS HUGEINT) * n.n2)
             AS BIGINT) AS ks_ppm
 FROM d, n
+""",
+        "mannwhitney_even_odd": """
+WITH c AS (
+  SELECT CAST(n_chars AS BIGINT) AS v,
+         sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS c2
+  FROM documents GROUP BY v
+),
+m AS (
+  SELECT v, c1, c2,
+         2 * COALESCE(sum(c1 + c2) OVER
+             (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING), 0)
+           + (c1 + c2) + 1 AS midrank2
+  FROM c
+),
+n AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM c),
+s AS (SELECT sum(CAST(c1 AS HUGEINT) * midrank2) AS r1_2 FROM m)
+SELECT CAST(n.n1 AS BIGINT) AS n_even, CAST(n.n2 AS BIGINT) AS n_odd,
+       CAST(s.r1_2 - CAST(n.n1 AS HUGEINT) * (n.n1 + 1) AS BIGINT) AS u2,
+       CAST(((s.r1_2 - CAST(n.n1 AS HUGEINT) * (n.n1 + 1)) * 1000000)
+            // (2 * CAST(n.n1 AS HUGEINT) * n.n2) AS BIGINT) AS auc_ppm
+FROM s, n
 """,
     }

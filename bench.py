@@ -269,6 +269,7 @@ BENCH_QUERIES = [
     "containment_pairs",  # asymmetric subset-duplication pair mining
     "vocab_nucleus",  # minimal top-p vocabulary coverage fingerprint
     "ks_even_odd",  # exact rational two-sample KS statistic
+    "mannwhitney_even_odd",  # exact U/AUC with doubled-integer midranks
 ]
 
 

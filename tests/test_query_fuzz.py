@@ -805,3 +805,31 @@ def test_fuzz_selfjoin_and_median3(ray_session, tmp_path_factory, data):
     _write(sf, "events", tbl)
     _compare("selfjoin_size", sf)
     _compare("rolling_median3", sf)
+
+
+@_fuzz
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 30),  # doc parity decided by index
+            st.integers(1, 6),  # n_chars value (tie-HEAVY tiny domain)
+        ),
+        min_size=2,
+        max_size=40,
+    ).filter(lambda d: len(d) >= 2)
+)
+def test_fuzz_twosample_tests(ray_session, tmp_path_factory, data):
+    """Tie-heavy tiny value domains (midrank doubling exactness),
+    identical distributions (KS numerator 0, AUC exactly 1/2 on
+    symmetric splits), single-value corpora."""
+    sf = str(tmp_path_factory.mktemp("twosamp"))
+    texts = [("w", "s1") for _ in data]
+    t = _documents_table(texts)
+    t = t.set_column(
+        t.schema.get_field_index("n_chars"),
+        "n_chars",
+        pa.array([v for _x, v in data], pa.int64()),
+    )
+    _write(sf, "documents", t)
+    _compare("ks_even_odd", sf)
+    _compare("mannwhitney_even_odd", sf)

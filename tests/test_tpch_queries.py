@@ -60,6 +60,7 @@ QUERIES = [
     "containment_pairs",
     "vocab_nucleus",
     "ks_even_odd",
+    "mannwhitney_even_odd",
 ]
 
 
