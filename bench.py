@@ -270,6 +270,7 @@ BENCH_QUERIES = [
     "vocab_nucleus",  # minimal top-p vocabulary coverage fingerprint
     "ks_even_odd",  # exact rational two-sample KS statistic
     "mannwhitney_even_odd",  # exact U/AUC with doubled-integer midranks
+    "tv_distance_by_source",  # bit-exact integer total-variation drift
 ]
 
 

@@ -61,6 +61,7 @@ QUERIES = [
     "vocab_nucleus",
     "ks_even_odd",
     "mannwhitney_even_odd",
+    "tv_distance_by_source",
 ]
 
 
