@@ -271,6 +271,7 @@ BENCH_QUERIES = [
     "ks_even_odd",  # exact rational two-sample KS statistic
     "mannwhitney_even_odd",  # exact U/AUC with doubled-integer midranks
     "tv_distance_by_source",  # bit-exact integer total-variation drift
+    "overrepresented_tokens",  # per-source top-k signed-deviation tokens
 ]
 
 

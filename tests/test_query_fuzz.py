@@ -514,6 +514,7 @@ def test_fuzz_token_distribution(ray_session, tmp_path_factory, texts):
     _compare("zipf_fit", sf)
     _compare("bigram_novelty", sf)
     _compare("tv_distance_by_source", sf)
+    _compare("overrepresented_tokens", sf)
 
 
 @_fuzz

@@ -62,6 +62,7 @@ QUERIES = [
     "ks_even_odd",
     "mannwhitney_even_odd",
     "tv_distance_by_source",
+    "overrepresented_tokens",
 ]
 
 
