@@ -14879,6 +14879,522 @@ def q_overrepresented_tokens(sf_dir: str):
     )
 
 
+def q_skyline_parts(sf_dir: str):
+    """2-D SKYLINE (Pareto frontier) over the part catalog: parts for
+    which no other part is both cheaper and larger — the classic
+    dominance query (Börzsönyi et al., ICDE 2001) a curation pipeline
+    runs to pick 'best value for its class' exemplars. Scale shape:
+    each block emits its LOCAL frontier (a global skyline row survives
+    its own block by definition), the driver re-runs the same sort +
+    running-max kernel on the #blocks × frontier-size union — gather
+    is loud-capped, never silently truncated. Exact integer cents; ties
+    (same price AND size) do not dominate each other. Reference analog:
+    the 'best per group' top-1 selections
+    (/root/reference/src/app2/validators/dds/player_suite/top_scorer.py)
+    generalized to two-criteria dominance."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import skyline_2d
+
+    parts = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_size", "p_retailprice"],
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": pc.cast(t["p_partkey"], pa.int64()),
+                "size": pc.cast(t["p_size"], pa.int64()),
+                "price_c": pc.cast(
+                    pc.round(pc.multiply(t["p_retailprice"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    sky = skyline_2d(
+        parts.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True),
+        "price_c",
+        "size",
+    )
+    if sky.empty:
+        return pd.DataFrame(
+            {
+                "p_partkey": pd.Series([], dtype="int64"),
+                "size": pd.Series([], dtype="int64"),
+                "price_c": pd.Series([], dtype="int64"),
+            }
+        )
+    return (
+        sky.sort_values(["price_c", "size", "p_partkey"], kind="mergesort")
+        .reset_index(drop=True)[["p_partkey", "size", "price_c"]]
+        .astype("int64")
+    )
+
+
+def q_open_order_concurrency(sf_dir: str):
+    """PEAK CONCURRENCY sweep-line over order fulfillment intervals
+    [o_orderdate, max(l_shipdate)]: the maximum number of orders
+    simultaneously open, and the first day that peak is reached — the
+    interval-overlap aggregate behind capacity planning. Scale shape:
+    one tagged-union co-group on orderkey (order start rows + per-batch
+    pre-collapsed lineitem ship-day maxima) emits per-bucket
+    (day, ±1) DELTA partials; the global exchange then moves only
+    #buckets × #distinct-days rows, and the prefix-sum sweep runs on
+    the bounded day axis at the driver. Orders with no lineitem are
+    excluded (no end ⇒ no interval)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        resolve_num_buckets,
+        tag_bucket,
+    )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"],
+    )
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"],
+    )
+    us_per_day = np.int64(86_400_000_000)
+
+    def o_proj(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["o_orderdate"], pa.int64()), us_per_day)
+        return pa.table(
+            {
+                "okey": pc.cast(t["o_orderkey"], pa.int64()),
+                "d0": day,
+                "d1": pa.nulls(t.num_rows, pa.int64()),
+            }
+        )
+
+    def l_proj(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["l_shipdate"], pa.int64()), us_per_day)
+        g = (
+            pa.table({"okey": pc.cast(t["l_orderkey"], pa.int64()), "d": day})
+            .group_by("okey")
+            .aggregate([("d", "max")])
+        )
+        return pa.table(
+            {
+                "okey": g["okey"],
+                "d0": pa.nulls(g.num_rows, pa.int64()),
+                "d1": g["d_max"],
+            }
+        )
+
+    both = orders.map_batches(
+        o_proj, batch_format="pyarrow", zero_copy_batch=True
+    ).union(li.map_batches(l_proj, batch_format="pyarrow", zero_copy_batch=True))
+    nb = resolve_num_buckets(both)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return tag_bucket(t, "okey", nb)
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        pdf = g.drop_columns(["__b"]).to_pandas()
+        agg = pdf.groupby("okey").agg(d0=("d0", "max"), d1=("d1", "max"))
+        agg = agg.dropna()
+        if agg.empty:
+            return pa.table(
+                {
+                    "day": pa.array([], pa.int64()),
+                    "delta": pa.array([], pa.int64()),
+                    "n_orders": pa.array([], pa.int64()),
+                }
+            )
+        starts = agg["d0"].astype(np.int64).value_counts()
+        ends = (agg["d1"].astype(np.int64) + 1).value_counts()
+        # zero-sum days are KEPT (they exist in the SQL twin's GROUP BY
+        # axis and can decide peak_day when the whole series sums to 0)
+        delta = starts.sub(ends, fill_value=0).astype(np.int64)
+        n = len(delta)
+        n_orders_col = np.zeros(n, dtype=np.int64)
+        n_orders_col[0] = len(agg)  # n >= 1: a non-empty agg has a start day
+        return pa.table(
+            {
+                "day": pa.array(delta.index.to_numpy(np.int64)),
+                "delta": pa.array(delta.to_numpy(np.int64)),
+                "n_orders": pa.array(n_orders_col),
+            }
+        )
+
+    pdf = (
+        both.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if pdf.empty:
+        return pd.DataFrame(
+            {
+                "n_orders": pd.Series([0], dtype="int64"),
+                "peak": pd.Series([0], dtype="int64"),
+                "peak_day": pd.Series([0], dtype="int64"),
+            }
+        )
+    n_orders = int(pdf["n_orders"].sum())
+    byday = (
+        pdf.groupby("day")["delta"].sum().sort_index()
+    )
+    running = byday.cumsum()
+    peak = int(running.max())
+    peak_day = int(running.index[running.to_numpy() == peak][0])
+    return pd.DataFrame(
+        {
+            "n_orders": pd.Series([n_orders], dtype="int64"),
+            "peak": pd.Series([peak], dtype="int64"),
+            "peak_day": pd.Series([peak_day], dtype="int64"),
+        }
+    )
+
+
+PAD_MIN_BUCKET = 16
+
+
+def q_padding_waste(sf_dir: str):
+    """LLM batching PADDING-WASTE audit per source: pad each sequence
+    to the next power-of-two length bucket (floor 16) — the bucketed
+    batching strategy serving/training stacks use — and report how many
+    pad tokens that costs. Pure per-batch arithmetic + one tiny grouped
+    exchange of (source) partials; the power-of-two bucket is exact
+    integer bit math on BOTH engines (np.searchsorted over powers here,
+    1 << length(bin(n-1)) in SQL), no float log2."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    tok_dir = _token_table_dir(sf_dir)
+    ds = rd.read_parquet(tok_dir, columns=["source", "n_tok"])
+    powers = (2 ** np.arange(4, 32)).astype(np.int64)
+
+    def pre(t: pa.Table) -> pa.Table:
+        n = t["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = powers[np.searchsorted(powers, n, side="left")]
+        return pa.table(
+            {
+                "source": t["source"],
+                "n_tok": pa.array(n),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    agg = grouped_agg(
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"],
+        {
+            "n_docs": ("n_tok", "count"),
+            "tokens": ("n_tok", "sum"),
+            "padded": ("bucket", "sum"),
+        },
+    )
+    agg = agg.sort_values("source", kind="mergesort").reset_index(drop=True)
+    waste = agg["padded"].astype("int64") - agg["tokens"].astype("int64")
+    agg["waste_ppm"] = (
+        waste * 1_000_000 // agg["padded"].astype("int64")
+    ).astype("int64")
+    for c in ("n_docs", "tokens", "padded"):
+        agg[c] = agg[c].astype("int64")
+    return agg[["source", "n_docs", "tokens", "padded", "waste_ppm"]]
+
+
+BURSTINESS_TOP_K = 10
+
+
+def q_token_burstiness(sf_dir: str):
+    """Per-token BURSTINESS (Fano factor) of the top-K corpus tokens:
+    variance-to-mean ratio of the per-document count, zeros included —
+    F = (D·Σx² − C²) / (D·C) — the statistic that separates bursty
+    content words (F ≫ 1) from evenly spread function words (F ≈ 1)
+    (Church & Gale, 1995). Exact integer end to end: pass 1 resolves
+    corpus token totals on the existing partial-count kernel and takes
+    top-K at the driver (≤ |vocab| rows); pass 2 broadcasts the K
+    token ids and folds per-batch (df, Σx²) partials — docs never span
+    batches, so per-doc counts close per batch. The driver fold runs
+    on arbitrary-precision Python ints (no overflow); the per-batch
+    Σx² partial is int64-safe for any doc under ~3e9 tokens. The ppm
+    floor-division numerator is ≥ 0 (Cauchy-Schwarz), so // agrees
+    across engines."""
+    parts = _source_token_counts(sf_dir)
+    totals = (
+        parts.map_batches(
+            lambda t: t.select(["token", "c"]), batch_format="pyarrow"
+        )
+        .groupby("token")
+        .sum("c")
+        .to_pandas()
+    )
+    if totals.empty:
+        return pd.DataFrame(
+            {
+                "token": pd.Series([], dtype="int64"),
+                "c": pd.Series([], dtype="int64"),
+                "df": pd.Series([], dtype="int64"),
+                "fano_ppm": pd.Series([], dtype="int64"),
+            }
+        )
+    totals = totals.rename(columns={"sum(c)": "c"}).sort_values(
+        ["c", "token"], ascending=[False, True], kind="mergesort"
+    )
+    top = totals.head(BURSTINESS_TOP_K).reset_index(drop=True)
+    topk = top["token"].to_numpy(np.int64)
+    c_tot = {int(t): int(c) for t, c in zip(top["token"], top["c"])}
+
+    import ray.data as rd
+
+    tok_dir = _token_table_dir(sf_dir)
+    ds = rd.read_parquet(tok_dir, columns=["tokens"])
+    k = len(topk)
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        offs = np.asarray(col.offsets, dtype=np.int64)
+        offs = offs - offs[0]
+        doc_idx = np.repeat(
+            np.arange(t.num_rows, dtype=np.int64), np.diff(offs)
+        )
+        pos = np.searchsorted(np.sort(topk), flat)
+        pos = np.clip(pos, 0, k - 1)
+        hit = np.sort(topk)[pos] == flat
+        key = doc_idx[hit] * np.int64(k) + pos[hit]
+        u, x = np.unique(key, return_counts=True)
+        tok_i = np.sort(topk)[(u % np.int64(k)).astype(np.int64)]
+        x = x.astype(np.int64)
+        g = pd.DataFrame({"token": tok_i, "df": 1, "sx2": x * x})
+        out = g.groupby("token", sort=True).agg(
+            df=("df", "sum"), sx2=("sx2", "sum")
+        )
+        if out.empty:
+            # doc-count carrier row; token -1 is outside the vocab and
+            # is never read back (the driver folds only top-K tokens)
+            return pa.table(
+                {
+                    "token": pa.array([np.int64(-1)]),
+                    "df": pa.array([np.int64(0)]),
+                    "sx2": pa.array([np.int64(0)]),
+                    "n_docs": pa.array([np.int64(t.num_rows)]),
+                }
+            )
+        n_docs_col = np.zeros(len(out), dtype=np.int64)
+        n_docs_col[0] = t.num_rows
+        return pa.table(
+            {
+                "token": pa.array(out.index.to_numpy(np.int64)),
+                "df": pa.array(out["df"].to_numpy(np.int64)),
+                "sx2": pa.array(out["sx2"].to_numpy(np.int64)),
+                "n_docs": pa.array(n_docs_col),
+            }
+        )
+
+    pdf = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    d_docs = int(pdf["n_docs"].sum()) if not pdf.empty else 0
+    agg = (
+        pdf.groupby("token").agg(df=("df", "sum"), sx2=("sx2", "sum"))
+        if not pdf.empty
+        else pd.DataFrame(columns=["df", "sx2"])
+    )
+    rows = []
+    for tok in topk:
+        c = c_tot[int(tok)]
+        df_t = int(agg.loc[tok, "df"]) if tok in agg.index else 0
+        sx2 = int(agg.loc[tok, "sx2"]) if tok in agg.index else 0
+        num = (d_docs * sx2 - c * c) * 1_000_000
+        den = d_docs * c
+        rows.append((int(tok), c, df_t, num // den if den else 0))
+    out = pd.DataFrame(rows, columns=["token", "c", "df", "fano_ppm"])
+    return out.astype("int64")
+
+
+INCLUSION_PAIRS = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    # negative control: p_size is NOT a foreign key into nation
+    ("part", "p_size", "nation", "n_nationkey"),
+]
+
+
+def q_inclusion_deps(sf_dir: str):
+    """INCLUSION-DEPENDENCY (foreign-key discovery) profile: for each
+    candidate (child.column ⊆ parent.column) pair, the distinct child
+    key count, how many of those keys exist in the parent, and the
+    containment ratio — the schema-profiling step that validates or
+    discovers referential structure (SURVEY.md §2.4's referential
+    checks, generalized to a discovery scan; reference analog
+    /root/reference/src/app2/validators/dds/source_suite/matches_source.py:18-52).
+    Each pair is ONE hash-bucket exchange of per-batch-deduped keys
+    emitting two COUNTS per bucket (relational.key_containment) — no
+    key list ever rides the driver, so a badly-contained pair costs
+    the same as a perfect one. Includes a deliberate negative control
+    pair (part.p_size ⊄ nation.n_nationkey)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        key_containment,
+    )
+
+    rows = []
+    for child_t, child_c, parent_t, parent_c in INCLUSION_PAIRS:
+        child = rd.read_parquet(
+            os.path.join(sf_dir, f"{child_t}.parquet"), columns=[child_c]
+        )
+        parent = rd.read_parquet(
+            os.path.join(sf_dir, f"{parent_t}.parquet"), columns=[parent_c]
+        )
+        n_child, n_cont = key_containment(child, parent, child_c, parent_c)
+        ppm = n_cont * 1_000_000 // n_child if n_child else 1_000_000
+        rows.append(
+            (
+                f"{child_t}.{child_c}",
+                f"{parent_t}.{parent_c}",
+                n_child,
+                n_cont,
+                ppm,
+            )
+        )
+    out = pd.DataFrame(
+        rows,
+        columns=[
+            "child",
+            "parent",
+            "n_child_distinct",
+            "n_contained",
+            "containment_ppm",
+        ],
+    ).sort_values("child", kind="mergesort").reset_index(drop=True)
+    for c in ("n_child_distinct", "n_contained", "containment_ppm"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def q_dow_revenue_share(sf_dir: str):
+    """Day-of-week SEASONALITY profile of order revenue: ISO weekday →
+    order count, exact revenue cents, and each weekday's share of total
+    revenue in ppm — the calendar-profile check a freshness/load
+    monitor runs to learn the weekly traffic shape. One grouped
+    exchange on the 7-row weekday axis; the weekday is computed from
+    epoch days as (days+3) % 7 + 1, which equals DuckDB's isodow
+    (1970-01-01 was a Thursday = 4) — pure integer arithmetic, no
+    calendar library in the hot path."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderdate", "o_totalprice"],
+    )
+    us_per_day = np.int64(86_400_000_000)
+
+    def pre(t: pa.Table) -> pa.Table:
+        days = pc.divide(pc.cast(t["o_orderdate"], pa.int64()), us_per_day)
+        d = days.to_numpy(zero_copy_only=False).astype(np.int64)
+        dow = (d + 3) % 7 + 1
+        cents = pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
+        )
+        return pa.table({"dow": pa.array(dow), "c": cents})
+
+    agg = grouped_agg(
+        orders.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True),
+        ["dow"],
+        {"n_orders": ("c", "count"), "rev_c": ("c", "sum")},
+    )
+    agg = agg.sort_values("dow", kind="mergesort").reset_index(drop=True)
+    total = int(agg["rev_c"].astype("int64").sum()) if not agg.empty else 0
+    agg["share_ppm"] = (
+        (agg["rev_c"].astype("int64") * 1_000_000 // total).astype("int64")
+        if total
+        else np.int64(0)
+    )
+    for c in ("dow", "n_orders", "rev_c"):
+        agg[c] = agg[c].astype("int64")
+    return agg[["dow", "n_orders", "rev_c", "share_ppm"]]
+
+
+def q_revenue_autocorr(sf_dir: str):
+    """LAG-1 AUTOCORRELATION of the daily revenue series — the
+    time-series self-similarity check behind anomaly baselines
+    (adjacent days in the ordered daily series, calendar gaps skipped,
+    matching SQL LEAD over the day axis). The cluster does one grouped
+    exchange to exact per-day cents (bounded by the date span); the
+    Pearson formula then runs on EXACT integer sums at the driver, and
+    the final float expression — num / sqrt(vx) / sqrt(vy), each
+    operand an exactly-converted integer — is quantized
+    floor(r·1e6 + 0.5) on BOTH engines (the kl_by_source convention: a
+    raw DOUBLE column measured 3.5e-18 apart across engines — HUGEINT
+    vs Python-int conversion ULP — so the micro-unit form, five
+    trillion quanta coarser, is the published one). Zero variance or
+    < 2 days ⇒ defined = 0, r_ppm = 0 (no NULLs: dtype stays int64)."""
+    import math
+
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderdate", "o_totalprice"],
+    )
+    us_per_day = np.int64(86_400_000_000)
+
+    def pre(t: pa.Table) -> pa.Table:
+        days = pc.divide(pc.cast(t["o_orderdate"], pa.int64()), us_per_day)
+        cents = pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
+        )
+        return pa.table({"day": days, "c": cents})
+
+    agg = grouped_agg(
+        orders.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True),
+        ["day"],
+        {"rev": ("c", "sum")},
+    )
+    agg = agg.sort_values("day", kind="mergesort")
+    rev = [int(v) for v in agg["rev"]]
+    if len(rev) < 2:
+        return pd.DataFrame(
+            {
+                "n_pairs": pd.Series([0], dtype="int64"),
+                "defined": pd.Series([0], dtype="int64"),
+                "r_ppm": pd.Series([0], dtype="int64"),
+            }
+        )
+    xs, ys = rev[:-1], rev[1:]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(v * v for v in xs)
+    syy = sum(v * v for v in ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    num = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    if vx > 0 and vy > 0:
+        r = float(num) / math.sqrt(float(vx)) / math.sqrt(float(vy))
+        defined, r_ppm = 1, math.floor(r * 1_000_000 + 0.5)
+    else:
+        defined, r_ppm = 0, 0
+    return pd.DataFrame(
+        {
+            "n_pairs": pd.Series([n], dtype="int64"),
+            "defined": pd.Series([defined], dtype="int64"),
+            "r_ppm": pd.Series([r_ppm], dtype="int64"),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -15137,6 +15653,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mannwhitney_even_odd": q_mannwhitney_even_odd,
         "tv_distance_by_source": q_tv_distance_by_source,
         "overrepresented_tokens": q_overrepresented_tokens,
+        # --- round-4 session 16 ---
+        "skyline_parts": q_skyline_parts,
+        "open_order_concurrency": q_open_order_concurrency,
+        "padding_waste": q_padding_waste,
+        "token_burstiness": q_token_burstiness,
+        "inclusion_deps": q_inclusion_deps,
+        "dow_revenue_share": q_dow_revenue_share,
+        "revenue_autocorr": q_revenue_autocorr,
     }
 
 
@@ -19301,5 +19825,157 @@ SELECT source, CAST(rank AS BIGINT) AS rank,
        CAST(dev AS BIGINT) AS dev
 FROM r WHERE rank <= {OVERREP_TOP_K}
 ORDER BY source, rank
+""",
+        "skyline_parts": r"""
+WITH p AS (
+  SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+         CAST(p_size AS BIGINT) AS size,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS price_c
+  FROM part
+)
+SELECT p_partkey, size, price_c FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.price_c <= a.price_c AND b.size >= a.size
+    AND (b.price_c < a.price_c OR b.size > a.size)
+)
+ORDER BY price_c, size, p_partkey
+""",
+        "open_order_concurrency": r"""
+WITH span AS (
+  SELECT o.o_orderkey,
+         CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS d0,
+         CAST(MAX(CAST(l.l_shipdate AS DATE)) - DATE '1970-01-01' AS BIGINT)
+           AS d1
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate
+),
+delta AS (
+  SELECT d0 AS day, 1 AS dl FROM span
+  UNION ALL
+  SELECT d1 + 1 AS day, -1 AS dl FROM span
+),
+byday AS (SELECT day, SUM(dl) AS dl FROM delta GROUP BY day),
+run AS (SELECT day, SUM(dl) OVER (ORDER BY day) AS open FROM byday),
+best AS (
+  SELECT CAST(open AS BIGINT) AS peak, CAST(day AS BIGINT) AS peak_day
+  FROM run ORDER BY open DESC, day LIMIT 1
+)
+SELECT s.n_orders, COALESCE(best.peak, 0) AS peak,
+       COALESCE(best.peak_day, 0) AS peak_day
+FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_orders FROM span) s
+LEFT JOIN best ON TRUE
+""",
+        "padding_waste": f"""
+WITH {TOKENIZE_CTE},
+b AS (
+  SELECT source, CAST(n_tok AS BIGINT) AS n_tok,
+         CAST(CASE WHEN n_tok <= {PAD_MIN_BUCKET} THEN {PAD_MIN_BUCKET}
+                   ELSE 1 << length(bin(n_tok - 1)) END AS BIGINT) AS bucket
+  FROM tok
+),
+g AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS tokens,
+         CAST(SUM(bucket) AS BIGINT) AS padded
+  FROM b GROUP BY source
+)
+SELECT source, n_docs, tokens, padded,
+       CAST((CAST(padded - tokens AS HUGEINT) * 1000000) // padded
+            AS BIGINT) AS waste_ppm
+FROM g ORDER BY source
+""",
+        "token_burstiness": f"""
+WITH {TOKENIZE_CTE},
+flat AS (SELECT doc_id, unnest(tokens) AS token FROM tok),
+tc AS (SELECT token, CAST(COUNT(*) AS HUGEINT) AS c
+       FROM flat GROUP BY token),
+topk AS (
+  SELECT token, c, row_number() OVER (ORDER BY c DESC, token) AS rk
+  FROM tc QUALIFY rk <= {BURSTINESS_TOP_K}
+),
+d AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n_docs FROM tok),
+x AS (
+  SELECT f.token, f.doc_id, CAST(COUNT(*) AS HUGEINT) AS x
+  FROM flat f JOIN topk USING (token) GROUP BY f.token, f.doc_id
+),
+s AS (
+  SELECT token, CAST(COUNT(*) AS HUGEINT) AS df, SUM(x * x) AS sx2
+  FROM x GROUP BY token
+)
+SELECT CAST(t.token AS BIGINT) AS token, CAST(t.c AS BIGINT) AS c,
+       CAST(s.df AS BIGINT) AS df,
+       CAST(((d.n_docs * s.sx2 - t.c * t.c) * 1000000)
+            // (d.n_docs * t.c) AS BIGINT) AS fano_ppm
+FROM topk t JOIN s USING (token), d
+ORDER BY t.c DESC, t.token
+""",
+        "inclusion_deps": "\nUNION ALL\n".join(
+            f"""
+SELECT '{ct}.{cc}' AS child, '{pt}.{pk}' AS parent,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM (SELECT DISTINCT CAST({cc} AS BIGINT) AS k FROM {ct}
+              WHERE {cc} IS NOT NULL)) AS n_child_distinct,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM (SELECT DISTINCT CAST({cc} AS BIGINT) AS k FROM {ct}
+              WHERE {cc} IS NOT NULL) c
+        WHERE c.k IN (SELECT CAST({pk} AS BIGINT) FROM {pt})) AS n_contained,
+       (SELECT CASE WHEN COUNT(*) = 0 THEN CAST(1000000 AS BIGINT)
+               ELSE CAST((SELECT COUNT(*)
+                          FROM (SELECT DISTINCT CAST({cc} AS BIGINT) AS k
+                                FROM {ct} WHERE {cc} IS NOT NULL) c
+                          WHERE c.k IN (SELECT CAST({pk} AS BIGINT)
+                                        FROM {pt})) * 1000000
+                        // COUNT(*) AS BIGINT) END
+        FROM (SELECT DISTINCT CAST({cc} AS BIGINT) AS k FROM {ct}
+              WHERE {cc} IS NOT NULL)) AS containment_ppm
+"""
+            for ct, cc, pt, pk in sorted(
+                INCLUSION_PAIRS, key=lambda p: f"{p[0]}.{p[1]}"
+            )
+        ),
+        "dow_revenue_share": r"""
+WITH d AS (
+  SELECT CAST(isodow(o_orderdate) AS BIGINT) AS dow,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+),
+g AS (
+  SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(c) AS BIGINT) AS rev_c
+  FROM d GROUP BY dow
+),
+t AS (SELECT SUM(CAST(rev_c AS HUGEINT)) AS tot FROM g)
+SELECT g.dow, g.n_orders, g.rev_c,
+       CAST((CAST(g.rev_c AS HUGEINT) * 1000000) // t.tot AS BIGINT)
+         AS share_ppm
+FROM g, t ORDER BY g.dow
+""",
+        "revenue_autocorr": r"""
+WITH d AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS day,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY day
+),
+p AS (SELECT rev AS x, LEAD(rev) OVER (ORDER BY day) AS y FROM d),
+q AS (SELECT CAST(x AS HUGEINT) AS x, CAST(y AS HUGEINT) AS y
+      FROM p WHERE y IS NOT NULL),
+s AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM q
+)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+       CASE WHEN n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS defined,
+       CASE WHEN n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                            / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                            / sqrt(CAST(n * syy - sy * sy AS DOUBLE))
+                            * 1000000 + 0.5) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS r_ppm
+FROM s
 """,
     }

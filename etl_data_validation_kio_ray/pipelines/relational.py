@@ -3260,3 +3260,157 @@ def conversion_within(
     for c in df.columns:
         df[c] = df[c].astype("int64")
     return df.sort_values("day").reset_index(drop=True)
+
+
+# ------------------------------------------------------------------ skyline
+
+
+def skyline_mask(cost: np.ndarray, gain: np.ndarray) -> np.ndarray:
+    """Boolean mask of the 2-D SKYLINE (Pareto frontier): row i survives
+    iff no other row has ``cost <= cost[i] and gain >= gain[i]`` with at
+    least one STRICT inequality — the classic 'cheapest for its size'
+    dominance query (Börzsönyi et al., ICDE 2001). Vectorized: sort by
+    (cost asc, gain desc); a row is dominated iff the max gain among
+    STRICTLY cheaper rows reaches its gain, or a same-cost row has
+    strictly larger gain. Exact duplicates (same cost AND gain) do not
+    dominate each other — all survive unless a third row dominates."""
+    n = len(cost)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    order = np.lexsort((-gain, cost))
+    c_s, g_s = cost[order], gain[order]
+    new_grp = np.empty(n, dtype=bool)
+    new_grp[0] = True
+    np.not_equal(c_s[1:], c_s[:-1], out=new_grp[1:])
+    starts = np.flatnonzero(new_grp)
+    grp_max = g_s[starts]  # gain sorted desc within a cost group
+    prev_max = np.empty(len(starts), dtype=gain.dtype)
+    prev_max[0] = np.iinfo(np.int64).min
+    np.maximum.accumulate(grp_max[:-1], out=prev_max[1:])
+    grp_id = np.cumsum(new_grp) - 1
+    dominated = (prev_max[grp_id] >= g_s) | (grp_max[grp_id] > g_s)
+    keep = np.zeros(n, dtype=bool)
+    keep[order] = ~dominated
+    return keep
+
+
+SKYLINE_MAX_CANDIDATES = 2_000_000
+
+
+def skyline_2d(ds, cost_col: str, gain_col: str) -> pd.DataFrame:
+    """Distributed 2-D skyline over a Dataset: each block emits its
+    LOCAL skyline (a global skyline row is undominated everywhere, so
+    it survives its own block — union of local skylines ⊇ global), the
+    driver re-runs the same kernel on the union. Both columns must be
+    int64-castable. The gathered candidate set is #blocks × local
+    frontier size — tiny in practice; a loud cap
+    (SKYLINE_MAX_CANDIDATES) guards pathological anti-correlated data
+    rather than truncating silently."""
+
+    def local(t: pa.Table) -> pa.Table:
+        c = t[cost_col]
+        g = t[gain_col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        keep = skyline_mask(
+            c.cast(pa.int64()).to_numpy(zero_copy_only=False),
+            g.cast(pa.int64()).to_numpy(zero_copy_only=False),
+        )
+        return t.filter(pa.array(keep))
+
+    cand = ds.map_batches(
+        local, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if len(cand) > SKYLINE_MAX_CANDIDATES:
+        raise ValueError(
+            f"skyline_2d: {len(cand)} local-skyline candidates exceed the "
+            f"{SKYLINE_MAX_CANDIDATES} gather cap — anti-correlated data; "
+            "raise the cap or add a pre-merge reduce stage"
+        )
+    if cand.empty:
+        return cand
+    keep = skyline_mask(
+        cand[cost_col].to_numpy(dtype=np.int64),
+        cand[gain_col].to_numpy(dtype=np.int64),
+    )
+    return cand[keep].reset_index(drop=True)
+
+
+def key_containment(
+    child_ds,
+    parent_ds,
+    child_key: str,
+    parent_key: str,
+    *,
+    num_buckets: int = 64,
+) -> tuple[int, int]:
+    """Inclusion-dependency probe of two LARGE datasets: how many
+    DISTINCT non-null child keys exist, and how many of them appear in
+    the parent key column — the foreign-key-discovery primitive of a
+    data profiler (same exchange shape as key_set_reconcile, but the
+    per-bucket output is two COUNTS, so the result is scale-free even
+    when containment is poor). Integer keys meet on int64; both sides
+    dedup per batch before the shuffle. Returns
+    (n_child_distinct, n_contained)."""
+    nb = np.int64(num_buckets)
+
+    def project(side_code: int, key_col: str):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t[key_col]
+            if isinstance(k, pa.ChunkedArray):
+                k = k.combine_chunks()
+            if pa.types.is_integer(k.type):
+                k = pc.cast(k, pa.int64())
+            k = pc.unique(k.drop_null())
+            h = _key_hash(k)
+            return pa.table(
+                {
+                    "k": k,
+                    "s": pa.array(
+                        np.full(len(k), side_code, dtype=np.int8), pa.int8()
+                    ),
+                    "b": pa.array((h % np.uint64(nb)).astype(np.int32)),
+                }
+            )
+
+        return fn
+
+    child_proj = child_ds.map_batches(
+        project(0, child_key), batch_format="pyarrow"
+    )
+    parent_proj = parent_ds.map_batches(
+        project(1, parent_key), batch_format="pyarrow"
+    )
+
+    def bucket_counts(g: pa.Table) -> pa.Table:
+        k = g["k"]
+        s = g["s"]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        child = pc.unique(k.filter(pc.equal(s, 0)))
+        parent = pc.unique(k.filter(pc.equal(s, 1)))
+        contained = (
+            pc.sum(pc.is_in(child, value_set=parent)).as_py() or 0
+            if len(child)
+            else 0
+        )
+        return pa.table(
+            {
+                "n_child": pa.array([len(child)], pa.int64()),
+                "n_contained": pa.array([int(contained)], pa.int64()),
+            }
+        )
+
+    rows = (
+        child_proj.union(parent_proj)
+        .groupby("b")
+        .map_groups(bucket_counts, batch_format="pyarrow")
+        .take_all()
+    )
+    n_child = sum(r["n_child"] for r in rows)
+    n_contained = sum(r["n_contained"] for r in rows)
+    return int(n_child), int(n_contained)

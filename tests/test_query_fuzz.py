@@ -835,3 +835,97 @@ def test_fuzz_twosample_tests(ray_session, tmp_path_factory, data):
     _write(sf, "documents", t)
     _compare("ks_even_odd", sf)
     _compare("mannwhitney_even_odd", sf)
+
+
+@_fuzz
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 8),  # orderkey selector (multi-line orders)
+            st.integers(0, 6),  # order day offset
+            st.integers(0, 10),  # ship delay days
+            st.integers(0, 100_00),  # order cents (constant-revenue edges)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_fuzz_calendar_ops(ray_session, tmp_path_factory, data):
+    """Sweep-line concurrency with overlapping/nested/zero-length
+    intervals, orders with NO lineitem (excluded from the span set),
+    single-day corpora (autocorr defined=0), constant daily revenue
+    (zero variance), and order dates on every weekday."""
+    sf = str(tmp_path_factory.mktemp("calops"))
+    orders = {}
+    li = []
+    for i, (oksel, od, delay, cents) in enumerate(data):
+        ok = oksel + 1
+        orders.setdefault(ok, (od, cents))
+        li.append((ok, i + 1, 100, 1, 1, orders[ok][0] + delay))
+    orders[1000] = (3, 700_00)  # order with no lineitems: no interval
+    _write(
+        sf,
+        "orders",
+        _orders_table(
+            [(ok, 1, c, od, "1-URGENT") for ok, (od, c) in orders.items()]
+        ),
+    )
+    _write(sf, "lineitem", _lineitem_table(li))
+    _compare("open_order_concurrency", sf)
+    _compare("dow_revenue_share", sf)
+    _compare("revenue_autocorr", sf)
+
+
+@_fuzz
+@given(
+    data=st.lists(
+        st.tuples(st.integers(1, 5), st.integers(0, 500)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_fuzz_skyline(ray_session, tmp_path_factory, data):
+    """Tiny (size, price) domains force exact duplicates (mutual
+    non-dominance), same-price groups, and same-size chains — every
+    tie branch of the dominance kernel, checked against the NOT
+    EXISTS oracle."""
+    sf = str(tmp_path_factory.mktemp("skyline"))
+    t = pa.table(
+        {
+            "p_partkey": pa.array(range(1, len(data) + 1), pa.int64()),
+            "p_name": pa.array([f"part {i}" for i in range(len(data))]),
+            "p_brand": pa.array(["B1"] * len(data), pa.string()),
+            "p_type": pa.array(["t"] * len(data), pa.string()),
+            "p_size": pa.array([s for s, _ in data], pa.int32()),
+            "p_retailprice": pa.array(
+                [c / 100.0 for _, c in data], pa.float64()
+            ),
+        }
+    )
+    _write(sf, "part", t)
+    _compare("skyline_parts", sf)
+
+
+@_fuzz
+@given(
+    texts=st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from(["", "a", "bb", "ccc", "dddd"]),
+                min_size=0,
+                max_size=25,
+            ).map(" ".join),
+            st.sampled_from(["s1", "s2", "s3"]),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_fuzz_padding_burstiness(ray_session, tmp_path_factory, texts):
+    """Power-of-two bucket boundaries (n_tok exactly 16/17/32), empty
+    docs (1 zero-length token -> floor bucket), corpora with < K
+    distinct tokens (short top-K), and single-doc sources."""
+    sf = str(tmp_path_factory.mktemp("padburst"))
+    _write(sf, "documents", _documents_table(texts))
+    _compare("padding_waste", sf)
+    _compare("token_burstiness", sf)

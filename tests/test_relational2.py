@@ -2596,3 +2596,61 @@ def test_proration_preserves_order_totals(ray_session):
     common = got.index.intersection(tot.index)
     assert len(common) == len(got)
     assert (got.loc[common] == tot.loc[common]).all()
+
+
+def test_skyline_mask_matches_bruteforce():
+    """Planted ties (duplicate points, same-cost groups, same-gain
+    chains) plus a seeded random sweep vs the O(n^2) dominance
+    definition."""
+    import numpy as np
+
+    from etl_data_validation_kio_ray.pipelines.relational import skyline_mask
+
+    def brute(cost, gain):
+        n = len(cost)
+        keep = np.ones(n, dtype=bool)
+        for i in range(n):
+            for j in range(n):
+                if (
+                    cost[j] <= cost[i]
+                    and gain[j] >= gain[i]
+                    and (cost[j] < cost[i] or gain[j] > gain[i])
+                ):
+                    keep[i] = False
+                    break
+        return keep
+
+    planted = [
+        (np.array([1, 1, 2, 2, 3]), np.array([5, 5, 6, 4, 7])),
+        (np.array([1]), np.array([1])),
+        (np.array([2, 2, 2]), np.array([3, 3, 3])),  # all duplicates
+        (np.array([1, 2, 3]), np.array([3, 2, 1])),  # anti-correlated
+        (np.array([1, 2, 3]), np.array([1, 2, 3])),  # dominated chain
+    ]
+    for cost, gain in planted:
+        got = skyline_mask(cost.astype(np.int64), gain.astype(np.int64))
+        assert (got == brute(cost, gain)).all(), (cost, gain)
+
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        cost = rng.integers(0, 8, size=60).astype(np.int64)
+        gain = rng.integers(0, 8, size=60).astype(np.int64)
+        assert (skyline_mask(cost, gain) == brute(cost, gain)).all()
+
+    assert skyline_mask(np.array([], np.int64), np.array([], np.int64)).size == 0
+
+
+def test_key_containment_planted(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        key_containment,
+    )
+
+    child = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 2, 3, None, 7], pa.int64())})
+    )
+    parent = rd.from_arrow(pa.table({"p": pa.array([2, 3, 4], pa.int32())}))
+    n_child, n_contained = key_containment(child, parent, "k", "p")
+    assert (n_child, n_contained) == (4, 2)  # {1,2,3,7}; {2,3} contained

@@ -63,6 +63,14 @@ QUERIES = [
     "mannwhitney_even_odd",
     "tv_distance_by_source",
     "overrepresented_tokens",
+    # session-16 additions
+    "skyline_parts",
+    "open_order_concurrency",
+    "padding_waste",
+    "token_burstiness",
+    "inclusion_deps",
+    "dow_revenue_share",
+    "revenue_autocorr",
 ]
 
 
