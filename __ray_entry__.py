@@ -15395,6 +15395,414 @@ def q_revenue_autocorr(sf_dir: str):
     )
 
 
+BASKET_TOP_K = 10
+
+
+def q_basket_part_pairs(sf_dir: str):
+    """MARKET-BASKET pair mining: the top-K part pairs that co-occur in
+    the most orders (each order counts a distinct-part pair once) — the
+    frequent-itemset primitive at its 2-itemset core. Two exchanges:
+    (1) co-group by orderkey (orders never straddle buckets), enumerate
+    each order's C(k,2) distinct-part pairs with a vectorized
+    repeat/arange kernel (order baskets are small, so pair counts are
+    bounded per order), collapse to (pair, c) partials in-bucket;
+    (2) bucket by pair code — each bucket owns its pairs' complete
+    counts, emits its LOCAL top-K, and the driver merges top-K of
+    top-Ks (exact: a global top-K pair is a local top-K pair in its own
+    bucket). Ties break (count DESC, p1, p2)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        resolve_num_buckets,
+        tag_bucket,
+    )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey"],
+    )
+    pair_base = np.int64(1) << np.int64(32)
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "okey": pc.cast(t["l_orderkey"], pa.int64()),
+                "pk": pc.cast(t["l_partkey"], pa.int64()),
+            }
+        )
+
+    ds = li.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+    nb = resolve_num_buckets(ds)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return tag_bucket(t, "okey", nb)
+
+    def enumerate_pairs(g: pa.Table) -> pa.Table:
+        okey = g["okey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = g["pk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # distinct (order, part), sorted -> groups contiguous, parts asc
+        u = np.unique(okey * pair_base + pk)
+        ok_s, pk_s = u // pair_base, u % pair_base
+        n = len(u)
+        if n < 2:
+            return pa.table(
+                {"pair": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+            )
+        new_grp = np.empty(n, dtype=bool)
+        new_grp[0] = True
+        np.not_equal(ok_s[1:], ok_s[:-1], out=new_grp[1:])
+        grp_id = np.cumsum(new_grp) - 1
+        starts = np.flatnonzero(new_grp)
+        sizes = np.diff(np.append(starts, n))
+        local = np.arange(n, dtype=np.int64) - starts[grp_id]
+        counts = sizes[grp_id] - 1 - local  # pairs with this row as left
+        tot = int(counts.sum())
+        if tot == 0:
+            return pa.table(
+                {"pair": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+            )
+        left = np.repeat(np.arange(n, dtype=np.int64), counts)
+        run_start = np.cumsum(counts) - counts
+        within = np.arange(tot, dtype=np.int64) - np.repeat(run_start, counts)
+        right = left + 1 + within
+        codes = pk_s[left] * pair_base + pk_s[right]  # p1 < p2 (sorted)
+        u2, c2 = np.unique(codes, return_counts=True)
+        return pa.table(
+            {"pair": pa.array(u2), "c": pa.array(c2.astype(np.int64))}
+        )
+
+    partials = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(enumerate_pairs, batch_format="pyarrow")
+    )
+
+    def tag2(t: pa.Table) -> pa.Table:
+        return tag_bucket(t, "pair", nb)
+
+    def local_topk(g: pa.Table) -> pa.Table:
+        pdf = g.drop_columns(["__b"]).to_pandas()
+        agg = pdf.groupby("pair", as_index=False)["c"].sum()
+        agg = agg.sort_values(
+            ["c", "pair"], ascending=[False, True], kind="mergesort"
+        ).head(BASKET_TOP_K)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    pdf = (
+        partials.map_batches(tag2, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(local_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if pdf.empty:
+        return pd.DataFrame(
+            {
+                "rank": pd.Series([], dtype="int64"),
+                "p1": pd.Series([], dtype="int64"),
+                "p2": pd.Series([], dtype="int64"),
+                "n_orders": pd.Series([], dtype="int64"),
+            }
+        )
+    top = pdf.sort_values(
+        ["c", "pair"], ascending=[False, True], kind="mergesort"
+    ).head(BASKET_TOP_K)
+    pair = top["pair"].to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(top) + 1, dtype=np.int64),
+            "p1": pair // int(pair_base),
+            "p2": pair % int(pair_base),
+            "n_orders": top["c"].to_numpy(np.int64),
+        }
+    )
+
+
+def q_dup_size_histogram(sf_dir: str):
+    """Exact-duplicate CLUSTER-SIZE histogram over document text: how
+    many distinct texts occur exactly k times — the dedup-health
+    summary (a heavy k-tail means the corpus repeats boilerplate; the
+    k=1 row is the unique mass). Scale shape: per-batch 64-bit content
+    hashes collapse to (hash, c) partials, one hash-keyed bucket
+    exchange completes per-text counts, each bucket emits its LOCAL
+    k-histogram, and the driver sums #buckets × #distinct-k tiny rows.
+    The 64-bit fingerprint is the same collision-free-verified content
+    hash the incremental dedup index uses (dedup/exact.py analog);
+    the DuckDB twin groups by the text itself, so any collision would
+    fail the gate loudly rather than pass silently."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.functions.hashing import (
+        hash_string_array,
+    )
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        resolve_num_buckets,
+        tag_bucket,
+    )
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        h = hash_string_array(text).view(np.int64)
+        u, c = np.unique(h, return_counts=True)
+        return pa.table(
+            {"h": pa.array(u), "c": pa.array(c.astype(np.int64))}
+        )
+
+    parts = docs.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    nb = resolve_num_buckets(parts)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return tag_bucket(t, "h", nb)
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        pdf = g.drop_columns(["__b"]).to_pandas()
+        k = pdf.groupby("h")["c"].sum()
+        hist = k.value_counts()
+        return pa.table(
+            {
+                "cluster_size": pa.array(hist.index.to_numpy(np.int64)),
+                "n_clusters": pa.array(hist.to_numpy(np.int64)),
+            }
+        )
+
+    pdf = (
+        parts.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if pdf.empty:
+        return pd.DataFrame(
+            {
+                "cluster_size": pd.Series([], dtype="int64"),
+                "n_clusters": pd.Series([], dtype="int64"),
+            }
+        )
+    out = (
+        pdf.groupby("cluster_size", as_index=False)["n_clusters"]
+        .sum()
+        .sort_values("cluster_size", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    return out.astype("int64")
+
+
+def q_cramers_v(sf_dir: str):
+    """CRAMÉR'S V² effect size for the lang × source association — the
+    normalized companion to q_chi2_lang_source (χ² grows with N; V² =
+    χ²/(N·(min(R,C)−1)) ∈ [0,1] is comparable across corpus sizes).
+    Same single finest-grain exchange and the same per-cell-floored
+    integer χ²; the ppm value is then one more exact integer division,
+    so the statistic stays bit-exact by construction. Degenerate grids
+    (one source or one language) have no association axis: defined = 0,
+    v2_ppm = 0 (χ² is identically 0 there too)."""
+    chi = q_chi2_lang_source(sf_dir)
+    n = int(chi["n_docs"].iloc[0])
+    mindim = min(int(chi["n_sources"].iloc[0]), int(chi["n_langs"].iloc[0])) - 1
+    stat = int(chi["chi2_q6"].iloc[0])
+    if mindim > 0 and n > 0:
+        defined, v2 = 1, stat // (n * mindim)
+    else:
+        defined, v2 = 0, 0
+    return pd.DataFrame(
+        {
+            "n_docs": pd.Series([n], dtype="int64"),
+            "mindim": pd.Series([max(mindim, 0)], dtype="int64"),
+            "defined": pd.Series([defined], dtype="int64"),
+            "v2_ppm": pd.Series([v2], dtype="int64"),
+        }
+    )
+
+
+def q_two_step_transitions(sf_dir: str):
+    """TWO-STEP Markov transition table over per-user event sequences:
+    P²(i→j) — the probability of being in event type j two events after
+    an event of type i under the empirical chain — as the per-path-
+    floored quantized sum Σ_k ⌊1e6·c_ik·c_kj / (r_i·r_k)⌋ (the
+    chi2_lang_source convention: every term is the identical integer on
+    both engines, so the sum is bit-exact by construction; it differs
+    from the real value by < |states| micro-units). Chains absorbed at
+    a state with no outgoing edges contribute no path (inner-join
+    semantics on both engines). The transition counts resolve on the
+    existing user-bucketed LEAD exchange; the P² fold runs on the tiny
+    |types|² driver table."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        grouped_transition_counts,
+    )
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    cnt = grouped_transition_counts(
+        ev, "user_id", "ts", "event_id", "event_type", num_buckets=32
+    )
+    c: dict[tuple[str, str], int] = {}
+    r: dict[str, int] = {}
+    for f, t, n in zip(cnt["from_value"], cnt["to_value"], cnt["n"]):
+        c[(f, t)] = c.get((f, t), 0) + int(n)
+        r[f] = r.get(f, 0) + int(n)
+    p2: dict[tuple[str, str], int] = {}
+    for (i, k), cik in c.items():
+        rk = r.get(k)
+        if not rk:
+            continue  # absorbed: k has no outgoing edges
+        for (k2, j), ckj in c.items():
+            if k2 != k:
+                continue
+            term = cik * ckj * 1_000_000 // (r[i] * rk)
+            p2[(i, j)] = p2.get((i, j), 0) + term
+    rows = sorted((i, j, v) for (i, j), v in p2.items())
+    return pd.DataFrame(
+        rows, columns=["from_type", "to_type", "p2_q6"]
+    ).astype({"p2_q6": "int64"})
+
+
+def q_bigram_cond_entropy(sf_dir: str):
+    """Per-source CONDITIONAL ENTROPY H(next token | token) in integer
+    micro-nats — the sequence-predictability drift statistic (a source
+    whose H(Y|X) collapses is template/boilerplate text; one whose
+    H(Y|X) ≈ H(Y) is shuffled noise). H(Y|X) = (Σ_x r_x·ln r_x −
+    Σ_xy c_xy·ln c_xy)/N over exact bigram counts. Scale shape: bigrams
+    encode zero-copy as x·V+y with document-boundary masking (the
+    production _bigram_partial convention), partials collapse per
+    batch, and ONE exchange keyed by PREFIX token x gives each bucket
+    its prefixes' complete (source, x, *) rows — both the bigram term
+    and the prefix-marginal term fold locally, deterministically
+    sorted; the driver fsum-merges #buckets × |sources| partials and
+    quantizes floor(x·1e6 + 0.5) like kl_by_source (same cross-engine
+    float-drift margin argument). Sources with no bigram (all docs
+    shorter than 2 tokens) emit no row on either engine."""
+    import math
+
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        resolve_num_buckets,
+        tag_bucket,
+    )
+
+    tok_dir = _token_table_dir(sf_dir)
+    ds = rd.read_parquet(tok_dir, columns=["source", "tokens"])
+    vocab = np.int64(VOCAB)
+    vv = np.int64(VOCAB) * np.int64(VOCAB)
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        d = src.dictionary_encode()
+        if len(flat) < 2:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "x": pa.array([], pa.int64()),
+                    "code": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        off = np.asarray(col.offsets, dtype=np.int64)
+        off = off - off[0]
+        codes = flat[:-1] * vocab + flat[1:]
+        valid = np.ones(len(flat) - 1, dtype=bool)
+        b = off[1:-1]
+        b = b[(b >= 1) & (b <= len(flat) - 1)]
+        valid[b - 1] = False  # mask document-boundary pairs
+        scode = np.repeat(
+            d.indices.to_numpy(zero_copy_only=False).astype(np.int64),
+            np.diff(off),
+        )[: len(flat) - 1]
+        packed = scode[valid] * vv + codes[valid]
+        u, c = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "source": d.dictionary.take(pa.array(u // vv)),
+                "x": pa.array((u % vv) // vocab),
+                "code": pa.array(u % vv),
+                "c": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    nb = resolve_num_buckets(parts)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return tag_bucket(t, "x", nb)
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        b = int(g["__b"][0].as_py())
+        pdf = g.drop_columns(["__b"]).to_pandas()
+        cnt = (
+            pdf.groupby(["source", "code"], sort=True)["c"]
+            .sum()
+            .reset_index()
+        )
+        cnt["x"] = cnt["code"].to_numpy(np.int64) // int(vocab)
+        cv = cnt["c"].to_numpy(np.float64)
+        cnt["t2"] = cv * np.log(cv)
+        rx = (
+            cnt.groupby(["source", "x"], sort=True)["c"]
+            .sum()
+            .reset_index()
+        )
+        rv = rx["c"].to_numpy(np.float64)
+        rx["t1"] = rv * np.log(rv)
+        s2 = cnt.groupby("source", sort=True).agg(
+            s2=("t2", "sum"), n2=("c", "sum")
+        )
+        s1 = rx.groupby("source", sort=True).agg(s1=("t1", "sum"))
+        out = s1.join(s2).reset_index()
+        out.insert(0, "b", np.int64(b))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    pdf = (
+        parts.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if pdf.empty or "source" not in pdf.columns:
+        # no source has a single bigram: both engines emit zero rows
+        return pd.DataFrame(
+            {
+                "source": pd.Series([], dtype="object"),
+                "n_bigrams": pd.Series([], dtype="int64"),
+                "h_cond_q6": pd.Series([], dtype="int64"),
+            }
+        )
+    pdf = pdf.sort_values(["source", "b"])  # deterministic fsum order
+    rows = []
+    for s_name, sub in pdf.groupby("source", sort=True):
+        n2 = int(sub["n2"].sum())
+        s1 = math.fsum(sub["s1"].tolist())
+        s2 = math.fsum(sub["s2"].tolist())
+        h = (s1 - s2) / n2
+        rows.append((s_name, n2, int(math.floor(h * 1e6 + 0.5))))
+    return (
+        pd.DataFrame(rows, columns=["source", "n_bigrams", "h_cond_q6"])
+        .sort_values("source")
+        .reset_index(drop=True)
+        .astype({"n_bigrams": "int64", "h_cond_q6": "int64"})
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -15661,6 +16069,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inclusion_deps": q_inclusion_deps,
         "dow_revenue_share": q_dow_revenue_share,
         "revenue_autocorr": q_revenue_autocorr,
+        "basket_part_pairs": q_basket_part_pairs,
+        "dup_size_histogram": q_dup_size_histogram,
+        "cramers_v": q_cramers_v,
+        "two_step_transitions": q_two_step_transitions,
+        "bigram_cond_entropy": q_bigram_cond_entropy,
     }
 
 
@@ -19977,5 +20390,94 @@ SELECT CAST(n AS BIGINT) AS n_pairs,
                             * 1000000 + 0.5) AS BIGINT)
             ELSE CAST(0 AS BIGINT) END AS r_ppm
 FROM s
+""",
+        "basket_part_pairs": f"""
+WITH d AS (SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
+           FROM lineitem),
+p AS (SELECT a.pk AS p1, b.pk AS p2
+      FROM d a JOIN d b ON a.ok = b.ok AND a.pk < b.pk),
+c AS (SELECT p1, p2, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM p GROUP BY p1, p2),
+r AS (SELECT *, row_number() OVER (ORDER BY n_orders DESC, p1, p2) AS rk
+      FROM c)
+SELECT CAST(rk AS BIGINT) AS rank, p1, p2, n_orders
+FROM r WHERE rk <= {BASKET_TOP_K} ORDER BY rk
+""",
+        "dup_size_histogram": r"""
+WITH g AS (SELECT text, CAST(COUNT(*) AS BIGINT) AS k
+           FROM documents GROUP BY text)
+SELECT k AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM g GROUP BY k ORDER BY k
+""",
+        "cramers_v": """
+WITH cellt AS (SELECT source, lang, CAST(count(*) AS HUGEINT) AS o
+               FROM documents GROUP BY source, lang),
+r AS (SELECT source, sum(o) AS rn FROM cellt GROUP BY source),
+cm AS (SELECT lang, sum(o) AS cn FROM cellt GROUP BY lang),
+tot AS (SELECT sum(o) AS n FROM cellt),
+grid AS (SELECT source, lang, rn, cn FROM r CROSS JOIN cm),
+cells AS (SELECT g.source, g.lang, g.rn, g.cn, COALESCE(c.o, 0) AS o
+          FROM grid g LEFT JOIN cellt c USING (source, lang)),
+terms AS (
+  SELECT ((o * tot.n - rn * cn) * (o * tot.n - rn * cn) * 1000000)
+         // (tot.n * rn * cn) AS term
+  FROM cells, tot
+),
+dims AS (
+  SELECT (SELECT n FROM tot) AS n,
+         least((SELECT count(*) FROM r), (SELECT count(*) FROM cm)) - 1
+           AS mindim
+)
+SELECT CAST(dims.n AS BIGINT) AS n_docs,
+       CAST(greatest(dims.mindim, 0) AS BIGINT) AS mindim,
+       CASE WHEN dims.mindim > 0 AND dims.n > 0 THEN CAST(1 AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS defined,
+       CASE WHEN dims.mindim > 0 AND dims.n > 0
+            THEN CAST((SELECT sum(term) FROM terms)
+                      // (dims.n * dims.mindim) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS v2_ppm
+FROM dims
+""",
+        "two_step_transitions": r"""
+WITH seq AS (
+  SELECT user_id, event_type AS f,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+t AS (SELECT f, nxt AS t2, CAST(COUNT(*) AS HUGEINT) AS c
+      FROM seq WHERE nxt IS NOT NULL GROUP BY f, nxt),
+r AS (SELECT f, SUM(c) AS rn FROM t GROUP BY f),
+terms AS (
+  SELECT a.f AS from_type, b.t2 AS to_type,
+         (a.c * b.c * 1000000) // (ra.rn * rb.rn) AS term
+  FROM t a
+  JOIN r ra ON ra.f = a.f
+  JOIN t b ON b.f = a.t2
+  JOIN r rb ON rb.f = b.f
+)
+SELECT from_type, to_type, CAST(SUM(term) AS BIGINT) AS p2_q6
+FROM terms GROUP BY from_type, to_type ORDER BY from_type, to_type
+""",
+        "bigram_cond_entropy": f"""
+WITH {TOKENIZE_CTE},
+pairs AS (
+  SELECT source,
+         unnest(list_transform(range(1, len(tokens)),
+                i -> CAST(tokens[i] AS BIGINT) * {VOCAB} + tokens[i + 1]))
+           AS code
+  FROM tok WHERE len(tokens) >= 2
+),
+cnt AS (SELECT source, code, CAST(count(*) AS DOUBLE) AS c
+        FROM pairs GROUP BY source, code),
+rx AS (SELECT source, code // {VOCAB} AS x, sum(c) AS r
+       FROM cnt GROUP BY source, x),
+s2 AS (SELECT source, sum(c * ln(c)) AS s2v, sum(c) AS n2
+       FROM cnt GROUP BY source),
+s1 AS (SELECT source, sum(r * ln(r)) AS s1v FROM rx GROUP BY source)
+SELECT s2.source, CAST(s2.n2 AS BIGINT) AS n_bigrams,
+       CAST(floor((s1.s1v - s2.s2v) / s2.n2 * 1000000 + 0.5) AS BIGINT)
+         AS h_cond_q6
+FROM s2 JOIN s1 USING (source) ORDER BY s2.source
 """,
     }

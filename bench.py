@@ -272,6 +272,18 @@ BENCH_QUERIES = [
     "mannwhitney_even_odd",  # exact U/AUC with doubled-integer midranks
     "tv_distance_by_source",  # bit-exact integer total-variation drift
     "overrepresented_tokens",  # per-source top-k signed-deviation tokens
+    "skyline_parts",  # 2-D Pareto frontier (block-local + driver merge)
+    "open_order_concurrency",  # sweep-line peak over fulfillment intervals
+    "padding_waste",  # power-of-two bucket padding audit
+    "token_burstiness",  # top-K Fano factors, two-pass exact
+    "inclusion_deps",  # FK-discovery containment probes x7
+    "dow_revenue_share",  # weekday seasonality profile
+    "revenue_autocorr",  # lag-1 daily-revenue autocorrelation
+    "basket_part_pairs",  # market-basket top pairs, two bucket exchanges
+    "dup_size_histogram",  # exact-dup cluster-size histogram
+    "cramers_v",  # normalized association effect size
+    "two_step_transitions",  # Markov P^2, per-path-floored exact
+    "bigram_cond_entropy",  # per-source H(next|token), prefix-bucketed
 ]
 
 

@@ -929,3 +929,126 @@ def test_fuzz_padding_burstiness(ray_session, tmp_path_factory, texts):
     _write(sf, "documents", _documents_table(texts))
     _compare("padding_waste", sf)
     _compare("token_burstiness", sf)
+
+
+@_fuzz
+@given(
+    items=st.lists(
+        st.tuples(
+            st.integers(0, 8),  # orderkey selector
+            st.integers(1, 6),  # partkey (tiny domain -> dup parts/order)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_fuzz_basket_pairs(ray_session, tmp_path_factory, items):
+    """Orders with duplicate parts (distinct-pair semantics), single-item
+    orders (no pairs), ties at the top-K cut resolved by (p1, p2)."""
+    sf = str(tmp_path_factory.mktemp("basket"))
+    li = []
+    for i, (oksel, pk) in enumerate(items):
+        li.append((oksel + 1, i + 1, 100, 1, 1, 0))
+    t = _lineitem_table(li)
+    t = t.set_column(
+        t.schema.get_field_index("l_partkey"),
+        "l_partkey",
+        pa.array([pk for _ok, pk in items], pa.int64()),
+    )
+    _write(sf, "lineitem", t)
+    _compare("basket_part_pairs", sf)
+
+
+@_fuzz
+@given(
+    texts=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "a a", "bb", "ccc ccc", "d d d"]),
+            st.sampled_from(["s1", "s2"]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_fuzz_dup_histogram(ray_session, tmp_path_factory, texts):
+    """Tiny text domain forces heavy exact-duplicate clusters across
+    every size k; the hash-grouped histogram must match the
+    text-grouped SQL twin exactly (collision-free check built in)."""
+    sf = str(tmp_path_factory.mktemp("duph"))
+    _write(sf, "documents", _documents_table(texts))
+    _compare("dup_size_histogram", sf)
+    _compare("padding_waste", sf)
+
+
+@_fuzz
+@given(
+    cells=st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2", "s3", "s4"]),
+            st.sampled_from(["en", "de", "zh"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_fuzz_cramers_v(ray_session, tmp_path_factory, cells):
+    """Degenerate 1xC and Rx1 grids (mindim 0 -> defined 0), sparse
+    grids with absent cells, single-doc corpora."""
+    sf = str(tmp_path_factory.mktemp("cramers"))
+    texts = [("w", s) for s, _l in cells]
+    t = _documents_table(texts)
+    t = t.set_column(
+        t.schema.get_field_index("lang"),
+        "lang",
+        pa.array([l for _s, l in cells], pa.string()),
+    )
+    _write(sf, "documents", t)
+    _compare("cramers_v", sf)
+
+
+@_fuzz
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 4),  # user selector
+            st.integers(0, 100),  # us offset (ties possible)
+            st.sampled_from(["view", "cart", "purchase"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_fuzz_two_step(ray_session, tmp_path_factory, rows):
+    """Single-event users (no transitions), absorbing states (types with
+    no outgoing edge), timestamp ties broken by event_id on both
+    engines, self-loops."""
+    sf = str(tmp_path_factory.mktemp("twostep"))
+    ev = [
+        (i + 1, us, usel + 1, et) for i, (usel, us, et) in enumerate(rows)
+    ]
+    _write(sf, "events", _events_table(ev))
+    _compare("two_step_transitions", sf)
+
+
+@_fuzz
+@given(
+    texts=st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from(["", "a", "bb", "ccc", "dddd"]),
+                min_size=0,
+                max_size=25,
+            ).map(" ".join),
+            st.sampled_from(["s1", "s2", "s3"]),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_fuzz_bigram_entropy(ray_session, tmp_path_factory, texts):
+    """Sources whose docs are all < 2 tokens (no row emitted),
+    deterministic chains (H = 0), boundary-masked pairs across doc
+    edges."""
+    sf = str(tmp_path_factory.mktemp("bigent"))
+    _write(sf, "documents", _documents_table(texts))
+    _compare("bigram_cond_entropy", sf)

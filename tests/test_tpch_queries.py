@@ -71,6 +71,11 @@ QUERIES = [
     "inclusion_deps",
     "dow_revenue_share",
     "revenue_autocorr",
+    "basket_part_pairs",
+    "dup_size_histogram",
+    "cramers_v",
+    "two_step_transitions",
+    "bigram_cond_entropy",
 ]
 
 
