@@ -14879,55 +14879,92 @@ def q_overrepresented_tokens(sf_dir: str):
     )
 
 
-def q_skyline_parts(sf_dir: str):
-    """2-D SKYLINE (Pareto frontier) over the part catalog: parts for
-    which no other part is both cheaper and larger — the classic
-    dominance query (Börzsönyi et al., ICDE 2001) a curation pipeline
-    runs to pick 'best value for its class' exemplars. Scale shape:
-    each block emits its LOCAL frontier (a global skyline row survives
-    its own block by definition), the driver re-runs the same sort +
-    running-max kernel on the #blocks × frontier-size union — gather
-    is loud-capped, never silently truncated. Exact integer cents; ties
-    (same price AND size) do not dominate each other. Reference analog:
-    the 'best per group' top-1 selections
+def q_customer_value_skyline(sf_dir: str):
+    """2-D SKYLINE over DERIVED per-customer aggregates: customers for
+    whom no other customer has both fewer orders AND more total spend —
+    the 'high-value, low-traffic' frontier (dominance on an AGGREGATE
+    space, unlike pareto_parts' raw-dimension skyline: here the
+    frontier follows a full fact-table aggregation, so the operator
+    composes exchange + skyline). Scale shape: one custkey-grouped
+    exchange of exact-cents partials, then each block of the aggregate
+    emits its LOCAL frontier (a global skyline row survives its own
+    block by definition) and the driver re-runs the same sort +
+    running-max kernel on the #blocks × frontier-size union
+    (relational.skyline_2d — gather loud-capped, never silently
+    truncated). Ties (same count AND spend) do not dominate each
+    other. Reference analog: the 'best per group' top-1 selections
     (/root/reference/src/app2/validators/dds/player_suite/top_scorer.py)
     generalized to two-criteria dominance."""
     import ray.data as rd
 
     from etl_data_validation_kio_ray.pipelines.relational import skyline_2d
 
-    parts = rd.read_parquet(
-        os.path.join(sf_dir, "part.parquet"),
-        columns=["p_partkey", "p_size", "p_retailprice"],
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
     )
 
     def pre(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
+        )
+        g = (
+            pa.table({"ck": pc.cast(t["o_custkey"], pa.int64()), "c": cents})
+            .group_by("ck")
+            .aggregate([("c", "sum"), ("c", "count")])
+        )
         return pa.table(
             {
-                "p_partkey": pc.cast(t["p_partkey"], pa.int64()),
-                "size": pc.cast(t["p_size"], pa.int64()),
-                "price_c": pc.cast(
-                    pc.round(pc.multiply(t["p_retailprice"], 100.0)), pa.int64()
-                ),
+                "o_custkey": g["ck"],
+                "spend_c": g["c_sum"],
+                "n_orders": g["c_count"].cast(pa.int64()),
             }
         )
 
-    sky = skyline_2d(
-        parts.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True),
-        "price_c",
-        "size",
+    # complete each customer's aggregate BEFORE the skyline: partials
+    # for one customer must meet, so bucket the per-batch partials
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        resolve_num_buckets,
+        tag_bucket,
     )
+
+    parts = orders.map_batches(
+        pre, batch_format="pyarrow", zero_copy_batch=True
+    )
+    nb = resolve_num_buckets(parts)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return tag_bucket(t, "o_custkey", nb)
+
+    def finish_bucket(g: pa.Table) -> pa.Table:
+        out = (
+            g.drop_columns(["__b"])
+            .group_by("o_custkey")
+            .aggregate([("spend_c", "sum"), ("n_orders", "sum")])
+        )
+        return out.rename_columns(["o_custkey", "spend_c", "n_orders"])
+
+    agg = (
+        parts.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(finish_bucket, batch_format="pyarrow")
+    )
+    sky = skyline_2d(agg, "n_orders", "spend_c")
     if sky.empty:
         return pd.DataFrame(
             {
-                "p_partkey": pd.Series([], dtype="int64"),
-                "size": pd.Series([], dtype="int64"),
-                "price_c": pd.Series([], dtype="int64"),
+                "o_custkey": pd.Series([], dtype="int64"),
+                "n_orders": pd.Series([], dtype="int64"),
+                "spend_c": pd.Series([], dtype="int64"),
             }
         )
     return (
-        sky.sort_values(["price_c", "size", "p_partkey"], kind="mergesort")
-        .reset_index(drop=True)[["p_partkey", "size", "price_c"]]
+        sky.sort_values(
+            ["n_orders", "spend_c", "o_custkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        .reset_index(drop=True)[["o_custkey", "n_orders", "spend_c"]]
         .astype("int64")
     )
 
@@ -15803,6 +15840,410 @@ def q_bigram_cond_entropy(sf_dir: str):
     )
 
 
+TRIGRAM_TOP_K = 10
+
+
+def q_event_trigrams(sf_dir: str):
+    """Top-K consecutive event-type TRIGRAMS across per-user histories
+    — the path-mining step behind UX flow analysis (the 3-gram raw
+    counts complementing two_step_transitions' model probabilities).
+    One user-keyed bucket exchange (histories never straddle buckets);
+    in-bucket the sort + double-shift builds trigram triples with
+    user-boundary masking, and the full per-bucket count table is tiny
+    (≤ |types|³ rows), so the driver folds #buckets × |types|³ partials
+    and takes the top-K with the (n DESC, t1, t2, t3) tiebreak."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        resolve_num_buckets,
+        tag_bucket,
+    )
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": pc.cast(t["user_id"], pa.int64()),
+                "ts": pc.cast(t["ts"], pa.int64()),
+                "eid": pc.cast(t["event_id"], pa.int64()),
+                "et": t["event_type"],
+            }
+        )
+
+    ds = ev.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+    nb = resolve_num_buckets(ds)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return tag_bucket(t, "u", nb)
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        pdf = g.drop_columns(["__b"]).to_pandas()
+        pdf = pdf.sort_values(["u", "ts", "eid"], kind="mergesort")
+        u = pdf["u"].to_numpy(np.int64)
+        et = pdf["et"].to_numpy()
+        n = len(pdf)
+        if n < 3:
+            return pa.table(
+                {
+                    "t1": pa.array([], pa.string()),
+                    "t2": pa.array([], pa.string()),
+                    "t3": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        same = (u[:-2] == u[1:-1]) & (u[1:-1] == u[2:])
+        tri = pd.DataFrame(
+            {"t1": et[:-2][same], "t2": et[1:-1][same], "t3": et[2:][same]}
+        )
+        if tri.empty:
+            return pa.table(
+                {
+                    "t1": pa.array([], pa.string()),
+                    "t2": pa.array([], pa.string()),
+                    "t3": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        cnt = (
+            tri.groupby(["t1", "t2", "t3"], sort=True)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        cnt["n"] = cnt["n"].astype(np.int64)
+        return pa.Table.from_pandas(cnt, preserve_index=False)
+
+    pdf = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    cols = ["rank", "t1", "t2", "t3", "n"]
+    if pdf.empty or "t1" not in pdf.columns:
+        return pd.DataFrame(
+            {
+                "rank": pd.Series([], dtype="int64"),
+                "t1": pd.Series([], dtype="object"),
+                "t2": pd.Series([], dtype="object"),
+                "t3": pd.Series([], dtype="object"),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
+    agg = (
+        pdf.groupby(["t1", "t2", "t3"], as_index=False)["n"]
+        .sum()
+        .sort_values(
+            ["n", "t1", "t2", "t3"],
+            ascending=[False, True, True, True],
+            kind="mergesort",
+        )
+        .head(TRIGRAM_TOP_K)
+        .reset_index(drop=True)
+    )
+    agg.insert(0, "rank", np.arange(1, len(agg) + 1, dtype=np.int64))
+    agg["n"] = agg["n"].astype("int64")
+    return agg[cols]
+
+
+FUNNEL_PAIR = ("view", "purchase")
+
+
+def q_funnel_time_to_convert(sf_dir: str):
+    """TIME-TO-CONVERT quantiles: exact lower-median and P90 of the
+    delay between a user's FIRST view and FIRST purchase (users whose
+    first purchase precedes their first view are excluded — they did
+    not convert through the funnel). The per-user firsts resolve on one
+    bucketed min-exchange; the delays then go through the
+    range-partitioned global ROW_NUMBER machinery and two rank probes
+    stream out — rows never ride the driver, the exact-quantile path
+    that scales where a sort-and-collect would not. Ranks: r50 =
+    (n+1)//2, r90 = ceil(0.9·n) = (9n+9)//10, ties broken by user_id
+    identically in the SQL twin."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        global_row_number,
+        resolve_num_buckets,
+        tag_bucket,
+    )
+
+    a_type, b_type = FUNNEL_PAIR
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"], pa.int64())
+        is_a = pc.equal(t["event_type"], a_type)
+        is_b = pc.equal(t["event_type"], b_type)
+        big = np.int64(np.iinfo(np.int64).max)
+        g = (
+            pa.table(
+                {
+                    "u": pc.cast(t["user_id"], pa.int64()),
+                    "va": pc.if_else(is_a, ts, pa.scalar(big, pa.int64())),
+                    "vb": pc.if_else(is_b, ts, pa.scalar(big, pa.int64())),
+                }
+            )
+            .group_by("u")
+            .aggregate([("va", "min"), ("vb", "min")])
+        )
+        return g.rename_columns(["u", "fa", "fb"])
+
+    parts = ev.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+    nb = resolve_num_buckets(parts)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return tag_bucket(t, "u", nb)
+
+    big = np.int64(np.iinfo(np.int64).max)
+
+    def delays(g: pa.Table) -> pa.Table:
+        out = (
+            g.drop_columns(["__b"])
+            .group_by("u")
+            .aggregate([("fa", "min"), ("fb", "min")])
+        )
+        fa = out["fa_min"].to_numpy(zero_copy_only=False)
+        fb = out["fb_min"].to_numpy(zero_copy_only=False)
+        keep = (fa != big) & (fb != big) & (fb >= fa)
+        return pa.table(
+            {
+                "u": out["u"].filter(pa.array(keep)),
+                "delay_us": pa.array((fb - fa)[keep]),
+            }
+        )
+
+    dly = (
+        parts.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(delays, batch_format="pyarrow")
+    )
+    ranked, n = global_row_number(dly, ["delay_us", "u"], out_col="rn")
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "n_converted": pd.Series([0], dtype="int64"),
+                "median_us": pd.Series([0], dtype="int64"),
+                "p90_us": pd.Series([0], dtype="int64"),
+            }
+        )
+    r50 = (n + 1) // 2
+    r90 = (9 * n + 9) // 10
+    want = pa.array(sorted({r50, r90}), pa.int64())
+
+    def probe(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["rn"], value_set=want))
+        return t.select(["rn", "delay_us"])
+
+    hits = (
+        ranked.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .set_index("rn")
+    )
+    return pd.DataFrame(
+        {
+            "n_converted": pd.Series([n], dtype="int64"),
+            "median_us": pd.Series(
+                [int(hits.loc[r50, "delay_us"])], dtype="int64"
+            ),
+            "p90_us": pd.Series([int(hits.loc[r90, "delay_us"])], dtype="int64"),
+        }
+    )
+
+
+def q_monthly_price_ohlc(sf_dir: str):
+    """Monthly OHLC of order prices — open/high/low/close per calendar
+    month with the deterministic (orderdate, orderkey) event order —
+    the downsampling aggregate time-series stores run. Per-batch
+    partials carry one row per (batch, month): argmin/argmax by the
+    packed day·2⁴⁰+orderkey sort key plus min/max cents; the driver
+    folds #batches × #months tiny rows (the month axis is bounded by
+    the date span, never by data volume)."""
+    import ray.data as rd
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+    us_per_day = np.int64(86_400_000_000)
+    big = np.int64(1) << np.int64(40)
+
+    def partial(t: pa.Table) -> pa.Table:
+        days = (
+            pc.divide(pc.cast(t["o_orderdate"], pa.int64()), us_per_day)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        okey = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = (
+            pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        # calendar month from epoch days: vectorized civil calendar
+        d = pd.to_datetime(days, unit="D")
+        month = d.year.to_numpy(np.int64) * 12 + (
+            d.month.to_numpy(np.int64) - 1
+        )
+        key = days * big + okey
+        pdf = pd.DataFrame(
+            {"m": month, "key": key, "c": cents}
+        ).sort_values(["m", "key"], kind="mergesort")
+        g = pdf.groupby("m")
+        out = pd.DataFrame(
+            {
+                "m": g["m"].first(),
+                "open_c": g["c"].first(),
+                "close_c": g["c"].last(),
+                "open_key": g["key"].first(),
+                "close_key": g["key"].last(),
+                "lo_c": g["c"].min(),
+                "hi_c": g["c"].max(),
+                "n": g.size(),
+            }
+        )
+        return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+    pdf = orders.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    cols = ["year", "month", "n_orders", "open_c", "hi_c", "lo_c", "close_c"]
+    if pdf.empty:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    rows = []
+    for m, g in pdf.groupby("m"):
+        i_open = int(g["open_key"].to_numpy().argmin())
+        i_close = int(g["close_key"].to_numpy().argmax())
+        rows.append(
+            (
+                int(m) // 12,
+                int(m) % 12 + 1,
+                int(g["n"].sum()),
+                int(g["open_c"].iloc[i_open]),
+                int(g["hi_c"].max()),
+                int(g["lo_c"].min()),
+                int(g["close_c"].iloc[i_close]),
+            )
+        )
+    return (
+        pd.DataFrame(rows, columns=cols)
+        .sort_values(["year", "month"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+
+
+HISTSEL_BUCKETS = 4096
+HISTSEL_GATHER_CAP = 4_000_000
+
+
+def q_median_price_histsel(sf_dir: str):
+    """EXACT global median by two-pass HISTOGRAM REFINEMENT — the
+    selection algorithm that replaces a global sort at scale: pass 1
+    folds a 4096-bucket histogram over [min, max] from per-batch
+    partials (one tiny vector per batch, no exchange of rows), locates
+    the bucket containing rank (n+1)//2, and pass 2 gathers ONLY that
+    bucket's values (loud cap — a pathological single-value spike
+    raises rather than truncates) to select the exact value. Contrast
+    with percentile_cont_prices / global_price_ranks, which pay the
+    range-partitioned sort: this path does two cheap scans and is the
+    right shape when only a few quantiles are needed."""
+    import ray.data as rd
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_extendedprice"],
+    )
+
+    def cents_t(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c": pc.cast(
+                    pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                    pa.int64(),
+                )
+            }
+        )
+
+    ds = li.map_batches(cents_t, batch_format="pyarrow", zero_copy_batch=True)
+
+    def minmax(t: pa.Table) -> pa.Table:
+        c = t["c"]
+        return pa.table(
+            {
+                "lo": pa.array([pc.min(c).as_py()], pa.int64()),
+                "hi": pa.array([pc.max(c).as_py()], pa.int64()),
+                "n": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    mm = mm.dropna()
+    n = int(mm["n"].sum()) if not mm.empty else 0
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "n": pd.Series([0], dtype="int64"),
+                "median_c": pd.Series([0], dtype="int64"),
+            }
+        )
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    rank = (n + 1) // 2
+    k = np.int64(HISTSEL_BUCKETS)
+    span = np.int64(hi - lo + 1)
+
+    def hist(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False)
+        b = (c - np.int64(lo)) * k // span
+        u, cnt = np.unique(b, return_counts=True)
+        return pa.table(
+            {"b": pa.array(u), "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    hb = (
+        ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .groupby("b")["cnt"]
+        .sum()
+        .sort_index()
+    )
+    cum = hb.cumsum()
+    target_b = int(cum.index[np.searchsorted(cum.to_numpy(), rank)])
+    before = int(cum.loc[: target_b - 1].iloc[-1]) if target_b > 0 and len(
+        cum.loc[: target_b - 1]
+    ) else 0
+    in_rank = rank - before
+    tb = np.int64(target_b)
+
+    def in_bucket(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False)
+        b = (c - np.int64(lo)) * k // span
+        return pa.table({"c": pa.array(c[b == tb])})
+
+    vals = ds.map_batches(
+        in_bucket, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if len(vals) > HISTSEL_GATHER_CAP:
+        raise ValueError(
+            f"median_price_histsel: target bucket holds {len(vals)} rows, "
+            f"over the {HISTSEL_GATHER_CAP} gather cap — add a second "
+            "refinement pass for this value distribution"
+        )
+    arr = np.sort(vals["c"].to_numpy(np.int64))
+    return pd.DataFrame(
+        {
+            "n": pd.Series([n], dtype="int64"),
+            "median_c": pd.Series([int(arr[in_rank - 1])], dtype="int64"),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -16062,7 +16503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tv_distance_by_source": q_tv_distance_by_source,
         "overrepresented_tokens": q_overrepresented_tokens,
         # --- round-4 session 16 ---
-        "skyline_parts": q_skyline_parts,
+        "customer_value_skyline": q_customer_value_skyline,
         "open_order_concurrency": q_open_order_concurrency,
         "padding_waste": q_padding_waste,
         "token_burstiness": q_token_burstiness,
@@ -16074,6 +16515,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cramers_v": q_cramers_v,
         "two_step_transitions": q_two_step_transitions,
         "bigram_cond_entropy": q_bigram_cond_entropy,
+        "event_trigrams": q_event_trigrams,
+        "funnel_time_to_convert": q_funnel_time_to_convert,
+        "monthly_price_ohlc": q_monthly_price_ohlc,
+        "median_price_histsel": q_median_price_histsel,
     }
 
 
@@ -20239,20 +20684,21 @@ SELECT source, CAST(rank AS BIGINT) AS rank,
 FROM r WHERE rank <= {OVERREP_TOP_K}
 ORDER BY source, rank
 """,
-        "skyline_parts": r"""
-WITH p AS (
-  SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
-         CAST(p_size AS BIGINT) AS size,
-         CAST(round(p_retailprice * 100) AS BIGINT) AS price_c
-  FROM part
+        "customer_value_skyline": r"""
+WITH agg AS (
+  SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS spend_c
+  FROM orders GROUP BY o_custkey
 )
-SELECT p_partkey, size, price_c FROM p a
+SELECT o_custkey, n_orders, spend_c FROM agg a
 WHERE NOT EXISTS (
-  SELECT 1 FROM p b
-  WHERE b.price_c <= a.price_c AND b.size >= a.size
-    AND (b.price_c < a.price_c OR b.size > a.size)
+  SELECT 1 FROM agg b
+  WHERE b.n_orders <= a.n_orders AND b.spend_c >= a.spend_c
+    AND (b.n_orders < a.n_orders OR b.spend_c > a.spend_c)
 )
-ORDER BY price_c, size, p_partkey
+ORDER BY n_orders, spend_c DESC, o_custkey
 """,
         "open_order_concurrency": r"""
 WITH span AS (
@@ -20479,5 +20925,84 @@ SELECT s2.source, CAST(s2.n2 AS BIGINT) AS n_bigrams,
        CAST(floor((s1.s1v - s2.s2v) / s2.n2 * 1000000 + 0.5) AS BIGINT)
          AS h_cond_q6
 FROM s2 JOIN s1 USING (source) ORDER BY s2.source
+""",
+        "event_trigrams": f"""
+WITH seq AS (
+  SELECT user_id, event_type AS a,
+         LEAD(event_type, 1) OVER w AS b,
+         LEAD(event_type, 2) OVER w AS c
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+t AS (
+  SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE b IS NOT NULL AND c IS NOT NULL GROUP BY a, b, c
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY n DESC, a, b, c) AS rk FROM t
+)
+SELECT CAST(rk AS BIGINT) AS rank, a AS t1, b AS t2, c AS t3, n
+FROM r WHERE rk <= {TRIGRAM_TOP_K} ORDER BY rk
+""",
+        "funnel_time_to_convert": f"""
+WITH f AS (
+  SELECT user_id,
+         MIN(ts) FILTER (WHERE event_type = '{FUNNEL_PAIR[0]}') AS fv,
+         MIN(ts) FILTER (WHERE event_type = '{FUNNEL_PAIR[1]}') AS fp
+  FROM events GROUP BY user_id
+),
+d AS (
+  SELECT user_id, epoch_us(fp) - epoch_us(fv) AS delay_us
+  FROM f WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv
+),
+r AS (
+  SELECT delay_us,
+         row_number() OVER (ORDER BY delay_us, user_id) AS rk,
+         COUNT(*) OVER () AS n
+  FROM d
+),
+pick AS (
+  SELECT CAST(n AS BIGINT) AS n,
+         MAX(CASE WHEN rk = (n + 1) // 2 THEN delay_us END) AS med,
+         MAX(CASE WHEN rk = (9 * n + 9) // 10 THEN delay_us END) AS p90
+  FROM r GROUP BY n
+)
+SELECT COALESCE((SELECT n FROM pick), 0) AS n_converted,
+       COALESCE((SELECT CAST(med AS BIGINT) FROM pick), 0) AS median_us,
+       COALESCE((SELECT CAST(p90 AS BIGINT) FROM pick), 0) AS p90_us
+""",
+        "monthly_price_ohlc": r"""
+WITH o AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+         CAST(month(o_orderdate) AS BIGINT) AS month,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS day,
+         CAST(o_orderkey AS BIGINT) AS okey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+),
+w AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY year, month
+                            ORDER BY day, okey) AS r_open,
+         row_number() OVER (PARTITION BY year, month
+                            ORDER BY day DESC, okey DESC) AS r_close
+  FROM o
+)
+SELECT year, month, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MAX(CASE WHEN r_open = 1 THEN c END) AS BIGINT) AS open_c,
+       CAST(MAX(c) AS BIGINT) AS hi_c,
+       CAST(MIN(c) AS BIGINT) AS lo_c,
+       CAST(MAX(CASE WHEN r_close = 1 THEN c END) AS BIGINT) AS close_c
+FROM w GROUP BY year, month ORDER BY year, month
+""",
+        "median_price_histsel": r"""
+WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+           FROM lineitem),
+n AS (SELECT COUNT(*) AS n FROM v),
+r AS (SELECT c, row_number() OVER (ORDER BY c) AS rk FROM v)
+SELECT CAST((SELECT n FROM n) AS BIGINT) AS n,
+       COALESCE((SELECT c FROM r WHERE rk = (SELECT (n + 1) // 2 FROM n)),
+                0) AS median_c
 """,
     }

@@ -272,7 +272,7 @@ BENCH_QUERIES = [
     "mannwhitney_even_odd",  # exact U/AUC with doubled-integer midranks
     "tv_distance_by_source",  # bit-exact integer total-variation drift
     "overrepresented_tokens",  # per-source top-k signed-deviation tokens
-    "skyline_parts",  # 2-D Pareto frontier (block-local + driver merge)
+    "customer_value_skyline",  # skyline over derived per-customer aggregates
     "open_order_concurrency",  # sweep-line peak over fulfillment intervals
     "padding_waste",  # power-of-two bucket padding audit
     "token_burstiness",  # top-K Fano factors, two-pass exact
@@ -284,6 +284,10 @@ BENCH_QUERIES = [
     "cramers_v",  # normalized association effect size
     "two_step_transitions",  # Markov P^2, per-path-floored exact
     "bigram_cond_entropy",  # per-source H(next|token), prefix-bucketed
+    "event_trigrams",  # top-K event-type 3-grams, user-bucketed
+    "funnel_time_to_convert",  # exact rank-probe delay quantiles
+    "monthly_price_ohlc",  # argmin/argmax downsampling partials
+    "median_price_histsel",  # 2-pass histogram-refinement median
 ]
 
 

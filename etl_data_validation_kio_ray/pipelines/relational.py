@@ -2358,6 +2358,10 @@ def _block_prefix_offsets(
     the sort key was not a total order AND ties straddle blocks — the
     offsets would be ambiguous, so fail loudly."""
     key_cols = [f"k{i}" for i in range(n_keys)]
+    if summaries.empty:
+        # an all-empty Dataset's to_pandas drops even the columns —
+        # zero blocks means zero rows, an empty offset map, total 0
+        return {}, 0
     summaries = summaries.sort_values(key_cols, kind="mergesort").reset_index(
         drop=True
     )

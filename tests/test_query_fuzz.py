@@ -885,25 +885,16 @@ def test_fuzz_calendar_ops(ray_session, tmp_path_factory, data):
     )
 )
 def test_fuzz_skyline(ray_session, tmp_path_factory, data):
-    """Tiny (size, price) domains force exact duplicates (mutual
-    non-dominance), same-price groups, and same-size chains — every
-    tie branch of the dominance kernel, checked against the NOT
-    EXISTS oracle."""
+    """Tiny (custkey, cents) domains force duplicate aggregate points
+    (mutual non-dominance), same-count groups, and same-spend chains —
+    every tie branch of the dominance kernel on the DERIVED aggregate,
+    checked against the aggregate-then-NOT-EXISTS oracle."""
     sf = str(tmp_path_factory.mktemp("skyline"))
-    t = pa.table(
-        {
-            "p_partkey": pa.array(range(1, len(data) + 1), pa.int64()),
-            "p_name": pa.array([f"part {i}" for i in range(len(data))]),
-            "p_brand": pa.array(["B1"] * len(data), pa.string()),
-            "p_type": pa.array(["t"] * len(data), pa.string()),
-            "p_size": pa.array([s for s, _ in data], pa.int32()),
-            "p_retailprice": pa.array(
-                [c / 100.0 for _, c in data], pa.float64()
-            ),
-        }
-    )
-    _write(sf, "part", t)
-    _compare("skyline_parts", sf)
+    orders = [
+        (i + 1, ck, c, 0, "1-URGENT") for i, (ck, c) in enumerate(data)
+    ]
+    _write(sf, "orders", _orders_table(orders))
+    _compare("customer_value_skyline", sf)
 
 
 @_fuzz
@@ -1052,3 +1043,54 @@ def test_fuzz_bigram_entropy(ray_session, tmp_path_factory, texts):
     sf = str(tmp_path_factory.mktemp("bigent"))
     _write(sf, "documents", _documents_table(texts))
     _compare("bigram_cond_entropy", sf)
+
+
+@_fuzz
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),  # user selector
+            st.integers(0, 50),  # us offset
+            st.sampled_from(["view", "cart", "purchase"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_fuzz_trigrams_funnel(ray_session, tmp_path_factory, rows):
+    """Users with < 3 events (no trigram), purchase-before-view users
+    (excluded from conversion), zero-delay conversions (same ts),
+    rank ties at the r50 == r90 collision for tiny n."""
+    sf = str(tmp_path_factory.mktemp("trifun"))
+    ev = [
+        (i + 1, us, usel + 1, et) for i, (usel, us, et) in enumerate(rows)
+    ]
+    _write(sf, "events", _events_table(ev))
+    _compare("event_trigrams", sf)
+    _compare("funnel_time_to_convert", sf)
+
+
+@_fuzz
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 40),  # day offset (spans >1 month)
+            st.integers(0, 50_000),  # cents
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_fuzz_ohlc_median(ray_session, tmp_path_factory, data):
+    """Months with a single order (open == close), same-day ties broken
+    by orderkey, and the histogram-refinement median on tiny corpora
+    where one bucket holds everything."""
+    sf = str(tmp_path_factory.mktemp("ohlc"))
+    orders = [
+        (i + 1, 1, c, d, "1-URGENT") for i, (d, c) in enumerate(data)
+    ]
+    _write(sf, "orders", _orders_table(orders))
+    li = [(i + 1, 1, c, 1, 1, d) for i, (d, c) in enumerate(data)]
+    _write(sf, "lineitem", _lineitem_table(li))
+    _compare("monthly_price_ohlc", sf)
+    _compare("median_price_histsel", sf)

@@ -64,7 +64,7 @@ QUERIES = [
     "tv_distance_by_source",
     "overrepresented_tokens",
     # session-16 additions
-    "skyline_parts",
+    "customer_value_skyline",
     "open_order_concurrency",
     "padding_waste",
     "token_burstiness",
@@ -76,6 +76,10 @@ QUERIES = [
     "cramers_v",
     "two_step_transitions",
     "bigram_cond_entropy",
+    "event_trigrams",
+    "funnel_time_to_convert",
+    "monthly_price_ohlc",
+    "median_price_histsel",
 ]
 
 
