@@ -16358,6 +16358,348 @@ def q_median_price_histsel(sf_dir: str):
     )
 
 
+def q_order_status_consistency(sf_dir: str):
+    """Cross-table STATUS-CONSISTENCY audit (a universal-quantifier
+    rule: 'every lineitem of an order shares one linestatus'): for
+    each (order status × lineitem-status class) cell, how many orders
+    fall there — classes all_F / all_O / mixed / none (no lineitems).
+    The ∀-aggregate folds as min==max over the co-grouped lineitems,
+    so the whole check is ONE tagged-union bucket exchange (the
+    order_item_consistency shape) with per-batch lineitem min/max
+    pre-collapse; the cross-tab is a tiny per-bucket partial.
+    Reference analog: the DDS consistency rules
+    (/root/reference/src/app2/validators/dds/rules_suite/)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        resolve_num_buckets,
+        tag_bucket,
+    )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus"],
+    )
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linestatus"],
+    )
+
+    def o_proj(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "okey": pc.cast(t["o_orderkey"], pa.int64()),
+                "status": t["o_orderstatus"],
+                "lo": pa.nulls(n, pa.string()),
+                "hi": pa.nulls(n, pa.string()),
+            }
+        )
+
+    def l_proj(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "okey": pc.cast(t["l_orderkey"], pa.int64()),
+                    "ls": t["l_linestatus"],
+                }
+            )
+            .group_by("okey")
+            .aggregate([("ls", "min"), ("ls", "max")])
+        )
+        n = g.num_rows
+        return pa.table(
+            {
+                "okey": g["okey"],
+                "status": pa.nulls(n, pa.string()),
+                "lo": g["ls_min"],
+                "hi": g["ls_max"],
+            }
+        )
+
+    both = orders.map_batches(
+        o_proj, batch_format="pyarrow", zero_copy_batch=True
+    ).union(li.map_batches(l_proj, batch_format="pyarrow", zero_copy_batch=True))
+    nb = resolve_num_buckets(both)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return tag_bucket(t, "okey", nb)
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        pdf = g.drop_columns(["__b"]).to_pandas()
+        # sentinel-fill before min/max: pandas object-dtype aggregation
+        # chokes on None-mixed groups
+        pdf["status"] = pdf["status"].fillna("")
+        pdf["lo"] = pdf["lo"].fillna("￿")
+        pdf["hi"] = pdf["hi"].fillna("")
+        agg = pdf.groupby("okey").agg(
+            status=("status", "max"), lo=("lo", "min"), hi=("hi", "max")
+        )
+        agg = agg[agg["status"] != ""]  # LEFT-join shape: orders only
+        agg.loc[agg["lo"] == "￿", "lo"] = None
+        if agg.empty:
+            return pa.table(
+                {
+                    "o_orderstatus": pa.array([], pa.string()),
+                    "li_class": pa.array([], pa.string()),
+                    "n_orders": pa.array([], pa.int64()),
+                }
+            )
+        cls = np.where(
+            agg["lo"].isna(),
+            "none",
+            np.where(
+                agg["lo"] == agg["hi"], "all_" + agg["lo"].fillna(""), "mixed"
+            ),
+        )
+        out = (
+            pd.DataFrame({"o_orderstatus": agg["status"], "li_class": cls})
+            .groupby(["o_orderstatus", "li_class"], sort=True)
+            .size()
+            .rename("n_orders")
+            .reset_index()
+        )
+        out["n_orders"] = out["n_orders"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    pdf = (
+        both.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if pdf.empty or "o_orderstatus" not in pdf.columns:
+        return pd.DataFrame(
+            {
+                "o_orderstatus": pd.Series([], dtype="object"),
+                "li_class": pd.Series([], dtype="object"),
+                "n_orders": pd.Series([], dtype="int64"),
+            }
+        )
+    return (
+        pdf.groupby(["o_orderstatus", "li_class"], as_index=False)["n_orders"]
+        .sum()
+        .sort_values(["o_orderstatus", "li_class"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"n_orders": "int64"})
+    )
+
+
+def q_anova_nchars_by_lang(sf_dir: str):
+    """One-way ANOVA F-statistic of document length (n_chars) across
+    languages — 'does length differ by language more than within' —
+    with the per-term-floored integer quantization (chi2 convention:
+    every term is the identical integer on both engines, bit-exact by
+    construction). ssb_q6 = Σ_g ⌊1e6·S_g²/n_g⌋ − ⌊1e6·S²/n⌋,
+    sst_q6 = 1e6·Σx² − ⌊1e6·S²/n⌋, ssw = sst − ssb, and
+    F_ppm = ssb·(n−k)·1e6 // (ssw·(k−1)). One finest-grain grouped
+    exchange of exact int64 sums; the fold runs on |langs| rows with
+    Python bigints (HUGEINT in the twin). Degenerate cases (k < 2,
+    n ≤ k, zero within-group variance) report defined = 0."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["lang", "n_chars"],
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        x = pc.cast(t["n_chars"], pa.int64())
+        return pa.table(
+            {"lang": t["lang"], "x": x, "xx": pc.multiply_checked(x, x)}
+        )
+
+    agg = grouped_agg(
+        docs.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True),
+        ["lang"],
+        {"n_g": ("x", "count"), "s_g": ("x", "sum"), "xx_g": ("xx", "sum")},
+    )
+    k = len(agg)
+    n = int(agg["n_g"].sum()) if k else 0
+    s = int(agg["s_g"].sum()) if k else 0
+    sxx = int(agg["xx_g"].sum()) if k else 0
+    q = 1_000_000
+    if n:
+        grand = s * s * q // n
+        ssb = (
+            sum(
+                int(sg) * int(sg) * q // int(ng)
+                for sg, ng in zip(agg["s_g"], agg["n_g"])
+            )
+            - grand
+        )
+        sst = sxx * q - grand
+        ssw = sst - ssb
+    else:
+        ssb = ssw = 0
+    if k >= 2 and n > k and ssw > 0:
+        defined = 1
+        f_ppm = ssb * (n - k) * q // (ssw * (k - 1))
+    else:
+        defined, f_ppm = 0, 0
+    return pd.DataFrame(
+        {
+            "n_docs": pd.Series([n], dtype="int64"),
+            "n_groups": pd.Series([k], dtype="int64"),
+            "ssb_q6": pd.Series([ssb], dtype="int64"),
+            "ssw_q6": pd.Series([ssw], dtype="int64"),
+            "defined": pd.Series([defined], dtype="int64"),
+            "f_ppm": pd.Series([f_ppm], dtype="int64"),
+        }
+    )
+
+
+BOILERPLATE_PREFIX_K = 16
+
+
+def q_boilerplate_position_tv(sf_dir: str):
+    """POSITIONAL token drift per source: exact integer total-variation
+    distance between the token distribution of the first K=16 positions
+    of each doc and the distribution of the rest — boilerplate headers
+    make the prefix distribution diverge (the positional variant of
+    tv_distance_by_source, same no-transcendentals TV algebra:
+    ½ Σ_t |a_t·B − b_t·A| / (A·B), integer end to end). One token-keyed
+    bucket exchange of per-batch (source, token, side) counts; tokens
+    absent from one side contribute their full mass — no zero
+    enumeration needed since each (source, token) row carries BOTH side
+    counts after the per-bucket pivot. Sources whose docs are all ≤ K
+    tokens (empty rest side) report defined = 0."""
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        resolve_num_buckets,
+        tag_bucket,
+    )
+
+    import ray.data as rd
+
+    tok_dir = _token_table_dir(sf_dir)
+    ds = rd.read_parquet(tok_dir, columns=["source", "tokens"])
+    kpre = np.int64(BOILERPLATE_PREFIX_K)
+    stride = np.int64(VOCAB + 1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        offs = np.asarray(col.offsets, dtype=np.int64)
+        offs = offs - offs[0]
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        d = src.dictionary_encode()
+        codes = np.repeat(
+            d.indices.to_numpy(zero_copy_only=False).astype(np.int64),
+            np.diff(offs),
+        )
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(
+            offs[:-1], np.diff(offs)
+        )
+        side = (pos >= kpre).astype(np.int64)  # 0 = prefix, 1 = rest
+        packed = (codes * 2 + side) * stride + flat
+        u, c = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "source": d.dictionary.take(pa.array(u // (2 * stride))),
+                "token": pa.array(u % stride),
+                "side": pa.array((u // stride) % 2),
+                "c": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    totals = (
+        parts.map_batches(
+            lambda t: t.select(["source", "side", "c"]),
+            batch_format="pyarrow",
+        )
+        .groupby(["source", "side"])
+        .sum("c")
+        .to_pandas()
+    )
+    if totals.empty:
+        return pd.DataFrame(
+            {
+                "source": pd.Series([], dtype="object"),
+                "prefix_tokens": pd.Series([], dtype="int64"),
+                "rest_tokens": pd.Series([], dtype="int64"),
+                "defined": pd.Series([], dtype="int64"),
+                "tv_ppm": pd.Series([], dtype="int64"),
+            }
+        )
+    a_s: dict[str, int] = {}
+    b_s: dict[str, int] = {}
+    for srow, side, c in zip(totals["source"], totals["side"], totals["sum(c)"]):
+        (a_s if side == 0 else b_s)[srow] = int(c)
+    max_side = max(list(a_s.values()) + list(b_s.values()) + [0])
+    if max_side and max_side * max_side >= 2**62:
+        raise ValueError(
+            "boilerplate_position_tv: a·B exceeds the int64 bound — "
+            "pre-scale counts before the exchange at this corpus size"
+        )
+    nb = resolve_num_buckets(parts)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return tag_bucket(t, "token", nb)
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        pdf = g.drop_columns(["__b"]).to_pandas()
+        cnt = (
+            pdf.groupby(["source", "token", "side"], sort=True)["c"]
+            .sum()
+            .unstack("side", fill_value=0)
+            .reset_index()
+        )
+        a = (
+            cnt[0].to_numpy(np.int64)
+            if 0 in cnt.columns
+            else np.zeros(len(cnt), dtype=np.int64)
+        )
+        b = (
+            cnt[1].to_numpy(np.int64)
+            if 1 in cnt.columns
+            else np.zeros(len(cnt), dtype=np.int64)
+        )
+        av = cnt["source"].map(lambda s: a_s.get(s, 0)).to_numpy(np.int64)
+        bv = cnt["source"].map(lambda s: b_s.get(s, 0)).to_numpy(np.int64)
+        cnt["num"] = np.abs(a * bv - b * av)
+        out = (
+            cnt.groupby("source", sort=True)["num"].sum().reset_index()
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    pdf = (
+        parts.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    rows = []
+    for s_name in sorted(set(a_s) | set(b_s)):
+        av, bv = a_s.get(s_name, 0), b_s.get(s_name, 0)
+        num = int(pdf.loc[pdf["source"] == s_name, "num"].sum()) if not pdf.empty else 0
+        if av > 0 and bv > 0:
+            rows.append((s_name, av, bv, 1, num * 1_000_000 // (2 * av * bv)))
+        else:
+            rows.append((s_name, av, bv, 0, 0))
+    return pd.DataFrame(
+        rows,
+        columns=["source", "prefix_tokens", "rest_tokens", "defined", "tv_ppm"],
+    ).astype(
+        {
+            "prefix_tokens": "int64",
+            "rest_tokens": "int64",
+            "defined": "int64",
+            "tv_ppm": "int64",
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -16633,6 +16975,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_time_to_convert": q_funnel_time_to_convert,
         "monthly_price_ohlc": q_monthly_price_ohlc,
         "median_price_histsel": q_median_price_histsel,
+        "order_status_consistency": q_order_status_consistency,
+        "anova_nchars_by_lang": q_anova_nchars_by_lang,
+        "boilerplate_position_tv": q_boilerplate_position_tv,
     }
 
 
@@ -21118,5 +21463,85 @@ r AS (SELECT c, row_number() OVER (ORDER BY c) AS rk FROM v)
 SELECT CAST((SELECT n FROM n) AS BIGINT) AS n,
        COALESCE((SELECT c FROM r WHERE rk = (SELECT (n + 1) // 2 FROM n)),
                 0) AS median_c
+""",
+        "order_status_consistency": r"""
+WITH li AS (
+  SELECT l_orderkey AS ok, min(l_linestatus) AS lo, max(l_linestatus) AS hi
+  FROM lineitem GROUP BY ok
+)
+SELECT o.o_orderstatus,
+       CASE WHEN li.ok IS NULL THEN 'none'
+            WHEN li.lo = li.hi THEN 'all_' || li.lo
+            ELSE 'mixed' END AS li_class,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o LEFT JOIN li ON li.ok = o.o_orderkey
+GROUP BY o.o_orderstatus, li_class
+ORDER BY o.o_orderstatus, li_class
+""",
+        "anova_nchars_by_lang": r"""
+WITH g AS (
+  SELECT lang, CAST(COUNT(*) AS HUGEINT) AS n_g,
+         CAST(SUM(CAST(n_chars AS BIGINT)) AS HUGEINT) AS s_g,
+         CAST(SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT))
+              AS HUGEINT) AS xx_g
+  FROM documents GROUP BY lang
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS k, SUM(n_g) AS n, SUM(s_g) AS s,
+         SUM(xx_g) AS sxx
+  FROM g
+),
+terms AS (
+  SELECT SUM((g.s_g * g.s_g * 1000000) // g.n_g) AS between_raw
+  FROM g
+),
+f AS (
+  SELECT tot.k, tot.n,
+         terms.between_raw - (tot.s * tot.s * 1000000) // tot.n AS ssb,
+         tot.sxx * 1000000 - (tot.s * tot.s * 1000000) // tot.n AS sst
+  FROM tot, terms WHERE tot.n > 0
+)
+SELECT COALESCE((SELECT CAST(n AS BIGINT) FROM f), 0) AS n_docs,
+       COALESCE((SELECT CAST(k AS BIGINT) FROM f), 0) AS n_groups,
+       COALESCE((SELECT CAST(ssb AS BIGINT) FROM f), 0) AS ssb_q6,
+       COALESCE((SELECT CAST(sst - ssb AS BIGINT) FROM f), 0) AS ssw_q6,
+       COALESCE((SELECT CASE WHEN k >= 2 AND n > k AND sst - ssb > 0
+                        THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+                 FROM f), 0) AS defined,
+       COALESCE((SELECT CASE WHEN k >= 2 AND n > k AND sst - ssb > 0
+                        THEN CAST((ssb * (n - k) * 1000000)
+                                  // ((sst - ssb) * (k - 1)) AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END
+                 FROM f), 0) AS f_ppm
+""",
+        "boilerplate_position_tv": f"""
+WITH {TOKENIZE_CTE},
+flat AS (
+  SELECT source, unnest(tokens) AS token,
+         generate_subscripts(tokens, 1) AS pos
+  FROM tok
+),
+cnt AS (
+  SELECT source, token,
+         CAST(COUNT(*) FILTER (WHERE pos <= {BOILERPLATE_PREFIX_K})
+              AS HUGEINT) AS a,
+         CAST(COUNT(*) FILTER (WHERE pos > {BOILERPLATE_PREFIX_K})
+              AS HUGEINT) AS b
+  FROM flat GROUP BY source, token
+),
+t AS (SELECT source, SUM(a) AS av, SUM(b) AS bv FROM cnt GROUP BY source),
+per AS (
+  SELECT c.source, SUM(abs(c.a * t.bv - c.b * t.av)) AS num
+  FROM cnt c JOIN t USING (source)
+  GROUP BY c.source, t.av, t.bv
+)
+SELECT t.source, CAST(t.av AS BIGINT) AS prefix_tokens,
+       CAST(t.bv AS BIGINT) AS rest_tokens,
+       CASE WHEN t.av > 0 AND t.bv > 0 THEN CAST(1 AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS defined,
+       CASE WHEN t.av > 0 AND t.bv > 0
+            THEN CAST((per.num * 1000000) // (2 * t.av * t.bv) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS tv_ppm
+FROM t JOIN per USING (source) ORDER BY t.source
 """,
     }

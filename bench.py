@@ -288,6 +288,9 @@ BENCH_QUERIES = [
     "funnel_time_to_convert",  # exact rank-probe delay quantiles
     "monthly_price_ohlc",  # argmin/argmax downsampling partials
     "median_price_histsel",  # 2-pass histogram-refinement median
+    "order_status_consistency",  # forall-rule cross-tab, one co-group
+    "anova_nchars_by_lang",  # per-term-floored exact one-way ANOVA
+    "boilerplate_position_tv",  # positional token drift per source
 ]
 
 

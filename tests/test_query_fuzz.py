@@ -1094,3 +1094,92 @@ def test_fuzz_ohlc_median(ray_session, tmp_path_factory, data):
     _write(sf, "lineitem", _lineitem_table(li))
     _compare("monthly_price_ohlc", sf)
     _compare("median_price_histsel", sf)
+
+
+@_fuzz
+@given(
+    items=st.lists(
+        st.tuples(
+            st.integers(0, 6),  # orderkey selector
+            st.sampled_from(["F", "O"]),  # linestatus
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+    statuses=st.lists(st.sampled_from(["F", "O", "P"]), min_size=7, max_size=7),
+)
+def test_fuzz_status_consistency(ray_session, tmp_path_factory, items, statuses):
+    """Orders with no lineitems ('none' class), mixed-status orders,
+    single-line orders — the forall-fold min==max on every shape."""
+    sf = str(tmp_path_factory.mktemp("statcons"))
+    orders = [(k + 1, 1, 100, 0, "1-URGENT") for k in range(7)]
+    t = _orders_table(orders)
+    t = t.set_column(
+        t.schema.get_field_index("o_orderstatus"),
+        "o_orderstatus",
+        pa.array(statuses, pa.string()),
+    )
+    _write(sf, "orders", t)
+    li = [(ok + 1, i + 1, 100, 1, 1, 0) for i, (ok, _ls) in enumerate(items)]
+    lt = _lineitem_table(li)
+    lt = lt.set_column(
+        lt.schema.get_field_index("l_linestatus"),
+        "l_linestatus",
+        pa.array([ls for _ok, ls in items], pa.string()),
+    )
+    _write(sf, "lineitem", lt)
+    _compare("order_status_consistency", sf)
+
+
+@_fuzz
+@given(
+    cells=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de", "zh"]),
+            st.integers(0, 2000),  # n_chars
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_fuzz_anova(ray_session, tmp_path_factory, cells):
+    """Single-group corpora (k < 2 -> defined 0), zero within-group
+    variance (constant lengths), n == k (one doc per language)."""
+    sf = str(tmp_path_factory.mktemp("anova"))
+    texts = [("w", "s1") for _ in cells]
+    t = _documents_table(texts)
+    t = t.set_column(
+        t.schema.get_field_index("lang"),
+        "lang",
+        pa.array([l for l, _c in cells], pa.string()),
+    )
+    t = t.set_column(
+        t.schema.get_field_index("n_chars"),
+        "n_chars",
+        pa.array([c for _l, c in cells], pa.int64()),
+    )
+    _write(sf, "documents", t)
+    _compare("anova_nchars_by_lang", sf)
+
+
+@_fuzz
+@given(
+    texts=st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from(["", "a", "bb", "ccc", "dddd"]),
+                min_size=0,
+                max_size=25,  # straddles the K=16 prefix boundary
+            ).map(" ".join),
+            st.sampled_from(["s1", "s2", "s3"]),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_fuzz_boilerplate_tv(ray_session, tmp_path_factory, texts):
+    """Docs exactly at the prefix boundary, sources with only-short
+    docs (empty rest side -> defined 0), tokens unique to one side."""
+    sf = str(tmp_path_factory.mktemp("boiler"))
+    _write(sf, "documents", _documents_table(texts))
+    _compare("boilerplate_position_tv", sf)

@@ -80,6 +80,9 @@ QUERIES = [
     "funnel_time_to_convert",
     "monthly_price_ohlc",
     "median_price_histsel",
+    "order_status_consistency",
+    "anova_nchars_by_lang",
+    "boilerplate_position_tv",
 ]
 
 
