@@ -16700,6 +16700,48 @@ def q_boilerplate_position_tv(sf_dir: str):
     )
 
 
+HLL_AUDIT_P = 12
+
+
+def q_hll_register_audit(sf_dir: str):
+    """HLL sketch-STATE audit with a full SQL oracle: the per-event-type
+    HyperLogLog registers (p=12) are reproduced bit-exactly in DuckDB —
+    pandas' int64 hash_array IS the splitmix64 finalizer, so the twin
+    re-derives every register with UHUGEINT modular arithmetic (the
+    simhash/cms precedent) — and the hash compares exact integer
+    register invariants (zero count, register sum, index-weighted dot
+    product). This turns the repo's estimate-only self-asserting HLL
+    rows (hll_cardinality, distinct_users_hll) into an oracle-verified
+    sketch STATE check: if any single register diverged, wdot would
+    mismatch. Exchange shape unchanged: per-batch register partials
+    merged by elementwise max (sketches/hll.py)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.sketches.hll import grouped_hll
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id"],
+    )
+    sketches = grouped_hll(ev, "event_type", "user_id", p=HLL_AUDIT_P)
+    rows = []
+    for et in sorted(sketches):
+        r = sketches[et].registers.astype(np.int64)
+        idx = np.arange(len(r), dtype=np.int64) + 1
+        rows.append(
+            (
+                et,
+                len(r),
+                int((r == 0).sum()),
+                int(r.sum()),
+                int((r * idx).sum()),
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["event_type", "m", "zeros", "sum_reg", "wdot"]
+    ).astype({"m": "int64", "zeros": "int64", "sum_reg": "int64", "wdot": "int64"})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -16978,6 +17020,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_status_consistency": q_order_status_consistency,
         "anova_nchars_by_lang": q_anova_nchars_by_lang,
         "boilerplate_position_tv": q_boilerplate_position_tv,
+        "hll_register_audit": q_hll_register_audit,
     }
 
 
@@ -21543,5 +21586,46 @@ SELECT t.source, CAST(t.av AS BIGINT) AS prefix_tokens,
             THEN CAST((per.num * 1000000) // (2 * t.av * t.bv) AS BIGINT)
             ELSE CAST(0 AS BIGINT) END AS tv_ppm
 FROM t JOIN per USING (source) ORDER BY t.source
+""",
+        "hll_register_audit": f"""
+WITH d AS (
+  SELECT DISTINCT event_type, CAST(user_id AS UBIGINT) AS h FROM events
+),
+s1 AS (
+  SELECT event_type,
+         CAST((CAST(xor(h, h >> 30) AS UHUGEINT) * 13787848793156543929)
+              % 18446744073709551616 AS UBIGINT) AS h
+  FROM d
+),
+s2 AS (
+  SELECT event_type,
+         CAST((CAST(xor(h, h >> 27) AS UHUGEINT) * 10723151780598845931)
+              % 18446744073709551616 AS UBIGINT) AS h
+  FROM s1
+),
+f AS (SELECT event_type, xor(h, h >> 31) AS h FROM s2),
+rr AS (
+  SELECT event_type,
+         CAST(h >> {64 - HLL_AUDIT_P} AS BIGINT) AS idx,
+         CAST((CAST(h AS UHUGEINT) * {1 << HLL_AUDIT_P})
+              % 18446744073709551616 AS UBIGINT) AS rest
+  FROM f
+),
+rk AS (
+  SELECT event_type, idx,
+         CASE WHEN rest = CAST(0 AS UBIGINT) THEN {64 - HLL_AUDIT_P + 1}
+              ELSE least(65 - length(bin(rest)), {64 - HLL_AUDIT_P + 1})
+         END AS rank
+  FROM rr
+),
+regs AS (
+  SELECT event_type, idx, MAX(rank) AS reg FROM rk GROUP BY event_type, idx
+)
+SELECT event_type,
+       CAST({1 << HLL_AUDIT_P} AS BIGINT) AS m,
+       CAST({1 << HLL_AUDIT_P} - COUNT(*) AS BIGINT) AS zeros,
+       CAST(SUM(reg) AS BIGINT) AS sum_reg,
+       CAST(SUM(reg * (idx + 1)) AS BIGINT) AS wdot
+FROM regs GROUP BY event_type ORDER BY event_type
 """,
     }

@@ -291,6 +291,7 @@ BENCH_QUERIES = [
     "order_status_consistency",  # forall-rule cross-tab, one co-group
     "anova_nchars_by_lang",  # per-term-floored exact one-way ANOVA
     "boilerplate_position_tv",  # positional token drift per source
+    "hll_register_audit",  # sketch-state oracle (splitmix64 twin)
 ]
 
 

@@ -1183,3 +1183,24 @@ def test_fuzz_boilerplate_tv(ray_session, tmp_path_factory, texts):
     sf = str(tmp_path_factory.mktemp("boiler"))
     _write(sf, "documents", _documents_table(texts))
     _compare("boilerplate_position_tv", sf)
+
+
+@_fuzz
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2**62),  # user ids across the full hash domain
+            st.sampled_from(["view", "cart", "purchase"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_fuzz_hll_registers(ray_session, tmp_path_factory, rows):
+    """Register collisions (several users in one bucket take the max
+    rank), huge user ids, duplicate users — the SQL splitmix64 twin
+    must re-derive every register bit-exactly."""
+    sf = str(tmp_path_factory.mktemp("hllreg"))
+    ev = [(i + 1, i, uid, et) for i, (uid, et) in enumerate(rows)]
+    _write(sf, "events", _events_table(ev))
+    _compare("hll_register_audit", sf)

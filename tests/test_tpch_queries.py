@@ -83,6 +83,7 @@ QUERIES = [
     "order_status_consistency",
     "anova_nchars_by_lang",
     "boilerplate_position_tv",
+    "hll_register_audit",
 ]
 
 
