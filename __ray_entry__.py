@@ -16742,6 +16742,119 @@ def q_hll_register_audit(sf_dir: str):
     ).astype({"m": "int64", "zeros": "int64", "sum_reg": "int64", "wdot": "int64"})
 
 
+def q_dau_wau_stickiness(sf_dir: str):
+    """DAU/WAU STICKINESS per 7-day epoch week — the engagement ratio
+    dashboards track (avg daily actives over weekly actives, exact
+    integer ppm with the fixed 7-day denominator). Distinct (user, day)
+    and (user, week) pairs resolve on ONE bucket exchange of per-batch-
+    deduped packed rows — each (period, user) pair lands in exactly one
+    bucket, so per-bucket dedup-then-count partials sum to exact
+    distinct counts without ever co-locating a full period. Weeks are
+    day//7 integer buckets (deterministic on both engines, no ISO
+    calendar in the hot path)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        _key_hash,
+        resolve_num_buckets,
+    )
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "user_id"]
+    )
+    us_per_day = np.int64(86_400_000_000)
+
+    def pre(t: pa.Table) -> pa.Table:
+        day = (
+            pc.divide(pc.cast(t["ts"], pa.int64()), us_per_day)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        big = np.int64(1) << np.int64(40)
+        if len(uid) and (uid.max() >= big or uid.min() < 0):
+            raise ValueError(
+                "dau_wau_stickiness: user_id outside [0, 2^40) breaks "
+                "the packed (period, user) key - widen the packing"
+            )
+        d_pairs = np.unique(day * big + uid)
+        w_pairs = np.unique((day // 7) * big + uid)
+        kind = np.concatenate(
+            [
+                np.zeros(len(d_pairs), dtype=np.int8),
+                np.ones(len(w_pairs), dtype=np.int8),
+            ]
+        )
+        packed = np.concatenate([d_pairs, w_pairs])
+        return pa.table(
+            {
+                "kind": pa.array(kind),
+                "pk": pa.array(packed),
+                "period": pa.array(
+                    np.concatenate([d_pairs // big, w_pairs // big])
+                ),
+            }
+        )
+
+    parts = ev.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+    nb = np.int64(resolve_num_buckets(parts))
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = pc.add(
+            pc.multiply(pc.cast(t["kind"], pa.int64()), 1 << 62), t["pk"]
+        )
+        h = _key_hash(k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k)
+        return t.append_column(
+            "__b", pa.array((h % np.uint64(nb)).astype(np.int32))
+        )
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        pdf = g.to_pandas()
+        ded = pdf.drop_duplicates(["kind", "pk"])
+        out = (
+            ded.groupby(["kind", "period"], sort=True)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    pdf = (
+        parts.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    cols = ["week", "days_active", "wau", "sum_dau", "stickiness_ppm"]
+    if pdf.empty or "kind" not in pdf.columns:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    agg = pdf.groupby(["kind", "period"], as_index=False)["n"].sum()
+    dau = agg[agg["kind"] == 0]
+    wau = agg[agg["kind"] == 1].set_index("period")["n"]
+    wk = dau.assign(week=dau["period"] // 7).groupby("week").agg(
+        days_active=("n", "size"), sum_dau=("n", "sum")
+    )
+    rows = []
+    for week, r in wk.iterrows():
+        w = int(wau.loc[week])
+        rows.append(
+            (
+                int(week),
+                int(r["days_active"]),
+                w,
+                int(r["sum_dau"]),
+                int(r["sum_dau"]) * 1_000_000 // (7 * w),
+            )
+        )
+    return (
+        pd.DataFrame(rows, columns=cols)
+        .sort_values("week", kind="mergesort")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -17021,6 +17134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anova_nchars_by_lang": q_anova_nchars_by_lang,
         "boilerplate_position_tv": q_boilerplate_position_tv,
         "hll_register_audit": q_hll_register_audit,
+        "dau_wau_stickiness": q_dau_wau_stickiness,
     }
 
 
@@ -21627,5 +21741,24 @@ SELECT event_type,
        CAST(SUM(reg) AS BIGINT) AS sum_reg,
        CAST(SUM(reg * (idx + 1)) AS BIGINT) AS wdot
 FROM regs GROUP BY event_type ORDER BY event_type
+""",
+        "dau_wau_stickiness": r"""
+WITH du AS (
+  SELECT DISTINCT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS day, user_id
+  FROM events
+),
+dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day),
+wu AS (SELECT DISTINCT day // 7 AS week, user_id FROM du),
+wau AS (SELECT week, CAST(COUNT(*) AS BIGINT) AS wau FROM wu GROUP BY week),
+wd AS (
+  SELECT day // 7 AS week, CAST(COUNT(*) AS BIGINT) AS days_active,
+         CAST(SUM(dau) AS BIGINT) AS sum_dau
+  FROM dau GROUP BY week
+)
+SELECT wd.week, wd.days_active, wau.wau, wd.sum_dau,
+       CAST((CAST(wd.sum_dau AS HUGEINT) * 1000000) // (7 * wau.wau)
+            AS BIGINT) AS stickiness_ppm
+FROM wd JOIN wau USING (week) ORDER BY wd.week
 """,
     }

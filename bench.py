@@ -292,6 +292,7 @@ BENCH_QUERIES = [
     "anova_nchars_by_lang",  # per-term-floored exact one-way ANOVA
     "boilerplate_position_tv",  # positional token drift per source
     "hll_register_audit",  # sketch-state oracle (splitmix64 twin)
+    "dau_wau_stickiness",  # distinct-pair dedup exchange, DAU/WAU
 ]
 
 

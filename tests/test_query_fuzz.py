@@ -1204,3 +1204,27 @@ def test_fuzz_hll_registers(ray_session, tmp_path_factory, rows):
     ev = [(i + 1, i, uid, et) for i, (uid, et) in enumerate(rows)]
     _write(sf, "events", _events_table(ev))
     _compare("hll_register_audit", sf)
+
+
+@_fuzz
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 5),  # user selector
+            st.integers(0, 20),  # day offset (spans week boundaries)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_fuzz_stickiness(ray_session, tmp_path_factory, rows):
+    """Users active multiple times a day (dedup), single-day weeks,
+    week-boundary days — distinct-pair counts must match COUNT
+    DISTINCT exactly."""
+    sf = str(tmp_path_factory.mktemp("sticky"))
+    ev = [
+        (i + 1, d * 86_400_000_000 + i, u + 1, "view")
+        for i, (u, d) in enumerate(rows)
+    ]
+    _write(sf, "events", _events_table(ev))
+    _compare("dau_wau_stickiness", sf)

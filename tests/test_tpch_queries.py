@@ -84,6 +84,7 @@ QUERIES = [
     "anova_nchars_by_lang",
     "boilerplate_position_tv",
     "hll_register_audit",
+    "dau_wau_stickiness",
 ]
 
 
