@@ -16855,6 +16855,155 @@ def q_dau_wau_stickiness(sf_dir: str):
     )
 
 
+HEAPS_SHARDS = 8
+
+
+def q_heaps_law_fit(sf_dir: str):
+    """HEAPS'-LAW fit of vocabulary growth: OLS slope β and intercept
+    of ln(cumulative distinct tokens) on ln(cumulative token
+    occurrences) across doc-id shards — the companion fingerprint to
+    zipf_fit (β collapsing toward 0 means new data stops contributing
+    vocabulary: a dedup or template-flood signature). Same distributed
+    shape as bigram_novelty on unigrams: per-batch (shard, token)
+    unique-collapse partials → ONE token-keyed exchange where
+    first-shard = min folds locally → per-shard novel/occurrence
+    scalars; the cumulative axis and the closed-form OLS (zipf_fit's
+    exact algebraic arrangement, fsum + floor(x·1e6 + 0.5)) run on
+    ≤ HEAPS_SHARDS driver rows."""
+    import math
+
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        resolve_num_buckets,
+        tag_bucket,
+    )
+
+    docs_max = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).max("doc_id")
+    if docs_max is None:
+        return pd.DataFrame(
+            {
+                "n_points": pd.Series([], dtype="int64"),
+                "beta_q6": pd.Series([], dtype="int64"),
+                "intercept_q6": pd.Series([], dtype="int64"),
+            }
+        )
+    s_count = np.int64(HEAPS_SHARDS)
+    denom = np.int64(int(docs_max) + 1)
+
+    tok_dir = _token_table_dir(sf_dir)
+    ds = rd.read_parquet(tok_dir, columns=["doc_id", "tokens"])
+    stride = np.int64(VOCAB + 1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        offs = np.asarray(col.offsets, dtype=np.int64)
+        offs = offs - offs[0]
+        did = (
+            pc.cast(t["doc_id"], pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        shard = np.repeat(did * s_count // denom, np.diff(offs))
+        u, c = np.unique(shard * stride + flat, return_counts=True)
+        return pa.table(
+            {
+                "shard": pa.array(u // stride),
+                "token": pa.array(u % stride),
+                "c": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    nb = resolve_num_buckets(parts)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return tag_bucket(t, "token", nb)
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        pdf = g.drop_columns(["__b"]).to_pandas()
+        cnt = (
+            pdf.groupby(["shard", "token"], sort=True)["c"].sum().reset_index()
+        )
+        fst = cnt.groupby("token")["shard"].min()
+        nov = fst.value_counts().sort_index()
+        occ = cnt.groupby("shard")["c"].sum()
+        shards = sorted(set(nov.index) | set(occ.index))
+        return pa.table(
+            {
+                "shard": pa.array(np.array(shards, dtype=np.int64)),
+                "novel": pa.array(
+                    np.array(
+                        [int(nov.get(s, 0)) for s in shards], dtype=np.int64
+                    )
+                ),
+                "occurrences": pa.array(
+                    np.array(
+                        [int(occ.get(s, 0)) for s in shards], dtype=np.int64
+                    )
+                ),
+            }
+        )
+
+    pdf = (
+        parts.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {
+            "n_points": pd.Series([], dtype="int64"),
+            "beta_q6": pd.Series([], dtype="int64"),
+            "intercept_q6": pd.Series([], dtype="int64"),
+        }
+    )
+    if pdf.empty or "shard" not in pdf.columns:
+        return empty
+    agg = (
+        pdf.groupby("shard")
+        .agg(novel=("novel", "sum"), occurrences=("occurrences", "sum"))
+        .sort_index()
+    )
+    t_cum = agg["occurrences"].cumsum()
+    v_cum = agg["novel"].cumsum()
+    keep = (t_cum > 0) & (v_cum > 0)
+    x = np.log(t_cum[keep].to_numpy(np.float64))
+    y = np.log(v_cum[keep].to_numpy(np.float64))
+    k = len(x)
+    if k < 2:
+        return empty
+    xb = math.fsum(x) / k
+    yb = math.fsum(y) / k
+    sxy = math.fsum(x * y)
+    sxx = math.fsum(x * x)
+    den = sxx - k * xb * xb
+    if den <= 0:
+        return empty
+    slope = (sxy - k * xb * yb) / den
+    intercept = yb - slope * xb
+    return pd.DataFrame(
+        {
+            "n_points": pd.Series([k], dtype="int64"),
+            "beta_q6": pd.Series(
+                [math.floor(slope * 1_000_000 + 0.5)], dtype="int64"
+            ),
+            "intercept_q6": pd.Series(
+                [math.floor(intercept * 1_000_000 + 0.5)], dtype="int64"
+            ),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -17135,6 +17284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_position_tv": q_boilerplate_position_tv,
         "hll_register_audit": q_hll_register_audit,
         "dau_wau_stickiness": q_dau_wau_stickiness,
+        "heaps_law_fit": q_heaps_law_fit,
     }
 
 
@@ -21760,5 +21910,36 @@ SELECT wd.week, wd.days_active, wau.wau, wd.sum_dau,
        CAST((CAST(wd.sum_dau AS HUGEINT) * 1000000) // (7 * wau.wau)
             AS BIGINT) AS stickiness_ppm
 FROM wd JOIN wau USING (week) ORDER BY wd.week
+""",
+        "heaps_law_fit": f"""
+WITH {TOKENIZE_CTE},
+mx AS (SELECT max(doc_id) AS m FROM documents),
+flat AS (
+  SELECT (CAST(t.doc_id AS BIGINT) * {HEAPS_SHARDS}) // (mx.m + 1) AS shard,
+         unnest(tokens) AS token
+  FROM tok t, mx
+),
+cnt AS (SELECT shard, token, count(*) AS c FROM flat GROUP BY shard, token),
+fst AS (SELECT token, min(shard) AS fs FROM cnt GROUP BY token),
+nov AS (SELECT fs AS shard, count(*) AS novel FROM fst GROUP BY fs),
+occ AS (SELECT shard, sum(c) AS occurrences FROM cnt GROUP BY shard),
+cum AS (
+  SELECT occ.shard,
+         SUM(occ.occurrences) OVER (ORDER BY occ.shard) AS t_cum,
+         SUM(COALESCE(nov.novel, 0)) OVER (ORDER BY occ.shard) AS v_cum
+  FROM occ LEFT JOIN nov USING (shard)
+),
+pts AS (
+  SELECT ln(CAST(t_cum AS DOUBLE)) AS x, ln(CAST(v_cum AS DOUBLE)) AS y
+  FROM cum WHERE t_cum > 0 AND v_cum > 0
+),
+s AS (SELECT CAST(count(*) AS DOUBLE) AS k, avg(x) AS xb, avg(y) AS yb,
+             sum(x * y) AS sxy, sum(x * x) AS sxx FROM pts)
+SELECT CAST(k AS BIGINT) AS n_points,
+       CAST(floor(((sxy - k * xb * yb) / (sxx - k * xb * xb)) * 1000000
+                  + 0.5) AS BIGINT) AS beta_q6,
+       CAST(floor((yb - ((sxy - k * xb * yb) / (sxx - k * xb * xb)) * xb)
+                  * 1000000 + 0.5) AS BIGINT) AS intercept_q6
+FROM s WHERE k >= 2 AND sxx - k * xb * xb > 0
 """,
     }

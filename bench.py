@@ -293,6 +293,7 @@ BENCH_QUERIES = [
     "boilerplate_position_tv",  # positional token drift per source
     "hll_register_audit",  # sketch-state oracle (splitmix64 twin)
     "dau_wau_stickiness",  # distinct-pair dedup exchange, DAU/WAU
+    "heaps_law_fit",  # vocabulary-growth exponent across shards
 ]
 
 

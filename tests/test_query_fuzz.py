@@ -1228,3 +1228,26 @@ def test_fuzz_stickiness(ray_session, tmp_path_factory, rows):
     ]
     _write(sf, "events", _events_table(ev))
     _compare("dau_wau_stickiness", sf)
+
+
+@_fuzz
+@given(
+    texts=st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from(["", "a", "bb", "ccc"]),
+                min_size=0,
+                max_size=10,
+            ).map(" ".join),
+            st.sampled_from(["s1", "s2"]),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_fuzz_heaps(ray_session, tmp_path_factory, texts):
+    """Single-shard corpora (k < 2 -> empty frame), shards with zero
+    occurrences (skipped points), constant-vocab growth."""
+    sf = str(tmp_path_factory.mktemp("heaps"))
+    _write(sf, "documents", _documents_table(texts))
+    _compare("heaps_law_fit", sf)

@@ -85,6 +85,7 @@ QUERIES = [
     "boilerplate_position_tv",
     "hll_register_audit",
     "dau_wau_stickiness",
+    "heaps_law_fit",
 ]
 
 

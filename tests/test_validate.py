@@ -424,3 +424,36 @@ def test_writable_blob_hashes_inplace_dup_scan_matches_readonly():
     # empty column round-trips
     e, ka = writable_blob_hashes(pa.array([], pa.binary()))
     assert len(e) == 0 and len(dup_values(e, sort_inplace=True)) == 0
+
+
+def test_storage_profile_matches_duckdb_metadata(ray_session):
+    """Footer-only storage profile vs DuckDB's parquet_metadata() —
+    byte totals, row-group counts and the ppm ratio must agree exactly
+    for every (table, column)."""
+    import duckdb
+
+    from etl_data_validation_kio_ray.sources.storage import storage_profile
+
+    sf = "/root/testdata/sf0.001"
+    tables = {t: f"{sf}/{t}.parquet" for t in ("orders", "nation", "documents")}
+    got = storage_profile(tables)
+    con = duckdb.connect()
+    want = con.execute(
+        " UNION ALL ".join(
+            f"""
+            SELECT '{t}' AS tbl, path_in_schema AS column,
+                   CAST(COUNT(*) AS BIGINT) AS n_rowgroups,
+                   CAST(SUM(total_compressed_size) AS BIGINT) AS compressed,
+                   CAST(SUM(total_uncompressed_size) AS BIGINT) AS uncompressed,
+                   CAST(SUM(total_compressed_size) * 1000000
+                        // SUM(total_uncompressed_size) AS BIGINT) AS ratio_ppm
+            FROM parquet_metadata('{p}') GROUP BY path_in_schema
+            """
+            for t, p in tables.items()
+        )
+        + " ORDER BY tbl, \"column\""
+    ).df()
+    con.close()
+    assert got.reset_index(drop=True).equals(
+        want.reset_index(drop=True)
+    ), (got, want)
