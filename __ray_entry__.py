@@ -17004,6 +17004,177 @@ def q_heaps_law_fit(sf_dir: str):
     )
 
 
+COVERAGE_SELECT_K = 5
+
+
+def q_coverage_select_docs(sf_dir: str):
+    """GREEDY SET-COVER document selection: pick K=5 docs that
+    maximize newly covered vocabulary, one at a time (novel-token
+    count DESC, doc_id ASC tiebreak; stop early when nothing new is
+    coverable) — the coverage-maximizing subset-selection step of a
+    data-curation pipeline (diversity seeding, eval-set construction).
+    Each greedy round is one distributed argmax scan: the covered set
+    broadcasts via ray.put as a sorted array, every batch scores its
+    docs' novel-distinct counts vectorized and emits ONE candidate
+    row, the driver folds #batches rows, and the winner's tokens are
+    fetched with a doc_id-filtered parquet read (row-group pruning,
+    not a rescan). The DuckDB twin unrolls the same K greedy stages as
+    chained CTEs — greedy ties and early stopping match exactly."""
+    import ray
+    import ray.data as rd
+
+    tok_dir = _token_table_dir(sf_dir)
+    stride = np.int64(VOCAB + 1)
+    covered = np.array([], dtype=np.int64)
+    rows = []
+    for rank in range(1, COVERAGE_SELECT_K + 1):
+        cov_ref = ray.put(covered)
+        ds = rd.read_parquet(tok_dir, columns=["doc_id", "tokens"])
+
+        def best_in_batch(t: pa.Table) -> pa.Table:
+            cov = ray.get(cov_ref)
+            col = t["tokens"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            flat = pc.list_flatten(col).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            offs = np.asarray(col.offsets, dtype=np.int64)
+            offs = offs - offs[0]
+            did = (
+                pc.cast(t["doc_id"], pa.int64())
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            if not len(flat):
+                return pa.table(
+                    {
+                        "novel": pa.array([], pa.int64()),
+                        "doc_id": pa.array([], pa.int64()),
+                    }
+                )
+            didx = np.repeat(
+                np.arange(t.num_rows, dtype=np.int64), np.diff(offs)
+            )
+            if len(cov):
+                pos = np.searchsorted(cov, flat)
+                pos_c = np.clip(pos, 0, len(cov) - 1)
+                novel_mask = cov[pos_c] != flat
+            else:
+                novel_mask = np.ones(len(flat), dtype=bool)
+            u = np.unique(didx[novel_mask] * stride + flat[novel_mask])
+            if not len(u):
+                return pa.table(
+                    {
+                        "novel": pa.array([], pa.int64()),
+                        "doc_id": pa.array([], pa.int64()),
+                    }
+                )
+            docs_u, counts = np.unique(u // stride, return_counts=True)
+            # batch-best: max novel, tie min doc_id (docs_u rows sorted
+            # by batch row index, and did is not sorted — resolve by
+            # lexsort on (-count, doc_id value))
+            dvals = did[docs_u]
+            order = np.lexsort((dvals, -counts))
+            b = order[0]
+            return pa.table(
+                {
+                    "novel": pa.array([np.int64(counts[b])]),
+                    "doc_id": pa.array([np.int64(dvals[b])]),
+                }
+            )
+
+        cand = ds.map_batches(
+            best_in_batch, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+        if cand.empty or "novel" not in cand.columns:
+            break  # vocabulary fully covered: every batch went silent
+        cand = cand[cand["novel"] > 0]
+        if cand.empty:
+            break
+        cand = cand.sort_values(
+            ["novel", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        novel = int(cand["novel"].iloc[0])
+        chosen = int(cand["doc_id"].iloc[0])
+
+        import pyarrow.dataset as pads
+
+        tok_rows = rd.read_parquet(
+            tok_dir,
+            columns=["doc_id", "tokens"],
+            # token-table doc_id is STRING (sources/tokenize.py); the
+            # filter still prunes row groups on the string statistics
+            filter=(pads.field("doc_id") == str(chosen)),
+        ).to_pandas()
+        toks = np.unique(
+            np.concatenate(
+                [np.asarray(v, dtype=np.int64) for v in tok_rows["tokens"]]
+            )
+        )
+        covered = np.union1d(covered, toks)
+        rows.append((rank, chosen, novel, len(covered)))
+    return pd.DataFrame(
+        rows, columns=["rank", "doc_id", "novel_tokens", "covered_total"]
+    ).astype("int64")
+
+
+def _coverage_select_sql() -> str:
+    """Unrolled K-stage greedy set-cover twin (see
+    q_coverage_select_docs): stage i picks argmax novel-vs-covered_{i-1}
+    with the (novel DESC, doc_id) tiebreak; covered_i accumulates the
+    winner's tokens. Early stopping falls out of the WHERE novel > 0
+    guard in each stage."""
+    parts = [
+        "WITH " + TOKENIZE_CTE + """,
+dt AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id,
+              unnest(tokens) AS token
+       FROM tok)"""
+    ]
+    prev_cov = None
+    selects = []
+    for i in range(1, COVERAGE_SELECT_K + 1):
+        if prev_cov is None:
+            parts.append(
+                f"""
+s{i} AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS novel
+         FROM dt GROUP BY doc_id)"""
+            )
+        else:
+            parts.append(
+                f"""
+s{i} AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS novel
+         FROM dt WHERE token NOT IN (SELECT token FROM {prev_cov})
+         GROUP BY doc_id)"""
+            )
+        parts.append(
+            f"""
+p{i} AS (SELECT doc_id, novel FROM s{i}
+         WHERE novel > 0 ORDER BY novel DESC, doc_id LIMIT 1)"""
+        )
+        cov = f"c{i}"
+        if prev_cov is None:
+            parts.append(
+                f"""
+{cov} AS (SELECT DISTINCT token FROM dt JOIN p{i} USING (doc_id))"""
+            )
+        else:
+            parts.append(
+                f"""
+{cov} AS (SELECT token FROM {prev_cov}
+          UNION
+          SELECT token FROM dt JOIN p{i} USING (doc_id))"""
+            )
+        selects.append(
+            f"""
+SELECT CAST({i} AS BIGINT) AS rank, doc_id, novel AS novel_tokens,
+       (SELECT CAST(count(*) AS BIGINT) FROM {cov}) AS covered_total
+FROM p{i}"""
+        )
+        prev_cov = cov
+    return ",".join(parts) + "\nUNION ALL".join(selects) + "\nORDER BY rank"
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -17285,6 +17456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_register_audit": q_hll_register_audit,
         "dau_wau_stickiness": q_dau_wau_stickiness,
         "heaps_law_fit": q_heaps_law_fit,
+        "coverage_select_docs": q_coverage_select_docs,
     }
 
 
@@ -21942,4 +22114,5 @@ SELECT CAST(k AS BIGINT) AS n_points,
                   * 1000000 + 0.5) AS BIGINT) AS intercept_q6
 FROM s WHERE k >= 2 AND sxx - k * xb * xb > 0
 """,
+        "coverage_select_docs": _coverage_select_sql(),
     }

@@ -294,6 +294,7 @@ BENCH_QUERIES = [
     "hll_register_audit",  # sketch-state oracle (splitmix64 twin)
     "dau_wau_stickiness",  # distinct-pair dedup exchange, DAU/WAU
     "heaps_law_fit",  # vocabulary-growth exponent across shards
+    "coverage_select_docs",  # greedy set-cover curation, K argmax scans
 ]
 
 

@@ -1251,3 +1251,28 @@ def test_fuzz_heaps(ray_session, tmp_path_factory, texts):
     sf = str(tmp_path_factory.mktemp("heaps"))
     _write(sf, "documents", _documents_table(texts))
     _compare("heaps_law_fit", sf)
+
+
+@_fuzz
+@given(
+    texts=st.lists(
+        st.tuples(
+            st.lists(
+                # 6 word lengths -> 6 effective token values: multi-round
+                # greedy selection with ties and early full coverage
+                st.sampled_from(["a", "bb", "ccc", "dddd", "eeeee", "ffffff"]),
+                min_size=1,
+                max_size=6,
+            ).map(" ".join),
+            st.sampled_from(["s1", "s2"]),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_fuzz_coverage_select(ray_session, tmp_path_factory, texts):
+    """Greedy ties (same novel count -> doc_id order), early stop when
+    vocabulary is covered before K picks, duplicate-doc corpora."""
+    sf = str(tmp_path_factory.mktemp("cover"))
+    _write(sf, "documents", _documents_table(texts))
+    _compare("coverage_select_docs", sf)

@@ -86,6 +86,7 @@ QUERIES = [
     "hll_register_audit",
     "dau_wau_stickiness",
     "heaps_law_fit",
+    "coverage_select_docs",
 ]
 
 
