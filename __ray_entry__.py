@@ -17175,6 +17175,267 @@ FROM p{i}"""
     return ",".join(parts) + "\nUNION ALL".join(selects) + "\nORDER BY rank"
 
 
+BM25_QUERY_K = 3
+BM25_TOP_N = 10
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 RETRIEVAL scoring: top-10 documents for the query formed by
+    the corpus' top-3 tokens — the ranking primitive of lexical search
+    (Robertson/Lucene variant: idf = ln((N − df + ½)/(df + ½) + 1),
+    tf saturation k1=1.2, length normalization b=0.75). Exact-integer
+    inputs (tf, df, doc length, corpus totals) resolve on the existing
+    token-count kernel plus one broadcast-probe pass; the float score
+    is computed with the IDENTICAL expression on both engines from
+    those ints and quantized floor(s·1e6 + 0.5) BEFORE ranking, so the
+    (score_q6 DESC, doc_id) order — ties included — is deterministic
+    cross-engine. Per-batch local top-10 merge (a global top-10 doc is
+    a local top-10 doc in its own batch)."""
+    import math
+
+    import ray.data as rd
+
+    parts = _source_token_counts(sf_dir)
+    totals = (
+        parts.map_batches(
+            lambda t: t.select(["token", "c"]), batch_format="pyarrow"
+        )
+        .groupby("token")
+        .sum("c")
+        .to_pandas()
+    )
+    cols = ["rank", "doc_id", "score_q6"]
+    if totals.empty:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    totals = totals.rename(columns={"sum(c)": "c"}).sort_values(
+        ["c", "token"], ascending=[False, True], kind="mergesort"
+    )
+    qtok = np.sort(
+        totals.head(BM25_QUERY_K)["token"].to_numpy(np.int64)
+    )
+
+    tok_dir = _token_table_dir(sf_dir)
+    ds = rd.read_parquet(tok_dir, columns=["doc_id", "tokens", "n_tok"])
+    k = len(qtok)
+    stride = np.int64(k)
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        col = t["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        offs = np.asarray(col.offsets, dtype=np.int64)
+        offs = offs - offs[0]
+        didx = np.repeat(np.arange(t.num_rows, dtype=np.int64), np.diff(offs))
+        pos = np.searchsorted(qtok, flat)
+        pos_c = np.clip(pos, 0, k - 1)
+        hit = qtok[pos_c] == flat
+        u = np.unique(didx[hit] * stride + pos_c[hit])
+        df_part = np.bincount((u % stride).astype(np.int64), minlength=k)
+        return pa.table(
+            {
+                "qi": pa.array(np.arange(k, dtype=np.int64)),
+                "df": pa.array(df_part.astype(np.int64)),
+                "n_docs": pa.array(
+                    [np.int64(t.num_rows)] + [np.int64(0)] * (k - 1)
+                ),
+                "tok_sum": pa.array(
+                    [np.int64(len(flat))] + [np.int64(0)] * (k - 1)
+                ),
+            }
+        )
+
+    st = ds.map_batches(
+        stats_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    n_docs = int(st["n_docs"].sum())
+    tot_tok = int(st["tok_sum"].sum())
+    df_vec = st.groupby("qi")["df"].sum()
+    dfs = np.array([int(df_vec.get(i, 0)) for i in range(k)], dtype=np.int64)
+    if n_docs == 0 or tot_tok == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    avgdl = float(tot_tok) / float(n_docs)
+    idf = np.array(
+        [
+            math.log((float(n_docs) - float(d) + 0.5) / (float(d) + 0.5) + 1.0)
+            for d in dfs
+        ]
+    )
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        col = t["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        offs = np.asarray(col.offsets, dtype=np.int64)
+        offs = offs - offs[0]
+        did = (
+            pc.cast(t["doc_id"], pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        dl = t["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        didx = np.repeat(np.arange(t.num_rows, dtype=np.int64), np.diff(offs))
+        pos = np.searchsorted(qtok, flat)
+        pos_c = np.clip(pos, 0, k - 1)
+        hit = qtok[pos_c] == flat
+        if not hit.any():
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "score_q6": pa.array([], pa.int64()),
+                }
+            )
+        key = didx[hit] * stride + pos_c[hit]
+        u, f = np.unique(key, return_counts=True)
+        rows_d = (u // stride).astype(np.int64)
+        rows_q = (u % stride).astype(np.int64)
+        ftd = f.astype(np.float64)
+        dlv = dl[rows_d].astype(np.float64)
+        term = (
+            idf[rows_q]
+            * (ftd * (BM25_K1 + 1.0))
+            / (ftd + BM25_K1 * ((1.0 - BM25_B) + BM25_B * dlv / avgdl))
+        )
+        s = pd.DataFrame({"d": rows_d, "term": term}).groupby("d")["term"]
+        score = s.apply(lambda v: math.fsum(v))
+        docs = did[score.index.to_numpy(np.int64)]
+        q6 = np.array(
+            [math.floor(v * 1_000_000 + 0.5) for v in score.to_numpy()],
+            dtype=np.int64,
+        )
+        out = (
+            pd.DataFrame({"doc_id": docs, "score_q6": q6})
+            .sort_values(
+                ["score_q6", "doc_id"],
+                ascending=[False, True],
+                kind="mergesort",
+            )
+            .head(BM25_TOP_N)
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    pdf = ds.map_batches(
+        score_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if pdf.empty:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    top = (
+        pdf.sort_values(
+            ["score_q6", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        .head(BM25_TOP_N)
+        .reset_index(drop=True)
+    )
+    top.insert(0, "rank", np.arange(1, len(top) + 1, dtype=np.int64))
+    return top[cols].astype("int64")
+
+
+def q_cross_source_dup_matrix(sf_dir: str):
+    """CROSS-SOURCE duplication matrix: for each source pair (s1 < s2),
+    how many distinct texts appear in BOTH — the source-level
+    contamination surface (a hot cell means one source mirrors
+    another's content; the pairwise rollup of dup_size_histogram).
+    Scale shape: per-batch (content-hash, source) dedup partials ride
+    ONE hash-keyed bucket exchange; each bucket enumerates its texts'
+    source-set pairs (pair count per text is C(|sources|, 2) with
+    |sources| bounded by the source dimension, not data volume) and
+    emits pair-count partials. The DuckDB twin groups by raw text, so
+    any 64-bit collision fails the gate loudly."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.functions.hashing import (
+        hash_string_array,
+    )
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        resolve_num_buckets,
+        tag_bucket,
+    )
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text", "source"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        h = hash_string_array(text).view(np.int64)
+        pdf = pd.DataFrame(
+            {
+                "h": h,
+                "source": t["source"].to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        return pa.Table.from_pandas(pdf, preserve_index=False)
+
+    parts = docs.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    nb = resolve_num_buckets(parts)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return tag_bucket(t, "h", nb)
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        pdf = g.drop_columns(["__b"]).to_pandas().drop_duplicates(["h", "source"])
+        pdf = pdf.sort_values(["h", "source"], kind="mergesort")
+        rows: dict[tuple[str, str], int] = {}
+        for _h, grp in pdf.groupby("h"):
+            ss = grp["source"].tolist()
+            if len(ss) < 2:
+                continue
+            for i in range(len(ss)):
+                for j in range(i + 1, len(ss)):
+                    rows[(ss[i], ss[j])] = rows.get((ss[i], ss[j]), 0) + 1
+        if not rows:
+            return pa.table(
+                {
+                    "s1": pa.array([], pa.string()),
+                    "s2": pa.array([], pa.string()),
+                    "n_shared": pa.array([], pa.int64()),
+                }
+            )
+        items = sorted(rows.items())
+        return pa.table(
+            {
+                "s1": pa.array([a for (a, _b), _n in items], pa.string()),
+                "s2": pa.array([b for (_a, b), _n in items], pa.string()),
+                "n_shared": pa.array(
+                    [n for _ab, n in items], pa.int64()
+                ),
+            }
+        )
+
+    pdf = (
+        parts.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if pdf.empty or "s1" not in pdf.columns:
+        return pd.DataFrame(
+            {
+                "s1": pd.Series([], dtype="object"),
+                "s2": pd.Series([], dtype="object"),
+                "n_shared": pd.Series([], dtype="int64"),
+            }
+        )
+    return (
+        pdf.groupby(["s1", "s2"], as_index=False)["n_shared"]
+        .sum()
+        .sort_values(["s1", "s2"], kind="mergesort")
+        .reset_index(drop=True)
+        .astype({"n_shared": "int64"})
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -17457,6 +17718,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dau_wau_stickiness": q_dau_wau_stickiness,
         "heaps_law_fit": q_heaps_law_fit,
         "coverage_select_docs": q_coverage_select_docs,
+        "bm25_topk": q_bm25_topk,
+        "cross_source_dup_matrix": q_cross_source_dup_matrix,
     }
 
 
@@ -22115,4 +22378,48 @@ SELECT CAST(k AS BIGINT) AS n_points,
 FROM s WHERE k >= 2 AND sxx - k * xb * xb > 0
 """,
         "coverage_select_docs": _coverage_select_sql(),
+        "bm25_topk": f"""
+WITH {TOKENIZE_CTE},
+meta AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(n_tok) AS BIGINT) AS tot FROM tok),
+flat AS (SELECT CAST(doc_id AS BIGINT) AS did, n_tok,
+                unnest(tokens) AS token FROM tok),
+tc AS (SELECT token, CAST(count(*) AS BIGINT) AS c
+       FROM flat GROUP BY token),
+q AS (SELECT token, row_number() OVER (ORDER BY c DESC, token) AS rk
+      FROM tc QUALIFY rk <= {BM25_QUERY_K}),
+df AS (SELECT token, CAST(count(DISTINCT did) AS BIGINT) AS df
+       FROM flat JOIN q USING (token) GROUP BY token),
+f AS (SELECT did, token, CAST(count(*) AS BIGINT) AS ftd,
+             any_value(n_tok) AS dl
+      FROM flat JOIN q USING (token) GROUP BY did, token),
+sc AS (
+  SELECT did,
+         sum(ln((CAST(meta.n AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (CAST(ftd AS DOUBLE) * ({BM25_K1} + 1.0))
+             / (CAST(ftd AS DOUBLE)
+                + {BM25_K1} * ((1.0 - {BM25_B})
+                               + {BM25_B} * CAST(dl AS DOUBLE)
+                                 / (CAST(meta.tot AS DOUBLE)
+                                    / CAST(meta.n AS DOUBLE))))) AS s
+  FROM f JOIN df USING (token), meta GROUP BY did
+),
+r AS (
+  SELECT did, CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS score_q6
+  FROM sc
+),
+rr AS (
+  SELECT did, score_q6,
+         row_number() OVER (ORDER BY score_q6 DESC, did) AS rk
+  FROM r
+)
+SELECT CAST(rk AS BIGINT) AS rank, did AS doc_id, score_q6
+FROM rr WHERE rk <= {BM25_TOP_N} ORDER BY rk
+""",
+        "cross_source_dup_matrix": r"""
+WITH g AS (SELECT DISTINCT text, source FROM documents)
+SELECT a.source AS s1, b.source AS s2, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM g a JOIN g b ON a.text = b.text AND a.source < b.source
+GROUP BY a.source, b.source ORDER BY s1, s2
+""",
     }

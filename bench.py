@@ -295,6 +295,8 @@ BENCH_QUERIES = [
     "dau_wau_stickiness",  # distinct-pair dedup exchange, DAU/WAU
     "heaps_law_fit",  # vocabulary-growth exponent across shards
     "coverage_select_docs",  # greedy set-cover curation, K argmax scans
+    "bm25_topk",  # lexical retrieval scoring, quantized-before-rank
+    "cross_source_dup_matrix",  # source-pair contamination surface
 ]
 
 

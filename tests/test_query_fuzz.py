@@ -1276,3 +1276,24 @@ def test_fuzz_coverage_select(ray_session, tmp_path_factory, texts):
     sf = str(tmp_path_factory.mktemp("cover"))
     _write(sf, "documents", _documents_table(texts))
     _compare("coverage_select_docs", sf)
+
+
+@_fuzz
+@given(
+    texts=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "a a", "bb", "ccc ccc", "d d d", ""]),
+            st.sampled_from(["s1", "s2", "s3"]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_fuzz_bm25_crossdup(ray_session, tmp_path_factory, texts):
+    """Texts shared across sources (non-zero matrix cells), score ties
+    at the BM25 top-K cut, query tokens with df == N (negative-idf
+    guard rail of the +1 variant), empty docs."""
+    sf = str(tmp_path_factory.mktemp("bm25x"))
+    _write(sf, "documents", _documents_table(texts))
+    _compare("bm25_topk", sf)
+    _compare("cross_source_dup_matrix", sf)

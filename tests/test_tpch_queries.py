@@ -87,6 +87,8 @@ QUERIES = [
     "dau_wau_stickiness",
     "heaps_law_fit",
     "coverage_select_docs",
+    "bm25_topk",
+    "cross_source_dup_matrix",
 ]
 
 
