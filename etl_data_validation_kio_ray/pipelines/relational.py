@@ -3308,8 +3308,9 @@ def skyline_2d(ds, cost_col: str, gain_col: str) -> pd.DataFrame:
     driver re-runs the same kernel on the union. Both columns must be
     int64-castable. The gathered candidate set is #blocks × local
     frontier size — tiny in practice; a loud cap
-    (SKYLINE_MAX_CANDIDATES) guards pathological anti-correlated data
-    rather than truncating silently."""
+    (SKYLINE_MAX_CANDIDATES) guards the pathological pay-more-get-more
+    diagonal (cost and gain rising together puts EVERY point on the
+    frontier) rather than truncating silently."""
 
     def local(t: pa.Table) -> pa.Table:
         c = t[cost_col]
@@ -3330,8 +3331,9 @@ def skyline_2d(ds, cost_col: str, gain_col: str) -> pd.DataFrame:
     if len(cand) > SKYLINE_MAX_CANDIDATES:
         raise ValueError(
             f"skyline_2d: {len(cand)} local-skyline candidates exceed the "
-            f"{SKYLINE_MAX_CANDIDATES} gather cap — anti-correlated data; "
-            "raise the cap or add a pre-merge reduce stage"
+            f"{SKYLINE_MAX_CANDIDATES} gather cap — near-diagonal data "
+            "(cost/gain rising together); raise the cap or add a "
+            "pre-merge reduce stage"
         )
     if cand.empty:
         return cand

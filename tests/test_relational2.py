@@ -2654,3 +2654,68 @@ def test_key_containment_planted(ray_session):
     parent = rd.from_arrow(pa.table({"p": pa.array([2, 3, 4], pa.int32())}))
     n_child, n_contained = key_containment(child, parent, "k", "p")
     assert (n_child, n_contained) == (4, 2)  # {1,2,3,7}; {2,3} contained
+
+
+def test_skyline_gather_cap_raises(ray_session, monkeypatch):
+    """A full-frontier diagonal exceeding the gather cap must raise
+    loudly, never truncate silently."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    import etl_data_validation_kio_ray.pipelines.relational as rel
+
+    n = 100
+    # pay-more-get-more diagonal: every point is on the frontier
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "cost": pa.array(np.arange(n, dtype=np.int64)),
+                "gain": pa.array(np.arange(n, dtype=np.int64)),
+            }
+        )
+    )
+    monkeypatch.setattr(rel, "SKYLINE_MAX_CANDIDATES", 10)
+    with pytest.raises(ValueError, match="gather cap"):
+        rel.skyline_2d(ds, "cost", "gain")
+
+
+def test_key_containment_empty_sides(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        key_containment,
+    )
+
+    empty = rd.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
+    parent = rd.from_arrow(pa.table({"p": pa.array([1, 2], pa.int64())}))
+    assert key_containment(empty, parent, "k", "p") == (0, 0)
+    child = rd.from_arrow(pa.table({"k": pa.array([1, 2, 3], pa.int64())}))
+    pempty = rd.from_arrow(pa.table({"p": pa.array([], pa.int64())}))
+    assert key_containment(child, pempty, "k", "p") == (3, 0)
+
+
+def test_storage_profile_multifile(ray_session, tmp_path):
+    """Two files of one logical table fold into per-column totals that
+    match reading each footer by hand."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_data_validation_kio_ray.sources.storage import (
+        _profile_one,
+        storage_profile,
+    )
+
+    p1 = str(tmp_path / "a.parquet")
+    p2 = str(tmp_path / "b.parquet")
+    pq.write_table(pa.table({"x": list(range(1000)), "y": ["s"] * 1000}), p1)
+    pq.write_table(pa.table({"x": [7], "y": ["t"]}), p2)
+    prof = storage_profile({"a": p1, "b": p2})
+    assert set(prof["tbl"]) == {"a", "b"}
+    byhand = {(r["tbl"], r["column"]): r for r in _profile_one("a", p1)}
+    for _i, row in prof[prof["tbl"] == "a"].iterrows():
+        hb = byhand[("a", row["column"])]
+        assert row["compressed"] == hb["compressed"]
+        assert row["uncompressed"] == hb["uncompressed"]
