@@ -17436,6 +17436,148 @@ def q_cross_source_dup_matrix(sf_dir: str):
     )
 
 
+CDC_WINDOW = 8
+CDC_MASK = 63  # boundary when rolling hash % 64 == 0 (~64-token chunks)
+CDC_BASE = 0x100000001B3  # FNV-ish odd multiplier (functions/hashing.py)
+
+
+def q_cdc_chunk_stats(sf_dir: str):
+    """CONTENT-DEFINED CHUNKING statistics per source: split each token
+    sequence at positions where the 8-token rolling hash
+    H_i = Σ_j t_{i−j}·B^j (mod 2⁶⁴) satisfies H % 64 == 0 — the
+    Rabin-style variable-length chunking dedup systems use (boundaries
+    survive insertions, unlike fixed windows). Exactness without the
+    2⁶⁴ reduction: 64 divides 2⁶⁴, so H % 64 equals the UNreduced
+    HUGEINT sum % 64 — the DuckDB twin computes 8 explicit LAG terms
+    with precomputed Bʲ mod 2⁶⁴ literals while the engine uses uint64
+    wrap arithmetic, and the two agree exactly. One fused pass emitting
+    per-batch (source, docs, chunks, tokens) partials; a doc's last
+    position never opens a new chunk."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    tok_dir = _token_table_dir(sf_dir)
+    ds = rd.read_parquet(tok_dir, columns=["source", "tokens"])
+    powers = np.array(
+        [pow(CDC_BASE, j, 1 << 64) for j in range(CDC_WINDOW)],
+        dtype=np.uint64,
+    )
+    w = CDC_WINDOW
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
+        offs = np.asarray(col.offsets, dtype=np.int64)
+        offs = offs - offs[0]
+        lens = np.diff(offs)
+        n = len(flat)
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        if n == 0:
+            g = pa.table(
+                {
+                    "source": src,
+                    "docs": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                    "chunks": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                    "toks": pa.array(lens.astype(np.int64)),
+                }
+            )
+        else:
+            h = np.zeros(n, dtype=np.uint64)
+            for j in range(min(w, n)):  # n < w: nothing at offset >= n
+                # t_{i-j} * B^j, uint64 wrap == mod 2^64
+                h[j:] += flat[: n - j] * powers[j]
+            pos_in_doc = np.arange(n, dtype=np.int64) - np.repeat(
+                offs[:-1], lens
+            )
+            doc_idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+            last_pos = np.repeat(lens - 1, lens)
+            valid = (pos_in_doc >= w - 1) & (pos_in_doc < last_pos)
+            boundary = valid & ((h & np.uint64(CDC_MASK)) == 0)
+            extra = np.bincount(
+                doc_idx[boundary], minlength=t.num_rows
+            ).astype(np.int64)
+            chunks = np.where(lens > 0, 1 + extra, 0)
+            g = pa.table(
+                {
+                    "source": src,
+                    "docs": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                    "chunks": pa.array(chunks),
+                    "toks": pa.array(lens.astype(np.int64)),
+                }
+            )
+        return g
+
+    agg = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"],
+        {
+            "n_docs": ("docs", "sum"),
+            "n_chunks": ("chunks", "sum"),
+            "tokens": ("toks", "sum"),
+        },
+    )
+    agg = agg.sort_values("source", kind="mergesort").reset_index(drop=True)
+    nch = agg["n_chunks"].astype("int64")
+    agg["avg_chunk_len_ppm"] = np.where(
+        nch > 0, agg["tokens"].astype("int64") * 1_000_000 // nch.where(nch > 0, 1), 0
+    ).astype("int64")
+    for c in ("n_docs", "n_chunks", "tokens"):
+        agg[c] = agg[c].astype("int64")
+    return agg[["source", "n_docs", "n_chunks", "tokens", "avg_chunk_len_ppm"]]
+
+
+def _cdc_sql() -> str:
+    terms = " + ".join(
+        f"CAST(lag(token, {j}) OVER w AS HUGEINT) "
+        f"* {pow(CDC_BASE, j, 1 << 64)}"
+        for j in range(CDC_WINDOW)
+    )
+    return f"""
+WITH {TOKENIZE_CTE},
+flat AS (
+  SELECT source, doc_id, n_tok, unnest(tokens) AS token,
+         generate_subscripts(tokens, 1) AS pos
+  FROM tok
+),
+h AS (
+  SELECT source, doc_id, n_tok, pos, ({terms}) AS hsum
+  FROM flat
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+b AS (
+  SELECT source, doc_id,
+         CAST(COUNT(*) FILTER (WHERE pos >= {CDC_WINDOW} AND pos < n_tok
+                               AND hsum % 64 = 0) AS BIGINT) AS extra
+  FROM h GROUP BY source, doc_id
+),
+d AS (
+  SELECT t.source, CAST(t.n_tok AS BIGINT) AS n_tok,
+         CASE WHEN t.n_tok > 0 THEN 1 + COALESCE(b.extra, 0)
+              ELSE 0 END AS chunks
+  FROM tok t LEFT JOIN b ON b.doc_id = t.doc_id
+),
+g AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(chunks) AS BIGINT) AS n_chunks,
+         CAST(SUM(n_tok) AS BIGINT) AS tokens
+  FROM d GROUP BY source
+)
+SELECT source, n_docs, n_chunks, tokens,
+       CASE WHEN n_chunks > 0
+            THEN CAST((CAST(tokens AS HUGEINT) * 1000000) // n_chunks
+                 AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS avg_chunk_len_ppm
+FROM g ORDER BY source
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -17720,6 +17862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coverage_select_docs": q_coverage_select_docs,
         "bm25_topk": q_bm25_topk,
         "cross_source_dup_matrix": q_cross_source_dup_matrix,
+        "cdc_chunk_stats": q_cdc_chunk_stats,
     }
 
 
@@ -22422,4 +22565,5 @@ SELECT a.source AS s1, b.source AS s2, CAST(COUNT(*) AS BIGINT) AS n_shared
 FROM g a JOIN g b ON a.text = b.text AND a.source < b.source
 GROUP BY a.source, b.source ORDER BY s1, s2
 """,
+        "cdc_chunk_stats": _cdc_sql(),
     }

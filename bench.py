@@ -297,6 +297,7 @@ BENCH_QUERIES = [
     "coverage_select_docs",  # greedy set-cover curation, K argmax scans
     "bm25_topk",  # lexical retrieval scoring, quantized-before-rank
     "cross_source_dup_matrix",  # source-pair contamination surface
+    "cdc_chunk_stats",  # rolling-hash content-defined chunking
 ]
 
 

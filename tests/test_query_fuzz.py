@@ -1297,3 +1297,27 @@ def test_fuzz_bm25_crossdup(ray_session, tmp_path_factory, texts):
     _write(sf, "documents", _documents_table(texts))
     _compare("bm25_topk", sf)
     _compare("cross_source_dup_matrix", sf)
+
+
+@_fuzz
+@given(
+    texts=st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from(["", "a", "bb", "ccc", "dddd"]),
+                min_size=0,
+                max_size=25,  # spans the 8-token rolling window
+            ).map(" ".join),
+            st.sampled_from(["s1", "s2"]),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_fuzz_cdc_chunks(ray_session, tmp_path_factory, texts):
+    """Docs shorter than the window (single chunk), boundaries at the
+    last position (must not open a chunk), repeated-token runs whose
+    rolling hash cycles."""
+    sf = str(tmp_path_factory.mktemp("cdc"))
+    _write(sf, "documents", _documents_table(texts))
+    _compare("cdc_chunk_stats", sf)

@@ -89,6 +89,7 @@ QUERIES = [
     "coverage_select_docs",
     "bm25_topk",
     "cross_source_dup_matrix",
+    "cdc_chunk_stats",
 ]
 
 
