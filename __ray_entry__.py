@@ -17578,6 +17578,198 @@ FROM g ORDER BY source
 """
 
 
+def q_cdc_chunk_dedup(sf_dir: str):
+    """CHUNK-LEVEL DEDUPLICATION over the content-defined chunks (the
+    payoff of CDC: shared boilerplate shows up as repeated chunks even
+    when documents differ elsewhere): per source, total chunks vs
+    distinct chunk CONTENT hashes and the duplicate-mass ppm. The
+    chunk hash is the Horner fold Σ t_i·B^(L−1−i) mod 2⁶⁴, computed
+    vectorized with a cumprod power table + segmented reduceat here
+    and as a list_reduce fold with UHUGEINT modular steps in the twin
+    (the simhash precedent) — identical 64-bit values, so distinctness
+    agrees exactly. Exchange: per-batch (source, hash) dedup partials
+    on one hash-keyed bucket exchange emitting counts only."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        resolve_num_buckets,
+        tag_bucket,
+    )
+
+    tok_dir = _token_table_dir(sf_dir)
+    ds = rd.read_parquet(tok_dir, columns=["source", "tokens"])
+    powers = np.array(
+        [pow(CDC_BASE, j, 1 << 64) for j in range(CDC_WINDOW)],
+        dtype=np.uint64,
+    )
+    w = CDC_WINDOW
+    base = np.uint64(CDC_BASE)
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
+        offs = np.asarray(col.offsets, dtype=np.int64)
+        offs = offs - offs[0]
+        lens = np.diff(offs)
+        n = len(flat)
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        if n == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "h": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        h = np.zeros(n, dtype=np.uint64)
+        for j in range(min(w, n)):
+            h[j:] += flat[: n - j] * powers[j]
+        pos_in_doc = np.arange(n, dtype=np.int64) - np.repeat(offs[:-1], lens)
+        last_pos = np.repeat(lens - 1, lens)
+        valid = (pos_in_doc >= w - 1) & (pos_in_doc < last_pos)
+        boundary = valid & ((h & np.uint64(CDC_MASK)) == 0)
+        # chunk starts: first token of each doc, and the token AFTER a
+        # boundary
+        starts_mask = pos_in_doc == 0
+        starts_mask[1:] |= boundary[:-1]
+        starts = np.flatnonzero(starts_mask)
+        ends_excl = np.append(starts[1:], n)
+        # exponent of each token inside its chunk: chunk_end-1 - i
+        end_per_elem = np.repeat(ends_excl - 1, ends_excl - starts)
+        exp = (end_per_elem - np.arange(n, dtype=np.int64)).astype(np.int64)
+        maxlen = int(exp.max()) + 1 if n else 1
+        powmod = np.ones(maxlen, dtype=np.uint64)
+        if maxlen > 1:
+            powmod[1:] = base
+            np.cumprod(powmod, out=powmod)  # uint64 wrap == mod 2^64
+        terms = flat * powmod[exp]
+        chash = np.add.reduceat(terms, starts)
+        doc_of_chunk = np.searchsorted(offs, starts, side="right") - 1
+        src_codes = src.dictionary_encode()
+        chunk_src = src_codes.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )[doc_of_chunk]
+        pdf = (
+            pd.DataFrame({"sc": chunk_src, "h": chash.view(np.int64)})
+            .groupby(["sc", "h"])
+            .size()
+            .rename("c")
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "source": src_codes.dictionary.take(pa.array(pdf["sc"])),
+                "h": pa.array(pdf["h"].to_numpy(np.int64)),
+                "c": pa.array(pdf["c"].to_numpy(np.int64)),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    nb = resolve_num_buckets(parts)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return tag_bucket(t, "h", nb)
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        pdf = g.drop_columns(["__b"]).to_pandas()
+        agg = pdf.groupby(["source", "h"], as_index=False)["c"].sum()
+        out = agg.groupby("source").agg(
+            n_chunks=("c", "sum"), n_distinct=("h", "size")
+        )
+        out = out.reset_index()
+        for c in ("n_chunks", "n_distinct"):
+            out[c] = out[c].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    pdf = (
+        parts.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    cols = ["source", "n_chunks", "n_distinct", "dup_ppm"]
+    if pdf.empty or "source" not in pdf.columns:
+        return pd.DataFrame(
+            {
+                "source": pd.Series([], dtype="object"),
+                "n_chunks": pd.Series([], dtype="int64"),
+                "n_distinct": pd.Series([], dtype="int64"),
+                "dup_ppm": pd.Series([], dtype="int64"),
+            }
+        )
+    agg = pdf.groupby("source", as_index=False).agg(
+        n_chunks=("n_chunks", "sum"), n_distinct=("n_distinct", "sum")
+    )
+    agg["dup_ppm"] = (
+        (agg["n_chunks"] - agg["n_distinct"]).astype("int64")
+        * 1_000_000
+        // agg["n_chunks"].astype("int64")
+    ).astype("int64")
+    for c in ("n_chunks", "n_distinct"):
+        agg[c] = agg[c].astype("int64")
+    return agg.sort_values("source", kind="mergesort").reset_index(drop=True)[
+        cols
+    ]
+
+
+def _cdc_dedup_sql() -> str:
+    terms = " + ".join(
+        f"CAST(lag(token, {j}) OVER w AS HUGEINT) "
+        f"* {pow(CDC_BASE, j, 1 << 64)}"
+        for j in range(CDC_WINDOW)
+    )
+    m64 = 1 << 64
+    return f"""
+WITH {TOKENIZE_CTE},
+flat AS (
+  SELECT source, doc_id, n_tok, unnest(tokens) AS token,
+         generate_subscripts(tokens, 1) AS pos
+  FROM tok
+),
+hh AS (
+  SELECT source, doc_id, n_tok, pos, token,
+         CASE WHEN pos >= {CDC_WINDOW} AND pos < n_tok
+                   AND ({terms}) % 64 = 0
+              THEN 1 ELSE 0 END AS b
+  FROM flat
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+cid AS (
+  SELECT source, doc_id, pos, token,
+         COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS chunk_id
+  FROM hh
+),
+chunks AS (
+  SELECT source, doc_id, chunk_id,
+         list(CAST(token AS UBIGINT) ORDER BY pos) AS toks
+  FROM cid GROUP BY source, doc_id, chunk_id
+),
+hashed AS (
+  SELECT source,
+         CAST(list_reduce(toks,
+              (a, x) -> CAST((CAST(a AS UHUGEINT) * {CDC_BASE}
+                              + CAST(x AS UHUGEINT)) % {m64}
+                         AS UBIGINT)) AS UBIGINT) AS h
+  FROM chunks
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct,
+       CAST((COUNT(*) - COUNT(DISTINCT h)) * 1000000 // COUNT(*)
+            AS BIGINT) AS dup_ppm
+FROM hashed GROUP BY source ORDER BY source
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -17863,6 +18055,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q_bm25_topk,
         "cross_source_dup_matrix": q_cross_source_dup_matrix,
         "cdc_chunk_stats": q_cdc_chunk_stats,
+        "cdc_chunk_dedup": q_cdc_chunk_dedup,
     }
 
 
@@ -22566,4 +22759,5 @@ FROM g a JOIN g b ON a.text = b.text AND a.source < b.source
 GROUP BY a.source, b.source ORDER BY s1, s2
 """,
         "cdc_chunk_stats": _cdc_sql(),
+        "cdc_chunk_dedup": _cdc_dedup_sql(),
     }

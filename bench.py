@@ -298,6 +298,7 @@ BENCH_QUERIES = [
     "bm25_topk",  # lexical retrieval scoring, quantized-before-rank
     "cross_source_dup_matrix",  # source-pair contamination surface
     "cdc_chunk_stats",  # rolling-hash content-defined chunking
+    "cdc_chunk_dedup",  # chunk-content dedup rate (Horner hash twin)
 ]
 
 

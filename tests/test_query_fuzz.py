@@ -1321,3 +1321,4 @@ def test_fuzz_cdc_chunks(ray_session, tmp_path_factory, texts):
     sf = str(tmp_path_factory.mktemp("cdc"))
     _write(sf, "documents", _documents_table(texts))
     _compare("cdc_chunk_stats", sf)
+    _compare("cdc_chunk_dedup", sf)

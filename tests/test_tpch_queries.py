@@ -90,6 +90,7 @@ QUERIES = [
     "bm25_topk",
     "cross_source_dup_matrix",
     "cdc_chunk_stats",
+    "cdc_chunk_dedup",
 ]
 
 
