@@ -17776,8 +17776,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # queries never driver-scored in rounds 1-3 come FIRST, followed by
     # 22 previously-green rows (incl. minhash_pairs — the r3 watch item —
     # and drift_scores/simhash_signatures, which gained SQL oracles this
-    # round).  The remaining 28 previously-green rows sit at the tail and
-    # rotate back into the window in round 5.
+    # round).  ROUND-5 ROTATION PLAN: everything after position 50 has
+    # either been driver-scored in rounds 1-3 (the middle block) or was
+    # added in round 4 and carries only local-gate + pytest evidence
+    # (every entry from `pii_scrub` onward).  Round 5 should put ~50 of
+    # those never-driver-scored round-4 entries first — prioritize the
+    # LLM-stack ones (token analytics, dedup/CDC, sampling, sketches) —
+    # and keep this round's 50 in the local gate, which since round 3 is
+    # bit-exact-equivalent to the driver's hash.
     return {
         # --- never driver-scored before round 4 (28) ---
         "token_bigrams": q_token_bigrams,
