@@ -17770,6 +17770,149 @@ FROM hashed GROUP BY source ORDER BY source
 """
 
 
+FD_SCAN_COLS = ["p_brand", "p_type", "p_size"]
+
+
+def q_fd_discovery_scan(sf_dir: str):
+    """Approximate FUNCTIONAL-DEPENDENCY DISCOVERY: for every ordered
+    column pair (A → B) over a candidate set, the exact violation rate
+    — how many distinct A values map to MORE than one B value — the
+    schema-profiling sweep that finds (or refutes) determinacy before
+    anyone writes a rule (the discovery companion to fd_violations'
+    fixed-FD check). All pairs ride ONE bucket exchange: per-batch
+    distinct (pair, A-hash, B-hash) rows co-locate by a pair-salted
+    A-hash, each bucket counts its A-groups and which have >1 distinct
+    B, and the driver folds #buckets × #pairs count rows. Values are
+    compared as 64-bit string hashes; the SQL twin groups RAW values,
+    so a collision fails the gate loudly (incremental-dedup
+    precedent). NULLs are a sentinel value on both engines."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.functions.hashing import (
+        hash_string_array,
+    )
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        resolve_num_buckets,
+        tag_bucket,
+    )
+
+    cols = FD_SCAN_COLS
+    pairs = [
+        (i, j)
+        for i in range(len(cols))
+        for j in range(len(cols))
+        if i != j
+    ]
+    part = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=cols
+    )
+    golden = np.int64(-7046029254386353131)  # odd salt per pair id
+
+    def partial(t: pa.Table) -> pa.Table:
+        hcols = {}
+        for c in cols:
+            v = t[c]
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            s = pc.fill_null(pc.cast(v, pa.string()), "\x00NULL")
+            hcols[c] = hash_string_array(s).view(np.int64)
+        ps, has, hbs = [], [], []
+        for pid, (ia, ib) in enumerate(pairs):
+            key = hcols[cols[ia]] * np.int64(31) + hcols[cols[ib]]
+            _u, idx = np.unique(key, return_index=True)
+            ps.append(np.full(len(idx), pid, dtype=np.int8))
+            has.append(hcols[cols[ia]][idx])
+            hbs.append(hcols[cols[ib]][idx])
+        ha = np.concatenate(has)
+        return pa.table(
+            {
+                "pid": pa.array(np.concatenate(ps)),
+                "k": pa.array(
+                    ha * golden + np.concatenate(ps).astype(np.int64)
+                ),
+                "ha": pa.array(ha),
+                "hb": pa.array(np.concatenate(hbs)),
+            }
+        )
+
+    parts = part.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    nb = resolve_num_buckets(parts)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return tag_bucket(t, "k", nb)
+
+    def reduce_bucket(g: pa.Table) -> pa.Table:
+        pdf = g.drop_columns(["__b"]).to_pandas()
+        grp = pdf.groupby(["pid", "ha"])["hb"].nunique()
+        out = grp.groupby("pid").agg(["size", lambda v: int((v > 1).sum())])
+        out.columns = ["n_groups", "n_violating"]
+        out = out.reset_index()
+        return pa.table(
+            {
+                "pid": pa.array(out["pid"].to_numpy(np.int64)),
+                "n_groups": pa.array(out["n_groups"].to_numpy(np.int64)),
+                "n_violating": pa.array(
+                    out["n_violating"].to_numpy(np.int64)
+                ),
+            }
+        )
+
+    pdf = (
+        parts.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = (
+        pdf.groupby("pid").agg(
+            n_groups=("n_groups", "sum"), n_violating=("n_violating", "sum")
+        )
+        if not pdf.empty
+        else pd.DataFrame(columns=["n_groups", "n_violating"])
+    )
+    rows = []
+    for pid, (ia, ib) in enumerate(pairs):
+        ng = int(agg.loc[pid, "n_groups"]) if pid in agg.index else 0
+        nv = int(agg.loc[pid, "n_violating"]) if pid in agg.index else 0
+        ppm = nv * 1_000_000 // ng if ng else 0
+        rows.append((f"{cols[ia]}->{cols[ib]}", ng, nv, ppm))
+    out = pd.DataFrame(
+        rows, columns=["fd", "n_groups", "n_violating", "violation_ppm"]
+    ).sort_values("fd", kind="mergesort").reset_index(drop=True)
+    for c in ("n_groups", "n_violating", "violation_ppm"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _fd_scan_sql() -> str:
+    cols = FD_SCAN_COLS
+    blocks = []
+    for ia in range(len(cols)):
+        for ib in range(len(cols)):
+            if ia == ib:
+                continue
+            a, b = cols[ia], cols[ib]
+            blocks.append(
+                f"""
+SELECT '{a}->{b}' AS fd,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(COUNT(*) FILTER (WHERE nb > 1) AS BIGINT) AS n_violating,
+       CASE WHEN COUNT(*) > 0
+            THEN CAST(COUNT(*) FILTER (WHERE nb > 1) * 1000000
+                      // COUNT(*) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS violation_ppm
+FROM (
+  SELECT COALESCE(CAST({a} AS VARCHAR), chr(0) || 'NULL') AS av,
+         COUNT(DISTINCT COALESCE(CAST({b} AS VARCHAR), chr(0) || 'NULL'))
+           AS nb
+  FROM part GROUP BY av
+)"""
+            )
+    return "\nUNION ALL\n".join(blocks) + "\nORDER BY fd"
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Dict ORDER is driver-visible: the correctness driver snapshots the
     # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
@@ -18062,6 +18205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_source_dup_matrix": q_cross_source_dup_matrix,
         "cdc_chunk_stats": q_cdc_chunk_stats,
         "cdc_chunk_dedup": q_cdc_chunk_dedup,
+        "fd_discovery_scan": q_fd_discovery_scan,
     }
 
 
@@ -22766,4 +22910,5 @@ GROUP BY a.source, b.source ORDER BY s1, s2
 """,
         "cdc_chunk_stats": _cdc_sql(),
         "cdc_chunk_dedup": _cdc_dedup_sql(),
+        "fd_discovery_scan": _fd_scan_sql(),
     }

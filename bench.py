@@ -299,6 +299,7 @@ BENCH_QUERIES = [
     "cross_source_dup_matrix",  # source-pair contamination surface
     "cdc_chunk_stats",  # rolling-hash content-defined chunking
     "cdc_chunk_dedup",  # chunk-content dedup rate (Horner hash twin)
+    "fd_discovery_scan",  # FD violation-rate sweep, pair-salted buckets
 ]
 
 

@@ -1322,3 +1322,35 @@ def test_fuzz_cdc_chunks(ray_session, tmp_path_factory, texts):
     _write(sf, "documents", _documents_table(texts))
     _compare("cdc_chunk_stats", sf)
     _compare("cdc_chunk_dedup", sf)
+
+
+@_fuzz
+@given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from(["B1", "B2", "B3"]),
+            st.sampled_from(["t1", "t2"]),
+            st.integers(1, 3),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_fuzz_fd_discovery(ray_session, tmp_path_factory, data):
+    """Exact FDs (every A maps to one B), total violation (every A
+    multi-valued), singleton groups — the discovery sweep's rates must
+    match raw-value grouping exactly through the hash layer."""
+    sf = str(tmp_path_factory.mktemp("fdscan"))
+    n = len(data)
+    t = pa.table(
+        {
+            "p_partkey": pa.array(range(1, n + 1), pa.int64()),
+            "p_name": pa.array([f"part {i}" for i in range(n)], pa.string()),
+            "p_brand": pa.array([b for b, _t, _s in data], pa.string()),
+            "p_type": pa.array([ty for _b, ty, _s in data], pa.string()),
+            "p_size": pa.array([s for _b, _t, s in data], pa.int32()),
+            "p_retailprice": pa.array([1.0] * n, pa.float64()),
+        }
+    )
+    _write(sf, "part", t)
+    _compare("fd_discovery_scan", sf)

@@ -91,6 +91,7 @@ QUERIES = [
     "cross_source_dup_matrix",
     "cdc_chunk_stats",
     "cdc_chunk_dedup",
+    "fd_discovery_scan",
 ]
 
 
