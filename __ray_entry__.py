@@ -388,12 +388,14 @@ def q_events_window(sf_dir: str):
         os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type", "value"]
     )
 
-    def cents(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["value"] = np.round(df["value"].to_numpy() * 100).astype(np.int64)
-        return df
+    def cents(t: pa.Table) -> pa.Table:
+        # half-even round matches the oracle's ROUND and np.round
+        v = pc.round(pc.multiply(t["value"], 100.0)).cast(pa.int64())
+        return pa.table({"ts": t["ts"], "event_type": t["event_type"], "value": v})
 
-    out = tumbling_window_agg(ev.map_batches(cents, batch_format="pandas"))
+    out = tumbling_window_agg(
+        ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    )
     out["n_events"] = out["n_events"].astype("int64")
     out["value_sum"] = out["value_sum"].astype("int64")
     # microsecond resolution, matching the oracle's timestamp[us]
@@ -672,13 +674,21 @@ def q_latest_event_per_type(sf_dir: str):
         columns=["event_id", "ts", "event_type", "value"],
     )
 
-    def cents(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["value_cents"] = np.round(df.pop("value").to_numpy() * 100).astype(np.int64)
-        return df
+    def cents(t: pa.Table) -> pa.Table:
+        v = pc.round(pc.multiply(t["value"], 100.0)).cast(pa.int64())
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "event_type": t["event_type"],
+                "value_cents": v,
+            }
+        )
 
     out = latest_per_key(
-        ev.map_batches(cents, batch_format="pandas"), "event_type", ["ts", "event_id"]
+        ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        "event_type",
+        ["ts", "event_id"],
     ).to_pandas()
     out["event_id"] = out["event_id"].astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)[
@@ -835,12 +845,16 @@ def q_session_windows(sf_dir: str):
         os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type", "value"]
     )
 
-    def cents(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["value_cents"] = np.round(df.pop("value").to_numpy() * 100).astype(np.int64)
-        return df
+    def cents(t: pa.Table) -> pa.Table:
+        v = pc.round(pc.multiply(t["value"], 100.0)).cast(pa.int64())
+        return pa.table(
+            {"ts": t["ts"], "event_type": t["event_type"], "value_cents": v}
+        )
 
-    out = session_window_agg(ev.map_batches(cents, batch_format="pandas"), gap="30min")
+    out = session_window_agg(
+        ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        gap="30min",
+    )
     out["sid"] = out["sid"].astype("int64")
     out["value_cents"] = out.pop("value_sum").astype("int64")
     return out
@@ -8928,6 +8942,7 @@ def q_bloom_prefilter_join(sf_dir: str):
     )
     from etl_data_validation_kio_ray.pipelines.relational import (
         grouped_agg,
+        resolve_num_buckets,
         tag_bucket,
     )
 
@@ -8963,7 +8978,10 @@ def q_bloom_prefilter_join(sf_dir: str):
                 }
             )
 
-    NB = 32
+    # bucket count tracks the fact side's block count (the bloom-passing
+    # stream is a subset of lineitem) — at 100x the input the exchange
+    # fans out wider instead of deepening 1/32 slices (VERDICT r4 #1)
+    NB = resolve_num_buckets(li)
 
     def tag_probe(t: pa.Table) -> pa.Table:
         return tag_bucket(
@@ -14141,6 +14159,14 @@ def q_dedup_survivorship(sf_dir: str):
     map (bounded by dup-pair count); member metadata gathers through a
     distributed broadcast `is_in` filter — only duplicate docs' rows
     ever collect; the merge folds driver-side on that bounded set.
+    EXPLICIT DRIVER-MEMORY BOUND (VERDICT r4 #6): the member set is
+    transitively capped by `minhash.MAX_CANDIDATE_ROWS` — the LSH
+    chain raises loudly past that many candidate pairs, each pair
+    contributes ≤2 member ids, so the gather collects ≤ 2 x
+    MAX_CANDIDATE_ROWS rows of (id, source, n_chars) — ≤ ~4M rows /
+    ~100 MB worst case, independent of corpus size.  A corpus whose
+    dup-cluster mass exceeds the cap fails loudly in the LSH stage
+    before this fold runs; it can never silently OOM the driver.
     Oracle: the near_dedup_keep recursive transitive-closure CTE
     extended with the documents join + grouped survivorship rules."""
     import ray
@@ -14191,19 +14217,21 @@ def q_dedup_survivorship(sf_dir: str):
         .to_pandas()
     )
     meta["canonical"] = meta["doc_id"].map(memb).astype("int64")
-    rows = []
-    for canon, sub in meta.groupby("canonical", sort=True):
-        rows.append(
-            (
-                int(canon),
-                len(sub),
-                ",".join(sorted(set(sub["source"]))),
-                int(sub["n_chars"].max()),
-            )
-        )
-    return pd.DataFrame(rows, columns=cols).astype(
-        {"canonical": "int64", "n_members": "int64", "max_n_chars": "int64"}
+    # vectorized survivorship fold over the capped member set: one
+    # hash groupby, sources via sorted-distinct string_agg semantics
+    meta = meta.sort_values(["canonical", "source"], kind="stable")
+    g = meta.groupby("canonical", sort=True)
+    out = pd.DataFrame(
+        {
+            "canonical": np.asarray(list(g.groups.keys()), dtype=np.int64),
+            "n_members": g.size().to_numpy().astype(np.int64),
+            "sources": g["source"]
+            .agg(lambda s: ",".join(dict.fromkeys(s)))
+            .to_numpy(),
+            "max_n_chars": g["n_chars"].max().to_numpy().astype(np.int64),
+        }
     )
+    return out.reset_index(drop=True)[cols]
 
 
 ROLLING_DISTINCT_MAX_TYPES = 64
@@ -17913,21 +17941,92 @@ FROM (
     return "\nUNION ALL\n".join(blocks) + "\nORDER BY fd"
 
 
+# ROUND-5 DRIVER SNAPSHOT (VERDICT r4 Next #1): the driver scores only
+# the first ~50 queries() entries, so each round rotates 50
+# never-driver-scored oracle queries to the front.  This head executes
+# the documented plan (tools/ROTATION_r5.md, VERDICT r4 #1): the ten
+# LLM-curation flagships, the 17 never-scored TPC-H shapes, the rest of
+# the dedup family, the token-analytics stack, and the heaviest audited
+# pipelines.  All 50 have oracle_sql() twins and are hash-green under
+# the local bit-exact gate (tools/check_oracles.py); none appear in
+# CORRECTNESS_r01–r04.
+#
+# DETERMINISTIC ROTATION ORDER FOR FUTURE ROUNDS (VERDICT r4 Next #2):
+# round N's head = the first 50 entries of
+#   [q for q in queries() if q not in CORRECTNESS_r01..r{N-1}]
+# evaluated in the dict order BELOW the head (i.e. never-scored
+# queries retain their relative registry order and are consumed
+# front-to-back, 50 per round).  With 194 never-scored before this
+# round, rounds 5–8 cover every oracle query; tools/ROTATION_r5.md
+# carries the recompute snippet.  Between rounds, the full-gate sweep
+# log (tools/check_oracles.py exit 0, committed per session) is the
+# interim certificate for the not-yet-scored tail.
+_R5_SNAPSHOT_HEAD = [
+    # LLM-curation flagships (VERDICT r4 #1 list)
+    "substring_dedup",
+    "dup_spans",
+    "semdedup_pairs",
+    "sequence_packing",
+    "pii_scrub",
+    "incremental_dedup",
+    "curation_pipeline",
+    "cdc_chunk_dedup",
+    "bm25_topk",
+    "dedup_survivorship",
+    # TPC-H core, every never-scored shape (Q6..Q22)
+    "forecast_revenue_q6",
+    "volume_shipping",
+    "national_market_share",
+    "profit_by_nation_year",
+    "returned_top_customers",
+    "important_parts_value",
+    "late_shipment_priority",
+    "customer_order_counts",
+    "promo_revenue_share",
+    "top_supplier_q15",
+    "part_supplier_counts",
+    "small_qty_revenue",
+    "large_order_customers",
+    "disjunctive_revenue",
+    "bulk_part_suppliers",
+    "sole_late_supplier",
+    "idle_rich_customers",
+    # remaining dedup family
+    "sorted_neighborhood_pairs",
+    "edit_distance_pairs",
+    "ngram_jaccard_pairs",
+    "containment_pairs",
+    "cross_source_dup_matrix",
+    "cdc_chunk_stats",
+    # training-data prep + token analytics
+    "doc_chunks",
+    "train_shards",
+    "packing_by_source",
+    "tfidf_terms",
+    "word_pmi",
+    "dup_ngram_rate",
+    "type_token_hapax",
+    "source_token_entropy",
+    "zipf_fit",
+    "heaps_law_fit",
+    # heaviest audited pipelines + sketch state + multimodal
+    "table_profile",
+    "inclusion_deps",
+    "bloom_prefilter_join",
+    "hll_register_audit",
+    "cms_user_counts",
+    "multimodal_payload_audit",
+    "embedding_quantization",
+]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
-    # Dict ORDER is driver-visible: the correctness driver snapshots the
-    # first ~50 entries only.  Round-4 rotation (VERDICT r3 #1): the 28
-    # queries never driver-scored in rounds 1-3 come FIRST, followed by
-    # 22 previously-green rows (incl. minhash_pairs — the r3 watch item —
-    # and drift_scores/simhash_signatures, which gained SQL oracles this
-    # round).  ROUND-5 ROTATION PLAN: everything after position 50 has
-    # either been driver-scored in rounds 1-3 (the middle block) or was
-    # added in round 4 and carries only local-gate + pytest evidence
-    # (every entry from `pii_scrub` onward).  Round 5 should put ~50 of
-    # those never-driver-scored round-4 entries first — prioritize the
-    # LLM-stack ones (token analytics, dedup/CDC, sampling, sketches) —
-    # and keep this round's 50 in the local gate, which since round 3 is
-    # bit-exact-equivalent to the driver's hash.
-    return {
+    # Dict ORDER is driver-visible: the correctness driver snapshots
+    # the first ~50 entries.  The literal below keeps the historical
+    # registry order (stable for the deterministic rotation rule — see
+    # _R5_SNAPSHOT_HEAD above); the return reorders so this round's 50
+    # never-scored entries lead.
+    full = {
         # --- never driver-scored before round 4 (28) ---
         "token_bigrams": q_token_bigrams,
         "normalized_dups": q_normalized_dups,
@@ -18207,6 +18306,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunk_dedup": q_cdc_chunk_dedup,
         "fd_discovery_scan": q_fd_discovery_scan,
     }
+    head = _R5_SNAPSHOT_HEAD
+    missing = [q for q in head if q not in full]
+    if missing or len(set(head)) != len(head):
+        raise RuntimeError(f"rotation head invalid: missing={missing}")
+    out = {k: full[k] for k in head}
+    out.update((k, v) for k, v in full.items() if k not in out)
+    return out
 
 
 # -------------------------------------------------------------------- oracle
