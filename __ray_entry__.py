@@ -12671,8 +12671,16 @@ def q_hll_intersection(sf_dir: str):
     estimate against the exact distributed both-flags count within 5
     combined standard errors. The exact side rides one
     bucketed_group_agg exchange on user_id (per-user max-flags, buckets
-    emit only a count). Rows-only by design: the output embeds the
-    sketch estimates, which no SQL twin reproduces."""
+    emit only a count).  ORACLE-BACKED since round 5 (the
+    hll_register_audit treatment, VERDICT r4 #7): the hashed output is
+    the exact-integer register invariants (zeros / sum / index-weighted
+    dot) of BOTH input sketches AND their elementwise-max union —
+    every register of the inclusion-exclusion basis is re-derived
+    bit-exactly in the DuckDB twin via the splitmix64 UHUGEINT chain +
+    a FULL OUTER idx join with GREATEST — plus the exact intersection
+    count.  The float estimates stay an internal assertion (any
+    register divergence would flip wdot, so the estimate arithmetic
+    rides on oracle-verified state)."""
     import ray.data as rd
 
     from etl_data_validation_kio_ray.pipelines.relational import (
@@ -12698,8 +12706,19 @@ def q_hll_intersection(sf_dir: str):
             f"{sorted(sketches)}"
         )
     ha, hb = sketches["view"], sketches["purchase"]
+
+    def reg_invariants(r: np.ndarray) -> tuple[int, int, int]:
+        r = r.astype(np.int64)
+        idx = np.arange(len(r), dtype=np.int64) + 1
+        return int((r == 0).sum()), int(r.sum()), int((r * idx).sum())
+
+    # capture invariants BEFORE the union: merge() maxes IN PLACE
+    za, sa, wa = reg_invariants(ha.registers)
+    zb, sb, wb = reg_invariants(hb.registers)
     est_a, est_b = ha.estimate(), hb.estimate()
-    est_u = ha.merge(hb).estimate()
+    hu = ha.merge(hb)
+    zu, su, wu = reg_invariants(hu.registers)
+    est_u = hu.estimate()
     est_i = est_a + est_b - est_u
 
     def flag_partial(t: pa.Table) -> pa.Table:
@@ -12742,10 +12761,15 @@ def q_hll_intersection(sf_dir: str):
         )
     return pd.DataFrame(
         {
-            "est_view": [np.int64(round(est_a))],
-            "est_purchase": [np.int64(round(est_b))],
-            "est_union": [np.int64(round(est_u))],
-            "est_intersection": [np.int64(round(est_i))],
+            "zeros_view": [np.int64(za)],
+            "sum_reg_view": [np.int64(sa)],
+            "wdot_view": [np.int64(wa)],
+            "zeros_purchase": [np.int64(zb)],
+            "sum_reg_purchase": [np.int64(sb)],
+            "wdot_purchase": [np.int64(wb)],
+            "zeros_union": [np.int64(zu)],
+            "sum_reg_union": [np.int64(su)],
+            "wdot_union": [np.int64(wu)],
             "exact_intersection": [np.int64(exact)],
         }
     )
@@ -22918,6 +22942,77 @@ SELECT event_type,
        CAST(SUM(reg) AS BIGINT) AS sum_reg,
        CAST(SUM(reg * (idx + 1)) AS BIGINT) AS wdot
 FROM regs GROUP BY event_type ORDER BY event_type
+""",
+        # the register-audit treatment extended to the inclusion-
+        # exclusion basis: both input sketches' registers AND the
+        # elementwise-max union re-derived in SQL (FULL OUTER idx join
+        # + GREATEST), plus the exact distinct-both count
+        "hll_intersection": f"""
+WITH d AS (
+  SELECT DISTINCT event_type, CAST(user_id AS UBIGINT) AS h FROM events
+  WHERE event_type IN ('view', 'purchase')
+),
+s1 AS (
+  SELECT event_type,
+         CAST((CAST(xor(h, h >> 30) AS UHUGEINT) * 13787848793156543929)
+              % 18446744073709551616 AS UBIGINT) AS h
+  FROM d
+),
+s2 AS (
+  SELECT event_type,
+         CAST((CAST(xor(h, h >> 27) AS UHUGEINT) * 10723151780598845931)
+              % 18446744073709551616 AS UBIGINT) AS h
+  FROM s1
+),
+f AS (SELECT event_type, xor(h, h >> 31) AS h FROM s2),
+rr AS (
+  SELECT event_type,
+         CAST(h >> {64 - HLL_INTERSECT_P} AS BIGINT) AS idx,
+         CAST((CAST(h AS UHUGEINT) * {1 << HLL_INTERSECT_P})
+              % 18446744073709551616 AS UBIGINT) AS rest
+  FROM f
+),
+rk AS (
+  SELECT event_type, idx,
+         CASE WHEN rest = CAST(0 AS UBIGINT) THEN {64 - HLL_INTERSECT_P + 1}
+              ELSE least(65 - length(bin(rest)), {64 - HLL_INTERSECT_P + 1})
+         END AS rank
+  FROM rr
+),
+regs AS (
+  SELECT event_type, idx, MAX(rank) AS reg FROM rk GROUP BY event_type, idx
+),
+a AS (SELECT idx, reg FROM regs WHERE event_type = 'view'),
+b AS (SELECT idx, reg FROM regs WHERE event_type = 'purchase'),
+u AS (
+  SELECT COALESCE(a.idx, b.idx) AS idx,
+         greatest(COALESCE(a.reg, 0), COALESCE(b.reg, 0)) AS reg
+  FROM a FULL OUTER JOIN b ON a.idx = b.idx
+),
+ex AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT user_id FROM events
+    WHERE event_type IN ('view', 'purchase')
+    GROUP BY user_id HAVING COUNT(DISTINCT event_type) = 2
+  )
+)
+SELECT
+  CAST({1 << HLL_INTERSECT_P} - (SELECT COUNT(*) FROM a) AS BIGINT)
+    AS zeros_view,
+  CAST(COALESCE((SELECT SUM(reg) FROM a), 0) AS BIGINT) AS sum_reg_view,
+  CAST(COALESCE((SELECT SUM(reg * (idx + 1)) FROM a), 0) AS BIGINT)
+    AS wdot_view,
+  CAST({1 << HLL_INTERSECT_P} - (SELECT COUNT(*) FROM b) AS BIGINT)
+    AS zeros_purchase,
+  CAST(COALESCE((SELECT SUM(reg) FROM b), 0) AS BIGINT) AS sum_reg_purchase,
+  CAST(COALESCE((SELECT SUM(reg * (idx + 1)) FROM b), 0) AS BIGINT)
+    AS wdot_purchase,
+  CAST({1 << HLL_INTERSECT_P} - (SELECT COUNT(*) FROM u) AS BIGINT)
+    AS zeros_union,
+  CAST(COALESCE((SELECT SUM(reg) FROM u), 0) AS BIGINT) AS sum_reg_union,
+  CAST(COALESCE((SELECT SUM(reg * (idx + 1)) FROM u), 0) AS BIGINT)
+    AS wdot_union,
+  (SELECT n FROM ex) AS exact_intersection
 """,
         "dau_wau_stickiness": r"""
 WITH du AS (

@@ -184,8 +184,9 @@ def test_cms_one_sided_and_mergeable():
 
 def test_hll_intersection_query_self_asserts(ray_session):
     """The inclusion-exclusion composition query: runs end-to-end (it
-    raises internally past 5 combined standard errors), emits one row,
-    and its exact side equals a pandas ground truth."""
+    raises internally past 5 combined standard errors), emits one row
+    of exact-integer register invariants (the oracle-able basis since
+    round 5), and its exact side equals a pandas ground truth."""
     import pandas as pd
 
     import __ray_entry__ as m
@@ -194,14 +195,18 @@ def test_hll_intersection_query_self_asserts(ray_session):
     out = m.queries()["hll_intersection"](sf)
     assert len(out) == 1
     assert set(out.columns) == {
-        "est_view", "est_purchase", "est_union",
-        "est_intersection", "exact_intersection",
+        "zeros_view", "sum_reg_view", "wdot_view",
+        "zeros_purchase", "sum_reg_purchase", "wdot_purchase",
+        "zeros_union", "sum_reg_union", "wdot_union",
+        "exact_intersection",
     }
     ev = pd.read_parquet(f"{sf}/events.parquet", columns=["event_type", "user_id"])
     a = set(ev.loc[ev.event_type == "view", "user_id"])
     b = set(ev.loc[ev.event_type == "purchase", "user_id"])
     assert int(out["exact_intersection"].iloc[0]) == len(a & b)
-    # union estimate can never undershoot either side's estimate
-    assert out["est_union"].iloc[0] >= max(
-        out["est_view"].iloc[0], out["est_purchase"].iloc[0]
-    )
+    # union registers are elementwise max: never fewer zeros filled,
+    # never a smaller register sum / weighted dot than either side
+    r = out.iloc[0]
+    assert r["zeros_union"] <= min(r["zeros_view"], r["zeros_purchase"])
+    assert r["sum_reg_union"] >= max(r["sum_reg_view"], r["sum_reg_purchase"])
+    assert r["wdot_union"] >= max(r["wdot_view"], r["wdot_purchase"])
