@@ -17822,6 +17822,43 @@ FROM hashed GROUP BY source ORDER BY source
 """
 
 
+# Gopher-style repetition-filter thresholds (exact integer ppm; chosen
+# to discriminate on this corpus: word-occupancy p75 ~111k ppm, 2-gram
+# p90 ~69k ppm, dup-3-gram p99 ~36k ppm)
+GOPHER_T_WORD_PPM = 120_000
+GOPHER_T_2GRAM_PPM = 60_000
+GOPHER_T_DUP3_PPM = 10_000
+
+
+def q_gopher_repetition_flags(sf_dir: str):
+    """Gopher-style repetition QUALITY GATE counts per source (Rae et
+    al. 2021 §A1.1 re-expressed with exact integer ppm thresholds):
+    per document, occupancy of the most frequent word / most frequent
+    2-gram / duplicated-3-gram occurrences, flagged on strict integer
+    ppm compares — the document-level degenerate-text filter an LLM
+    curation pipeline runs before training. One vectorized pass per
+    batch (dictionary-encode + dense-rank gram codes), <= |sources|
+    int64 partial rows per batch, one grouped_agg exchange
+    (functions/text.py repetition_flag_stats)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.functions.text import (
+        repetition_flag_stats,
+    )
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+    return repetition_flag_stats(
+        docs,
+        text_col="text",
+        group_col="source",
+        t_word_ppm=GOPHER_T_WORD_PPM,
+        t_2gram_ppm=GOPHER_T_2GRAM_PPM,
+        t_dup3_ppm=GOPHER_T_DUP3_PPM,
+    )
+
+
 FD_SCAN_COLS = ["p_brand", "p_type", "p_size"]
 
 
@@ -18329,6 +18366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunk_stats": q_cdc_chunk_stats,
         "cdc_chunk_dedup": q_cdc_chunk_dedup,
         "fd_discovery_scan": q_fd_discovery_scan,
+        "gopher_repetition_flags": q_gopher_repetition_flags,
     }
     head = _R5_SNAPSHOT_HEAD
     missing = [q for q in head if q not in full]
@@ -23112,4 +23150,68 @@ GROUP BY a.source, b.source ORDER BY s1, s2
         "cdc_chunk_stats": _cdc_sql(),
         "cdc_chunk_dedup": _cdc_dedup_sql(),
         "fd_discovery_scan": _fd_scan_sql(),
+        # Gopher repetition gate: per-doc gram occupancies re-derived
+        # with window leads over zipped unnest; strict integer ppm
+        # compares match the engine's flag boundary bit-for-bit
+        "gopher_repetition_flags": f"""
+WITH w AS (
+  SELECT doc_id, source, string_split(coalesce(text, ''), ' ') AS ws
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, len(ws) AS n, unnest(ws) AS word,
+         unnest(range(len(ws))) AS pos
+  FROM w
+),
+wc AS (
+  SELECT doc_id, any_value(n) AS n, word, count(*) AS c
+  FROM tok GROUP BY doc_id, word
+),
+wm AS (SELECT doc_id, any_value(n) AS n, max(c) AS maxw FROM wc GROUP BY doc_id),
+g2 AS (
+  SELECT doc_id,
+         word || chr(1) || lead(word) OVER win AS g
+  FROM tok
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(word) OVER win IS NOT NULL
+),
+gc2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+gm2 AS (SELECT doc_id, max(c) AS max2 FROM gc2 GROUP BY doc_id),
+g3 AS (
+  SELECT doc_id,
+         word || chr(1) || lead(word, 1) OVER win
+              || chr(1) || lead(word, 2) OVER win AS g
+  FROM tok
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(word, 2) OVER win IS NOT NULL
+),
+gc3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g),
+gm3 AS (
+  SELECT doc_id, sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup3
+  FROM gc3 GROUP BY doc_id
+),
+f AS (
+  SELECT d.source,
+         CASE WHEN wm.maxw * 1000000 > {GOPHER_T_WORD_PPM} * wm.n
+              THEN 1 ELSE 0 END AS fw,
+         CASE WHEN gm2.max2 IS NOT NULL
+                   AND gm2.max2 * 1000000 > {GOPHER_T_2GRAM_PPM} * (wm.n - 1)
+              THEN 1 ELSE 0 END AS f2,
+         CASE WHEN gm3.dup3 IS NOT NULL
+                   AND gm3.dup3 * 1000000 > {GOPHER_T_DUP3_PPM} * (wm.n - 2)
+              THEN 1 ELSE 0 END AS f3
+  FROM wm
+  LEFT JOIN gm2 USING (doc_id)
+  LEFT JOIN gm3 USING (doc_id)
+  JOIN documents d USING (doc_id)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(fw) AS BIGINT) AS flag_word,
+       CAST(sum(f2) AS BIGINT) AS flag_2gram,
+       CAST(sum(f3) AS BIGINT) AS flag_dup3,
+       CAST(sum(CASE WHEN fw + f2 + f3 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS flag_any
+FROM f GROUP BY source ORDER BY source
+""",
     }

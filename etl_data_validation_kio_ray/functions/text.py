@@ -658,6 +658,142 @@ def token_repetition_stats(ds, *, token_col: str = "tokens", group_col: str = "s
     return out.sort_values(group_col).reset_index(drop=True)
 
 
+def _doc_gram_stats(
+    doc_occ: np.ndarray, gram_occ: np.ndarray, ndocs: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc (max occurrence count, duplicated-occurrence total) from
+    parallel (doc, gram-code) occurrence arrays — one lexsort, then
+    run-length counts reduced per doc with reduceat (no per-doc loop)."""
+    maxc = np.zeros(ndocs, np.int64)
+    dup = np.zeros(ndocs, np.int64)
+    if len(doc_occ) == 0:
+        return maxc, dup
+    order = np.lexsort((gram_occ, doc_occ))
+    d, g = doc_occ[order], gram_occ[order]
+    new = np.r_[True, (d[1:] != d[:-1]) | (g[1:] != g[:-1])]
+    starts = np.flatnonzero(new)
+    cnt = np.diff(np.r_[starts, len(d)])
+    dstart = d[starts]
+    dbound = np.flatnonzero(np.r_[True, dstart[1:] != dstart[:-1]])
+    present = dstart[dbound]
+    maxc[present] = np.maximum.reduceat(cnt, dbound)
+    dup[present] = np.add.reduceat(np.where(cnt >= 2, cnt, 0), dbound)
+    return maxc, dup
+
+
+def repetition_flag_stats(
+    ds,
+    *,
+    text_col: str = "text",
+    group_col: str = "source",
+    t_word_ppm: int = 120_000,
+    t_2gram_ppm: int = 60_000,
+    t_dup3_ppm: int = 10_000,
+):
+    """Gopher-style within-document repetition quality flags (Rae et
+    al. 2021, "Scaling Language Models: Methods, Analysis & Insights
+    from Training Gopher", §A1.1 repetition filters — re-expressed
+    with exact integer ppm thresholds so the DuckDB twin hash-matches
+    bit-for-bit; reference parity: the reference's row-level
+    out-of-range checks at document grain,
+    /root/reference/src/app2/etl_validation/checks.py).
+
+    Per document over whitespace words: (1) occupancy of the single
+    most frequent word maxw/n, (2) occupancy of the most frequent
+    2-gram max2/(n-1), (3) occupancy of occurrences belonging to
+    duplicated 3-grams dup3/(n-2). A document FLAGS rule r iff
+    num * 1_000_000 > t_ppm * den with den > 0 — strict integer
+    compare, no floats anywhere, so the flag boundary is
+    bit-identical across engines.
+
+    Scale shape: one fully-vectorized pass per batch
+    (dictionary-encode words once, dense-rank 2-/3-gram codes, one
+    lexsort per level) collapsing to <= |groups| partial int64 rows
+    per batch; only those partials ride the single grouped_agg
+    exchange. Documents are rows, so no doc ever spans batches and
+    the per-doc stats are exact regardless of batch sizing.
+
+    Returns a pandas DataFrame (group, n_docs, flag_word, flag_2gram,
+    flag_dup3, flag_any) sorted by group.
+    """
+    from ..pipelines.relational import grouped_agg
+
+    tw, t2, t3 = np.int64(t_word_ppm), np.int64(t_2gram_ppm), np.int64(t_dup3_ppm)
+    M = np.int64(1_000_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.fill_null(txt, "")  # SQL twin: coalesce(text, '')
+        _, flat, off = _flat_words(txt)
+        off = off - off[0]
+        n = np.diff(off).astype(np.int64)
+        ndocs = len(n)
+        doc = np.repeat(np.arange(ndocs, dtype=np.int64), n)
+        codes = (
+            pc.dictionary_encode(flat)
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        maxw, _ = _doc_gram_stats(doc, codes, ndocs)
+        if len(codes) > 1:
+            K = np.int64(codes.max()) + 1
+            adj = doc[1:] == doc[:-1]
+            pk_all, _ = _dense_ranks(codes[:-1] * K + codes[1:])
+            max2, _ = _doc_gram_stats(
+                doc[:-1][adj], pk_all[adj], ndocs
+            )
+        else:
+            pk_all = np.empty(0, np.int64)
+            max2 = np.zeros(ndocs, np.int64)
+        if len(codes) > 2:
+            K = np.int64(codes.max()) + 1
+            tri = doc[2:] == doc[:-2]
+            g3, _ = _dense_ranks(pk_all[:-1] * K + codes[2:])
+            _, dup3 = _doc_gram_stats(doc[:-2][tri], g3[tri], ndocs)
+        else:
+            dup3 = np.zeros(ndocs, np.int64)
+        fw = maxw * M > tw * n
+        f2 = (n > 1) & (max2 * M > t2 * (n - 1))
+        f3 = (n > 2) & (dup3 * M > t3 * (n - 2))
+        fa = fw | f2 | f3
+        gcodes, gcard = _dense_ranks(
+            pc.cast(t[group_col], pa.string())
+            .to_numpy(zero_copy_only=False)
+            .astype(object)
+        )
+        # first occurrence index per group code → its string value
+        first = np.zeros(gcard, np.int64)
+        first[gcodes[::-1]] = np.arange(ndocs - 1, -1, -1, dtype=np.int64)
+        gvals = t[group_col].take(pa.array(first))
+        return pa.table(
+            {
+                group_col: gvals,
+                "n_docs": pa.array(np.bincount(gcodes, minlength=gcard).astype(np.int64)),
+                "flag_word": pa.array(np.bincount(gcodes, weights=fw, minlength=gcard).astype(np.int64)),
+                "flag_2gram": pa.array(np.bincount(gcodes, weights=f2, minlength=gcard).astype(np.int64)),
+                "flag_dup3": pa.array(np.bincount(gcodes, weights=f3, minlength=gcard).astype(np.int64)),
+                "flag_any": pa.array(np.bincount(gcodes, weights=fa, minlength=gcard).astype(np.int64)),
+            }
+        )
+
+    out = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        [group_col],
+        {
+            "n_docs": ("n_docs", "sum"),
+            "flag_word": ("flag_word", "sum"),
+            "flag_2gram": ("flag_2gram", "sum"),
+            "flag_dup3": ("flag_dup3", "sum"),
+            "flag_any": ("flag_any", "sum"),
+        },
+    )
+    for c in ("n_docs", "flag_word", "flag_2gram", "flag_dup3", "flag_any"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(group_col).reset_index(drop=True)
+
+
 def token_vocab_coverage(
     ds,
     *,

@@ -994,3 +994,43 @@ def test_declarative_spec_validation_and_sql():
         s = {"table": "orders", "group_by": ["k"], **bad}
         with _pytest.raises(ValueError):
             spec_to_sql(s)
+
+
+def test_repetition_flag_stats_planted(ray_session):
+    """Gopher repetition flags on a hand-built corpus: one degenerate
+    single-word doc (flags word+2gram+dup3), one 2-gram looper, one
+    clean doc, plus an empty string (n=1, never flagged)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.functions.text import (
+        repetition_flag_stats,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "source": ["a", "a", "b", "b"],
+            "text": [
+                "x x x x x x x x",          # maxw 8/8, dup3 6/6 -> all flags
+                "p q p q p q r s t u v w",  # max2 "p q" 3/11 ~273k ppm
+                "a b c d e f g h i j",      # clean
+                "",                          # n=1 ([''])
+            ],
+        }
+    )
+    out = repetition_flag_stats(
+        rd.from_pandas(docs),
+        t_word_ppm=120_000,
+        t_2gram_ppm=150_000,
+        t_dup3_ppm=10_000,
+    )
+    a = out[out.source == "a"].iloc[0]
+    b = out[out.source == "b"].iloc[0]
+    assert (a.n_docs, b.n_docs) == (2, 2)
+    # doc1: maxw=8/8 -> word flag; max2=7/7 -> 2gram; dup3=6/6 -> dup3
+    # doc2: maxw 3/12=250k -> word flag; max2 3/11=273k -> 2gram flag;
+    #       dup3: "p q p","q p q" dup -> 4 occurrences /10 = 400k -> flag
+    assert (a.flag_word, a.flag_2gram, a.flag_dup3, a.flag_any) == (2, 2, 2, 2)
+    # doc3 clean: maxw 1/10=100k < 120k, max2 1/9=111k < 150k, no dup3.
+    # doc4 '' splits to [''] (n=1): 100% single-word occupancy IS the
+    # degenerate case -> word flag fires by design; no 2/3-gram rules.
+    assert (b.flag_word, b.flag_2gram, b.flag_dup3, b.flag_any) == (1, 0, 0, 1)
