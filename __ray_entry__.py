@@ -17859,6 +17859,132 @@ def q_gopher_repetition_flags(sf_dir: str):
     )
 
 
+DSIR_N_BUCKETS = 1024
+
+
+def q_dsir_importance_weights(sf_dir: str):
+    """DSIR-style data-selection importance weights (Xie et al. 2023):
+    hashed-unigram target-vs-raw bucket ratios (target domain =
+    lang='en') scored per document and aggregated per source — the
+    domain-upsampling primitive of LLM data curation, with the
+    log-ratio re-expressed as an add-1-smoothed exact integer ppm
+    ratio so the DuckDB twin (same splitmix64 word-hash chain as
+    simhash) hash-matches bit-for-bit. Two streaming passes: a
+    fixed-1024-row bucket-count exchange, then a broadcast ratio
+    table and one per-batch vectorized scoring pass
+    (functions/text.py dsir_importance_stats)."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.functions.text import (
+        dsir_importance_stats,
+    )
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "lang", "text"],
+    )
+    return dsir_importance_stats(
+        docs,
+        text_col="text",
+        group_col="source",
+        domain_col="lang",
+        domain_value="en",
+        n_buckets=DSIR_N_BUCKETS,
+    )
+
+
+def _dsir_sql() -> str:
+    """DuckDB twin of dsir_importance_stats: the proven simhash
+    char-buffer word-hash chain (byte/block Horner + length mix +
+    splitmix64, see :func:`_simhash_sql`) bucketed mod 1024, add-1
+    integer ppm ratios per bucket, per-doc weight sums, per-source
+    aggregate."""
+    base = 0x100000001B3 ^ 1
+    lenk = 0x9E3779B97F4A7C15
+    seedmix = 0xD1B54A32D192ED03
+    c1, c2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    m = 1 << 64
+    nb = DSIR_N_BUCKETS
+    fold = (
+        "(h, x) -> CAST((CAST(h AS UHUGEINT) * {b} + CAST(x AS UHUGEINT)) "
+        "% {m} AS UBIGINT)"
+    ).format(b=base, m=m)
+    return f"""
+WITH docs0 AS (
+  SELECT doc_id, source, lang,
+         string_split(coalesce(lower(text), ''), ' ') AS ws
+  FROM documents
+),
+words AS (
+  SELECT doc_id, source, lang, unnest(ws) AS w FROM docs0
+),
+dw AS (SELECT DISTINCT w FROM words),
+db AS (
+  SELECT w, hex(encode(w)) AS hx, octet_length(encode(w)) AS len FROM dw
+),
+dbytes AS (
+  SELECT w, len,
+    list_transform(range(0, len), i ->
+      CAST((strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INT), 1))-1)*16
+         + (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INT), 1))-1)
+        AS UBIGINT)) AS bl
+  FROM db
+),
+horner AS (
+  SELECT w, len,
+    CASE WHEN len <= 32 THEN
+      list_reduce(list_prepend(CAST(0 AS UBIGINT), bl), {fold})
+    ELSE
+      list_reduce(list_prepend(CAST(0 AS UBIGINT),
+        list_transform(range(0, CAST(ceil(len/8.0) AS BIGINT)), blk ->
+          CAST(list_reduce(list_prepend(CAST(0 AS UHUGEINT),
+            list_transform(range(0, 8), j ->
+              CASE WHEN blk*8+j < len
+                THEN CAST(bl[CAST(blk*8+j+1 AS INT)] AS UHUGEINT)
+                     * (CAST(1 AS UHUGEINT) << CAST(8*j AS UHUGEINT))
+                ELSE CAST(0 AS UHUGEINT) END)),
+            (a, c) -> a + c) % {m} AS UBIGINT))), {fold})
+    END AS h0
+  FROM dbytes
+),
+mixed AS (
+  SELECT w, xor(xor(h0,
+      CAST((CAST(len AS UHUGEINT) * {lenk}) % {m} AS UBIGINT)),
+    CAST({seedmix} AS UBIGINT)) AS h1
+  FROM horner
+),
+sm0 AS (SELECT w, CAST((CAST(h1 AS UHUGEINT) + {lenk}) % {m} AS UBIGINT) AS z FROM mixed),
+sm1 AS (SELECT w, CAST((CAST(xor(z, z >> CAST(30 AS UBIGINT)) AS UHUGEINT) * {c1}) % {m} AS UBIGINT) AS z FROM sm0),
+sm2 AS (SELECT w, CAST((CAST(xor(z, z >> CAST(27 AS UBIGINT)) AS UHUGEINT) * {c2}) % {m} AS UBIGINT) AS z FROM sm1),
+wb AS (
+  SELECT w, CAST(xor(z, z >> CAST(31 AS UBIGINT)) % CAST({nb} AS UBIGINT)
+                 AS BIGINT) AS b
+  FROM sm2
+),
+bc AS (
+  SELECT b,
+         CAST(count(*) AS BIGINT) AS raw_c,
+         CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS tgt_c
+  FROM words JOIN wb USING (w) GROUP BY b
+),
+r AS (SELECT b, (tgt_c + 1) * 1000000 // (raw_c + 1) AS r_ppm FROM bc),
+docw AS (
+  SELECT doc_id, any_value(source) AS source,
+         CAST(count(*) AS BIGINT) AS nw,
+         CAST(sum(r_ppm) AS BIGINT) AS w_sum
+  FROM words JOIN wb USING (w) JOIN r USING (b)
+  GROUP BY doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nw) AS BIGINT) AS n_words,
+       CAST(sum(w_sum) AS BIGINT) AS sum_w,
+       CAST(min(w_sum) AS BIGINT) AS min_w,
+       CAST(max(w_sum) AS BIGINT) AS max_w
+FROM docw GROUP BY source ORDER BY source
+"""
+
+
 FD_SCAN_COLS = ["p_brand", "p_type", "p_size"]
 
 
@@ -18367,6 +18493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunk_dedup": q_cdc_chunk_dedup,
         "fd_discovery_scan": q_fd_discovery_scan,
         "gopher_repetition_flags": q_gopher_repetition_flags,
+        "dsir_importance_weights": q_dsir_importance_weights,
     }
     head = _R5_SNAPSHOT_HEAD
     missing = [q for q in head if q not in full]
@@ -23214,4 +23341,5 @@ SELECT source,
          AS flag_any
 FROM f GROUP BY source ORDER BY source
 """,
+        "dsir_importance_weights": _dsir_sql(),
     }

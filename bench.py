@@ -301,6 +301,7 @@ BENCH_QUERIES = [
     "cdc_chunk_dedup",  # chunk-content dedup rate (Horner hash twin)
     "fd_discovery_scan",  # FD violation-rate sweep, pair-salted buckets
     "gopher_repetition_flags",  # Gopher repetition quality gate, ppm-exact
+    "dsir_importance_weights",  # DSIR hashed-unigram importance resampling
 ]
 
 

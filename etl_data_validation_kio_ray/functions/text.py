@@ -794,6 +794,150 @@ def repetition_flag_stats(
     return out.sort_values(group_col).reset_index(drop=True)
 
 
+def dsir_importance_stats(
+    ds,
+    *,
+    text_col: str = "text",
+    group_col: str = "source",
+    domain_col: str = "lang",
+    domain_value: str = "en",
+    n_buckets: int = 1024,
+):
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    hashed unigram features over a target domain vs the raw corpus,
+    re-expressed with EXACT integer arithmetic so the DuckDB twin
+    hash-matches — the log-ratio is replaced by the add-1-smoothed
+    integer ratio r_ppm[b] = (tgt[b]+1)*1e6 // (raw[b]+1) (documented
+    deviation: monotone in the same direction, bit-exact across
+    engines; target ⊆ raw so r_ppm <= 1e6 and a document's weight sum
+    fits int64 for corpora < 9e12 words).
+
+    Two streaming passes: (1) per-batch word→bucket bincounts
+    (functions/hashing.hash_string_array % n_buckets — the simhash
+    SQL chain, already proved bit-exact) summed per bucket in one
+    fixed-size grouped_agg exchange; (2) the n_buckets-row ratio
+    table broadcasts once via ray.put and each batch scores its
+    documents vectorized (exact int64 cumsum differences), collapsing
+    to <= |groups| partial rows. Reference parity: the reference's
+    per-partition metric aggregation shape
+    (/root/reference/src/app2/etl_validation/checks.py), new operator
+    class for LLM curation.
+
+    Returns (group, n_docs, n_words, sum_w, min_w, max_w) — doc
+    weight = Σ over its words of r_ppm[bucket(word)] — sorted by
+    group.
+    """
+    import ray
+
+    from .hashing import hash_string_array
+    from ..pipelines.relational import grouped_agg
+
+    nb = int(n_buckets)
+
+    def _word_buckets(t: pa.Table):
+        txt = t[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        txt = pc.fill_null(pc.utf8_lower(txt), "")
+        words = pc.split_pattern(txt, " ")
+        flat = pc.list_flatten(words)
+        off = np.asarray(words.offsets, dtype=np.int64)
+        off = off - off[0]
+        b = (hash_string_array(flat) % np.uint64(nb)).astype(np.int64)
+        return b, off
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        b, off = _word_buckets(t)
+        n = np.diff(off)
+        doc = np.repeat(np.arange(len(n), dtype=np.int64), n)
+        tgt_doc = (
+            pc.equal(t[domain_col], domain_value)
+            .to_numpy(zero_copy_only=False)
+            .astype(bool)
+        )
+        raw_c = np.bincount(b, minlength=nb).astype(np.int64)
+        tgt_c = np.bincount(b[tgt_doc[doc]], minlength=nb).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(np.arange(nb, dtype=np.int64)),
+                "tgt_c": pa.array(tgt_c),
+                "raw_c": pa.array(raw_c),
+            }
+        )
+
+    counts = grouped_agg(
+        ds.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["bucket"],
+        {"tgt_c": ("tgt_c", "sum"), "raw_c": ("raw_c", "sum")},
+    ).sort_values("bucket")
+    r = np.zeros(nb, dtype=np.int64)
+    bk = counts["bucket"].to_numpy().astype(np.int64)
+    r[bk] = (counts["tgt_c"].to_numpy().astype(np.int64) + 1) * np.int64(
+        1_000_000
+    ) // (counts["raw_c"].to_numpy().astype(np.int64) + 1)
+    r_ref = ray.put(r)
+
+    def weight_partial(t: pa.Table) -> pa.Table:
+        b, off = _word_buckets(t)
+        rr = ray.get(r_ref)
+        cs = np.r_[np.int64(0), np.cumsum(rr[b])]
+        doc_w = cs[off[1:]] - cs[off[:-1]]
+        n = np.diff(off)
+        gcodes, gcard = _dense_ranks(
+            pc.cast(t[group_col], pa.string())
+            .to_numpy(zero_copy_only=False)
+            .astype(object)
+        )
+        first = np.zeros(gcard, np.int64)
+        first[gcodes[::-1]] = np.arange(len(gcodes) - 1, -1, -1, dtype=np.int64)
+        # per-group min/max of doc weights via sorted segments
+        order = np.lexsort((doc_w, gcodes))
+        gs, ws = gcodes[order], doc_w[order]
+        bound = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        mn = np.full(gcard, np.iinfo(np.int64).max, np.int64)
+        mx = np.full(gcard, np.iinfo(np.int64).min, np.int64)
+        mn[gs[bound]] = ws[bound]
+        mx[gs[np.r_[bound[1:] - 1, len(gs) - 1]]] = ws[
+            np.r_[bound[1:] - 1, len(gs) - 1]
+        ]
+        return pa.table(
+            {
+                group_col: t[group_col].take(pa.array(first)),
+                "n_docs": pa.array(
+                    np.bincount(gcodes, minlength=gcard).astype(np.int64)
+                ),
+                "n_words": pa.array(
+                    np.bincount(gcodes, weights=n, minlength=gcard).astype(
+                        np.int64
+                    )
+                ),
+                "sum_w": pa.array(
+                    np.bincount(gcodes, weights=doc_w, minlength=gcard).astype(
+                        np.int64
+                    )
+                ),
+                "min_w": pa.array(mn),
+                "max_w": pa.array(mx),
+            }
+        )
+
+    out = grouped_agg(
+        ds.map_batches(weight_partial, batch_format="pyarrow", zero_copy_batch=True),
+        [group_col],
+        {
+            "n_docs": ("n_docs", "sum"),
+            "n_words": ("n_words", "sum"),
+            "sum_w": ("sum_w", "sum"),
+            "min_w": ("min_w", "min"),
+            "max_w": ("max_w", "max"),
+        },
+    )
+    for c in ("n_docs", "n_words", "sum_w", "min_w", "max_w"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(group_col).reset_index(drop=True)
+
+
 def token_vocab_coverage(
     ds,
     *,
