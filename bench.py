@@ -561,7 +561,7 @@ def run_scaling() -> None:
     )
 
 
-def run_default() -> None:
+def run_default(quick: bool = False) -> None:
     _host_hygiene()
     _init_ray(NUM_CPUS)
     # fresh caches so every timing below is real work
@@ -574,7 +574,12 @@ def run_default() -> None:
     import __ray_entry__ as entry
 
     qs = entry.queries()
-    for name in BENCH_QUERIES:
+    # --quick tier (VERDICT r4 #9): headline + the current driver
+    # snapshot head (the 50 rows CORRECTNESS will score) — ~1/4 the
+    # wall of the full 220-entry suite, for per-session iteration.
+    # Default mode (the one the driver runs) is unchanged.
+    names = list(qs)[:50] if quick else BENCH_QUERIES
+    for name in names:
         t0 = time.perf_counter()
         res = qs[name](SF_DIR)
         # force lazy Datasets to execute (Ray 2.49 Datasets also expose
@@ -609,6 +614,8 @@ def main() -> None:
         run_child(int(sys.argv[2]))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         run_scaling()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--quick":
+        run_default(quick=True)
     else:
         run_default()
     import ray
