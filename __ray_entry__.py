@@ -17859,6 +17859,87 @@ def q_gopher_repetition_flags(sf_dir: str):
     )
 
 
+def q_bloom_register_audit(sf_dir: str):
+    """Bloom-filter sketch-STATE audit (the hll_register_audit /
+    cms_user_counts treatment extended to the third order-independent
+    sketch): the urgent-order Bloom bitmap — the exact bitmap
+    bloom_prefilter_join broadcasts — is rebuilt and its set-bit
+    positions are compared against a DuckDB twin that re-derives every
+    bit via the same Kirsch-Mitzenmacher double-hash family (two
+    splitmix64 finalizations in UHUGEINT modular arithmetic; the
+    2^20-bit modulus divides 2^64 so the index math is exact without
+    a 2^64 reduction). The bitmap is an OR-fold, hence independent of
+    block arrival order — the property that makes the state (unlike
+    t-digest/Misra-Gries) hash-oracle-able. Output: exact integer
+    invariants (popcount, index sum, index square-sum) — any single
+    diverging bit flips sum_idx_sq."""
+    import pyarrow.dataset as pds
+
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.functions.bloom import build_bloom
+
+    urgent = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey"],
+        filter=(pds.field("o_orderpriority") == "1-URGENT"),
+    )
+    words = build_bloom(urgent, "o_orderkey", m_bits=BLOOM_M, k=BLOOM_K)
+    idx = np.flatnonzero(
+        np.unpackbits(words.view(np.uint8), bitorder="little")
+    ).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "m_bits": [np.int64(BLOOM_M)],
+            "k": [np.int64(BLOOM_K)],
+            "bits_set": [np.int64(len(idx))],
+            "sum_idx": [np.int64(idx.sum())],
+            "sum_idx_sq": [np.int64((idx * idx).sum())],
+        }
+    )
+
+
+def _bloom_audit_sql() -> str:
+    """DuckDB twin of q_bloom_register_audit: splitmix64(key) and
+    splitmix64(key ^ SALT)|1 give h1/h2; bit i lands at
+    (h1 + i*h2) mod m, m = 2^20 | 2^64 so plain UHUGEINT mod is
+    exact."""
+    c1, c2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    lenk = 0x9E3779B97F4A7C15
+    salt = 0x9E3779B97F4A7C15
+    m64 = 1 << 64
+
+    def chain(src: str, out: str) -> str:
+        return f"""
+{out}0 AS (SELECT key, CAST((CAST({src} AS UHUGEINT) + {lenk}) % {m64} AS UBIGINT) AS z FROM seeds),
+{out}1 AS (SELECT key, CAST((CAST(xor(z, z >> CAST(30 AS UBIGINT)) AS UHUGEINT) * {c1}) % {m64} AS UBIGINT) AS z FROM {out}0),
+{out}2 AS (SELECT key, CAST((CAST(xor(z, z >> CAST(27 AS UBIGINT)) AS UHUGEINT) * {c2}) % {m64} AS UBIGINT) AS z FROM {out}1),
+{out} AS (SELECT key, xor(z, z >> CAST(31 AS UBIGINT)) AS h FROM {out}2)"""
+
+    return f"""
+WITH seeds AS (
+  SELECT DISTINCT CAST(o_orderkey AS UBIGINT) AS key
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+),{chain("key", "ha")},{chain(f"xor(key, CAST({salt} AS UBIGINT))", "hb")},
+hh AS (
+  SELECT ha.h AS h1, hb.h | CAST(1 AS UBIGINT) AS h2
+  FROM ha JOIN hb USING (key)
+),
+bits AS (
+  SELECT DISTINCT CAST(
+    (CAST(h1 AS UHUGEINT) + CAST(t.i AS UHUGEINT) * CAST(h2 AS UHUGEINT))
+      % {BLOOM_M} AS BIGINT) AS idx
+  FROM hh CROSS JOIN (SELECT unnest(range({BLOOM_K})) AS i) t
+)
+SELECT CAST({BLOOM_M} AS BIGINT) AS m_bits,
+       CAST({BLOOM_K} AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS bits_set,
+       CAST(sum(idx) AS BIGINT) AS sum_idx,
+       CAST(sum(idx * idx) AS BIGINT) AS sum_idx_sq
+FROM bits
+"""
+
+
 DSIR_N_BUCKETS = 1024
 
 
@@ -18494,6 +18575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fd_discovery_scan": q_fd_discovery_scan,
         "gopher_repetition_flags": q_gopher_repetition_flags,
         "dsir_importance_weights": q_dsir_importance_weights,
+        "bloom_register_audit": q_bloom_register_audit,
     }
     head = _R5_SNAPSHOT_HEAD
     missing = [q for q in head if q not in full]
@@ -23342,4 +23424,5 @@ SELECT source,
 FROM f GROUP BY source ORDER BY source
 """,
         "dsir_importance_weights": _dsir_sql(),
+        "bloom_register_audit": _bloom_audit_sql(),
     }

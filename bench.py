@@ -302,6 +302,7 @@ BENCH_QUERIES = [
     "fd_discovery_scan",  # FD violation-rate sweep, pair-salted buckets
     "gopher_repetition_flags",  # Gopher repetition quality gate, ppm-exact
     "dsir_importance_weights",  # DSIR hashed-unigram importance resampling
+    "bloom_register_audit",  # Bloom bitmap state audit, double-hash twin
 ]
 
 

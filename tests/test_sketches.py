@@ -210,3 +210,49 @@ def test_hll_intersection_query_self_asserts(ray_session):
     assert r["zeros_union"] <= min(r["zeros_view"], r["zeros_purchase"])
     assert r["sum_reg_union"] >= max(r["sum_reg_view"], r["sum_reg_purchase"])
     assert r["wdot_union"] >= max(r["wdot_view"], r["wdot_purchase"])
+
+
+def test_bloom_register_audit_state(ray_session):
+    """The Bloom bitmap audit: invariants are consistent (popcount
+    bounds, no false negatives for every build key) and stable across
+    block arrival orders (OR-fold commutativity)."""
+    import numpy as np
+    import pyarrow.dataset as pds
+
+    import ray.data as rd
+
+    import __ray_entry__ as m
+    from etl_data_validation_kio_ray.functions.bloom import (
+        build_bloom,
+        probe_bloom,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = m.queries()["bloom_register_audit"](sf)
+    r = out.iloc[0]
+    n_keys = rd.read_parquet(
+        f"{sf}/orders.parquet",
+        columns=["o_orderkey"],
+        filter=(pds.field("o_orderpriority") == "1-URGENT"),
+    ).count()
+    assert 0 < r.bits_set <= min(r.m_bits, r.k * n_keys)
+    assert r.sum_idx_sq >= r.sum_idx  # idx >= 1 for all but bit 0
+    # no false negatives: every build key probes true
+    urgent = rd.read_parquet(
+        f"{sf}/orders.parquet",
+        columns=["o_orderkey"],
+        filter=(pds.field("o_orderpriority") == "1-URGENT"),
+    )
+    words = build_bloom(urgent, "o_orderkey", m_bits=int(r.m_bits), k=int(r.k))
+    keys = urgent.to_pandas()["o_orderkey"].to_numpy()
+    assert probe_bloom(keys, words, m_bits=int(r.m_bits), k=int(r.k)).all()
+    # order independence: shuffled build gives the identical bitmap
+    words2 = build_bloom(
+        rd.from_pandas(
+            urgent.to_pandas().sample(frac=1, random_state=7)
+        ).repartition(5),
+        "o_orderkey",
+        m_bits=int(r.m_bits),
+        k=int(r.k),
+    )
+    assert (words == words2).all()
