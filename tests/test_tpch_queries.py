@@ -92,6 +92,11 @@ QUERIES = [
     "cdc_chunk_stats",
     "cdc_chunk_dedup",
     "fd_discovery_scan",
+    # round 5
+    "gopher_repetition_flags",
+    "dsir_importance_weights",
+    "bloom_register_audit",
+    "hll_intersection",
 ]
 
 
