@@ -457,3 +457,89 @@ def test_storage_profile_matches_duckdb_metadata(ray_session):
     assert got.reset_index(drop=True).equals(
         want.reset_index(drop=True)
     ), (got, want)
+
+
+def test_interchange_suite_roundtrip():
+    """RuleSpecs -> GE suite JSON -> RuleSpecs is lossless (params ride
+    meta.engine_params); a foreign suite without our meta maps onto
+    the standard rules."""
+    import json
+
+    from etl_data_validation_kio_ray.core.interchange import (
+        rules_to_soda_checks,
+        rules_to_suite,
+        suite_to_rules,
+    )
+    from etl_data_validation_kio_ray.core.specs import default_rules
+
+    rules = default_rules(
+        min_len=2, max_len=4096, allowed_sources=["web", "books"]
+    )
+    suite = rules_to_suite(rules)
+    json.dumps(suite)  # serializable
+    back = suite_to_rules(suite)
+    assert back == rules
+    # foreign suite (no meta): standard expectations map to specs
+    foreign = {
+        "expectation_suite_name": "ext",
+        "expectations": [
+            {
+                "expectation_type": "expect_column_values_to_be_unique",
+                "kwargs": {"column": "doc_id"},
+            },
+            {
+                "expectation_type": "expect_column_values_to_be_in_set",
+                "kwargs": {"column": "source", "value_set": ["web"]},
+            },
+            {
+                "expectation_type": "expect_column_values_to_be_between",
+                "kwargs": {"column": "n_tok", "min_value": 1, "max_value": 99},
+            },
+        ],
+    }
+    ext = suite_to_rules(foreign)
+    assert ext["source_ref"].params["allowed_sources"] == ["web"]
+    assert ext["row_invariants"].params["max_len"] == 99
+    # soda export carries the enabled checks
+    soda = rules_to_soda_checks(rules)
+    assert "duplicate_count(doc_id) = 0" in soda
+    assert "valid values: [web, books]" in soda
+    assert "min(n_tok) >= 2" in soda
+
+
+def test_interchange_imported_rules_drive_pipeline(ray_session, tmp_path):
+    """A GE suite imported through the interchange drives the engine to
+    the same verdicts as the native RuleSpecs (the reference's
+    cross-tool agreement, at the config layer)."""
+    from etl_data_validation_kio_ray.core.interchange import (
+        rules_to_suite,
+        suite_to_rules,
+    )
+    from etl_data_validation_kio_ray.core.specs import default_rules
+    from etl_data_validation_kio_ray.pipelines.validate import (
+        ValidationPipeline,
+    )
+    from etl_data_validation_kio_ray.sources.mutations import mutate_table
+    from etl_data_validation_kio_ray.sources.synth import (
+        generate_token_table,
+    )
+
+    clean = generate_token_table(
+        str(tmp_path / "clean"), partitions=3, rows_per_partition=200
+    )
+    mut = mutate_table(clean, str(tmp_path / "mut"), "corrupt_id")
+    native = default_rules(allowed_sources=["web", "books", "code", "wiki"])
+    imported = suite_to_rules(rules_to_suite(native))
+    res_a = ValidationPipeline(rules=native, shard_size=2).run(
+        mut, str(tmp_path / "out_a")
+    )
+    res_b = ValidationPipeline(rules=imported, shard_size=2).run(
+        mut, str(tmp_path / "out_b")
+    )
+    assert res_a.run_verdict == res_b.run_verdict == "FAIL"
+    va = res_a.violations().to_pandas()[["rule_id", "doc_id", "reason"]]
+    vb = res_b.violations().to_pandas()[["rule_id", "doc_id", "reason"]]
+    pd.testing.assert_frame_equal(
+        va.sort_values(["rule_id", "doc_id", "reason"]).reset_index(drop=True),
+        vb.sort_values(["rule_id", "doc_id", "reason"]).reset_index(drop=True),
+    )
