@@ -251,6 +251,35 @@ def cmd_report(args) -> int:
     return 0
 
 
+def cmd_export_rules(args) -> int:
+    """Export the effective rule set as a Great Expectations suite
+    (json, round-trippable) or Soda checks YAML (core/interchange.py);
+    --import-suite loads a GE suite as the base rules first."""
+    from .core.interchange import (
+        rules_to_soda_checks,
+        rules_to_suite,
+        suite_to_rules,
+    )
+    from .core.specs import default_rules, load_rules
+
+    allowed = args.allowed_sources.split(",") if args.allowed_sources else None
+    if args.import_suite:
+        with open(args.import_suite) as f:
+            rules = suite_to_rules(json.load(f))
+    else:
+        rules = default_rules(allowed_sources=allowed)
+    if args.rules_config:
+        rules = load_rules(args.rules_config, base=rules)
+    if args.format == "gx":
+        payload = json.dumps(rules_to_suite(rules), indent=2) + "\n"
+    else:
+        payload = rules_to_soda_checks(rules)
+    with open(args.out, "w") as f:
+        f.write(payload)
+    print(json.dumps({"out": args.out, "format": args.format, "rules": len(rules)}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="etl_data_validation_kio_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -320,6 +349,16 @@ def main(argv: list[str] | None = None) -> int:
     ck.add_argument("--id-col", default="doc_id")
     ck.add_argument("--text-col", default="text")
     ck.set_defaults(fn=cmd_chunk)
+
+    ex = sub.add_parser("export-rules", parents=[common])
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--format", choices=("gx", "soda"), default="gx")
+    ex.add_argument(
+        "--import-suite",
+        default=None,
+        help="load a Great Expectations suite JSON as the base rules",
+    )
+    ex.set_defaults(fn=cmd_export_rules)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -543,3 +543,18 @@ def test_interchange_imported_rules_drive_pipeline(ray_session, tmp_path):
         va.sort_values(["rule_id", "doc_id", "reason"]).reset_index(drop=True),
         vb.sort_values(["rule_id", "doc_id", "reason"]).reset_index(drop=True),
     )
+
+
+def test_cli_export_rules_roundtrip(tmp_path):
+    from etl_data_validation_kio_ray.cli import main
+
+    suite = str(tmp_path / "suite.json")
+    assert main(["export-rules", "--out", suite, "--allowed-sources", "web"]) == 0
+    suite2 = str(tmp_path / "suite2.json")
+    assert main(["export-rules", "--out", suite2, "--import-suite", suite]) == 0
+    import json as _json
+
+    assert _json.load(open(suite)) == _json.load(open(suite2))
+    soda = str(tmp_path / "checks.yml")
+    assert main(["export-rules", "--out", soda, "--format", "soda"]) == 0
+    assert "checks for sequences:" in open(soda).read()
