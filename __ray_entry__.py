@@ -18066,6 +18066,84 @@ FROM docw GROUP BY source ORDER BY source
 """
 
 
+FORMAT_PROFILE_COLS = [
+    ("customer", "c_name"),
+    ("customer", "c_mktsegment"),
+    ("part", "p_brand"),
+    ("part", "p_type"),
+    ("orders", "o_orderpriority"),
+]
+
+
+def q_format_profile(sf_dir: str):
+    """VALUE-FORMAT PROFILING (the Potter's-Wheel-style structure
+    discovery step of data profiling; the reference's format checks at
+    /root/reference/src/app2/etl_validation/checks.py are fixed
+    regexes — this is their discovery companion): every string value
+    maps to its run-collapsed character-class mask (digit runs → '9',
+    letter runs → 'a', punctuation verbatim: 'Customer#000000000' →
+    'a#9', '3-MEDIUM' → '9-a') and the profile is the exact pattern
+    census per column — the artifact a rule author reads to WRITE the
+    fixed format checks. One column-pruned read per table, per-batch
+    Arrow RE2 mask + in-batch hash-aggregate partials (<= |patterns|
+    rows leave each batch), one grouped_agg exchange over the tiny
+    (tbl_col, pattern) key space."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+
+    parts = []
+    for tbl, col in FORMAT_PROFILE_COLS:
+        ds = rd.read_parquet(
+            os.path.join(sf_dir, f"{tbl}.parquet"), columns=[col]
+        )
+        label = f"{tbl}.{col}"
+
+        def partial(t: pa.Table, _col=col, _label=label) -> pa.Table:
+            v = t[_col]
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            v = pc.fill_null(pc.cast(v, pa.string()), "")
+            masked = pc.replace_substring_regex(v, pattern="[0-9]+", replacement="9")
+            masked = pc.replace_substring_regex(
+                masked, pattern="[A-Za-z]+", replacement="a"
+            )
+            out = pa.table({"pattern": masked}).group_by("pattern").aggregate(
+                [("pattern", "count")]
+            )
+            return pa.table(
+                {
+                    "tbl_col": pa.array([_label] * out.num_rows),
+                    "pattern": out["pattern"],
+                    "n": out["pattern_count"],
+                }
+            )
+
+        parts.append(
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.union(p)
+    out = grouped_agg(allp, ["tbl_col", "pattern"], {"n": ("n", "sum")})
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["tbl_col", "pattern"]).reset_index(drop=True)
+
+
+def _format_profile_sql() -> str:
+    blocks = []
+    for tbl, col in FORMAT_PROFILE_COLS:
+        blocks.append(
+            f"""
+SELECT '{tbl}.{col}' AS tbl_col,
+       regexp_replace(regexp_replace(coalesce(CAST({col} AS VARCHAR), ''),
+         '[0-9]+', '9', 'g'), '[A-Za-z]+', 'a', 'g') AS pattern,
+       CAST(count(*) AS BIGINT) AS n
+FROM {tbl} GROUP BY 1, 2"""
+        )
+    return "\nUNION ALL\n".join(blocks) + "\nORDER BY tbl_col, pattern"
+
+
 FD_SCAN_COLS = ["p_brand", "p_type", "p_size"]
 
 
@@ -18576,6 +18654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_repetition_flags": q_gopher_repetition_flags,
         "dsir_importance_weights": q_dsir_importance_weights,
         "bloom_register_audit": q_bloom_register_audit,
+        "format_profile": q_format_profile,
     }
     head = _R5_SNAPSHOT_HEAD
     missing = [q for q in head if q not in full]
@@ -23425,4 +23504,5 @@ FROM f GROUP BY source ORDER BY source
 """,
         "dsir_importance_weights": _dsir_sql(),
         "bloom_register_audit": _bloom_audit_sql(),
+        "format_profile": _format_profile_sql(),
     }

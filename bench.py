@@ -303,6 +303,7 @@ BENCH_QUERIES = [
     "gopher_repetition_flags",  # Gopher repetition quality gate, ppm-exact
     "dsir_importance_weights",  # DSIR hashed-unigram importance resampling
     "bloom_register_audit",  # Bloom bitmap state audit, double-hash twin
+    "format_profile",  # value-format mask census (profiling discovery)
 ]
 
 

@@ -97,6 +97,7 @@ QUERIES = [
     "dsir_importance_weights",
     "bloom_register_audit",
     "hll_intersection",
+    "format_profile",
 ]
 
 
