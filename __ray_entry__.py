@@ -18066,6 +18066,172 @@ FROM docw GROUP BY source ORDER BY source
 """
 
 
+BLOOM_DECON_M, BLOOM_DECON_K = 1 << 20, 4
+
+
+def q_bloom_decontamination(sf_dir: str):
+    """Benchmark DECONTAMINATION at the 100-TB shape (the composition
+    open-source curation pipelines run before training): the eval
+    set's word-3-grams fold into a FIXED 128 KiB Bloom bitmap
+    (per-block partials OR-folded, broadcast once via ray.put), the
+    full corpus' distinct (doc, gram) pairs pre-filter against it —
+    no false negatives by construction — and only bloom-surviving
+    pairs pay the exact string semi-join confirm. The candidate
+    stream shrinks from every corpus gram to ~|eval grams| + the fp
+    tail, which is what makes n-gram decontamination feasible when
+    the corpus is 10^6x the benchmark: the exact gram set of the
+    corpus could never broadcast, the bitmap always can. EXACT
+    output: the confirm stage re-checks candidates against the true
+    eval gram strings, so (n_corpus_docs, n_contaminated) equals the
+    brute-force k-gram overlap — the DuckDB twin computes exactly
+    that, so any bloom-path bug (missed candidate, wrong hash)
+    hash-fails. Eval split: doc_id % 10 == 0 (the held-out 10%)."""
+    import ray
+
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.dedup.ngram import gram_occurrences
+    from etl_data_validation_kio_ray.functions.bloom import (
+        batch_bitmap,
+        probe_bloom,
+    )
+    from etl_data_validation_kio_ray.functions.hashing import (
+        hash_string_array,
+    )
+    from etl_data_validation_kio_ray.pipelines.relational import (
+        resolve_num_buckets,
+        tag_bucket,
+    )
+
+    M, K = BLOOM_DECON_M, BLOOM_DECON_K
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def side(is_eval: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 10 == 0) if is_eval else (ids % 10 != 0)
+            return t.filter(pa.array(m))
+
+        return f
+
+    ev = docs.map_batches(side(True), batch_format="pyarrow")
+    corpus = docs.map_batches(side(False), batch_format="pyarrow")
+
+    # eval grams: per-batch distinct strings (reused by the bitmap fold
+    # AND the exact confirm — a benchmark is small by definition)
+    def ev_grams(t: pa.Table) -> pa.Table:
+        return gram_occurrences(t, text_col="text", k=3).group_by(
+            "g"
+        ).aggregate([])
+
+    evg = ev.map_batches(
+        ev_grams, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # fixed-size bitmap: one 128 KiB partial per block, OR-fold driver
+    def bm_partial(t: pa.Table) -> pa.Table:
+        h = hash_string_array(t["g"]).view(np.int64)
+        return pa.table(
+            {"bm": pa.array([batch_bitmap(h, m_bits=M, k=K).tobytes()], pa.binary())}
+        )
+
+    words = np.zeros(M // 64, dtype=np.uint64)
+    for row in evg.map_batches(
+        bm_partial, batch_format="pyarrow", batch_size=None
+    ).iter_rows():
+        words |= np.frombuffer(row["bm"], dtype=np.uint64)
+    bloom_ref = ray.put(words)
+
+    # corpus docs with >= 1 gram (doc_id unique, rows never straddle
+    # batches -> per-batch counts sum exactly)
+    def n_docs_partial(t: pa.Table) -> pa.Table:
+        w = pc.split_pattern(pc.utf8_lower(pc.fill_null(t["text"], "")), " ")
+        n = pc.list_value_length(w).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"n": pa.array([int((n >= 3).sum())], pa.int64())}
+        )
+
+    n_corpus = int(
+        corpus.map_batches(n_docs_partial, batch_format="pyarrow")
+        .to_pandas()["n"]
+        .sum()
+    )
+
+    class Prefilter:
+        def __init__(self):
+            self.words = ray.get(bloom_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            pairs = gram_occurrences(
+                t, text_col="text", k=3, carry=["doc_id"]
+            ).group_by(["doc_id", "g"]).aggregate([])
+            h = hash_string_array(pairs["g"]).view(np.int64)
+            mask = probe_bloom(h, self.words, m_bits=M, k=K)
+            return pairs.filter(pa.array(mask))
+
+    survivors = corpus.map_batches(
+        Prefilter,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    nb = resolve_num_buckets(corpus)
+
+    def tag_probe(t: pa.Table) -> pa.Table:
+        return tag_bucket(
+            pa.table(
+                {
+                    "g": t["g"],
+                    "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                    "__probe": pa.array(np.ones(t.num_rows, dtype=bool)),
+                }
+            ),
+            "g",
+            nb,
+        )
+
+    def tag_build(t: pa.Table) -> pa.Table:
+        return tag_bucket(
+            pa.table(
+                {
+                    "g": t["g"],
+                    "doc_id": pa.nulls(t.num_rows, pa.int64()),
+                    "__probe": pa.array(np.zeros(t.num_rows, dtype=bool)),
+                }
+            ),
+            "g",
+            nb,
+        )
+
+    def confirm(g: pa.Table) -> pa.Table:
+        probe = g.filter(g["__probe"])
+        build = g.filter(pc.invert(g["__probe"]))["g"]
+        hit = probe.filter(pc.is_in(probe["g"], value_set=build))
+        # distinct docs within the bucket; global distinct follows
+        out = hit.select(["doc_id"]).group_by("doc_id").aggregate([])
+        return out
+
+    contaminated = (
+        survivors.map_batches(tag_probe, batch_format="pyarrow")
+        .union(evg.map_batches(tag_build, batch_format="pyarrow"))
+        .groupby("__b")
+        .map_groups(confirm, batch_format="pyarrow")
+        # global distinct over the (per-bucket-distinct) doc ids — a
+        # doc whose grams span buckets appears once per bucket
+        .groupby("doc_id")
+        .count()
+        .count()
+    )
+    return pd.DataFrame(
+        {
+            "n_corpus_docs": [np.int64(n_corpus)],
+            "n_contaminated": [np.int64(contaminated)],
+        }
+    )
+
+
 FORMAT_PROFILE_COLS = [
     ("customer", "c_name"),
     ("customer", "c_mktsegment"),
@@ -18673,6 +18839,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_importance_weights": q_dsir_importance_weights,
         "bloom_register_audit": q_bloom_register_audit,
         "format_profile": q_format_profile,
+        "bloom_decontamination": q_bloom_decontamination,
     }
     head = _R5_SNAPSHOT_HEAD
     missing = [q for q in head if q not in full]
@@ -23523,4 +23690,22 @@ FROM f GROUP BY source ORDER BY source
         "dsir_importance_weights": _dsir_sql(),
         "bloom_register_audit": _bloom_audit_sql(),
         "format_profile": _format_profile_sql(),
+        # exact k-gram overlap: the bloom prefilter is physical only —
+        # the confirm stage makes the result equal the brute force
+        "bloom_decontamination": """
+WITH d AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+  FROM d WHERE len(ws) >= 3
+),
+ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0),
+corp AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 10 <> 0)
+SELECT (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM corp)
+         AS n_corpus_docs,
+       CAST(count(DISTINCT c.doc_id) AS BIGINT) AS n_contaminated
+FROM corp c WHERE c.g IN (SELECT g FROM ev)
+""",
     }

@@ -304,6 +304,7 @@ BENCH_QUERIES = [
     "dsir_importance_weights",  # DSIR hashed-unigram importance resampling
     "bloom_register_audit",  # Bloom bitmap state audit, double-hash twin
     "format_profile",  # value-format mask census (profiling discovery)
+    "bloom_decontamination",  # fixed-bitmap prefilter + exact confirm
 ]
 
 

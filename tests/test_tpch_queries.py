@@ -98,6 +98,7 @@ QUERIES = [
     "bloom_register_audit",
     "hll_intersection",
     "format_profile",
+    "bloom_decontamination",
 ]
 
 
