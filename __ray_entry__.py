@@ -1055,7 +1055,6 @@ def q_asof_events(sf_dir: str):
         by="user_id",
         right_values=["value_cents"],
         direction="backward",
-        num_buckets=16,
         inner=True,
         # deterministic on (user_id, ts) ties in the right stream: keep
         # the max value_cents (mirrored by max() in the SQL twin)
@@ -1257,7 +1256,6 @@ def q_user_rolling_24h(sf_dir: str):
         "ts",
         "value_cents",
         window_us=24 * 3600 * 1_000_000,
-        num_buckets=16,
         out_cols=["event_id"],
     )
     out = collect_sorted(out, ["user_id", "ts", "event_id"])
@@ -1346,7 +1344,7 @@ def q_user_interarrival(sf_dir: str):
         columns=["event_id", "ts", "user_id"],
     )
     out = collect_sorted(
-        grouped_lag_delta_stats(ev, "user_id", "ts", "event_id", num_buckets=32),
+        grouped_lag_delta_stats(ev, "user_id", "ts", "event_id"),
         ["user_id"],
     )
     for c in ("n_gaps", "sum_gap_us", "max_gap_us"):
@@ -4444,7 +4442,7 @@ def q_event_transitions(sf_dir: str):
         columns=["event_id", "ts", "user_id", "event_type"],
     )
     out = grouped_transition_counts(
-        ev, "user_id", "ts", "event_id", "event_type", num_buckets=32
+        ev, "user_id", "ts", "event_id", "event_type"
     )
     out = out.rename(columns={"from_value": "from_type", "to_value": "to_type"})
     out["n"] = out["n"].astype("int64")
@@ -15847,7 +15845,7 @@ def q_two_step_transitions(sf_dir: str):
         columns=["event_id", "ts", "user_id", "event_type"],
     )
     cnt = grouped_transition_counts(
-        ev, "user_id", "ts", "event_id", "event_type", num_buckets=32
+        ev, "user_id", "ts", "event_id", "event_type"
     )
     c: dict[tuple[str, str], int] = {}
     r: dict[str, int] = {}

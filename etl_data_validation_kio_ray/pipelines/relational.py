@@ -187,7 +187,7 @@ def key_set_reconcile(
     left_key: str,
     right_key: str,
     *,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     left_only_label: str = "left_only",
     right_only_label: str = "right_only",
     emit: tuple[str, ...] = ("left_only", "right_only"),
@@ -206,7 +206,7 @@ def key_set_reconcile(
     ``is_in`` probe. Returns a (key, side) table sorted by (side, key);
     the result is the violation set, assumed small — the INPUTS may
     both be arbitrarily large."""
-    nb = np.int64(num_buckets)
+    nb = np.int64(resolve_num_buckets(left_ds, num_buckets))
 
     def project(side_code: int, key_col: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -293,7 +293,8 @@ def key_set_reconcile(
 
 
 def hash_partitioned_anti_keys(
-    left_ds, right_ds, left_key: str, right_key: str, *, num_buckets: int = 64
+    left_ds, right_ds, left_key: str, right_key: str, *,
+    num_buckets: int | None = None
 ) -> pa.Table:
     """Distinct ``left_key`` values with NO match in ``right_ds`` —
     the large x large anti-join on keys. One hash-partitioned exchange,
@@ -363,7 +364,7 @@ def asof_join(
     direction: str = "backward",
     tolerance: str | None = None,
     right_tiebreak: str | None = None,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     inner: bool = True,
 ):
     """As-of join: each LEFT row matches the RIGHT row of the same
@@ -405,7 +406,7 @@ def asof_join(
             f"(got {right_tiebreak!r})"
         )
     tol = pd.to_timedelta(tolerance) if tolerance is not None else None
-    nb = np.int64(num_buckets)
+    nb = np.int64(resolve_num_buckets(left_ds, num_buckets))
 
     lsch, rsch = dataset_arrow_schema(left_ds), dataset_arrow_schema(right_ds)
     left_cols = list(lsch.names)
@@ -1408,7 +1409,7 @@ def rolling_window_agg(
     value_col: str,
     window_us: int,
     *,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     out_cols: list[str] | None = None,
 ):
     """Per-row rolling aggregate over event time: for every row, the
@@ -1437,7 +1438,7 @@ def rolling_window_agg(
     """
     from ..functions.grouping import run_starts
 
-    nb = np.int64(num_buckets)
+    nb = np.int64(resolve_num_buckets(ds, num_buckets))
     keep = [key, ts_col, value_col] + [
         c for c in (out_cols or []) if c not in (key, ts_col, value_col)
     ]
@@ -2097,7 +2098,7 @@ def grouped_lag_delta_stats(
     ts_col: str,
     tiebreak_col: str,
     *,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ):
     """Per-key LAG() delta statistics: for each key, the count / sum /
     max of ``ts - LAG(ts) OVER (PARTITION BY key ORDER BY ts,
@@ -2116,7 +2117,7 @@ def grouped_lag_delta_stats(
     """
     from ..functions.grouping import run_starts
 
-    nb = np.int64(num_buckets)
+    nb = np.int64(resolve_num_buckets(ds, num_buckets))
 
     def project(t: pa.Table) -> pa.Table:
         t = t.select([key, ts_col, tiebreak_col]).filter(
@@ -2205,7 +2206,7 @@ def grouped_transition_counts(
     tiebreak_col: str,
     value_col: str,
     *,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ):
     """Per-key LEAD() transition matrix: counts of consecutive
     (value, next value) pairs per key's ``ts_col``-ordered history,
@@ -2223,7 +2224,7 @@ def grouped_transition_counts(
     """
     from ..functions.grouping import run_starts
 
-    nb = np.int64(num_buckets)
+    nb = np.int64(resolve_num_buckets(ds, num_buckets))
 
     def project(t: pa.Table) -> pa.Table:
         t = t.select([key, ts_col, tiebreak_col, value_col]).filter(
@@ -3350,7 +3351,7 @@ def key_containment(
     child_key: str,
     parent_key: str,
     *,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ) -> tuple[int, int]:
     """Inclusion-dependency probe of two LARGE datasets: how many
     DISTINCT non-null child keys exist, and how many of them appear in
@@ -3360,7 +3361,7 @@ def key_containment(
     when containment is poor). Integer keys meet on int64; both sides
     dedup per batch before the shuffle. Returns
     (n_child_distinct, n_contained)."""
-    nb = np.int64(num_buckets)
+    nb = np.int64(resolve_num_buckets(child_ds, num_buckets))
 
     def project(side_code: int, key_col: str):
         def fn(t: pa.Table) -> pa.Table:
