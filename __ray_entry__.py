@@ -18151,11 +18151,9 @@ def q_bloom_decontamination(sf_dir: str):
             {"n": pa.array([int((n >= 3).sum())], pa.int64())}
         )
 
-    n_corpus = int(
-        corpus.map_batches(n_docs_partial, batch_format="pyarrow")
-        .to_pandas()["n"]
-        .sum()
-    )
+    ndf = corpus.map_batches(n_docs_partial, batch_format="pyarrow").to_pandas()
+    # an all-eval corpus leaves zero corpus blocks -> schemaless empty df
+    n_corpus = int(ndf["n"].sum()) if "n" in ndf.columns else 0
 
     class Prefilter:
         def __init__(self):

@@ -1354,3 +1354,91 @@ def test_fuzz_fd_discovery(ray_session, tmp_path_factory, data):
     )
     _write(sf, "part", t)
     _compare("fd_discovery_scan", sf)
+
+
+@_fuzz
+@given(
+    texts=st.lists(
+        st.tuples(
+            # tiny alphabet: forces repeated words / 2-grams / 3-grams;
+            # empty strings hit the n=1 single-word-occupancy edge
+            st.sampled_from(
+                [
+                    "",
+                    "x",
+                    "x x",
+                    "x x x",
+                    "x y x y x y",
+                    "x y z w v u t s",
+                    "x x y y x x y y",
+                ]
+            ),
+            st.sampled_from(["s1", "s2"]),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_fuzz_gopher_repetition_flags(ray_session, tmp_path_factory, texts):
+    """Threshold boundaries on tiny docs: n=1 (always word-flagged),
+    n=2 (one 2-gram, occupancy 1), n=3 boundary for dup-3-grams,
+    perfectly repetitive vs all-distinct docs."""
+    sf = str(tmp_path_factory.mktemp("gopher"))
+    _write(sf, "documents", _documents_table(texts))
+    _compare("gopher_repetition_flags", sf)
+
+
+@_fuzz
+@given(
+    texts=st.lists(
+        st.tuples(
+            st.sampled_from(["a b", "a a b", "c d", "c c d d", "a d", ""]),
+            st.sampled_from(["s1", "s2"]),
+            st.sampled_from(["en", "fr"]),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_fuzz_dsir_importance_weights(ray_session, tmp_path_factory, texts):
+    """Target/raw bucket ratio edges: corpora with NO target docs
+    (all ratios floor at (0+1)*1e6//(raw+1)), all-target corpora
+    (ratio 1e6 everywhere), empty strings (the '' word), and hash
+    collisions across the tiny alphabet."""
+    sf = str(tmp_path_factory.mktemp("dsir"))
+    t, s, l = zip(*texts)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(list(t), pa.string()),
+            "lang": pa.array(list(l), pa.string()),
+            "source": pa.array(list(s), pa.string()),
+            "n_chars": pa.array([len(x) for x in t], pa.int64()),
+        }
+    )
+    _write(sf, "documents", tbl)
+    _compare("dsir_importance_weights", sf)
+
+
+@_fuzz
+@given(
+    texts=st.lists(
+        st.tuples(
+            # 4-word alphabet so eval/corpus 3-gram overlap is dense;
+            # docs < 3 words contribute no grams on either side
+            st.sampled_from(
+                ["", "p", "p q", "p q r", "p q r s", "q r p q", "s s s s"]
+            ),
+            st.sampled_from(["s1"]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_fuzz_bloom_decontamination(ray_session, tmp_path_factory, texts):
+    """doc_id % 10 split edges: corpora with an empty eval side (no
+    doc_id divisible by 10 when len < 11 is possible only for id 0),
+    an empty corpus side, short docs with no grams, and full overlap."""
+    sf = str(tmp_path_factory.mktemp("decon"))
+    _write(sf, "documents", _documents_table(texts))
+    _compare("bloom_decontamination", sf)
