@@ -18064,6 +18064,133 @@ FROM docw GROUP BY source ORDER BY source
 """
 
 
+def q_dedup_removal_budget(sf_dir: str):
+    """Per-source token REMOVAL BUDGET of exact substring dedup — the
+    planning number a curation run needs before cutting (Lee et al.
+    2022: how much of each source is duplicated text?): the
+    interval-UNION of every confirmed duplicated K-window span per
+    document (runs whose token spans overlap are merged, so no token
+    is counted twice), summed per source against the source's total
+    tokens → exact integer removal_ppm. Composes the audited
+    substring two-pass scan (12 B/position exchange, loud-capped
+    confirm gather) with a vectorized sweep-line merge on the bounded
+    driver frame (segment-offset cummax — no per-doc loop); per-source
+    totals ride one grouped_agg exchange. SQL twin: the dup_spans
+    gaps-and-islands CTE extended with classic window-function
+    interval merging."""
+    import ray.data as rd
+
+    from etl_data_validation_kio_ray.dedup.substring import (
+        WINDOW_K,
+        confirmed_dup_positions,
+    )
+    from etl_data_validation_kio_ray.pipelines.relational import grouped_agg
+    from etl_data_validation_kio_ray.sources.tokenize import (
+        tokenize_documents,
+    )
+
+    def mk():
+        return tokenize_documents(_docs(sf_dir, ["doc_id", "text", "source"]))
+
+    # per-source denominators (distributed; one exchange)
+    def tot_partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": t["source"],
+                "n_tok": pc.cast(t["n_tok"], pa.int64()),
+            }
+        )
+
+    tots = grouped_agg(
+        mk().map_batches(tot_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"],
+        {"n_docs": ("n_tok", "count"), "total_tok": ("n_tok", "sum")},
+    ).sort_values("source")
+
+    dup = confirmed_dup_positions(mk)
+    cov_by_source: dict[str, int] = {}
+    docs_by_source: dict[str, int] = {}
+    if not dup.empty:
+        d = dup.sort_values(["doc_id", "pos"], kind="mergesort")
+        codes, uniq_ids = pd.factorize(d["doc_id"].to_numpy())
+        pos = d["pos"].to_numpy().astype(np.int64)
+        # gaps-and-islands on window starts (pos - per-doc cumcount)
+        new_doc = np.r_[True, codes[1:] != codes[:-1]]
+        firsts = np.flatnonzero(new_doc)
+        counts = np.diff(np.r_[firsts, len(codes)])
+        cumcount = np.arange(len(codes)) - np.repeat(firsts, counts)
+        grp = pos - cumcount
+        new_run = np.r_[True, (codes[1:] != codes[:-1]) | (grp[1:] != grp[:-1])]
+        rs = np.flatnonzero(new_run)
+        run_code = codes[rs].astype(np.int64)
+        s = pos[rs]
+        e = pos[np.r_[rs[1:] - 1, len(pos) - 1]] + np.int64(WINDOW_K - 1)
+        # interval union per doc: segment-offset cummax makes the
+        # cross-doc boundary always open a new island
+        big = np.int64(int(e.max()) + WINDOW_K + 2)
+        adj_e = run_code * big + e
+        prev_cm = np.r_[np.int64(-1), np.maximum.accumulate(adj_e)[:-1]]
+        island = (run_code * big + s) > prev_cm
+        il = np.flatnonzero(island)
+        ms = s[il]
+        me = np.maximum.reduceat(e, il)
+        il_code = run_code[il]
+        cov = np.zeros(len(uniq_ids), dtype=np.int64)
+        np.add.at(cov, il_code, me - ms + 1)
+        # map the bounded dup-doc set to sources via a broadcast filter
+        import ray
+
+        ids_ref = ray.put(pa.array([str(x) for x in uniq_ids], pa.string()))
+
+        def gather(t: pa.Table) -> pa.Table:
+            keep = pc.is_in(
+                pc.cast(t["doc_id"], pa.string()), value_set=ray.get(ids_ref)
+            )
+            f = t.filter(keep)
+            return pa.table(
+                {
+                    "doc_id": pc.cast(f["doc_id"], pa.string()),
+                    "source": f["source"],
+                }
+            )
+
+        src = (
+            mk()
+            .map_batches(gather, batch_format="pyarrow", zero_copy_batch=True)
+            .to_pandas()
+        )
+        id2src = dict(zip(src["doc_id"], src["source"]))
+        for i, did in enumerate(uniq_ids):
+            sname = id2src[str(did)]
+            cov_by_source[sname] = cov_by_source.get(sname, 0) + int(cov[i])
+            docs_by_source[sname] = docs_by_source.get(sname, 0) + 1
+    out = tots.reset_index(drop=True)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["total_tok"] = out["total_tok"].astype("int64")
+    out["docs_with_dups"] = (
+        out["source"].map(docs_by_source).fillna(0).astype("int64")
+    )
+    out["covered_tok"] = (
+        out["source"].map(cov_by_source).fillna(0).astype("int64")
+    )
+    out["removal_ppm"] = np.where(
+        out["total_tok"].to_numpy() > 0,
+        out["covered_tok"].to_numpy() * 1_000_000
+        // np.maximum(out["total_tok"].to_numpy(), 1),
+        0,
+    ).astype(np.int64)
+    return out[
+        [
+            "source",
+            "n_docs",
+            "total_tok",
+            "docs_with_dups",
+            "covered_tok",
+            "removal_ppm",
+        ]
+    ]
+
+
 BLOOM_DECON_M, BLOOM_DECON_K = 1 << 20, 4
 
 
@@ -18836,6 +18963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_register_audit": q_bloom_register_audit,
         "format_profile": q_format_profile,
         "bloom_decontamination": q_bloom_decontamination,
+        "dedup_removal_budget": q_dedup_removal_budget,
     }
     head = _R5_SNAPSHOT_HEAD
     missing = [q for q in head if q not in full]
@@ -23703,5 +23831,66 @@ SELECT (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM corp)
          AS n_corpus_docs,
        CAST(count(DISTINCT c.doc_id) AS BIGINT) AS n_contaminated
 FROM corp c WHERE c.g IN (SELECT g FROM ev)
+""",
+        # dup_spans gaps-and-islands extended with interval merging:
+        # run spans [min_i, max_i + K - 1] union per doc, then one
+        # per-source rollup against the tokenize totals
+        "dedup_removal_budget": f"""
+WITH {TOKENIZE_CTE},
+w AS (
+  SELECT doc_id, n_tok, i, list_slice(tokens, i, i + 15) AS w
+  FROM (SELECT doc_id, n_tok, tokens,
+               unnest(generate_series(1, greatest(n_tok - 15, 0))) AS i
+        FROM tok)
+),
+rep AS (SELECT w FROM w GROUP BY w HAVING COUNT(*) >= 2),
+d AS (SELECT w.doc_id, w.i FROM w JOIN rep r ON w.w = r.w),
+isl AS (
+  SELECT doc_id, i,
+         i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM d
+),
+iv AS (
+  SELECT doc_id, min(i) AS s, max(i) + 15 AS e
+  FROM isl GROUP BY doc_id, grp
+),
+ord_iv AS (
+  SELECT doc_id, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pm
+  FROM iv
+),
+i2 AS (
+  SELECT doc_id, s, e,
+         SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s, e
+                 ROWS UNBOUNDED PRECEDING) AS g2
+  FROM ord_iv
+),
+mg AS (SELECT doc_id, min(s) AS ms, max(e) AS me FROM i2 GROUP BY doc_id, g2),
+cov AS (
+  SELECT doc_id, CAST(SUM(me - ms + 1) AS BIGINT) AS cov_tok
+  FROM mg GROUP BY doc_id
+),
+tots AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS total_tok
+  FROM tok GROUP BY source
+),
+agg AS (
+  SELECT t2.source,
+         CAST(count(*) AS BIGINT) AS docs_with_dups,
+         CAST(sum(c.cov_tok) AS BIGINT) AS covered_tok
+  FROM cov c JOIN tok t2 USING (doc_id) GROUP BY t2.source
+)
+SELECT t.source, t.n_docs, t.total_tok,
+       CAST(COALESCE(a.docs_with_dups, 0) AS BIGINT) AS docs_with_dups,
+       CAST(COALESCE(a.covered_tok, 0) AS BIGINT) AS covered_tok,
+       CASE WHEN t.total_tok > 0
+            THEN CAST(COALESCE(a.covered_tok, 0) * 1000000 // t.total_tok
+                      AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS removal_ppm
+FROM tots t LEFT JOIN agg a USING (source) ORDER BY t.source
 """,
     }

@@ -305,6 +305,7 @@ BENCH_QUERIES = [
     "bloom_register_audit",  # Bloom bitmap state audit, double-hash twin
     "format_profile",  # value-format mask census (profiling discovery)
     "bloom_decontamination",  # fixed-bitmap prefilter + exact confirm
+    "dedup_removal_budget",  # interval-union span coverage per source
 ]
 
 

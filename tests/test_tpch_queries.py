@@ -99,6 +99,7 @@ QUERIES = [
     "hll_intersection",
     "format_profile",
     "bloom_decontamination",
+    "dedup_removal_budget",
 ]
 
 
