@@ -2121,15 +2121,23 @@ def q_shipping_priority(sf_dir: str):
     )
 
 
+REVENUE_BY_REGION_CUST_BROADCAST_MAX = 2_000_000  # rows (<= ~32 MB map)
+
+
 def q_revenue_by_region(sf_dir: str):
     """TPC-H Q5-shaped star join: revenue per REGION. The dimension
-    chain (nation ⋈ region, dozens of rows) folds driver-side and
-    enriches customer via one broadcast probe; the two FACT joins
-    (lineitem→orders on orderkey, orders→customer on custkey) run as
-    tagged-UNION co-groups — exactly TWO hash-bucket exchanges total,
-    each carrying map-side partials (never lineitem rows), no join
-    aggregator actors. The per-order rollup falls out of the first
-    co-group for free, so n_orders counts orders exactly."""
+    chain (nation ⋈ region, dozens of rows) folds driver-side; the
+    lineitem→orders FACT join runs as a tagged-UNION co-group (ONE
+    hash-bucket exchange carrying map-side partials, never lineitem
+    rows). The orders→customer side is a METADATA-DECIDED size hybrid
+    (the inclusion_deps precedent): when the customer footer reports
+    <= REVENUE_BY_REGION_CUST_BROADCAST_MAX rows, the (custkey →
+    region-code) map broadcasts once via ray.put and the second
+    exchange disappears (a sorted-key searchsorted probe inside the
+    per-order stream, inner semantics kept by dropping misses);
+    beyond the cap it falls back to the second co-group exchange —
+    customer scales with the corpus, so the broadcast is a measured
+    choice, not an assumption."""
     import ray.data as rd
 
     from etl_data_validation_kio_ray.pipelines.relational import (
@@ -2150,16 +2158,6 @@ def q_revenue_by_region(sf_dir: str):
             "n_nationkey": pa.array(n2r["n_nationkey"].astype("int32")),
             "r_name": pa.array(n2r["r_name"]),
         }
-    )
-    cust = broadcast_lookup_join(
-        rd.read_parquet(
-            os.path.join(sf_dir, "customer.parquet"),
-            columns=["c_custkey", "c_nationkey"],
-        ),
-        dim,
-        "c_nationkey",
-        "n_nationkey",
-        ["r_name"],
     )
     li = rd.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
@@ -2211,20 +2209,79 @@ def q_revenue_by_region(sf_dir: str):
         post=to_cust,
     )
 
-    # co-group 2 (custkey): attach the region, collapse per customer
-    per_region = fact_dim_cogroup(
-        per_order,
-        cust.map_batches(
-            lambda t: pa.table(
-                {"ckey": t["c_custkey"].cast(pa.int64()), "r_name": t["r_name"]}
+    # orders→customer side: size hybrid decided from the parquet footer
+    cust_path = os.path.join(sf_dir, "customer.parquet")
+    n_cust = pq.read_metadata(cust_path).num_rows
+    if n_cust <= REVENUE_BY_REGION_CUST_BROADCAST_MAX:
+        import ray
+
+        cdf = pq.read_table(
+            cust_path, columns=["c_custkey", "c_nationkey"]
+        ).to_pandas()
+        k2r = cdf.merge(
+            n2r, left_on="c_nationkey", right_on="n_nationkey", how="inner"
+        )
+        names = sorted(k2r["r_name"].unique())
+        name_code = {nm: i for i, nm in enumerate(names)}
+        order_ix = np.argsort(k2r["c_custkey"].to_numpy().astype(np.int64))
+        bkeys = k2r["c_custkey"].to_numpy().astype(np.int64)[order_ix]
+        bcodes = (
+            k2r["r_name"].map(name_code).to_numpy().astype(np.int64)[order_ix]
+        )
+        lookup_ref = ray.put((bkeys, bcodes, list(names)))
+
+        def attach(t: pa.Table) -> pa.Table:
+            bk, bc, nm = ray.get(lookup_ref)
+            ck = t["ckey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = np.searchsorted(bk, ck)
+            idx_c = np.minimum(idx, len(bk) - 1)
+            hit = (len(bk) > 0) & (bk[idx_c] == ck)  # inner: drop misses
+            rc = bc[idx_c[hit]]
+            no = t["n_orders"].to_numpy(zero_copy_only=False)[hit]
+            rv = t["rev_c4"].to_numpy(zero_copy_only=False)[hit]
+            n_reg = len(nm)
+            acc_o = np.zeros(n_reg, np.int64)
+            acc_r = np.zeros(n_reg, np.int64)
+            np.add.at(acc_o, rc, no)
+            np.add.at(acc_r, rc, rv)
+            return pa.table(
+                {
+                    "r_name": pa.array(nm, pa.string()),
+                    "n_orders": pa.array(acc_o),
+                    "rev_c4": pa.array(acc_r),
+                }
+            )
+
+        per_region = per_order.map_batches(
+            attach, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        # co-group 2 (custkey): attach the region, collapse per customer
+        cust = broadcast_lookup_join(
+            rd.read_parquet(
+                cust_path, columns=["c_custkey", "c_nationkey"]
             ),
-            batch_format="pyarrow",
-        ),
-        key="ckey",
-        fact_cols=["n_orders", "rev_c4"],
-        dim_cols=["r_name"],
-        post=lambda t: t.select(["r_name", "n_orders", "rev_c4"]),
-    )
+            dim,
+            "c_nationkey",
+            "n_nationkey",
+            ["r_name"],
+        )
+        per_region = fact_dim_cogroup(
+            per_order,
+            cust.map_batches(
+                lambda t: pa.table(
+                    {
+                        "ckey": t["c_custkey"].cast(pa.int64()),
+                        "r_name": t["r_name"],
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            key="ckey",
+            fact_cols=["n_orders", "rev_c4"],
+            dim_cols=["r_name"],
+            post=lambda t: t.select(["r_name", "n_orders", "rev_c4"]),
+        )
     out = grouped_agg(
         per_region,
         ["r_name"],

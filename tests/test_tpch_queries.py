@@ -281,3 +281,23 @@ def test_new_query_matches_oracle_sf0001(ray_session, qname):
     sql_df = normalize(con.execute(m.oracle_sql()[qname]).fetchdf())
     problems = compare(qname, ray_df, sql_df)
     assert not problems, problems
+
+
+def test_revenue_by_region_hybrid_paths_agree(ray_session):
+    """The metadata-decided customer broadcast and the co-group
+    fallback must be frame-equal (the size hybrid is physical only)."""
+    import importlib
+
+    import __ray_entry__ as m
+
+    sf = "/root/testdata/sf0.001"
+    a = m.queries()["revenue_by_region"](sf)
+    cap = m.REVENUE_BY_REGION_CUST_BROADCAST_MAX
+    try:
+        m.REVENUE_BY_REGION_CUST_BROADCAST_MAX = 0
+        b = m.queries()["revenue_by_region"](sf)
+    finally:
+        m.REVENUE_BY_REGION_CUST_BROADCAST_MAX = cap
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
