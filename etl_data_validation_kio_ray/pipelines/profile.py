@@ -25,6 +25,61 @@ import pyarrow.compute as pc
 from .relational import grouped_agg, tag_bucket
 
 
+def _distinct_counts_all(
+    ds, cols: list[str], *, num_buckets: int = 32
+) -> dict[str, int]:
+    """Exact distinct counts for ALL columns in ONE pass + ONE
+    exchange: each batch emits its per-column pre-uniqued values
+    stringified (int64 → decimal string is injective, so the distinct
+    count is unchanged) tagged (col, value); the value-hash bucket
+    co-locates every occurrence of a (col, value) pair, the in-bucket
+    reducer counts distinct pairs per column, and the driver folds
+    buckets × columns integers. Replaces one full input scan PER
+    column (measured 6 scans → 1 on the orders profile)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        names: list[pa.Array] = []
+        vals: list[pa.Array] = []
+        for c in cols:
+            v = t[c]
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            u = pc.unique(v.drop_null())
+            vals.append(pc.cast(u, pa.string()))
+            names.append(pa.array([c] * len(u), pa.string()))
+        out = pa.table(
+            {
+                "c": pa.concat_arrays(names),
+                "v": pa.concat_arrays(
+                    [x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x for x in vals]
+                ),
+            }
+        )
+        return tag_bucket(out, "v", num_buckets)
+
+    def reduce_bucket(t: pa.Table) -> pa.Table:
+        pairs = t.drop_columns(["__b"]).group_by(["c", "v"]).aggregate([])
+        per_col = pairs.group_by("c").aggregate([("v", "count")])
+        return pa.table(
+            {
+                "c": per_col["c"],
+                "n": pc.cast(per_col["v_count"], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    counts = {c: 0 for c in cols}
+    if len(out):
+        for c, n in out.groupby("c")["n"].sum().items():
+            counts[str(c)] = int(n)
+    return counts
+
+
 def _distinct_count(ds, col: str, *, num_buckets: int = 32) -> int:
     def partial(t: pa.Table) -> pa.Table:
         v = t[col]
@@ -117,9 +172,8 @@ def profile_table(
 
     base["min_v"] = base.apply(lambda r: render(r, "min"), axis=1)
     base["max_v"] = base.apply(lambda r: render(r, "max"), axis=1)
-    base["n_distinct"] = [
-        _distinct_count(ds, c, num_buckets=num_buckets) for c in base["col"]
-    ]
+    dcounts = _distinct_counts_all(ds, cols, num_buckets=num_buckets)
+    base["n_distinct"] = [dcounts[c] for c in base["col"]]
     base = base[
         ["col", "n_rows", "n_nulls", "n_distinct", "min_v", "max_v"]
     ]
