@@ -4270,12 +4270,76 @@ def q_volume_shipping(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    orders_cn = hash_join(
-        orders,
-        cust.map_batches(cust_pre, batch_format="pyarrow"),
-        on=("ck",),
-        num_partitions=16,
-    )
+    # customer side: metadata-decided size hybrid (the
+    # revenue_by_region pattern). Below the cap the pair-filtered
+    # (ck → nation) map broadcasts once and join 1 disappears — which
+    # ALSO removes a real small-scale failure mode found at 32 CPUs /
+    # sf0.001: the heavily-filtered right side hash-partitions into
+    # some all-empty partitions, Ray materializes those as
+    # schema-less tables, and Acero rejects the join ("no match for
+    # FieldRef ck"). Above the cap the shuffle join runs as before —
+    # at that scale the filtered side fills every partition.
+    cust_path = os.path.join(sf_dir, "customer.parquet")
+    if (
+        pq.read_metadata(cust_path).num_rows
+        <= REVENUE_BY_REGION_CUST_BROADCAST_MAX
+    ):
+        import ray
+
+        cdf = pq.read_table(cust_path, columns=["c_custkey", "c_nationkey"])
+        nk = cdf["c_nationkey"].combine_chunks().cast(pa.int64())
+        cidx = pc.index_in(nk, value_set=pair_tbl["nk"])
+        keep = pc.is_valid(cidx)
+        ck_arr = (
+            cdf["c_custkey"]
+            .combine_chunks()
+            .cast(pa.int64())
+            .filter(keep)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        names = pair_tbl["cust_nation"].to_pylist()
+        codes = cidx.filter(keep).to_numpy(zero_copy_only=False).astype(np.int64)
+        oix = np.argsort(ck_arr)
+        lookup_ref = ray.put((ck_arr[oix], codes[oix], names))
+
+        def attach_cn(t: pa.Table) -> pa.Table:
+            bk, bc, nm = ray.get(lookup_ref)
+            ck2 = t["ck"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(bk, ck2)
+            pos_c = np.minimum(pos, max(len(bk) - 1, 0))
+            hit = (
+                (bk[pos_c] == ck2) if len(bk) else np.zeros(len(ck2), bool)
+            )
+            cn = pa.array(
+                np.asarray(nm, dtype=object)[bc[pos_c[hit]]], pa.string()
+            )
+            return pa.table(
+                {
+                    "okey": t["okey"].filter(pa.array(hit)),
+                    "cust_nation": cn,
+                }
+            )
+
+        orders_cn = orders.map_batches(
+            attach_cn, batch_format="pyarrow", zero_copy_batch=True
+        ).union(
+            rd.from_arrow(
+                pa.table(
+                    {
+                        "okey": pa.array([], pa.int64()),
+                        "cust_nation": pa.array([], pa.string()),
+                    }
+                )
+            )
+        )
+    else:
+        orders_cn = hash_join(
+            orders,
+            cust.map_batches(cust_pre, batch_format="pyarrow"),
+            on=("ck",),
+            num_partitions=16,
+        )
     joined = hash_join(li_part, orders_cn, on=("okey",), num_partitions=16)
 
     def cross_only(t: pa.Table) -> pa.Table:
